@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship query smoke check at sf0.001
+queries()      -> {name: (spark, sf_dir) -> DataFrame} per SURVEY §2 operator
+oracle_sql()   -> {name: DuckDB SQL} equivalents for the correctness gate
 """
 
 from __future__ import annotations
@@ -15,24 +13,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: supplier daily panel -> lag/rolling features -> naive
+    forecast joined back with per-series forecast-quality metrics."""
+    from polars_ts_spark.operators import baselines, features, metrics
+    from polars_ts_spark.sources.datasets import supplier_daily_panel
+
+    sf_dir = "/root/testdata/sf0.001"
+    panel = supplier_daily_panel(spark, sf_dir)
+    feat = features.rolling_features(
+        features.lag_features(panel, [1, 7]), [7], ["mean", "std"], min_samples=1
+    )
+    fc = baselines.naive_forecast(panel, h=7)
+    return fc.join(feat.groupBy("unique_id").count().withColumnRenamed("count", "n_obs"), "unique_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from polars_ts_spark.plans.registry import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from polars_ts_spark.plans.registry import all_oracles
+
+    return all_oracles()

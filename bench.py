@@ -1,0 +1,67 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop write (full execution, no
+driver collect bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from __spark_entry__ import queries  # noqa: E402
+from polars_ts_spark.session import get_spark  # noqa: E402
+
+# headline set: one per operator family (features, preprocessing,
+# forecasting, metrics, decomposition) plus the heavier kernels as they land
+HEADLINE = [
+    "panel_base",
+    "lag_features",
+    "rolling_features",
+    "calendar_features",
+    "resample_weekly",
+    "impute_ffill",
+    "outliers_iqr",
+    "cusum",
+    "naive_forecast",
+    "seasonal_naive_forecast",
+    "forecast_metrics",
+    "mase",
+    "seasonal_strength_features",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("polars-ts-spark-bench")
+    qs = queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n.startswith("bench_only_") and n not in HEADLINE
+    ]
+    # warm the JVM + parquet footer cache with one tiny action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,245 @@
+"""Feature engineering operators (SURVEY §2.11) — pure Spark column
+expressions over the canonical per-series window. No UDFs, no shuffles
+beyond the single partition-by-id Exchange that every window here shares.
+
+Reference parity:
+- lag_features            -> polars_ts/features/lags.py:8-42
+- covariate_lag_features  -> polars_ts/features/lags.py:45-79
+- rolling_features        -> polars_ts/features/rolling.py:12-72
+- calendar_features       -> polars_ts/features/calendar.py:9-57
+- fourier_features        -> polars_ts/features/fourier.py:10-58
+- interaction_features    -> polars_ts/features/advanced.py:116-144
+- time_embeddings         -> polars_ts/features/advanced.py:147-191
+- target_encode           -> polars_ts/features/advanced.py:11-54
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_ts_spark.panel import ID, TARGET, TIME, require_columns, series_window
+
+# ---------------------------------------------------------------------------
+# lags
+
+
+def lag_features(
+    df: DataFrame,
+    lags: Sequence[int],
+    id_col: str = ID,
+    time_col: str = TIME,
+    target_col: str = TARGET,
+) -> DataFrame:
+    """``y_lag_k`` columns via F.lag over the canonical window
+    (polars: y.shift(k).over(id), features/lags.py:41)."""
+    require_columns(df, id_col, time_col, target_col)
+    w = series_window(id_col, time_col)
+    cols = [F.lag(target_col, k).over(w).alias(f"{target_col}_lag_{k}") for k in lags]
+    return df.select("*", *cols)
+
+
+def covariate_lag_features(
+    df: DataFrame,
+    columns: Sequence[str],
+    lags: Sequence[int],
+    id_col: str = ID,
+    time_col: str = TIME,
+) -> DataFrame:
+    """``{col}_lag_{k}`` for covariate columns (features/lags.py:45-79)."""
+    require_columns(df, id_col, time_col, *columns)
+    w = series_window(id_col, time_col)
+    cols = [
+        F.lag(c, k).over(w).alias(f"{c}_lag_{k}") for c in columns for k in lags
+    ]
+    return df.select("*", *cols)
+
+
+# ---------------------------------------------------------------------------
+# rolling
+
+_ROLLING_AGGS = {
+    "mean": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "std": F.stddev_samp,  # polars rolling_std default ddof=1
+    "var": F.var_samp,
+    "median": lambda c: F.median(c),
+}
+
+
+def rolling_features(
+    df: DataFrame,
+    windows: Sequence[int],
+    aggs: Sequence[str] = ("mean",),
+    center: bool = False,
+    min_samples: int | None = None,
+    id_col: str = ID,
+    time_col: str = TIME,
+    target_col: str = TARGET,
+) -> DataFrame:
+    """``y_rolling_{agg}_{w}`` — trailing ``rowsBetween(-(w-1), 0)`` or
+    centered ``rowsBetween(-(w//2), w//2)`` frames
+    (features/rolling.py:12-72). ``min_samples`` nulls out frames with
+    fewer observations, matching polars ``min_samples``.
+    """
+    require_columns(df, id_col, time_col, target_col)
+    base = series_window(id_col, time_col)
+    out_cols = []
+    for w in windows:
+        frame = base.rowsBetween(-(w // 2), w - 1 - w // 2) if center else base.rowsBetween(-(w - 1), 0)
+        mp = w if min_samples is None else min_samples
+        cnt = F.count(target_col).over(frame)
+        for agg in aggs:
+            if agg not in _ROLLING_AGGS:
+                raise ValueError(f"unsupported rolling agg {agg!r}")
+            expr = _ROLLING_AGGS[agg](target_col).over(frame)
+            out_cols.append(
+                F.when(cnt >= F.lit(mp), expr).alias(f"{target_col}_rolling_{agg}_{w}")
+            )
+    return df.select("*", *out_cols)
+
+
+# ---------------------------------------------------------------------------
+# calendar
+
+# polars weekday(): 1=Monday..7=Sunday; Spark dayofweek: 1=Sunday..7=Saturday.
+# Shift: ((dayofweek(ds) + 5) % 7) + 1  (SURVEY §4.2).
+_CALENDAR_EXTRACTORS = {
+    "day_of_week": lambda t: ((F.dayofweek(t) + F.lit(5)) % 7 + F.lit(1)).cast("int"),
+    "day_of_month": lambda t: F.dayofmonth(t).cast("int"),
+    "day_of_year": lambda t: F.dayofyear(t).cast("int"),
+    "week_of_year": lambda t: F.weekofyear(t).cast("int"),
+    "month": lambda t: F.month(t).cast("int"),
+    "quarter": lambda t: F.quarter(t).cast("int"),
+    "year": lambda t: F.year(t).cast("int"),
+    "hour": lambda t: F.hour(t).cast("int"),
+    "minute": lambda t: F.minute(t).cast("int"),
+    "is_weekend": lambda t: (F.dayofweek(t).isin(1, 7)).cast("tinyint"),  # Int8 flag, calendar.py:19
+}
+
+
+def calendar_features(
+    df: DataFrame,
+    features: Sequence[str] | None = None,
+    time_col: str = TIME,
+) -> DataFrame:
+    """Datetime-part features (features/calendar.py:9-57). Defaults to all
+    ten extractors; Polars Monday-first weekday convention preserved."""
+    require_columns(df, time_col)
+    feats = list(features) if features is not None else list(_CALENDAR_EXTRACTORS)
+    unknown = [f for f in feats if f not in _CALENDAR_EXTRACTORS]
+    if unknown:
+        raise ValueError(f"unknown calendar features {unknown}")
+    return df.select("*", *[_CALENDAR_EXTRACTORS[f](F.col(time_col)).alias(f) for f in feats])
+
+
+# ---------------------------------------------------------------------------
+# fourier
+
+
+def fourier_features(
+    df: DataFrame,
+    period: float,
+    n_harmonics: int = 3,
+    id_col: str = ID,
+    time_col: str = TIME,
+) -> DataFrame:
+    """``fourier_{sin,cos}_{period}_{k}`` from the within-series row index
+    t=0,1,2,... (features/fourier.py:10-58): sin/cos(2π·k·t/period)."""
+    require_columns(df, id_col, time_col)
+    w = series_window(id_col, time_col)
+    t = (F.row_number().over(w) - F.lit(1)).cast("double")
+    p = int(period) if float(period).is_integer() else period
+    cols = []
+    for k in range(1, n_harmonics + 1):
+        angle = F.lit(2.0 * math.pi * k) * t / F.lit(float(period))
+        cols.append(F.sin(angle).alias(f"fourier_sin_{p}_{k}"))
+        cols.append(F.cos(angle).alias(f"fourier_cos_{p}_{k}"))
+    return df.select("*", *cols)
+
+
+# ---------------------------------------------------------------------------
+# interactions / cyclic embeddings
+
+
+def interaction_features(
+    df: DataFrame,
+    pairs: Sequence[tuple[str, str]],
+    method: str = "multiply",
+) -> DataFrame:
+    """``a_x_b`` (multiply) / ``a_plus_b`` (add) column interactions
+    (features/advanced.py:116-144)."""
+    for a, b in pairs:
+        require_columns(df, a, b)
+    if method == "multiply":
+        cols = [(F.col(a) * F.col(b)).alias(f"{a}_x_{b}") for a, b in pairs]
+    elif method == "add":
+        cols = [(F.col(a) + F.col(b)).alias(f"{a}_plus_{b}") for a, b in pairs]
+    else:
+        raise ValueError(f"unknown interaction method {method!r}")
+    return df.select("*", *cols)
+
+
+_EMBED_COMPONENTS = {
+    # component -> (extractor, period)
+    "hour": (lambda t: F.hour(t).cast("double"), 24.0),
+    "day_of_week": (lambda t: ((F.dayofweek(t) + F.lit(5)) % 7).cast("double"), 7.0),
+    "day_of_month": (lambda t: (F.dayofmonth(t) - F.lit(1)).cast("double"), 31.0),
+    "month": (lambda t: (F.month(t) - F.lit(1)).cast("double"), 12.0),
+    "minute": (lambda t: F.minute(t).cast("double"), 60.0),
+}
+
+
+def time_embeddings(
+    df: DataFrame,
+    components: Sequence[str] = ("hour", "day_of_week", "month"),
+    time_col: str = TIME,
+) -> DataFrame:
+    """Cyclic sin/cos encodings ``{comp}_sin`` / ``{comp}_cos``
+    (features/advanced.py:147-191)."""
+    require_columns(df, time_col)
+    cols = []
+    for comp in components:
+        if comp not in _EMBED_COMPONENTS:
+            raise ValueError(f"unknown time component {comp!r}")
+        extract, period = _EMBED_COMPONENTS[comp]
+        angle = F.lit(2.0 * math.pi) * extract(F.col(time_col)) / F.lit(period)
+        cols.append(F.sin(angle).alias(f"{comp}_sin"))
+        cols.append(F.cos(angle).alias(f"{comp}_cos"))
+    return df.select("*", *cols)
+
+
+# ---------------------------------------------------------------------------
+# target encoding
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    smoothing: float = 10.0,
+    target_col: str = TARGET,
+) -> DataFrame:
+    """Smoothed-mean target encoding ``{cat}_encoded`` =
+    (n·cat_mean + s·global_mean) / (n + s)  (features/advanced.py:44-52).
+
+    Scale: category stats are tiny → broadcast join, no shuffle of the fact
+    side.
+    """
+    require_columns(df, cat_col, target_col)
+    gmean = df.agg(F.avg(target_col)).collect()[0][0]
+    stats = df.groupBy(cat_col).agg(
+        F.count(target_col).alias("__n"), F.avg(target_col).alias("__mean")
+    )
+    enc = stats.select(
+        cat_col,
+        (
+            (F.col("__n") * F.col("__mean") + F.lit(smoothing) * F.lit(gmean))
+            / (F.col("__n") + F.lit(smoothing))
+        ).alias(f"{cat_col}_encoded"),
+    )
+    return df.join(F.broadcast(enc), on=cat_col, how="left")

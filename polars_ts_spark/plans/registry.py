@@ -1,0 +1,528 @@
+"""Query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus a DuckDB oracle SQL string.
+
+This is the driver's correctness gate (CORRECTNESS_r{N}.json): each pair
+is executed side-by-side at sf0.01 and compared on row-count + schema +
+order-insensitive value hash. Column names/aliases MUST match between the
+Spark plan and the SQL.
+
+The shared panel derivation is FIXTURES.md F9: supplier daily revenue from
+lineitem.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_ts_spark.operators import baselines, decomposition, features, metrics, preprocessing
+from polars_ts_spark.sources.datasets import supplier_daily_panel, user_event_panel
+
+# DuckDB CTE shared by most oracles — must mirror supplier_daily_panel().
+PANEL_CTE = """
+WITH panel AS (
+    SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+           date_trunc('day', l_shipdate) AS ds,
+           SUM(l_extendedprice) AS y
+    FROM lineitem
+    GROUP BY 1, 2
+)
+"""
+
+# event panel with deterministic nulls (imputation paths need nulls)
+EVENT_PANEL_CTE = """
+WITH panel AS (
+    SELECT CAST(user_id AS VARCHAR) AS unique_id,
+           ts AS ds,
+           CASE WHEN value < 10 THEN NULL ELSE CAST(value AS DOUBLE) END AS y
+    FROM events
+)
+"""
+
+
+def _event_panel_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = user_event_panel(spark, sf_dir)
+    return p.withColumn("y", F.when(F.col("y") < 10, F.lit(None).cast("double")).otherwise(F.col("y")))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# base panel
+
+
+@register("panel_base", PANEL_CTE + "SELECT * FROM panel")
+def q_panel_base(spark, sf_dir):
+    return supplier_daily_panel(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# features
+
+
+@register(
+    "lag_features",
+    PANEL_CTE + """
+    SELECT unique_id, ds, y,
+           LAG(y, 1) OVER w AS y_lag_1,
+           LAG(y, 7) OVER w AS y_lag_7
+    FROM panel
+    WINDOW w AS (PARTITION BY unique_id ORDER BY ds)
+    """,
+)
+def q_lag_features(spark, sf_dir):
+    return features.lag_features(supplier_daily_panel(spark, sf_dir), [1, 7])
+
+
+@register(
+    "rolling_features",
+    PANEL_CTE + """
+    SELECT unique_id, ds, y,
+           CASE WHEN COUNT(y) OVER w7 >= 7 THEN AVG(y) OVER w7 END AS y_rolling_mean_7,
+           CASE WHEN COUNT(y) OVER w7 >= 7 THEN SUM(y) OVER w7 END AS y_rolling_sum_7,
+           CASE WHEN COUNT(y) OVER w7 >= 7 THEN MIN(y) OVER w7 END AS y_rolling_min_7,
+           CASE WHEN COUNT(y) OVER w7 >= 7 THEN MAX(y) OVER w7 END AS y_rolling_max_7
+    FROM panel
+    WINDOW w7 AS (PARTITION BY unique_id ORDER BY ds ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_features(spark, sf_dir):
+    return features.rolling_features(
+        supplier_daily_panel(spark, sf_dir), [7], ["mean", "sum", "min", "max"]
+    )
+
+
+@register(
+    "calendar_features",
+    PANEL_CTE + """
+    SELECT unique_id, ds, y,
+           CAST(isodow(ds) AS INT) AS day_of_week,
+           CAST(day(ds) AS INT) AS day_of_month,
+           CAST(month(ds) AS INT) AS month,
+           CAST(quarter(ds) AS INT) AS quarter,
+           CAST(year(ds) AS INT) AS year,
+           CAST(CASE WHEN isodow(ds) IN (6, 7) THEN 1 ELSE 0 END AS TINYINT) AS is_weekend
+    FROM panel
+    """,
+)
+def q_calendar_features(spark, sf_dir):
+    return features.calendar_features(
+        supplier_daily_panel(spark, sf_dir),
+        ["day_of_week", "day_of_month", "month", "quarter", "year", "is_weekend"],
+    )
+
+
+@register(
+    "fourier_features",
+    PANEL_CTE + """
+    SELECT unique_id, ds, y,
+           SIN(2 * PI() * 1 * t / 7.0) AS fourier_sin_7_1,
+           COS(2 * PI() * 1 * t / 7.0) AS fourier_cos_7_1,
+           SIN(2 * PI() * 2 * t / 7.0) AS fourier_sin_7_2,
+           COS(2 * PI() * 2 * t / 7.0) AS fourier_cos_7_2
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS DOUBLE) AS t
+        FROM panel
+    )
+    """,
+)
+def q_fourier_features(spark, sf_dir):
+    out = features.fourier_features(supplier_daily_panel(spark, sf_dir), period=7, n_harmonics=2)
+    return out
+
+
+@register(
+    "time_embeddings",
+    PANEL_CTE + """
+    SELECT unique_id, ds, y,
+           SIN(2 * PI() * (isodow(ds) - 1) / 7.0) AS day_of_week_sin,
+           COS(2 * PI() * (isodow(ds) - 1) / 7.0) AS day_of_week_cos,
+           SIN(2 * PI() * (month(ds) - 1) / 12.0) AS month_sin,
+           COS(2 * PI() * (month(ds) - 1) / 12.0) AS month_cos
+    FROM panel
+    """,
+)
+def q_time_embeddings(spark, sf_dir):
+    return features.time_embeddings(supplier_daily_panel(spark, sf_dir), ["day_of_week", "month"])
+
+
+@register(
+    "target_encode",
+    """
+    WITH stats AS (
+        SELECT l_returnflag,
+               COUNT(l_extendedprice) AS n,
+               AVG(l_extendedprice) AS catmean
+        FROM lineitem GROUP BY 1
+    ), g AS (SELECT AVG(l_extendedprice) AS gmean FROM lineitem)
+    SELECT l_returnflag,
+           (n * catmean + 10.0 * gmean) / (n + 10.0) AS l_returnflag_encoded
+    FROM stats, g
+    """,
+)
+def q_target_encode(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    enc = features.target_encode(li, "l_returnflag", smoothing=10.0, target_col="l_extendedprice")
+    return enc.select("l_returnflag", "l_returnflag_encoded").distinct()
+
+
+# ---------------------------------------------------------------------------
+# preprocessing
+
+
+@register(
+    "resample_weekly",
+    PANEL_CTE + """
+    SELECT unique_id, date_trunc('week', ds) AS ds, SUM(y) AS y
+    FROM panel GROUP BY 1, 2
+    """,
+)
+def q_resample_weekly(spark, sf_dir):
+    return preprocessing.resample(supplier_daily_panel(spark, sf_dir), "1w", "sum")
+
+
+@register(
+    "resample_monthly_last",
+    PANEL_CTE + """
+    SELECT unique_id, date_trunc('month', ds) AS ds, max_by(y, ds) AS y
+    FROM panel GROUP BY 1, 2
+    """,
+)
+def q_resample_monthly_last(spark, sf_dir):
+    return preprocessing.resample(supplier_daily_panel(spark, sf_dir), "1mo", "last")
+
+
+@register(
+    "impute_ffill",
+    EVENT_PANEL_CTE + """
+    SELECT unique_id, ds,
+           COALESCE(y, LAST_VALUE(y IGNORE NULLS) OVER
+               (PARTITION BY unique_id ORDER BY ds ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS y
+    FROM panel
+    """,
+)
+def q_impute_ffill(spark, sf_dir):
+    p = _event_panel_with_nulls(spark, sf_dir)
+    return preprocessing.impute(p, "forward_fill")
+
+
+@register(
+    "impute_mean",
+    EVENT_PANEL_CTE + """
+    SELECT unique_id, ds,
+           COALESCE(y, AVG(y) OVER (PARTITION BY unique_id)) AS y
+    FROM panel
+    """,
+)
+def q_impute_mean(spark, sf_dir):
+    return preprocessing.impute(_event_panel_with_nulls(spark, sf_dir), "mean")
+
+
+@register(
+    "outliers_zscore",
+    PANEL_CTE + """
+    SELECT unique_id, ds, y,
+           CASE WHEN STDDEV_SAMP(y) OVER w > 0
+                THEN ABS(y - AVG(y) OVER w) / STDDEV_SAMP(y) OVER w > 3.0
+                ELSE FALSE END AS is_outlier
+    FROM panel
+    WINDOW w AS (PARTITION BY unique_id)
+    """,
+)
+def q_outliers_zscore(spark, sf_dir):
+    return preprocessing.detect_outliers(supplier_daily_panel(spark, sf_dir), "zscore", 3.0)
+
+
+@register(
+    "outliers_iqr",
+    PANEL_CTE + """
+    SELECT unique_id, ds, y,
+           (y < q1 - 1.5 * (q3 - q1)) OR (y > q3 + 1.5 * (q3 - q1)) AS is_outlier
+    FROM (
+        SELECT *,
+               quantile_cont(y, 0.25) OVER (PARTITION BY unique_id) AS q1,
+               quantile_cont(y, 0.75) OVER (PARTITION BY unique_id) AS q3
+        FROM panel
+    )
+    """,
+)
+def q_outliers_iqr(spark, sf_dir):
+    return preprocessing.detect_outliers(supplier_daily_panel(spark, sf_dir), "iqr", 1.5)
+
+
+@register(
+    "log_transform",
+    PANEL_CTE + """
+    SELECT unique_id, ds, LN(1 + y) AS y, y AS y_original
+    FROM panel
+    """,
+)
+def q_log_transform(spark, sf_dir):
+    return preprocessing.log_transform(supplier_daily_panel(spark, sf_dir)).select(
+        "unique_id", "ds", "y", "y_original"
+    )
+
+
+@register(
+    "boxcox_transform",
+    PANEL_CTE + """
+    SELECT unique_id, ds, (POW(y, 0.5) - 1) / 0.5 AS y, y AS y_original,
+           CAST(0.5 AS DOUBLE) AS y_boxcox_lambda
+    FROM panel
+    """,
+)
+def q_boxcox_transform(spark, sf_dir):
+    return preprocessing.boxcox_transform(supplier_daily_panel(spark, sf_dir), 0.5).select(
+        "unique_id", "ds", "y", "y_original", "y_boxcox_lambda"
+    )
+
+
+@register(
+    "difference_seasonal",
+    PANEL_CTE + """
+    SELECT unique_id, ds,
+           y - LAG(y, 7) OVER (PARTITION BY unique_id ORDER BY ds) AS y,
+           y AS y_original
+    FROM panel
+    """,
+)
+def q_difference_seasonal(spark, sf_dir):
+    return preprocessing.difference(supplier_daily_panel(spark, sf_dir), order=1, period=7).select(
+        "unique_id", "ds", "y", "y_original"
+    )
+
+
+@register(
+    "cusum",
+    PANEL_CTE + """
+    SELECT unique_id, ds, y,
+           ROUND(SUM(CASE WHEN sd > 0 THEN (y - mu) / sd ELSE 0.0 END)
+               OVER (PARTITION BY unique_id ORDER BY ds ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS cusum
+    FROM (
+        SELECT *, AVG(y) OVER (PARTITION BY unique_id) AS mu,
+               STDDEV_SAMP(y) OVER (PARTITION BY unique_id) AS sd
+        FROM panel
+    )
+    """,
+)
+def q_cusum(spark, sf_dir):
+    # the cumulative sum telescopes to ~0 at each series end; engines'
+    # different avg() summation orders make those values FP noise, so the
+    # comparable surface rounds to 6 decimals (and +0.0 normalizes -0.0)
+    out = preprocessing.cusum(supplier_daily_panel(spark, sf_dir), normalize=True)
+    return out.withColumn("cusum", F.round(F.col("cusum"), 6) + F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# baseline forecasters
+
+_FREQ_CTE = """
+freq AS (
+    SELECT unique_id, CAST(CASE WHEN COUNT(d) = 0 THEN 86400 ELSE MEDIAN(d) END AS BIGINT) AS freq_s
+    FROM (
+        SELECT unique_id,
+               epoch(ds) - epoch(LAG(ds) OVER (PARTITION BY unique_id ORDER BY ds)) AS d
+        FROM panel
+    ) WHERE d IS NOT NULL OR TRUE
+    GROUP BY 1
+),
+g AS (
+    SELECT p.unique_id, max_by(p.y, p.ds) AS last_y, MAX(p.ds) AS last_ts
+    FROM panel p GROUP BY 1
+),
+steps AS (SELECT UNNEST(generate_series(1, {h})) AS step)
+"""
+
+
+@register(
+    "naive_forecast",
+    PANEL_CTE + ", " + _FREQ_CTE.format(h=7) + """
+    SELECT g.unique_id,
+           g.last_ts + INTERVAL '1 second' * (steps.step * f.freq_s) AS ds,
+           g.last_y AS y_hat
+    FROM g JOIN freq f ON g.unique_id = f.unique_id CROSS JOIN steps
+    """,
+)
+def q_naive_forecast(spark, sf_dir):
+    return baselines.naive_forecast(supplier_daily_panel(spark, sf_dir), h=7)
+
+
+@register(
+    "moving_average_forecast",
+    PANEL_CTE + ", " + _FREQ_CTE.format(h=7) + """,
+    tails AS (
+        SELECT unique_id, AVG(y) AS ma FROM (
+            SELECT unique_id, y,
+                   ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds DESC) AS rn
+            FROM panel
+        ) WHERE rn <= 28 GROUP BY 1
+    )
+    SELECT g.unique_id,
+           g.last_ts + INTERVAL '1 second' * (steps.step * f.freq_s) AS ds,
+           t.ma AS y_hat
+    FROM g JOIN freq f USING (unique_id) JOIN tails t USING (unique_id) CROSS JOIN steps
+    """,
+)
+def q_moving_average_forecast(spark, sf_dir):
+    return baselines.moving_average_forecast(supplier_daily_panel(spark, sf_dir), h=7, window=28)
+
+
+@register(
+    "seasonal_naive_forecast",
+    PANEL_CTE + ", " + _FREQ_CTE.format(h=10) + """,
+    tail AS (
+        SELECT unique_id, y, rn_desc,
+               LEAST(7, COUNT(*) OVER (PARTITION BY unique_id)) AS m_eff
+        FROM (
+            SELECT unique_id, y,
+                   ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds DESC) AS rn_desc
+            FROM panel
+        ) WHERE rn_desc <= 7
+    )
+    SELECT g.unique_id,
+           g.last_ts + INTERVAL '1 second' * (steps.step * f.freq_s) AS ds,
+           t.y AS y_hat
+    FROM g
+    JOIN freq f USING (unique_id)
+    CROSS JOIN steps
+    JOIN tail t ON t.unique_id = g.unique_id
+              AND (t.m_eff - t.rn_desc) = ((steps.step - 1) % t.m_eff)
+    """,
+)
+def q_seasonal_naive_forecast(spark, sf_dir):
+    return baselines.seasonal_naive_forecast(supplier_daily_panel(spark, sf_dir), h=10, season_length=7)
+
+
+# ---------------------------------------------------------------------------
+# metrics (in-sample naive-1 forecast as y_hat)
+
+_EVAL_CTE = PANEL_CTE + """,
+eval AS (
+    SELECT * FROM (
+        SELECT unique_id, ds, y,
+               LAG(y, 1) OVER (PARTITION BY unique_id ORDER BY ds) AS y_hat
+        FROM panel
+    ) WHERE y_hat IS NOT NULL
+)
+"""
+
+
+def _eval_frame(spark, sf_dir):
+    p = supplier_daily_panel(spark, sf_dir)
+    p = features.lag_features(p, [1])
+    return p.withColumnRenamed("y_lag_1", "y_hat").filter(F.col("y_hat").isNotNull())
+
+
+@register(
+    "forecast_metrics",
+    _EVAL_CTE + """
+    SELECT unique_id,
+           AVG(ABS(y - y_hat)) AS mae,
+           SQRT(AVG((y - y_hat) * (y - y_hat))) AS rmse,
+           AVG(CASE WHEN y <> 0 THEN ABS((y - y_hat) / y) END) AS mape,
+           AVG(CASE WHEN ABS(y) + ABS(y_hat) <> 0
+                    THEN 2.0 * ABS(y - y_hat) / (ABS(y) + ABS(y_hat)) END) AS smape
+    FROM eval GROUP BY 1
+    """,
+)
+def q_forecast_metrics(spark, sf_dir):
+    ev = _eval_frame(spark, sf_dir)
+    m1 = metrics.mae(ev, by_group=True)
+    m2 = metrics.rmse(ev, by_group=True)
+    m3 = metrics.mape(ev, by_group=True)
+    m4 = metrics.smape(ev, by_group=True)
+    return m1.join(m2, "unique_id").join(m3, "unique_id").join(m4, "unique_id")
+
+
+@register(
+    "mase",
+    _EVAL_CTE + """
+    SELECT unique_id,
+           CASE WHEN AVG(nae) = 0 AND AVG(ae) = 0 THEN 0.0
+                WHEN AVG(nae) = 0 THEN CAST('inf' AS DOUBLE)
+                ELSE AVG(ae) / AVG(nae) END AS mase
+    FROM (
+        SELECT unique_id, ABS(y - y_hat) AS ae,
+               ABS(y - LAG(y, 7) OVER (PARTITION BY unique_id ORDER BY ds)) AS nae
+        FROM eval
+    ) GROUP BY 1
+    """,
+)
+def q_mase(spark, sf_dir):
+    return metrics.mase(_eval_frame(spark, sf_dir), season_length=7, by_group=True)
+
+
+@register(
+    "bias_detect",
+    _EVAL_CTE + """
+    SELECT unique_id,
+           AVG(y_hat - y) AS mean_error,
+           AVG(CASE WHEN y_hat - y > 0 THEN 1.0 ELSE 0.0 END) AS over_forecast_ratio,
+           AVG(y_hat - y) / AVG(ABS(y_hat - y)) AS bias_ratio
+    FROM eval GROUP BY 1
+    """,
+)
+def q_bias_detect(spark, sf_dir):
+    return metrics.bias_detect(_eval_frame(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# decomposition
+
+
+@register(
+    "seasonal_strength_features",
+    PANEL_CTE + """,
+    dec AS (
+        SELECT unique_id, ds, y,
+               AVG(y) OVER (PARTITION BY unique_id ORDER BY ds ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS idx
+        FROM panel
+    ),
+    detr AS (
+        SELECT *, idx % 7 AS phase, y - trend AS detrended FROM dec
+    ),
+    raw_seas AS (
+        SELECT *, AVG(detrended) OVER (PARTITION BY unique_id, phase) AS raw_seasonal,
+               ROW_NUMBER() OVER (PARTITION BY unique_id, phase ORDER BY ds) AS phase_rn
+        FROM detr
+    ),
+    seas AS (
+        SELECT *,
+               raw_seasonal - AVG(CASE WHEN phase_rn = 1 THEN raw_seasonal END)
+                   OVER (PARTITION BY unique_id) AS seasonal
+        FROM raw_seas
+    ),
+    comp AS (
+        SELECT unique_id, y - trend - seasonal AS resid, trend, seasonal FROM seas
+    )
+    SELECT unique_id,
+           GREATEST(0.0, 1.0 - VAR_SAMP(resid) / VAR_SAMP(trend + resid)) AS trend_strength,
+           GREATEST(0.0, 1.0 - VAR_SAMP(resid) / VAR_SAMP(seasonal + resid)) AS seasonal_strength,
+           VAR_SAMP(resid) AS resid_var
+    FROM comp GROUP BY 1
+    """,
+)
+def q_seasonal_strength_features(spark, sf_dir):
+    return decomposition.seasonal_decompose_features(supplier_daily_panel(spark, sf_dir), freq=7)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,65 @@
+"""Parquet sources over the driver's star schema (TESTDATA.md) and the
+panel derivations both engines + the DuckDB oracle agree on (FIXTURES.md F9).
+
+Reference analogue: ``polars_ts/datasets.py:10-81`` (load_dataset) — ours
+reads the driver-provided parquet instead of downloading.
+
+Scale notes: plain ``spark.read.parquet`` keeps partition pruning, filter
+pushdown and column pruning in play; panel derivation is a single
+hash-aggregate whose shuffle key (unique_id) is reused by every
+downstream per-series window — one Exchange for the whole feature plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def supplier_daily_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical F1 panel from lineitem: one series per supplier, daily
+    revenue. unique_id=l_suppkey (string), ds=day, y=sum(extendedprice).
+
+    Matches oracle SQL::
+
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(l_extendedprice) AS y
+        FROM lineitem GROUP BY 1, 2
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.col("l_suppkey").cast("string").alias("unique_id"),
+            F.date_trunc("day", F.col("l_shipdate")).alias("ds"),
+        )
+        .agg(F.sum("l_extendedprice").alias("y"))
+    )
+
+
+def user_event_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream panel (F9): unique_id=user_id, ds=event ts, y=value.
+    Irregular timestamps — exercises resample/impute paths."""
+    ev = load_table(spark, sf_dir, "events")
+    # events.ts is TIMESTAMP(NANOS) parquet, read as bigint nanos under
+    # spark.sql.legacy.parquet.nanosAsLong — integer-divide to micros
+    # (a double division would lose precision above 2^53)
+    ts = F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))") if dict(ev.dtypes)["ts"] == "bigint" else F.col("ts")
+    return ev.select(
+        F.col("user_id").cast("string").alias("unique_id"),
+        ts.alias("ds"),
+        F.col("value").cast("double").alias("y"),
+    )

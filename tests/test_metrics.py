@@ -1,0 +1,83 @@
+import math
+
+from pyspark.sql import functions as F
+
+from polars_ts_spark.operators.metrics import (
+    bias_correct,
+    bias_detect,
+    calibration_table,
+    crps,
+    mae,
+    mape,
+    mase,
+    rmse,
+    smape,
+)
+from tests.conftest import make_panel
+
+
+def with_pred(df, preds):
+    from pyspark.sql import Window
+    w = Window.partitionBy("unique_id").orderBy("ds")
+    idx = F.row_number().over(w) - 1
+    arr = F.array(*[F.lit(p) for p in preds])
+    return df.withColumn("y_hat", F.element_at(arr, idx + 1).cast("double"))
+
+
+def test_mae_rmse(spark):
+    df = with_pred(make_panel(spark, {"A": [1.0, 2.0, 3.0, 4.0]}), [2.0, 2.0, 2.0, 2.0])
+    assert mae(df).first()["mae"] == 1.0  # |1-2|,|2-2|,|3-2|,|4-2| -> mean 1.0
+    assert abs(rmse(df).first()["rmse"] - math.sqrt(6 / 4)) < 1e-12
+
+
+def test_mape_excludes_zero(spark):
+    df = with_pred(make_panel(spark, {"A": [0.0, 2.0, 4.0]}), [1.0, 1.0, 2.0])
+    # zero actual excluded: mean(|2-1|/2, |4-2|/4) = mean(0.5, 0.5)
+    assert mape(df).first()["mape"] == 0.5
+
+
+def test_smape(spark):
+    df = with_pred(make_panel(spark, {"A": [0.0, 2.0]}), [0.0, 4.0])
+    # both-zero row excluded; 2|2-4|/(2+4) = 2/3
+    assert abs(smape(df).first()["smape"] - 2.0 / 3.0) < 1e-12
+
+
+def test_mase_perfect_zero_and_rules(spark):
+    df = with_pred(make_panel(spark, {"A": [1.0, 2.0, 3.0, 4.0]}), [1.0, 2.0, 3.0, 4.0])
+    assert mase(df).first()["mase"] == 0.0
+    # constant actuals (naive err 0) + imperfect preds -> inf
+    df2 = with_pred(make_panel(spark, {"A": [5.0, 5.0, 5.0]}), [4.0, 4.0, 4.0])
+    assert math.isinf(mase(df2).first()["mase"])
+    # constant + perfect -> 0/0 -> 0
+    df3 = with_pred(make_panel(spark, {"A": [5.0, 5.0, 5.0]}), [5.0, 5.0, 5.0])
+    assert mase(df3).first()["mase"] == 0.0
+
+
+def test_mase_value(spark):
+    df = with_pred(make_panel(spark, {"A": [1.0, 2.0, 3.0, 4.0]}), [2.0, 3.0, 4.0, 5.0])
+    # mae=1; naive mae = mean(|2-1|,|3-2|,|4-3|)=1
+    assert mase(df).first()["mase"] == 1.0
+
+
+def test_crps_pinball(spark):
+    df = make_panel(spark, {"A": [2.0]})
+    df = df.withColumn("q_0.5", F.lit(1.0))
+    out = crps(df).first()["crps"]
+    # pinball at q=.5, e=1: max(.5, -.5)= .5
+    assert out == 0.5
+
+
+def test_bias(spark):
+    df = with_pred(make_panel(spark, {"A": [1.0, 2.0, 3.0]}), [2.0, 3.0, 4.0])
+    b = bias_detect(df).first()
+    assert b["mean_error"] == 1.0 and b["over_forecast_ratio"] == 1.0 and b["bias_ratio"] == 1.0
+    corrected = bias_correct(df)
+    vals = [r["y_hat_corrected"] for r in corrected.orderBy("ds").collect()]
+    assert vals == [1.0, 2.0, 3.0]
+
+
+def test_calibration_table(spark):
+    df = make_panel(spark, {"A": [1.0, 2.0, 3.0, 4.0]})
+    df = df.withColumn("q_0.5", F.lit(2.5))
+    rows = calibration_table(df).collect()
+    assert rows[0]["nominal"] == 0.5 and rows[0]["observed"] == 0.5
