@@ -35,6 +35,15 @@ HEADLINE = [
     "forecast_metrics",
     "mase",
     "seasonal_strength_features",
+    # kernel layer (applyInPandas / mapInPandas)
+    "ses_forecast",
+    "holt_winters_forecast",
+    "mann_kendall",
+    "acf",
+    "pelt",
+    "pairwise_dtw",
+    "pairwise_msm",
+    "pairwise_sbd",
 ]
 
 

@@ -1,3 +1,19 @@
-from polars_ts_spark.operators import baselines, cv, decomposition, features, metrics, preprocessing
+from polars_ts_spark.operators import (
+    baselines,
+    cv,
+    decomposition,
+    diagnostics,
+    distance,
+    ets,
+    features,
+    kernel,
+    metrics,
+    pelt,
+    preprocessing,
+    trend,
+)
 
-__all__ = ["baselines", "cv", "decomposition", "features", "metrics", "preprocessing"]
+__all__ = [
+    "baselines", "cv", "decomposition", "diagnostics", "distance", "ets",
+    "features", "kernel", "metrics", "pelt", "preprocessing", "trend",
+]

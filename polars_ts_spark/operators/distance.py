@@ -1,0 +1,227 @@
+"""Pairwise distance engine (SURVEY §2.8, the reference's signature
+capability; src/utils.rs:168-234 compute_pairwise).
+
+Spark plan:
+1. ``groupBy(id).agg(array_agg sorted by ds)`` per input — one shuffle,
+   map-side combinable.
+2. cross join left × right with the reference's dedup predicate
+   (src/utils.rs:220-226): drop ``id_1 == id_2``; when a pair exists in
+   both inputs, keep only ``id_1 < id_2`` (symmetric dedup halves work).
+   For the common self-pairwise case this Catalyst-simplifies to
+   ``id_1 < id_2``.
+3. Arrow-batched pandas iterator (`mapInPandas`) running the numpy
+   anti-diagonal DP kernels (functions/dist_kernels.py).
+
+Scale notes: the cross join is the only O(n²) plan in the engine. The
+grouped side is n_series rows (arrays inline). For n_series small enough
+to broadcast we broadcast the right side (no shuffle); otherwise Spark
+falls back to a partitioned cross join and tasks stream pair blocks —
+the kernel cost dominates, so task balance = pair balance. Rayon's
+pair-parallelism (utils.rs:212) maps to task parallelism here.
+
+Output: [id_1, id_2, <metric>] with input id dtype preserved
+(src/utils.rs:304-337).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_ts_spark.functions import dist_kernels as K
+from polars_ts_spark.panel import ID, TARGET, TIME, require_columns
+
+_PARAM_DEFAULTS = {
+    "dtw": {"param": None},        # None -> standard; int -> sakoe_chiba; "itakura"/"fast" via variant kwarg
+    "ddtw": {},
+    "wdtw": {"g": 0.05},
+    "msm": {"c": 1.0},
+    "erp": {"g": 0.0},
+    "lcss": {"epsilon": 1.0},
+    "twe": {"nu": 0.001, "lambda": 1.0},
+    "sbd": {},
+    "frechet": {},
+    "edr": {"epsilon": 0.1},
+}
+
+
+def _grouped_arrays(df: DataFrame, id_col: str, time_col: str, target_col: str,
+                    out_id: str, out_vals: str) -> DataFrame:
+    """One row per series: (id string, values array<double>) ordered by time."""
+    return df.groupBy(F.col(id_col).cast("string").alias(out_id)).agg(
+        F.expr(
+            f"transform(array_sort(collect_list(struct({time_col} as t, "
+            f"cast({target_col} as double) as v))), s -> s.v)"
+        ).alias(out_vals)
+    )
+
+
+def _batch_kernel_fn(method: str, variant: str | None, kwargs: dict):
+    """Return fn(A, B) -> (k,) operating on stacked (k, n)/(k, m) pairs."""
+    if method == "dtw":
+        if variant == "sakoe_chiba":
+            w = int(kwargs.get("param", 10))
+            return lambda A, B: K.dtw_sakoe_chiba_batch(A, B, w)
+        if variant == "itakura":
+            s = float(kwargs.get("param", 2.0))
+            return lambda A, B: K.dtw_itakura_batch(A, B, s)
+        if variant == "fast":
+            r = int(kwargs.get("param", 5))
+            return lambda A, B: np.array([K.dtw_fast(a, b, r) for a, b in zip(A, B)])
+        return K.dtw_batch
+    if method == "wdtw":
+        g = float(kwargs.get("g", 0.05))
+        return lambda A, B: K.wdtw_batch(A, B, g)
+    if method == "msm":
+        c = float(kwargs.get("c", 1.0))
+        return lambda A, B: K.msm_batch(A, B, c)
+    if method == "erp":
+        g = float(kwargs.get("g", 0.0))
+        return lambda A, B: K.erp_batch(A, B, g)
+    if method == "lcss":
+        e = float(kwargs.get("epsilon", 1.0))
+        return lambda A, B: K.lcss_batch(A, B, e)
+    if method == "twe":
+        nu, lam = float(kwargs.get("nu", 0.001)), float(kwargs.get("lambda", 1.0))
+        return lambda A, B: K.twe_batch(A, B, nu, lam)
+    if method == "edr":
+        e = float(kwargs.get("epsilon", 0.1))
+        return lambda A, B: K.edr_batch(A, B, e)
+    if method in ("ddtw", "sbd", "frechet"):
+        return K.BATCH_METRICS[method]
+    raise ValueError(f"unknown distance method {method!r}; choose from {sorted(_PARAM_DEFAULTS)}")
+
+
+def compute_pairwise_distance(
+    df1: DataFrame,
+    df2: DataFrame | None = None,
+    method: str = "dtw",
+    variant: str | None = None,
+    id_col: str = ID,
+    time_col: str = TIME,
+    target_col: str = TARGET,
+    **kwargs,
+) -> DataFrame:
+    """All-pairs distance -> [id_1, id_2, <method>] (distance.py:45-169)."""
+    require_columns(df1, id_col, time_col, target_col)
+    id_dtype = dict(df1.dtypes)[id_col]
+    same = df2 is None
+    g1 = _grouped_arrays(df1, id_col, time_col, target_col, "id_1", "__v1")
+    if same:
+        g2 = g1.withColumnRenamed("id_1", "id_2").withColumnRenamed("__v1", "__v2")
+    else:
+        require_columns(df2, id_col, time_col, target_col)
+        g2 = _grouped_arrays(df2, id_col, time_col, target_col, "id_2", "__v2")
+
+    pairs = g1.crossJoin(g2).filter(F.col("id_1") != F.col("id_2"))
+    if same:
+        pairs = pairs.filter(F.col("id_1") < F.col("id_2"))
+    else:
+        # symmetric dedup only for ids present in BOTH inputs (utils.rs:222-226)
+        ids1 = g1.select(F.col("id_1").alias("__ida")).distinct()
+        ids2 = g2.select(F.col("id_2").alias("__idb")).distinct()
+        both = ids1.join(ids2, ids1["__ida"] == ids2["__idb"]).select(F.col("__ida").alias("__both_id"))
+        pairs = (
+            pairs.join(F.broadcast(both.withColumnRenamed("__both_id", "__b1")),
+                       F.col("id_1") == F.col("__b1"), "left")
+            .join(F.broadcast(both.withColumnRenamed("__both_id", "__b2")),
+                  F.col("id_2") == F.col("__b2"), "left")
+            .filter(F.col("__b1").isNull() | F.col("__b2").isNull() | (F.col("id_1") < F.col("id_2")))
+            .drop("__b1", "__b2")
+        )
+
+    # the broadcast cross-join yields ONE partition — fine for the join,
+    # fatal for the kernel stage (all pairs serialize into one task).
+    # Hash-repartition the (small) pair list so kernel work spreads over
+    # the cluster; kernel cost >> shuffle cost for pair rows.
+    n_parts = int(df1.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    pairs = pairs.repartition(n_parts, "id_1", "id_2")
+
+    fn = _batch_kernel_fn(method, variant, kwargs)
+
+    def compute(batches):
+        # batch-vectorized: group the partition's pairs by (len_a, len_b),
+        # stack each group into (k, n)/(k, m) and run the DP once per
+        # group — the pair axis is the SIMD axis (see dist_kernels.py)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v1 = [np.asarray(v, dtype=float) for v in pdf["__v1"]]
+            v2 = [np.asarray(v, dtype=float) for v in pdf["__v2"]]
+            out = np.empty(len(pdf))
+            shapes: dict[tuple[int, int], list[int]] = {}
+            for idx, (a, b) in enumerate(zip(v1, v2)):
+                shapes.setdefault((len(a), len(b)), []).append(idx)
+            for (n_, m_), idxs in shapes.items():
+                A = np.stack([v1[i] for i in idxs])
+                B = np.stack([v2[i] for i in idxs])
+                out[idxs] = fn(A, B)
+            yield pd.DataFrame({"id_1": pdf["id_1"], "id_2": pdf["id_2"], method: out})
+
+    out = pairs.mapInPandas(compute, schema=f"id_1 string, id_2 string, {method} double")
+    if id_dtype != "string":
+        out = out.withColumn("id_1", F.col("id_1").cast(id_dtype)).withColumn(
+            "id_2", F.col("id_2").cast(id_dtype)
+        )
+    return out
+
+
+def compute_pairwise_distance_multi(
+    df1: DataFrame,
+    df2: DataFrame | None = None,
+    method: str = "dtw_multi",
+    value_cols: list[str] | None = None,
+    metric: str = "manhattan",
+    c: float = 1.0,
+    id_col: str = ID,
+    time_col: str = TIME,
+) -> DataFrame:
+    """Multivariate pairwise distances (dtw_multi / msm_multi) over the
+    non-id/time columns as channels (src/utils.rs:89-162 data model)."""
+    require_columns(df1, id_col, time_col)
+    cols = value_cols or [c_ for c_ in df1.columns if c_ not in (id_col, time_col)]
+    struct_fields = ", ".join(f"cast(`{c_}` as double) as `{c_}`" for c_ in cols)
+    arr = (
+        f"transform(array_sort(collect_list(struct({time_col} as t, {struct_fields}))), "
+        f"s -> array({', '.join('s.`%s`' % c_ for c_ in cols)}))"
+    )
+
+    def grouped(df, out_id, out_vals):
+        return df.groupBy(F.col(id_col).cast("string").alias(out_id)).agg(
+            F.expr(arr).alias(out_vals)
+        )
+
+    id_dtype = dict(df1.dtypes)[id_col]
+    g1 = grouped(df1, "id_1", "__v1")
+    g2 = (
+        g1.withColumnRenamed("id_1", "id_2").withColumnRenamed("__v1", "__v2")
+        if df2 is None else grouped(df2, "id_2", "__v2")
+    )
+    pairs = g1.crossJoin(g2).filter(F.col("id_1") != F.col("id_2"))
+    if df2 is None:
+        pairs = pairs.filter(F.col("id_1") < F.col("id_2"))
+    n_parts = int(df1.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    pairs = pairs.repartition(n_parts, "id_1", "id_2")
+
+    kern = (lambda A, B: K.dtw_multi(A, B, metric)) if method == "dtw_multi" else (
+        lambda A, B: K.msm_multi(A, B, c))
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            vals = [
+                kern(np.asarray([list(r) for r in v1], dtype=float),
+                     np.asarray([list(r) for r in v2], dtype=float))
+                for v1, v2 in zip(pdf["__v1"], pdf["__v2"])
+            ]
+            yield pd.DataFrame({"id_1": pdf["id_1"], "id_2": pdf["id_2"], method: vals})
+
+    out = pairs.mapInPandas(compute, schema=f"id_1 string, id_2 string, {method} double")
+    if id_dtype != "string":
+        out = out.withColumn("id_1", F.col("id_1").cast(id_dtype)).withColumn(
+            "id_2", F.col("id_2").cast(id_dtype)
+        )
+    return out

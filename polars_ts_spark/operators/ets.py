@@ -1,0 +1,177 @@
+"""Exponential-smoothing forecasters: SES / Holt / Holt-Winters + FFT.
+
+Semantics match the reference's numerical cores exactly
+(src/ets.rs:13-110 — ses level recursion seeded at y[0]; holt trend
+seeded y[1]-y[0] and smoothed from t=1; holt-winters seeded from the
+first two seasons with per-phase seasonal states; fft_forecast per
+models/baselines.py:181-255 keeps DC + top-k harmonics).
+
+Execution: `applyInPandas` per series (ONE shuffle on unique_id); the
+recursions are inherently sequential per series, but series are the
+parallel axis — 1M series = 1M independent tasks' worth of work. SES is
+additionally expressed in closed form (exponential weights) so it
+vectorizes in numpy and is oracle-checkable in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from polars_ts_spark.operators.kernel import for_each_series
+from polars_ts_spark.panel import ID, TARGET, TIME, require_columns
+
+_FC_SCHEMA = "unique_id string, ds timestamp, y_hat double"
+
+
+def _future_grid(times: pd.Series, h: int) -> pd.DatetimeIndex:
+    """last_time + k * median_freq (models/_time_utils.py:15-30)."""
+    t = pd.to_datetime(times)
+    if len(t) >= 2:
+        freq = t.diff().dropna().median()
+    else:
+        freq = pd.Timedelta(days=1)
+    last = t.iloc[-1]
+    return pd.DatetimeIndex([last + (k + 1) * freq for k in range(h)])
+
+
+def ses_level(values: np.ndarray, alpha: float) -> float:
+    """Closed-form SES final level: the recursion
+    l_t = a*y_t + (1-a)*l_{t-1}, l_0 = y_0 unrolls to
+    sum_k a*(1-a)^(n-1-k)*y_k (k>=1) + (1-a)^(n-1)*y_0 — vectorized."""
+    n = len(values)
+    if n == 1:
+        return float(values[0])
+    k = np.arange(1, n)
+    w = alpha * np.power(1.0 - alpha, n - 1 - k)
+    return float(np.dot(w, values[1:]) + (1.0 - alpha) ** (n - 1) * values[0])
+
+
+def _holt_state(values: np.ndarray, alpha: float, beta: float) -> tuple[float, float]:
+    level, trend = values[0], values[1] - values[0]
+    for v in values[1:]:
+        prev = level
+        level = alpha * v + (1.0 - alpha) * (level + trend)
+        trend = beta * (level - prev) + (1.0 - beta) * trend
+    return level, trend
+
+
+def _hw_state(values: np.ndarray, alpha: float, beta: float, gamma: float,
+              m: int, additive: bool) -> tuple[float, float, np.ndarray]:
+    first = values[:m].mean()
+    second = values[m:2 * m].mean()
+    level, trend = first, (second - first) / m
+    if additive:
+        seasons = values[:m] - first
+    else:
+        seasons = values[:m] / first if first != 0.0 else np.ones(m)
+    seasons = seasons.astype(float).copy()
+    for t in range(m, len(values)):
+        v, si = values[t], t % m
+        prev = level
+        if additive:
+            level = alpha * (v - seasons[si]) + (1.0 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1.0 - beta) * trend
+            seasons[si] = gamma * (v - level) + (1.0 - gamma) * seasons[si]
+        else:
+            ratio = v / seasons[si] if seasons[si] != 0.0 else v
+            level = alpha * ratio + (1.0 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1.0 - beta) * trend
+            seasons[si] = gamma * (v / level if level != 0.0 else 1.0) + (1.0 - gamma) * seasons[si]
+    return level, trend, seasons
+
+
+def ses_forecast(df: DataFrame, h: int, alpha: float = 0.3,
+                 id_col: str = ID, time_col: str = TIME, target_col: str = TARGET) -> DataFrame:
+    """Flat forecast at the final smoothed level (exponential_smoothing.py:113-153)."""
+    require_columns(df, id_col, time_col, target_col)
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[target_col].to_numpy(dtype=float)
+        level = ses_level(vals, alpha)
+        grid = _future_grid(pdf[time_col], h)
+        return pd.DataFrame({id_col: pdf[id_col].iloc[0], time_col: grid, "y_hat": level})
+
+    return for_each_series(df, kern, _FC_SCHEMA, id_col, time_col)
+
+
+def holt_forecast(df: DataFrame, h: int, alpha: float = 0.3, beta: float = 0.1,
+                  id_col: str = ID, time_col: str = TIME, target_col: str = TARGET) -> DataFrame:
+    """Level+trend, linear extrapolation (exponential_smoothing.py:156-205)."""
+    require_columns(df, id_col, time_col, target_col)
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[target_col].to_numpy(dtype=float)
+        if len(vals) < 2:
+            yhat = np.full(h, vals[0] if len(vals) else np.nan)
+        else:
+            level, trend = _holt_state(vals, alpha, beta)
+            yhat = level + np.arange(1, h + 1) * trend
+        grid = _future_grid(pdf[time_col], h)
+        return pd.DataFrame({id_col: pdf[id_col].iloc[0], time_col: grid, "y_hat": yhat})
+
+    return for_each_series(df, kern, _FC_SCHEMA, id_col, time_col)
+
+
+def holt_winters_forecast(df: DataFrame, h: int, season_length: int,
+                          alpha: float = 0.3, beta: float = 0.1, gamma: float = 0.1,
+                          seasonal: str = "additive",
+                          id_col: str = ID, time_col: str = TIME, target_col: str = TARGET) -> DataFrame:
+    """Triple smoothing; requires >= 2*m points per series
+    (exponential_smoothing.py:208-276). Series shorter than 2m fall back
+    to Holt (reference raises; we degrade gracefully per series and mark
+    nothing — the pipeline layer validates)."""
+    require_columns(df, id_col, time_col, target_col)
+    m, additive = season_length, seasonal == "additive"
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[target_col].to_numpy(dtype=float)
+        n = len(vals)
+        grid = _future_grid(pdf[time_col], h)
+        if n >= 2 * m:
+            level, trend, seasons = _hw_state(vals, alpha, beta, gamma, m, additive)
+            steps = np.arange(1, h + 1)
+            sidx = (n - 1 + steps) % m
+            if additive:
+                yhat = level + steps * trend + seasons[sidx]
+            else:
+                yhat = (level + steps * trend) * seasons[sidx]
+        elif n >= 2:
+            level, trend = _holt_state(vals, alpha, beta)
+            yhat = level + np.arange(1, h + 1) * trend
+        else:
+            yhat = np.full(h, vals[0] if n else np.nan)
+        return pd.DataFrame({id_col: pdf[id_col].iloc[0], time_col: grid, "y_hat": yhat})
+
+    return for_each_series(df, kern, _FC_SCHEMA, id_col, time_col)
+
+
+def fft_forecast(df: DataFrame, h: int, n_harmonics: int = 5,
+                 id_col: str = ID, time_col: str = TIME, target_col: str = TARGET) -> DataFrame:
+    """rFFT of the detrended series, keep DC + top-k harmonics by
+    magnitude, extrapolate (models/baselines.py:181-255)."""
+    require_columns(df, id_col, time_col, target_col)
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[target_col].to_numpy(dtype=float)
+        n = len(vals)
+        grid = _future_grid(pdf[time_col], h)
+        if n < 4:
+            return pd.DataFrame({id_col: pdf[id_col].iloc[0], time_col: grid,
+                                 "y_hat": np.full(h, vals.mean() if n else np.nan)})
+        # linear detrend, fft on residual, rebuild at future steps
+        t = np.arange(n)
+        slope, intercept = np.polyfit(t, vals, 1)
+        resid = vals - (slope * t + intercept)
+        spec = np.fft.rfft(resid)
+        mags = np.abs(spec)
+        keep = np.argsort(mags[1:])[::-1][:n_harmonics] + 1  # top-k, excluding DC
+        tf = np.arange(n, n + h)
+        yhat = slope * tf + intercept + spec[0].real / n
+        for k in keep:
+            amp, phase = 2.0 * np.abs(spec[k]) / n, np.angle(spec[k])
+            yhat = yhat + amp * np.cos(2.0 * np.pi * k * tf / n + phase)
+        return pd.DataFrame({id_col: pdf[id_col].iloc[0], time_col: grid, "y_hat": yhat})
+
+    return for_each_series(df, kern, _FC_SCHEMA, id_col, time_col)

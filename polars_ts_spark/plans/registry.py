@@ -520,6 +520,202 @@ def q_seasonal_strength_features(spark, sf_dir):
     return decomposition.seasonal_decompose_features(supplier_daily_panel(spark, sf_dir), freq=7)
 
 
+# ---------------------------------------------------------------------------
+# per-series kernels (applyInPandas layer)
+
+
+@register(
+    "ses_forecast",
+    PANEL_CTE + ", " + _FREQ_CTE.format(h=7) + """,
+    lvl AS (
+        SELECT unique_id,
+               SUM(CASE WHEN rn = 1 THEN POW(0.7, n - 1) * y
+                        ELSE 0.3 * POW(0.7, n - rn) * y END) AS level
+        FROM (
+            SELECT unique_id, y,
+                   ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+                   COUNT(*) OVER (PARTITION BY unique_id) AS n
+            FROM panel
+        ) GROUP BY 1
+    )
+    SELECT g.unique_id,
+           g.last_ts + INTERVAL '1 second' * (steps.step * f.freq_s) AS ds,
+           lvl.level AS y_hat
+    FROM g JOIN freq f USING (unique_id) JOIN lvl USING (unique_id) CROSS JOIN steps
+    """,
+)
+def q_ses_forecast(spark, sf_dir):
+    # SES level closed form: l = sum_k a(1-a)^(n-1-k) y_k + (1-a)^(n-1) y_0
+    # — same recursion as src/ets.rs:13-19, SQL-checkable
+    from polars_ts_spark.operators import ets
+    return ets.ses_forecast(supplier_daily_panel(spark, sf_dir), h=7, alpha=0.3)
+
+
+@register("holt_forecast")  # sequential two-state recursion: rows-only check
+def q_holt_forecast(spark, sf_dir):
+    from polars_ts_spark.operators import ets
+    return ets.holt_forecast(supplier_daily_panel(spark, sf_dir), h=7)
+
+
+@register("holt_winters_forecast")  # rows-only
+def q_holt_winters_forecast(spark, sf_dir):
+    from polars_ts_spark.operators import ets
+    return ets.holt_winters_forecast(supplier_daily_panel(spark, sf_dir), h=14, season_length=7)
+
+
+@register("fft_forecast")  # rows-only (np.fft not SQL-expressible)
+def q_fft_forecast(spark, sf_dir):
+    from polars_ts_spark.operators import ets
+    return ets.fft_forecast(supplier_daily_panel(spark, sf_dir), h=7, n_harmonics=3)
+
+
+_MONTHLY_CTE = PANEL_CTE + """,
+monthly AS (
+    SELECT unique_id, date_trunc('month', ds) AS ds, AVG(y) AS y
+    FROM panel GROUP BY 1, 2
+),
+idx AS (
+    SELECT unique_id, y, ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn
+    FROM monthly
+)
+"""
+
+
+@register(
+    "mann_kendall",
+    _MONTHLY_CTE + """
+    SELECT i.unique_id,
+           COALESCE(SUM(CASE WHEN b.y > i.y THEN 1.0 WHEN b.y < i.y THEN -1.0 ELSE 0.0 END), 0.0)
+               / (0.5 * ANY_VALUE(n.n) * (ANY_VALUE(n.n) - 1)) AS mann_kendall
+    FROM idx i
+    JOIN idx b ON i.unique_id = b.unique_id AND b.rn > i.rn
+    JOIN (SELECT unique_id, COUNT(*) AS n FROM idx GROUP BY 1) n ON n.unique_id = i.unique_id
+    GROUP BY 1
+    """,
+)
+def q_mann_kendall(spark, sf_dir):
+    from polars_ts_spark.operators import trend
+    monthly = preprocessing.resample(supplier_daily_panel(spark, sf_dir), "1mo", "mean")
+    return trend.mann_kendall(monthly)
+
+
+@register(
+    "sens_slope",
+    _MONTHLY_CTE + """
+    SELECT unique_id, MEDIAN(slope) AS sens_slope
+    FROM (
+        SELECT i.unique_id, (b.y - i.y) / (b.rn - i.rn) AS slope
+        FROM idx i JOIN idx b ON i.unique_id = b.unique_id AND b.rn > i.rn
+    ) GROUP BY 1
+    """,
+)
+def q_sens_slope(spark, sf_dir):
+    from polars_ts_spark.operators import trend
+    monthly = preprocessing.resample(supplier_daily_panel(spark, sf_dir), "1mo", "mean")
+    return trend.sens_slope(monthly)
+
+
+_ACF_LAG_SQL = """
+    SELECT unique_id, CAST({k} AS BIGINT) AS lag,
+           SUM(d * dk) / SUM(d * d) AS acf,
+           -1.96 / SQRT(ANY_VALUE(n)) AS ci_lower,
+           1.96 / SQRT(ANY_VALUE(n)) AS ci_upper
+    FROM (
+        SELECT unique_id, d, n, LAG(d, {k}) OVER (PARTITION BY unique_id ORDER BY ds) AS dk
+        FROM demeaned
+    ) GROUP BY 1
+"""
+
+
+@register(
+    "acf",
+    PANEL_CTE + """,
+    demeaned AS (
+        SELECT unique_id, ds,
+               y - AVG(y) OVER (PARTITION BY unique_id) AS d,
+               COUNT(*) OVER (PARTITION BY unique_id) AS n
+        FROM panel
+    )
+    """ + " UNION ALL ".join(_ACF_LAG_SQL.format(k=k) for k in range(4)),
+)
+def q_acf(spark, sf_dir):
+    from polars_ts_spark.operators import diagnostics
+    return diagnostics.acf(supplier_daily_panel(spark, sf_dir), max_lags=3)
+
+
+@register("pacf")  # Durbin-Levinson recursion: rows-only
+def q_pacf(spark, sf_dir):
+    from polars_ts_spark.operators import diagnostics
+    return diagnostics.pacf(supplier_daily_panel(spark, sf_dir), max_lags=5)
+
+
+@register(
+    "ljung_box_q",
+    PANEL_CTE + """,
+    demeaned AS (
+        SELECT unique_id, ds,
+               y - AVG(y) OVER (PARTITION BY unique_id) AS d,
+               COUNT(*) OVER (PARTITION BY unique_id) AS n
+        FROM panel
+    ),
+    acfs AS (
+    """ + " UNION ALL ".join(_ACF_LAG_SQL.format(k=k) for k in range(1, 6)) + """
+    ),
+    nn AS (SELECT unique_id, MAX(n) AS n FROM demeaned GROUP BY 1)
+    SELECT a.unique_id,
+           ANY_VALUE(nn.n) * (ANY_VALUE(nn.n) + 2.0)
+               * SUM(a.acf * a.acf / (nn.n - a.lag)) AS q_stat,
+           CAST(5 AS BIGINT) AS lags
+    FROM acfs a JOIN nn ON a.unique_id = nn.unique_id
+    GROUP BY 1
+    """,
+)
+def q_ljung_box_q(spark, sf_dir):
+    from polars_ts_spark.operators import diagnostics
+    out = diagnostics.ljung_box(supplier_daily_panel(spark, sf_dir), max_lags=5)
+    return out.select("unique_id", "q_stat", "lags")
+
+
+@register("pelt")  # DP with pruning: rows-only
+def q_pelt(spark, sf_dir):
+    from polars_ts_spark.operators import pelt as pelt_mod
+    return pelt_mod.pelt(supplier_daily_panel(spark, sf_dir), cost="mean")
+
+
+@register("hampel_outliers")  # nested window medians: rows-only
+def q_hampel(spark, sf_dir):
+    from polars_ts_spark.operators import diagnostics
+    return diagnostics.hampel_outliers(supplier_daily_panel(spark, sf_dir), window=7)
+
+
+# ---------------------------------------------------------------------------
+# pairwise distances (monthly panel keeps series ~80 points; 100 series
+# -> 4950 deduped pairs). DP recurrences are not SQL-expressible ->
+# rows-only checks; kernel correctness is covered by analytic unit tests.
+
+
+def _monthly_panel(spark, sf_dir):
+    return preprocessing.resample(supplier_daily_panel(spark, sf_dir), "1mo", "mean")
+
+
+def _register_distance(method, **kw):
+    @register(f"pairwise_{method}")
+    def q(spark, sf_dir, _m=method, _kw=kw):
+        from polars_ts_spark.operators.distance import compute_pairwise_distance
+        return compute_pairwise_distance(_monthly_panel(spark, sf_dir), method=_m, **_kw)
+
+
+for _m in ("dtw", "msm", "erp", "lcss", "sbd", "edr", "wdtw", "twe", "frechet", "ddtw"):
+    _register_distance(_m)
+
+
+@register("pairwise_dtw_sakoe_chiba")
+def q_dtw_sc(spark, sf_dir):
+    from polars_ts_spark.operators.distance import compute_pairwise_distance
+    return compute_pairwise_distance(_monthly_panel(spark, sf_dir), method="dtw",
+                                     variant="sakoe_chiba", param=10)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,163 @@
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from polars_ts_spark.operators.diagnostics import acf, hampel_outliers, ljung_box, pacf
+from polars_ts_spark.operators.ets import (
+    fft_forecast,
+    holt_forecast,
+    holt_winters_forecast,
+    ses_forecast,
+    ses_level,
+)
+from polars_ts_spark.operators.pelt import pelt, pelt_changepoints
+from polars_ts_spark.operators.trend import mann_kendall, mann_kendall_stat, sens_slope, sens_slope_stat
+from tests.conftest import make_panel
+
+
+def fc_vals(df, sid="A"):
+    return [r["y_hat"] for r in df.filter(F.col("unique_id") == sid).orderBy("ds").collect()]
+
+
+# --- ETS kernels (analytic expectations, mirroring reference src/ets.rs tests)
+
+
+def test_ses_constant_series_flat(constant_series):
+    out = ses_forecast(constant_series, h=3, alpha=0.3)
+    assert fc_vals(out) == pytest.approx([5.0, 5.0, 5.0], abs=1e-9)
+
+
+def test_ses_level_matches_recursion():
+    vals = np.array([1.0, 4.0, 2.0, 8.0])
+    level = 1.0
+    for v in vals[1:]:
+        level = 0.3 * v + 0.7 * level
+    assert abs(ses_level(vals, 0.3) - level) < 1e-12
+
+
+def test_holt_linear_trend_exact(spark):
+    # perfectly linear series: holt with any params tracks it exactly
+    df = make_panel(spark, {"A": [float(2 * i) for i in range(10)]})
+    out = holt_forecast(df, h=3, alpha=0.5, beta=0.5)
+    got = fc_vals(out)
+    assert got == pytest.approx([20.0, 22.0, 24.0], abs=1e-9)
+
+
+def test_holt_winters_additive_pure_seasonal(spark):
+    vals = [1.0, 3.0] * 6
+    df = make_panel(spark, {"A": vals})
+    out = holt_winters_forecast(df, h=4, season_length=2)
+    got = fc_vals(out)
+    # n=12 even: next steps continue the 1,3 alternation (approximately)
+    assert got[0] == pytest.approx(1.0, abs=0.3)
+    assert got[1] == pytest.approx(3.0, abs=0.3)
+
+
+def test_fft_forecast_runs(spark):
+    vals = [math.sin(2 * math.pi * i / 12) + i * 0.1 for i in range(48)]
+    df = make_panel(spark, {"A": vals})
+    out = fft_forecast(df, h=6, n_harmonics=2)
+    got = fc_vals(out)
+    assert len(got) == 6 and all(v is not None for v in got)
+
+
+# --- trend stats
+
+
+def test_mann_kendall_monotonic():
+    assert mann_kendall_stat(np.arange(10.0)) == 1.0
+    assert mann_kendall_stat(np.arange(10.0)[::-1]) == -1.0
+    assert mann_kendall_stat(np.array([1.0, 1.0, 1.0])) == 0.0
+
+
+def test_mann_kendall_mixed():
+    # [1,3,2]: pairs (1,3)+1 (1,2)+1 (3,2)-1 -> S=1, norm = 1/3
+    assert mann_kendall_stat(np.array([1.0, 3.0, 2.0])) == pytest.approx(1 / 3)
+
+
+def test_sens_slope_linear():
+    assert sens_slope_stat(2.0 * np.arange(8.0) + 1.0) == pytest.approx(2.0)
+
+
+def test_trend_ops_on_panel(spark):
+    df = make_panel(spark, {"A": [float(i) for i in range(10)], "B": [float(-i) for i in range(10)]})
+    mk = {r["unique_id"]: r["mann_kendall"] for r in mann_kendall(df).collect()}
+    assert mk == {"A": 1.0, "B": -1.0}
+    ss = {r["unique_id"]: r["sens_slope"] for r in sens_slope(df).collect()}
+    assert ss["A"] == pytest.approx(1.0) and ss["B"] == pytest.approx(-1.0)
+
+
+# --- PELT
+
+
+def test_pelt_planted_mean_shift():
+    rng = np.random.default_rng(42)
+    vals = np.concatenate([rng.normal(0, 1, 50), rng.normal(8, 1, 50)])
+    cps = pelt_changepoints(vals, "mean")
+    assert any(abs(c - 50) <= 2 for c in cps)
+
+
+def test_pelt_no_change_constant():
+    assert pelt_changepoints(np.ones(40), "mean") == []
+
+
+def test_pelt_dataframe(spark):
+    rng = np.random.default_rng(7)
+    vals = list(np.concatenate([rng.normal(0, 1, 30), rng.normal(10, 1, 30)]))
+    df = make_panel(spark, {"A": vals})
+    out = pelt(df).collect()
+    assert out and any(abs(r["changepoint_idx"] - 30) <= 2 for r in out)
+    assert set(out[0].asDict()) == {"unique_id", "changepoint_idx", "ds"}
+
+
+# --- diagnostics
+
+
+def test_acf_lag0_is_one(spark):
+    df = make_panel(spark, {"A": [1.0, 5.0, 2.0, 8.0, 3.0, 9.0]})
+    rows = {r["lag"]: r for r in acf(df, max_lags=2).collect()}
+    assert rows[0]["acf"] == 1.0
+    assert rows[1]["ci_upper"] == pytest.approx(1.96 / math.sqrt(6))
+
+
+def test_acf_alternating_negative_lag1(spark):
+    df = make_panel(spark, {"A": [1.0, -1.0] * 6})
+    rows = {r["lag"]: r["acf"] for r in acf(df, max_lags=1).collect()}
+    assert rows[1] < -0.8
+
+
+def test_pacf_lag1_equals_acf1(spark):
+    df = make_panel(spark, {"A": [1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0]})
+    a = {r["lag"]: r["acf"] for r in acf(df, max_lags=3).collect()}
+    p = {r["lag"]: r["pacf"] for r in pacf(df, max_lags=3).collect()}
+    assert p[1] == pytest.approx(a[1])
+
+
+def test_ljung_box_white_noise_high_p(spark):
+    rng = np.random.default_rng(0)
+    df = make_panel(spark, {"A": list(rng.normal(0, 1, 200))})
+    r = ljung_box(df, max_lags=5).first()
+    assert r["p_value"] > 0.01
+    # strongly autocorrelated -> tiny p
+    df2 = make_panel(spark, {"A": [math.sin(i / 3) for i in range(200)]})
+    assert ljung_box(df2, max_lags=5).first()["p_value"] < 1e-6
+
+
+def test_chi2_sf_against_known():
+    from polars_ts_spark.operators.diagnostics import _chi2_sf
+    # chi2 with k=2 is Exp(1/2): sf(x) = exp(-x/2)
+    assert _chi2_sf(3.0, 2) == pytest.approx(math.exp(-1.5), rel=1e-10)
+
+
+def test_hampel(spark):
+    # needs within-window spread: MAD=0 (all-equal neighbors) never flags,
+    # matching the reference's mad > 0 guard (outliers.py:86)
+    vals = [1.0, 1.1, 0.9, 50.0, 1.05, 0.95, 1.0]
+    df = make_panel(spark, {"A": vals})
+    rows = [r["is_outlier"] for r in hampel_outliers(df, window=5, threshold=3.0).orderBy("ds").collect()]
+    assert rows == [False, False, False, True, False, False, False]
+    # all-equal series: MAD=0 -> nothing flagged
+    df2 = make_panel(spark, {"A": [1.0] * 7})
+    assert not any(r["is_outlier"] for r in hampel_outliers(df2, window=5).collect())

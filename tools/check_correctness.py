@@ -43,6 +43,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]").astype(str)
         elif df[c].dtype == object:
             df[c] = df[c].map(lambda v: _round_sig(v) if isinstance(v, float) else v)
+    df = df.astype(str)  # neutralize int32-vs-int64 etc. dtype mismatches
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
