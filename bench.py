@@ -44,6 +44,13 @@ HEADLINE = [
     "pairwise_dtw",
     "pairwise_msm",
     "pairwise_sbd",
+    # training-data-pipeline ops
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "text_stats",
+    "cosine_topk",
+    "lsh_ann_topk",
 ]
 
 

@@ -4,16 +4,20 @@ from polars_ts_spark.operators import (
     decomposition,
     diagnostics,
     distance,
+    embedsim,
     ets,
     features,
     kernel,
     metrics,
+    multimodal,
     pelt,
     preprocessing,
+    textops,
     trend,
 )
 
 __all__ = [
     "baselines", "cv", "decomposition", "diagnostics", "distance", "ets",
-    "features", "kernel", "metrics", "pelt", "preprocessing", "trend",
+    "embedsim", "features", "kernel", "metrics", "multimodal", "pelt",
+    "preprocessing", "textops", "trend",
 ]

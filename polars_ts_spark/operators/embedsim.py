@@ -1,0 +1,319 @@
+"""Similarity search over the ``embeddings`` table
+(vec_id, embedding: array<float>, label): brute-force cosine top-k
+(the exact baseline), deterministic-hyperplane LSH buckets (the scale
+candidate-generation path), and embedding-cosine near-duplicate pairs.
+
+Mandated extension beyond the reference surface (the reference has no
+vector ops). Spark-first: dot products via ``aggregate(zip_with(...))``
+higher-order functions — JVM-side, no Python in the hot path.
+
+Determinism: cosine is computed in float64 as an explicit
+left-associative sum (see ``_dot_expanded``), so Spark and the DuckDB
+oracle perform the identical IEEE operation sequence and agree
+bit-for-bit. The LSH hyperplanes are md5-derived pseudo-random
+constants — no RNG, reproducible in SQL.
+
+Scale notes (100 TB):
+- brute_force_topk is O(n²) in corpus size — correct baseline only;
+  its plan is a single shuffle-free broadcast-able cross join when one
+  side is small (queries), else the LSH path below.
+- lsh_bucket_topk: each vector lands in exactly one bucket per table
+  scan; candidate generation is an equi-join on bucket id (linear
+  shuffle), then exact re-rank within buckets. Recall is tunable by
+  n_planes (fewer planes -> bigger buckets -> higher recall).
+- At 100 TB the corpus side would be bucketed-by parquet on bucket_id
+  so repeated queries skip the shuffle entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_ts_spark.operators.textops import MERSENNE_P, spark_hash32
+
+# ---------------------------------------------------------------------------
+# shared expressions
+
+
+DIM = 64  # embedding dimensionality of the driver's corpus
+
+
+def _as_double(col: str) -> F.Column:
+    return F.col(col).cast("array<double>")
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(F.expr(f"aggregate({a}, 0D, (acc, v) -> acc + v * v)"))
+
+
+# Exact-parity variants: the dot product written as an explicit
+# left-associative 64-term sum. float32*float32 in float64 is exact
+# (48-bit product < 53-bit mantissa) and both engines then perform the
+# IDENTICAL addition sequence, so Spark and DuckDB agree bit-for-bit —
+# HOF folds / list_dot_product may reassociate and differ by 1 ulp.
+# Also faster: one codegen'd expression, no per-element lambda calls.
+
+
+def _dot_expanded(a: str, b: str, dim: int = DIM) -> F.Column:
+    return F.expr(" + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim)))
+
+
+def _norm_expanded(a: str, dim: int = DIM) -> F.Column:
+    return F.sqrt(F.expr(" + ".join(f"{a}[{i}] * {a}[{i}]" for i in range(dim))))
+
+
+def duck_dot(a: str, b: str, dim: int = DIM) -> str:
+    # DuckDB lists are 1-indexed
+    return " + ".join(f"{a}[{i + 1}] * {b}[{i + 1}]" for i in range(dim))
+
+
+def duck_norm(a: str, dim: int = DIM) -> str:
+    return f"sqrt({' + '.join(f'{a}[{i + 1}] * {a}[{i + 1}]' for i in range(dim))})"
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k (exact baseline)
+
+
+def brute_force_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every vector (self excluded).
+    Output [vec_id, neighbor_id, cosine, rank], rank 1..k by
+    (cosine desc, neighbor_id asc) — the deterministic tie-break.
+
+    Plan: precompute norms once, self cross-join, higher-order-function
+    dot product, window top-k. All JVM-side."""
+    v = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    v = v.withColumn("nrm", _norm_expanded("v", dim))
+    a = v.select(
+        F.col(id_col).alias("vec_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("vec_id") != F.col("neighbor_id"))
+    cos = F.round(_dot_expanded("va", "vb", dim) / (F.col("na") * F.col("nb")), 6)
+    scored = pairs.select("vec_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def brute_force_topk_oracle(k: int = 5) -> str:
+    nrm = duck_norm("v")
+    dot = duck_dot("a.v", "b.v")
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {nrm} AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           round(({dot}) / (a.nrm * b.nrm), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT vec_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs
+
+
+def cosine_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-dup).
+    Output [vec_id_1, vec_id_2, cosine], vec_id_1 < vec_id_2."""
+    v = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    v = v.withColumn("nrm", _norm_expanded("v", dim))
+    a = v.select(F.col(id_col).alias("vec_id_1"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col(id_col).alias("vec_id_2"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = F.round(_dot_expanded("va", "vb", dim) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .select("vec_id_1", "vec_id_2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_dedup_oracle(threshold: float = 0.95) -> str:
+    nrm = duck_norm("v")
+    dot = duck_dot("a.v", "b.v")
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {nrm} AS nrm
+    FROM embeddings
+)
+SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       round(({dot}) / (a.nrm * b.nrm), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(({dot}) / (a.nrm * b.nrm), 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+
+
+def _plane_value(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane coefficient in [-1, 1],
+    derived from md5 — reproducible anywhere, no RNG."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane_{plane}_{dim}".encode()).hexdigest()[:8], 16)
+    return (h % 2000001) / 1000000.0 - 1.0
+
+
+def random_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    return [[_plane_value(p, d) for d in range(dim)] for p in range(n_planes)]
+
+
+def lsh_bucket_ids(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection bucket id per vector: bit p of the
+    bucket = sign(<v, plane_p>). Output [vec_id, bucket].
+
+    The planes are deterministic constants folded into the plan
+    (literal arrays) — Catalyst constant-folds them; the scan is one
+    projection, no shuffle."""
+    planes = random_hyperplanes(n_planes, dim)
+    bucket = None
+    for p, plane in enumerate(planes):
+        dot = F.expr(
+            f"aggregate(zip_with(cast({vec_col} as array<double>), "
+            f"array({', '.join(repr(x) + 'D' for x in plane)}), (x, y) -> x * y), "
+            f"0D, (acc, v) -> acc + v)"
+        )
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    df: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k within LSH buckets: candidates share a bucket; exact
+    cosine re-rank inside the bucket. Output [vec_id, neighbor_id,
+    cosine, rank] — approximate (recall < 1), deterministic.
+
+    Scale: equi-join on bucket replaces the cross join; with B buckets
+    the pair count drops ~B× vs brute force."""
+    buckets = lsh_bucket_ids(df, n_planes, dim, id_col, vec_col)
+    v = (
+        df.join(buckets, id_col)
+        .select(F.col(id_col), _as_double(vec_col).alias("v"), "bucket")
+        .withColumn("nrm", _norm_expanded("v", dim))
+    )
+    a = v.select(
+        F.col(id_col).alias("vec_id"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), F.col("bucket").alias("ba"),
+    )
+    b = v.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("bucket").alias("bb"),
+    )
+    pairs = a.join(b, F.col("ba") == F.col("bb")).filter(
+        F.col("vec_id") != F.col("neighbor_id")
+    )
+    cos = F.round(_dot_expanded("va", "vb", dim) / (F.col("na") * F.col("nb")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.select("vec_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_label_vote(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = DIM,
+) -> DataFrame:
+    """k-NN majority label vote over exact cosine neighbors (the
+    embedding-space analogue of the reference's knn_classify,
+    polars_ts/classification/knn.py:13-165). Output
+    [vec_id, label_pred, votes]; ties break toward the smaller label."""
+    topk = brute_force_topk(df, k, id_col, vec_col, dim)
+    labels = df.select(F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nb_label"))
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("vec_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("votes").desc(), F.col("nb_label"))
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", F.col("nb_label").alias("label_pred"), "votes")
+    )
+
+
+def knn_label_vote_oracle(k: int = 5) -> str:
+    nrm = duck_norm("v")
+    dot = duck_dot("a.v", "b.v")
+    return f"""
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           {nrm} AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT a.vec_id, b.vec_id AS neighbor_id, b.label AS nb_label,
+           round(({dot}) / (a.nrm * b.nrm), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+),
+votes AS (
+    SELECT vec_id, nb_label, COUNT(*) AS votes
+    FROM ranked WHERE rank <= {k}
+    GROUP BY 1, 2
+)
+SELECT vec_id, nb_label AS label_pred, votes
+FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY votes DESC, nb_label) AS r FROM votes)
+WHERE r = 1
+"""

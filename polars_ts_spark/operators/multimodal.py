@@ -1,0 +1,164 @@
+"""Multimodal-column plumbing: image/audio/video payloads as opaque
+``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` kernels.
+
+The decode step is STUBBED (the real image/audio codecs are not in
+this container): ``decode_image`` produces a deterministic fake
+"decoded" tensor derived from the payload bytes, clearly marked. The
+Spark-side plumbing — schema, batch iteration, partition sizing,
+UDF signatures — is real and tested; swapping the stub for
+PIL/ffmpeg is a one-function change.
+
+Scale notes (100 TB):
+- Binary payloads ride in parquet as-is; the mapInPandas kernel sees
+  Arrow record batches, so bytes are never row-pickled.
+- ``spark.sql.files.maxPartitionBytes`` bounds per-task payload
+  memory; decode output (frames/features) is typically larger than
+  input — emit one row per frame and let downstream repartition.
+- Feature columns come back as array<float> ready for embedsim ops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# payload construction (the synthetic corpus has no binary column; we
+# derive one from text so the plumbing is exercised on real data)
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """[id, payload: binary, media_type, n_bytes] — opaque blob column
+    plus typed metadata, the canonical multimodal row shape."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.length(payload).alias("n_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode stub
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixels", ArrayType(FloatType())),
+    ]
+)
+
+_FAKE_W, _FAKE_H, _FAKE_C = 4, 4, 3
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """STUB decoder: deterministic pseudo-pixels from md5(payload).
+    Replace with a real codec (PIL.Image.open etc.) in production —
+    the signature (bytes -> HxWxC float32 array) is the contract."""
+    h = hashlib.md5(payload).digest()
+    seed = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
+    n = _FAKE_W * _FAKE_H * _FAKE_C
+    reps = int(np.ceil(n / len(seed)))
+    return np.tile(seed, reps)[:n].reshape(_FAKE_H, _FAKE_W, _FAKE_C) / 255.0
+
+
+def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode binary payloads to fixed-shape float tensors via
+    mapInPandas (Arrow-batched; bytes never row-pickled).
+    Output [doc_id, width, height, channels, pixels]."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf[id_col].astype("int64"),
+                "width": _FAKE_W,
+                "height": _FAKE_H,
+                "channels": _FAKE_C,
+                "pixels": [
+                    _fake_decode(bytes(p)).ravel().tolist() for p in pdf["payload"]
+                ],
+            }
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, DECODED_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(decoded: DataFrame) -> DataFrame:
+    """Per-image feature vector (channel means/stds + a 4-bin
+    histogram per channel): the standard decode -> featurize hop.
+    Output [doc_id, features: array<float>] — feeds embedsim ops."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for px, c in zip(pdf["pixels"], pdf["channels"]):
+                a = np.asarray(px, dtype=np.float32).reshape(-1, int(c))
+                hist = [
+                    np.histogram(a[:, ch], bins=4, range=(0, 1))[0] / a.shape[0]
+                    for ch in range(int(c))
+                ]
+                f = np.concatenate([a.mean(axis=0), a.std(axis=0), *hist])
+                feats.append(f.astype(np.float32).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return decoded.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame, every_n_bytes: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """Video-style frame sampling stub: slice the payload into
+    fixed-size "frames", emit one row per sampled frame (fan-out —
+    rows out > rows in, the shape a real frame sampler has).
+    Output [doc_id, frame_idx, frame: binary]."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(p)
+                for fi, off in enumerate(range(0, len(b), every_n_bytes)):
+                    ids.append(i)
+                    idxs.append(fi)
+                    frames.append(b[off : off + every_n_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(kernel, FRAME_SCHEMA)

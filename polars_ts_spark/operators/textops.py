@@ -1,0 +1,587 @@
+"""Training-data-pipeline text operators: deduplication (exact,
+MinHash+LSH, SimHash, n-gram Jaccard), text quality / language-ID /
+token statistics, and document fingerprinting over the ``documents``
+table (doc_id, text, lang, source, n_chars).
+
+These are the mandated extensions beyond the reference's own surface
+(the reference has no corpus ops); they reuse the same Spark-first
+discipline: expression-level plans, no Python UDFs in the hot path.
+
+Determinism contract: every hash here is the 60-bit (or 32-bit)
+prefix of md5, computable identically in Spark SQL
+(``conv(substr(md5(s),1,15),16,10)``) and DuckDB
+(``('0x' || substr(md5(s),1,15))::BIGINT``), so even the MinHash/LSH
+and SimHash paths are exactly oracle-checkable — no RNG anywhere.
+
+Scale notes (100 TB):
+- exact_dedup groups on md5(text) (fixed-width shuffle key) rather
+  than the full text payload; map-side partial aggregation applies.
+- ngram_jaccard_pairs is the O(pairs-sharing-a-shingle) quadratic
+  baseline — correct but shuffle-heavy; `max_df` drops stop-shingles
+  (the skew killers). The scale path is minhash_lsh_pairs: candidate
+  generation touches only same-bucket docs, so the shuffle is
+  O(corpus) not O(corpus²).
+- simhash_pairs uses 4-block banding (pigeonhole: hamming<=3 ==> one
+  15-bit block equal), turning the all-pairs scan into 4 equi-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# cross-engine deterministic hashing
+
+# 2^61 - 1 (Mersenne prime) — modulus for the MinHash permutations
+MERSENNE_P = 2305843009213693951
+
+# fixed affine-permutation coefficients (a_i, b_i), a_i odd, < 2^30 so
+# a*h32 < 2^62 never overflows int64 in either engine. Derived from the
+# Knuth multiplicative-hash constant — pure arithmetic, no RNG.
+_KNUTH = 2654435761
+
+
+def _perm_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    coeffs = []
+    for i in range(num_hashes):
+        a = (((i + 1) * _KNUTH) % (1 << 30)) | 1
+        b = (((i + 1) * (i + 2) * _KNUTH) % (1 << 30))
+        coeffs.append((a, b))
+    return coeffs
+
+
+def spark_hash60(col_sql: str) -> str:
+    """60-bit md5-prefix hash, Spark SQL flavor."""
+    return f"cast(conv(substr(md5({col_sql}), 1, 15), 16, 10) as bigint)"
+
+
+def duck_hash60(col_sql: str) -> str:
+    """Same value, DuckDB flavor."""
+    return f"CAST(('0x' || substr(md5({col_sql}), 1, 15)) AS BIGINT)"
+
+
+def spark_hash32(col_sql: str) -> str:
+    return f"cast(conv(substr(md5({col_sql}), 1, 8), 16, 10) as bigint)"
+
+
+def duck_hash32(col_sql: str) -> str:
+    return f"CAST(('0x' || substr(md5({col_sql}), 1, 8)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# shingling
+
+
+def word_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id_col, shingle).
+
+    Tokenized by single-space split (the corpus convention); shingle i
+    is ``concat_ws(' ', toks[i..i+n-1])`` — identical to the DuckDB
+    lateral ``array_to_string(toks[i:i+n-1], ' ')``.
+    """
+    toks = F.split(F.col(text_col), " ")
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def duck_shingle_cte(n: int = 3, table: str = "documents") -> str:
+    """DuckDB CTE producing the identical (doc_id, shingle) set."""
+    return f"""
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {table}),
+         UNNEST(generate_series(1, greatest(len(toks) - {n - 1}, 0))) AS t(i)
+)"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate collapse: one surviving row per distinct text,
+    representative = min(id). Output [doc_id, n_dups].
+
+    Scale: groups on md5(text) — a 32-byte shuffle key instead of the
+    document payload; partial_agg (min,count) combines map-side, so the
+    shuffle carries one record per distinct text per task.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select(id_col, "n_dups")
+    )
+
+
+EXACT_DEDUP_ORACLE = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (quadratic baseline, exact)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """All document pairs with word-n-gram Jaccard >= threshold.
+    Output [doc_id_1, doc_id_2, jaccard], doc_id_1 < doc_id_2.
+
+    Plan: distinct shingles -> self equi-join on shingle (only pairs
+    sharing >=1 shingle are ever materialized) -> intersection counts
+    -> set-size join -> |A∩B| / (|A|+|B|-|A∩B|).
+
+    ``max_df`` (scale lever): drop shingles present in more than
+    max_df docs before pairing — stop-shingles create quadratic skew.
+    Off by default (changes semantics slightly; the oracle runs
+    without it).
+    """
+    sh = word_shingles(df, n, text_col, id_col)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle").count().filter(F.col("count") <= max_df).select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_id_1"),
+            F.col(f"b.{id_col}").alias("doc_id_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "doc_id_1", "sz": "sz1"}), "doc_id_1")
+        .join(sizes.withColumnsRenamed({id_col: "doc_id_2", "sz": "sz2"}), "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            (F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_oracle(n: int = 3, threshold: float = 0.2) -> str:
+    return f"""
+WITH {duck_shingle_cte(n)},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_id_1, doc_id_2,
+       inter / (s1.sz + s2.sz - inter) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = doc_id_1
+JOIN sizes s2 ON s2.doc_id = doc_id_2
+WHERE inter / (s1.sz + s2.sz - inter) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (the scale path) — still exactly deterministic
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc MinHash signature columns mh_0..mh_{K-1}:
+    mh_i = min over shingles of (a_i * h32(shingle) + b_i) mod (2^61-1).
+    """
+    sh = word_shingles(df, shingle_n, text_col, id_col)
+    h = F.expr(spark_hash32("shingle"))
+    sh = sh.select(id_col, h.alias("h32"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_coeffs(num_hashes))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs + MinHash-estimated Jaccard.
+    Output [doc_id_1, doc_id_2, minhash_jaccard] for candidates whose
+    estimate >= threshold; candidates = pairs agreeing on ALL rows of
+    at least one band (bands of r = num_hashes/bands rows).
+
+    Scale: the only joins are per-band self equi-joins on the band
+    key (md5 of the concatenated row values) — shuffle is linear in
+    corpus size; no all-pairs stage exists. Skewed buckets (giant
+    near-dup clusters) are real duplicates, which is the signal.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col).cache()
+    band_keys = [
+        F.md5(F.concat_ws("_", *[F.col(f"mh_{j}") for j in range(bi * r, (bi + 1) * r)]))
+        for bi in range(bands)
+    ]
+    with_bands = sig.select(
+        id_col, *[band_keys[bi].alias(f"band_{bi}") for bi in range(bands)]
+    )
+    cand = None
+    for bi in range(bands):
+        a = with_bands.alias("a")
+        b = with_bands.alias("b")
+        c = (
+            a.join(b, F.col(f"a.band_{bi}") == F.col(f"b.band_{bi}"))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("doc_id_1"),
+                F.col(f"b.{id_col}").alias("doc_id_2"),
+            )
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.distinct()
+    s1 = sig.withColumnsRenamed({id_col: "doc_id_1", **{f"mh_{i}": f"x_{i}" for i in range(num_hashes)}})
+    s2 = sig.withColumnsRenamed({id_col: "doc_id_2", **{f"mh_{i}": f"y_{i}" for i in range(num_hashes)}})
+    est = sum(
+        F.when(F.col(f"x_{i}") == F.col(f"y_{i}"), 1).otherwise(0) for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select("doc_id_1", "doc_id_2", est.alias("minhash_jaccard"))
+        .filter(F.col("minhash_jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5, shingle_n: int = 3
+) -> str:
+    r = num_hashes // bands
+    coeffs = _perm_coeffs(num_hashes)
+    h32 = duck_hash32("shingle")
+    mh_exprs = ",\n           ".join(
+        f"MIN(({a} * {h32} + {b}) % {MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_exprs = ",\n           ".join(
+        "md5(concat_ws('_', "
+        + ", ".join(f"mh_{j}" for j in range(bi * r, (bi + 1) * r))
+        + f")) AS band_{bi}"
+        for bi in range(bands)
+    )
+    cand_union = "\n    UNION\n    ".join(
+        f"SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2 "
+        f"FROM bands a JOIN bands b ON a.band_{bi} = b.band_{bi} AND a.doc_id < b.doc_id"
+        for bi in range(bands)
+    )
+    est = " + ".join(
+        f"CASE WHEN s1.mh_{i} = s2.mh_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH {duck_shingle_cte(shingle_n)},
+sig AS (
+    SELECT doc_id,
+           {mh_exprs}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id,
+           {band_exprs}
+    FROM sig
+),
+cand AS (
+    {cand_union}
+)
+SELECT c.doc_id_1, c.doc_id_2, ({est}) / {float(num_hashes)} AS minhash_jaccard
+FROM cand c
+JOIN sig s1 ON s1.doc_id = c.doc_id_1
+JOIN sig s2 ON s2.doc_id = c.doc_id_2
+WHERE ({est}) / {float(num_hashes)} >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+
+
+SIMHASH_BITS = 60  # bits of the md5-prefix hash; fingerprint fits int64
+
+
+def simhash_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash per doc: token-frequency-weighted majority vote
+    per bit of h60(token). Output [doc_id, simhash].
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    h = F.expr(spark_hash60("tok"))
+    toks = toks.groupBy(id_col, h.alias("h60")).agg(F.count(F.lit(1)).alias("cnt"))
+    bit_terms = [
+        F.sum(
+            F.when(F.expr(f"(h60 DIV {1 << k}) % 2") == 1, F.col("cnt")).otherwise(-F.col("cnt"))
+        ).alias(f"s_{k}")
+        for k in range(SIMHASH_BITS)
+    ]
+    votes = toks.groupBy(id_col).agg(*bit_terms)
+    fp = sum(
+        F.when(F.col(f"s_{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        for k in range(SIMHASH_BITS)
+    )
+    return votes.select(id_col, fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    Output [doc_id_1, doc_id_2, hamming].
+
+    Scale: 4-block banding — fingerprints are split into 4 x 15-bit
+    blocks; by pigeonhole any pair at hamming <= 3 agrees on >= 1
+    block, so the union of 4 equi-joins is EXACT for max_hamming <= 3
+    (it is a superset of candidates that we re-filter by true hamming).
+    """
+    fp = simhash_fingerprint(df, text_col, id_col).cache()
+    blocks = [(F.col("simhash") % F.lit(1 << 15 * (b + 1))) / F.lit(1 << 15 * b) for b in range(4)]
+    with_blocks = fp.select(
+        id_col,
+        "simhash",
+        *[F.floor(blocks[b]).cast("bigint").alias(f"blk_{b}") for b in range(4)],
+    )
+    cand = None
+    for b in range(4):
+        x = with_blocks.alias("a")
+        y = with_blocks.alias("b")
+        c = (
+            x.join(y, F.col(f"a.blk_{b}") == F.col(f"b.blk_{b}"))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("doc_id_1"),
+                F.col(f"b.{id_col}").alias("doc_id_2"),
+                F.col("a.simhash").alias("fp1"),
+                F.col("b.simhash").alias("fp2"),
+            )
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    ham = F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2")))
+    return (
+        cand.distinct()
+        .select("doc_id_1", "doc_id_2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_oracle(max_hamming: int = 3) -> str:
+    h60 = duck_hash60("tok")
+    bit_terms = ",\n           ".join(
+        f"SUM(CASE WHEN (h60 >> {k}) & 1 = 1 THEN cnt ELSE -cnt END) AS s_{k}"
+        for k in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s_{k} > 0 THEN {1 << k}::BIGINT ELSE 0 END" for k in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {h60} AS h60, COUNT(*) AS cnt
+    FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY 1, 2
+),
+votes AS (
+    SELECT doc_id,
+           {bit_terms}
+    FROM toks GROUP BY doc_id
+),
+fp AS (SELECT doc_id, ({fp}) AS simhash FROM votes),
+blocks AS (
+    SELECT doc_id, simhash,
+           (simhash % {1 << 15}) AS blk_0,
+           ((simhash // {1 << 15}) % {1 << 15}) AS blk_1,
+           ((simhash // {1 << 30}) % {1 << 15}) AS blk_2,
+           ((simhash // {1 << 45}) % {1 << 15}) AS blk_3
+    FROM fp
+),
+cand AS (
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           a.simhash AS fp1, b.simhash AS fp2
+    FROM blocks a JOIN blocks b
+      ON a.doc_id < b.doc_id
+     AND (a.blk_0 = b.blk_0 OR a.blk_1 = b.blk_1 OR a.blk_2 = b.blk_2 OR a.blk_3 = b.blk_3)
+)
+SELECT doc_id_1, doc_id_2, bit_count(xor(fp1, fp2)) AS hamming
+FROM cand WHERE bit_count(xor(fp1, fp2)) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# text statistics / quality / language id
+
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token/char statistics and a composite quality score.
+    Output [doc_id, n_tokens, n_chars_obs, avg_token_len,
+    stopword_ratio, quality_score]. Pure column expressions — stays in
+    whole-stage codegen; no shuffle at all (per-row projection)."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    avg_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars excl. separators
+    stop_ratio = n_stop / n_tokens
+    quality = (
+        F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * 0.4
+        + F.least(F.lit(1.0), avg_len / F.lit(8.0)) * 0.3
+        + F.least(F.lit(1.0), stop_ratio * F.lit(5.0)) * 0.3
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_obs"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+TEXT_STATS_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_obs,
+           len(list_filter(string_split(text, ' '),
+               x -> list_contains({list(STOPWORDS)}, x))) AS n_stop
+    FROM documents
+)
+SELECT doc_id, n_tokens, n_chars_obs,
+       (n_chars_obs - (n_tokens - 1)) / n_tokens AS avg_token_len,
+       n_stop / n_tokens AS stopword_ratio,
+       least(1.0, n_tokens / 50.0) * 0.4
+       + least(1.0, ((n_chars_obs - (n_tokens - 1)) / n_tokens) / 8.0) * 0.3
+       + least(1.0, (n_stop / n_tokens) * 5.0) * 0.3 AS quality_score
+FROM t
+"""
+
+
+# marker-token lists per language (heuristic language ID; deterministic)
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "de", "que", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est", "les"),
+    "zh": ("de0", "le0", "shi", "bu", "wo", "zai"),
+}
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: marker-token hit counts per language,
+    argmax with alphabetical tie-break. Output [doc_id, lang_pred,
+    lang_score]. Expression-only; one explode + one groupBy(doc)."""
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.col("tok").isin(*markers), 1).otherwise(0)
+        ).alias(f"score_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = toks.groupBy(id_col).agg(*aggs)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{lg}") == best, F.lit(lg)) for lg in langs]
+    )
+    return scored.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        best.cast("bigint").alias("lang_score"),
+    )
+
+
+def language_id_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n           ".join(
+        f"SUM(CASE WHEN tok IN {LANG_MARKERS[lg]} THEN 1 ELSE 0 END) AS score_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+WITH toks AS (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+scored AS (
+    SELECT doc_id,
+           {scores}
+    FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {pred} AS lang_pred, {best} AS lang_score FROM scored
+"""
+
+
+def doc_fingerprint(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rolling-hash document fingerprint: minimum 60-bit hash over all
+    character k-grams (min-sampling winnowing). Output
+    [doc_id, fingerprint]. Robust to local edits away from the min."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> substr({text_col}, i, {k}))"
+    )
+    g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    return g.groupBy(id_col).agg(
+        F.min(F.expr(spark_hash60("gram"))).alias("fingerprint")
+    )
+
+
+def doc_fingerprint_oracle(k: int = 8) -> str:
+    return f"""
+WITH g AS (
+    SELECT doc_id, substr(text, i, {k}) AS gram
+    FROM documents,
+         UNNEST(generate_series(1, greatest(length(text) - {k - 1}, 1))) AS t(i)
+)
+SELECT doc_id, MIN({duck_hash60("gram")}) AS fingerprint
+FROM g GROUP BY doc_id
+"""

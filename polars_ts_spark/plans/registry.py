@@ -722,3 +722,77 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# training-data-pipeline ops: dedup / text analysis / similarity search
+# (mandated extensions — documents + embeddings tables)
+
+
+def _docs(spark, sf_dir):
+    from polars_ts_spark.sources.datasets import load_table
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    from polars_ts_spark.sources.datasets import load_table
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _register_textops():
+    from polars_ts_spark.operators import embedsim, textops
+
+    @register("exact_dedup", textops.EXACT_DEDUP_ORACLE)
+    def q_exact_dedup(spark, sf_dir):
+        return textops.exact_dedup(_docs(spark, sf_dir))
+
+    @register("ngram_jaccard_pairs", textops.ngram_jaccard_oracle(3, 0.2))
+    def q_ngram_jaccard(spark, sf_dir):
+        return textops.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+    @register("minhash_lsh_pairs", textops.minhash_lsh_oracle(16, 4, 0.5, 3))
+    def q_minhash_lsh(spark, sf_dir):
+        return textops.minhash_lsh_pairs(
+            _docs(spark, sf_dir), num_hashes=16, bands=4, threshold=0.5, shingle_n=3
+        )
+
+    @register("simhash_pairs", textops.simhash_oracle(3))
+    def q_simhash_pairs(spark, sf_dir):
+        return textops.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+    @register("text_stats", textops.TEXT_STATS_ORACLE)
+    def q_text_stats(spark, sf_dir):
+        return textops.text_stats(_docs(spark, sf_dir))
+
+    @register("language_id", textops.language_id_oracle())
+    def q_language_id(spark, sf_dir):
+        return textops.language_id(_docs(spark, sf_dir))
+
+    @register("doc_fingerprint", textops.doc_fingerprint_oracle(8))
+    def q_doc_fingerprint(spark, sf_dir):
+        return textops.doc_fingerprint(_docs(spark, sf_dir), k=8)
+
+    @register("cosine_topk", embedsim.brute_force_topk_oracle(5))
+    def q_cosine_topk(spark, sf_dir):
+        return embedsim.brute_force_topk(_embs(spark, sf_dir), k=5)
+
+    @register("cosine_dedup_pairs", embedsim.cosine_dedup_oracle(0.95))
+    def q_cosine_dedup(spark, sf_dir):
+        return embedsim.cosine_dedup_pairs(_embs(spark, sf_dir), threshold=0.95)
+
+    @register("knn_label_vote", embedsim.knn_label_vote_oracle(5))
+    def q_knn_label_vote(spark, sf_dir):
+        return embedsim.knn_label_vote(_embs(spark, sf_dir), k=5)
+
+    @register("lsh_ann_topk")  # approximate — rows-only check
+    def q_lsh_ann_topk(spark, sf_dir):
+        return embedsim.lsh_topk(_embs(spark, sf_dir), k=5, n_planes=6)
+
+    @register("multimodal_features")  # stubbed decode — rows-only check
+    def q_multimodal_features(spark, sf_dir):
+        from polars_ts_spark.operators import multimodal
+        payload = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+        return multimodal.extract_features(multimodal.decode_image(payload))
+
+
+_register_textops()

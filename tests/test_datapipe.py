@@ -1,0 +1,139 @@
+"""Training-data-pipeline ops: dedup, similarity search, text stats,
+multimodal plumbing. Analytic expectations on tiny hand-built corpora
+(the reference's test style, SURVEY §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_ts_spark.operators import embedsim, multimodal, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the sleepy dog"),  # near dup
+        (3, "completely different content about spark engines here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r["n_dups"] for r in textops.exact_dedup(docs).collect()}
+    assert out == {0: 2, 2: 1, 3: 1}
+
+
+def test_word_shingles_count(docs):
+    # 9 tokens -> 7 distinct 3-gram shingles for doc 0
+    n = textops.word_shingles(docs.filter("doc_id = 0"), 3).count()
+    assert n == 7
+
+
+def test_ngram_jaccard_exact_dup_is_one(docs):
+    pairs = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in textops.ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0 < pairs[(0, 2)] < 1.0  # near dup shares some shingles
+    assert (0, 3) not in pairs  # disjoint texts never pair
+
+
+def test_minhash_lsh_finds_exact_dup(docs):
+    pairs = {
+        (r["doc_id_1"], r["doc_id_2"]): r["minhash_jaccard"]
+        for r in textops.minhash_lsh_pairs(docs, threshold=0.9).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical signature -> all bands collide
+
+
+def test_simhash_exact_dup_zero_hamming(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in textops.simhash_fingerprint(docs).collect()}
+    assert fps[0] == fps[1]
+    pairs = {
+        (r["doc_id_1"], r["doc_id_2"]): r["hamming"]
+        for r in textops.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+def test_text_stats(docs):
+    row = textops.text_stats(docs).filter("doc_id = 0").collect()[0]
+    assert row["n_tokens"] == 9
+    assert row["stopword_ratio"] == pytest.approx(2 / 9)  # 'the' twice
+    assert 0.0 < row["quality_score"] <= 1.0
+
+
+def test_doc_fingerprint_dup_invariant(docs):
+    fps = {r["doc_id"]: r["fingerprint"] for r in textops.doc_fingerprint(docs).collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[3]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.01, 0.0, 0.0], 0),  # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [0.0, 0.98, 0.2, 0.0], 1),
+        (4, [0.0, 0.0, 0.0, 1.0], 2),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    return df.withColumn("embedding", F.col("embedding").cast("array<float>"))
+
+
+def test_brute_force_topk(vecs):
+    top1 = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in embedsim.brute_force_topk(vecs, k=1, dim=4).collect()
+    }
+    assert top1[0] == 1 and top1[1] == 0
+    assert top1[2] == 3 and top1[3] == 2
+
+
+def test_cosine_dedup_pairs(vecs):
+    pairs = {
+        (r["vec_id_1"], r["vec_id_2"])
+        for r in embedsim.cosine_dedup_pairs(vecs, threshold=0.95, dim=4).collect()
+    }
+    assert (0, 1) in pairs and (2, 3) in pairs and (0, 4) not in pairs
+
+
+def test_knn_label_vote(vecs):
+    preds = {r["vec_id"]: r["label_pred"] for r in embedsim.knn_label_vote(vecs, k=1, dim=4).collect()}
+    assert preds[0] == 0 and preds[1] == 0 and preds[2] == 1 and preds[3] == 1
+
+
+def test_lsh_topk_subset_of_bruteforce(vecs):
+    # LSH results are (vec, neighbor) pairs that brute force also ranks;
+    # cosines must agree exactly on shared pairs
+    bf = {
+        (r["vec_id"], r["neighbor_id"]): r["cosine"]
+        for r in embedsim.brute_force_topk(vecs, k=4, dim=4).collect()
+    }
+    lsh = {
+        (r["vec_id"], r["neighbor_id"]): r["cosine"]
+        for r in embedsim.lsh_topk(vecs, k=4, n_planes=2, dim=4).collect()
+    }
+    assert lsh  # buckets are non-trivial
+    for pair, cos in lsh.items():
+        assert bf[pair] == cos
+
+
+def test_multimodal_plumbing(docs):
+    payload = multimodal.attach_binary_payload(docs)
+    assert dict(payload.dtypes)["payload"] == "binary"
+    decoded = multimodal.decode_image(payload)
+    rows = decoded.collect()
+    assert len(rows) == 4
+    assert all(len(r["pixels"]) == 4 * 4 * 3 for r in rows)
+    # deterministic: same payload -> same pixels (docs 0 and 1 identical)
+    px = {r["doc_id"]: r["pixels"] for r in rows}
+    assert px[0] == px[1]
+    feats = multimodal.extract_features(decoded).collect()
+    assert all(len(r["features"]) == 3 + 3 + 12 for r in feats)
+    frames = multimodal.frame_sample(payload, every_n_bytes=16)
+    n_frames = frames.count()
+    assert n_frames > 4  # fan-out happened
