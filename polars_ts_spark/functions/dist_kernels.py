@@ -29,6 +29,11 @@ def _dp_diag_batch(row0: np.ndarray, col0: np.ndarray, step, dtype=float) -> np.
     row0 = D[:, 0, :] (k, C) precomputed top boundary; col0 (k, R) left
     boundary (row0[:,0] must equal col0[:,0]); step(i_arr, j_arr, diag,
     up, left) -> (k, len(i_arr)) interior cells. Returns D[:, R-1, C-1].
+
+    Perf: the three diagonal buffers are allocated ONCE and cycled
+    (every cell a later diagonal reads is provably written by the
+    correct earlier diagonal, so no per-step INF re-fill is needed) —
+    the naive version's per-diagonal np.full dominated its runtime.
     """
     k, C = row0.shape
     R = col0.shape[1]
@@ -36,15 +41,15 @@ def _dp_diag_batch(row0: np.ndarray, col0: np.ndarray, step, dtype=float) -> np.
         return row0[:, -1].copy()
     if C == 1:
         return col0[:, -1].copy()
-    prev2 = np.full((k, R), INF, dtype=dtype)
-    prev1 = np.full((k, R), INF, dtype=dtype)
+    buf = [np.full((k, R), INF, dtype=dtype) for _ in range(3)]
+    prev2, prev1 = buf[0], buf[1]
     prev2[:, 0] = row0[:, 0]
     prev1[:, 0] = row0[:, 1]
     prev1[:, 1] = col0[:, 1]
     if R + C - 2 == 1:
         return prev1[:, R - 1].copy()
+    cur = buf[2]
     for d in range(2, R + C - 1):
-        cur = np.full((k, R), INF, dtype=dtype)
         i_lo, i_hi = max(0, d - (C - 1)), min(R - 1, d)
         if i_lo == 0:
             cur[:, 0] = row0[:, d]
@@ -54,11 +59,29 @@ def _dp_diag_batch(row0: np.ndarray, col0: np.ndarray, step, dtype=float) -> np.
         if lo <= hi:
             i_arr = np.arange(lo, hi + 1)
             j_arr = d - i_arr
-            cur[:, lo:hi + 1] = step(
-                i_arr, j_arr, prev2[:, lo - 1:hi], prev1[:, lo - 1:hi], prev1[:, lo:hi + 1]
+            out = step(
+                i_arr, j_arr, prev2[:, lo - 1:hi], prev1[:, lo - 1:hi],
+                prev1[:, lo:hi + 1], cur[:, lo:hi + 1]
             )
-        prev2, prev1 = prev1, cur
+            if out is not None:  # non-fused kernels return the result
+                cur[:, lo:hi + 1] = out
+        prev2, prev1, cur = prev1, cur, prev2
     return prev1[:, R - 1].copy()
+
+
+class _RevB:
+    """Contiguous reversed copy of B so that the descending-j gather on
+    every anti-diagonal becomes an ascending SLICE (a view, no copy):
+    B[:, j_arr + off] == rev[:, m-1-d+lo-off : m-d+hi-off] for
+    j_arr = d - arange(lo, hi+1)."""
+
+    def __init__(self, B: np.ndarray):
+        self.rev = np.ascontiguousarray(B[:, ::-1])
+        self.m = B.shape[1]
+
+    def diag_slice(self, d: int, lo: int, hi: int, off: int = 0) -> np.ndarray:
+        start = self.m - 1 - d + lo - off
+        return self.rev[:, start : start + (hi - lo + 1)]
 
 
 def _min3(a, b, c):
@@ -75,9 +98,18 @@ def dtw_batch(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     m = B.shape[1]
     row0 = np.full((k, m + 1), INF); row0[:, 0] = 0.0
     col0 = np.full((k, n + 1), INF); col0[:, 0] = 0.0
+    RB = _RevB(B)
+    scratch = np.empty((k, min(n, m)), dtype=float)
 
-    def step(i, j, diag, up, left):
-        return np.abs(A[:, i - 1] - B[:, j - 1]) + _min3(up, left, diag)
+    def step(i, j, diag, up, left, out):
+        lo, hi, d = int(i[0]), int(i[-1]), int(i[0] + j[0])
+        w = hi - lo + 1
+        t = scratch[:, :w]
+        np.subtract(A[:, lo - 1:hi], RB.diag_slice(d, lo, hi, -1), out=t)
+        np.abs(t, out=t)
+        np.minimum(up, left, out=out)
+        np.minimum(out, diag, out=out)
+        np.add(out, t, out=out)
 
     return _dp_diag_batch(row0, col0, step)
 
@@ -90,9 +122,12 @@ def dtw_sakoe_chiba_batch(A: np.ndarray, B: np.ndarray, window: int = 10) -> np.
     row0 = np.full((k, m + 1), INF); row0[:, 0] = 0.0
     col0 = np.full((k, n + 1), INF); col0[:, 0] = 0.0
 
-    def step(i, j, diag, up, left):
-        cost = np.abs(A[:, i - 1] - B[:, j - 1]) + _min3(up, left, diag)
-        return np.where(np.abs(i - j)[None, :] <= w, cost, INF)
+    RB = _RevB(B)
+
+    def step(i, j, diag, up, left, out=None):
+        lo, hi, d = int(i[0]), int(i[-1]), int(i[0] + j[0])
+        cost = np.abs(A[:, lo - 1:hi] - RB.diag_slice(d, lo, hi, -1)) + _min3(up, left, diag)
+        return np.where(np.abs(2 * i - d)[None, :] <= w, cost, INF)
 
     return _dp_diag_batch(row0, col0, step)
 
@@ -105,9 +140,12 @@ def dtw_itakura_batch(A: np.ndarray, B: np.ndarray, max_slope: float = 2.0) -> n
     row0 = np.full((k, m + 1), INF); row0[:, 0] = 0.0
     col0 = np.full((k, n + 1), INF); col0[:, 0] = 0.0
 
-    def step(i, j, diag, up, left):
+    RB = _RevB(B)
+
+    def step(i, j, diag, up, left, out=None):
+        lo, hi, d = int(i[0]), int(i[-1]), int(i[0] + j[0])
         ok = (j <= s * i) & (i <= s * j) & ((n - i) <= s * (m - j) + s) & ((m - j) <= s * (n - i) + s)
-        cost = np.abs(A[:, i - 1] - B[:, j - 1]) + _min3(up, left, diag)
+        cost = np.abs(A[:, lo - 1:hi] - RB.diag_slice(d, lo, hi, -1)) + _min3(up, left, diag)
         return np.where(ok[None, :], cost, INF)
 
     return _dp_diag_batch(row0, col0, step)
@@ -132,9 +170,12 @@ def wdtw_batch(A: np.ndarray, B: np.ndarray, g: float = 0.05) -> np.ndarray:
     row0 = np.full((k, m + 1), INF); row0[:, 0] = 0.0
     col0 = np.full((k, n + 1), INF); col0[:, 0] = 0.0
 
-    def step(i, j, diag, up, left):
-        w = weights[np.abs(i - j)][None, :]
-        d = A[:, i - 1] - B[:, j - 1]
+    RB = _RevB(B)
+
+    def step(i, j, diag, up, left, out=None):
+        lo, hi, dd = int(i[0]), int(i[-1]), int(i[0] + j[0])
+        w = weights[np.abs(2 * i - dd)][None, :]
+        d = A[:, lo - 1:hi] - RB.diag_slice(dd, lo, hi, -1)
         return w * d * d + _min3(up, left, diag)
 
     return _dp_diag_batch(row0, col0, step)
@@ -164,10 +205,15 @@ def msm_batch(A: np.ndarray, B: np.ndarray, c: float = 1.0) -> np.ndarray:
         b0 = B[:, 0:1]
         col0[:, 1:] = col0[:, 0:1] + np.cumsum(_msm_cost(A[:, 1:], A[:, :-1], np.broadcast_to(b0, A[:, 1:].shape), c), axis=1)
 
-    def step(i, j, diag, up, left):
-        d1 = diag + np.abs(A[:, i] - B[:, j])
-        d2 = up + _msm_cost(A[:, i], A[:, i - 1], B[:, j], c)
-        d3 = left + _msm_cost(B[:, j], A[:, i], B[:, j - 1], c)
+    RB = _RevB(B)
+
+    def step(i, j, diag, up, left, out=None):
+        lo, hi, d = int(i[0]), int(i[-1]), int(i[0] + j[0])
+        ai, ai1 = A[:, lo:hi + 1], A[:, lo - 1:hi]
+        bj, bj1 = RB.diag_slice(d, lo, hi, 0), RB.diag_slice(d, lo, hi, -1)
+        d1 = diag + np.abs(ai - bj)
+        d2 = up + _msm_cost(ai, ai1, bj, c)
+        d3 = left + _msm_cost(bj, ai, bj1, c)
         return _min3(d1, d2, d3)
 
     return _dp_diag_batch(row0, col0, step)
@@ -180,10 +226,14 @@ def erp_batch(A: np.ndarray, B: np.ndarray, g: float = 0.0) -> np.ndarray:
     row0 = np.concatenate([np.zeros((k, 1)), np.cumsum(np.abs(B - g), axis=1)], axis=1)
     col0 = np.concatenate([np.zeros((k, 1)), np.cumsum(np.abs(A - g), axis=1)], axis=1)
 
-    def step(i, j, diag, up, left):
-        d_match = diag + np.abs(A[:, i - 1] - B[:, j - 1])
-        d_delete = up + np.abs(A[:, i - 1] - g)
-        d_insert = left + np.abs(B[:, j - 1] - g)
+    RB = _RevB(B)
+
+    def step(i, j, diag, up, left, out=None):
+        lo, hi, d = int(i[0]), int(i[-1]), int(i[0] + j[0])
+        a, b = A[:, lo - 1:hi], RB.diag_slice(d, lo, hi, -1)
+        d_match = diag + np.abs(a - b)
+        d_delete = up + np.abs(a - g)
+        d_insert = left + np.abs(b - g)
         return _min3(d_match, d_delete, d_insert)
 
     return _dp_diag_batch(row0, col0, step)
@@ -198,8 +248,11 @@ def lcss_batch(A: np.ndarray, B: np.ndarray, epsilon: float = 1.0) -> np.ndarray
     row0 = np.zeros((k, m + 1))
     col0 = np.zeros((k, n + 1))
 
-    def step(i, j, diag, up, left):
-        match = np.abs(A[:, i - 1] - B[:, j - 1]) <= epsilon
+    RB = _RevB(B)
+
+    def step(i, j, diag, up, left, out=None):
+        lo, hi, d = int(i[0]), int(i[-1]), int(i[0] + j[0])
+        match = np.abs(A[:, lo - 1:hi] - RB.diag_slice(d, lo, hi, -1)) <= epsilon
         return np.where(match, diag + 1.0, np.maximum(up, left))
 
     length = _dp_diag_batch(row0, col0, step)
@@ -215,8 +268,11 @@ def edr_batch(A: np.ndarray, B: np.ndarray, epsilon: float = 0.1) -> np.ndarray:
     row0 = np.broadcast_to(np.arange(m + 1, dtype=float), (k, m + 1)).copy()
     col0 = np.broadcast_to(np.arange(n + 1, dtype=float), (k, n + 1)).copy()
 
-    def step(i, j, diag, up, left):
-        sub = np.where(np.abs(A[:, i - 1] - B[:, j - 1]) <= epsilon, 0.0, 1.0)
+    RB = _RevB(B)
+
+    def step(i, j, diag, up, left, out=None):
+        lo, hi, d = int(i[0]), int(i[-1]), int(i[0] + j[0])
+        sub = np.where(np.abs(A[:, lo - 1:hi] - RB.diag_slice(d, lo, hi, -1)) <= epsilon, 0.0, 1.0)
         return _min3(diag + sub, up + 1.0, left + 1.0)
 
     return _dp_diag_batch(row0, col0, step) / max(n, m)
@@ -236,10 +292,15 @@ def twe_batch(A: np.ndarray, B: np.ndarray, nu: float = 0.001, lam: float = 1.0)
     col0 = np.full((k, n + 1), INF); col0[:, 0] = 0.0
     col0[:, 1:] = np.cumsum(np.abs(A - Ap[:, :-1]) + nu + lam, axis=1)
 
-    def step(i, j, diag, up, left):
-        a_i, a_prev = A[:, i - 1], Ap[:, i - 1]
-        b_j, b_prev = B[:, j - 1], Bp[:, j - 1]
-        stiff = nu * np.minimum(np.abs(i - j).astype(float), 2.0 * nu)[None, :]
+    RB = _RevB(B)
+    RBp = _RevB(Bp)
+
+    def step(i, j, diag, up, left, out=None):
+        lo, hi, d = int(i[0]), int(i[-1]), int(i[0] + j[0])
+        a_i, a_prev = A[:, lo - 1:hi], Ap[:, lo - 1:hi]
+        b_j = RB.diag_slice(d, lo, hi, -1)
+        b_prev = RBp.diag_slice(d, lo, hi, -1)
+        stiff = nu * np.minimum(np.abs(2 * i - d).astype(float), 2.0 * nu)[None, :]
         d_match = diag + np.abs(a_i - b_j) + np.abs(a_prev - b_prev) + stiff
         d_delete = up + np.abs(a_i - a_prev) + nu + lam
         d_insert = left + np.abs(b_j - b_prev) + nu + lam
@@ -257,8 +318,11 @@ def frechet_batch(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     row0 = np.maximum.accumulate(np.abs(A[:, 0:1] - B), axis=1)
     col0 = np.maximum.accumulate(np.abs(A - B[:, 0:1]), axis=1)
 
-    def step(i, j, diag, up, left):
-        return np.maximum(_min3(diag, up, left), np.abs(A[:, i] - B[:, j]))
+    RB = _RevB(B)
+
+    def step(i, j, diag, up, left, out=None):
+        lo, hi, d = int(i[0]), int(i[-1]), int(i[0] + j[0])
+        return np.maximum(_min3(diag, up, left), np.abs(A[:, lo:hi + 1] - RB.diag_slice(d, lo, hi, 0)))
 
     return _dp_diag_batch(row0, col0, step)
 
@@ -347,7 +411,7 @@ def dtw_multi(A: np.ndarray, B: np.ndarray, metric: str = "manhattan") -> float:
     row0 = np.full((1, m + 1), INF); row0[0, 0] = 0.0
     col0 = np.full((1, n + 1), INF); col0[0, 0] = 0.0
 
-    def step(i, j, diag, up, left):
+    def step(i, j, diag, up, left, out=None):
         d = A[i - 1] - B[j - 1]
         cost = np.sqrt((d * d).sum(axis=-1)) if metric == "euclidean" else np.abs(d).sum(axis=-1)
         return cost[None, :] + _min3(up, left, diag)
@@ -378,7 +442,7 @@ def msm_multi(A: np.ndarray, B: np.ndarray, c: float = 1.0) -> float:
     if n > 1:
         col0[0, 1:] = col0[0, 0] + np.cumsum(vcost(A[1:], A[:-1], np.broadcast_to(B[0], A[1:].shape)))
 
-    def step(i, j, diag, up, left):
+    def step(i, j, diag, up, left, out=None):
         d1 = diag + np.linalg.norm(A[i] - B[j], axis=-1)[None, :]
         d2 = up + vcost(A[i], A[i - 1], B[j])[None, :]
         d3 = left + vcost(B[j], A[i], B[j - 1])[None, :]

@@ -108,14 +108,24 @@ def compute_pairwise_distance(
     require_columns(df1, id_col, time_col, target_col)
     id_dtype = dict(df1.dtypes)[id_col]
     same = df2 is None
-    g1 = _grouped_arrays(df1, id_col, time_col, target_col, "id_1", "__v1")
+    # cache: both cross-join sides (and the dedup id lists) re-read this
+    # tiny frame (n_series rows of arrays); without it the whole upstream
+    # panel aggregation runs once per consumer
+    g1 = _grouped_arrays(df1, id_col, time_col, target_col, "id_1", "__v1").cache()
     if same:
         g2 = g1.withColumnRenamed("id_1", "id_2").withColumnRenamed("__v1", "__v2")
     else:
         require_columns(df2, id_col, time_col, target_col)
-        g2 = _grouped_arrays(df2, id_col, time_col, target_col, "id_2", "__v2")
+        g2 = _grouped_arrays(df2, id_col, time_col, target_col, "id_2", "__v2").cache()
 
-    pairs = g1.crossJoin(g2).filter(F.col("id_1") != F.col("id_2"))
+    # Pre-join repartition of the STREAM side: AQE coalesces the small
+    # grouped agg to one partition, and a single-partition cross join
+    # would generate (and then shuffle) every pair in one task. With the
+    # stream side spread and the other side broadcast, pair generation
+    # and the kernel run in the same n_parts parallel tasks — no
+    # post-join shuffle of wide array rows at all.
+    n_parts = int(df1.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    pairs = g1.repartition(n_parts).crossJoin(F.broadcast(g2)).filter(F.col("id_1") != F.col("id_2"))
     if same:
         pairs = pairs.filter(F.col("id_1") < F.col("id_2"))
     else:
@@ -131,13 +141,6 @@ def compute_pairwise_distance(
             .filter(F.col("__b1").isNull() | F.col("__b2").isNull() | (F.col("id_1") < F.col("id_2")))
             .drop("__b1", "__b2")
         )
-
-    # the broadcast cross-join yields ONE partition — fine for the join,
-    # fatal for the kernel stage (all pairs serialize into one task).
-    # Hash-repartition the (small) pair list so kernel work spreads over
-    # the cluster; kernel cost >> shuffle cost for pair rows.
-    n_parts = int(df1.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    pairs = pairs.repartition(n_parts, "id_1", "id_2")
 
     fn = _batch_kernel_fn(method, variant, kwargs)
 
@@ -155,9 +158,17 @@ def compute_pairwise_distance(
             for idx, (a, b) in enumerate(zip(v1, v2)):
                 shapes.setdefault((len(a), len(b)), []).append(idx)
             for (n_, m_), idxs in shapes.items():
-                A = np.stack([v1[i] for i in idxs])
-                B = np.stack([v2[i] for i in idxs])
-                out[idxs] = fn(A, B)
+                # cap the stack so the three (k, n+m) DP buffers stay
+                # cache-resident — the diagonal sweep re-reads them
+                # (n+m) times, and DRAM-bound stacks are ~7x slower
+                # than cache-resident ones; sized for L3/32 since all
+                # 32 workers of the node share the cache
+                k_max = max(64, 65536 // max(n_, m_, 1))
+                for c0 in range(0, len(idxs), k_max):
+                    cidx = idxs[c0:c0 + k_max]
+                    A = np.stack([v1[i] for i in cidx])
+                    B = np.stack([v2[i] for i in cidx])
+                    out[cidx] = fn(A, B)
             yield pd.DataFrame({"id_1": pdf["id_1"], "id_2": pdf["id_2"], method: out})
 
     out = pairs.mapInPandas(compute, schema=f"id_1 string, id_2 string, {method} double")
@@ -194,16 +205,15 @@ def compute_pairwise_distance_multi(
         )
 
     id_dtype = dict(df1.dtypes)[id_col]
-    g1 = grouped(df1, "id_1", "__v1")
+    g1 = grouped(df1, "id_1", "__v1").cache()
     g2 = (
         g1.withColumnRenamed("id_1", "id_2").withColumnRenamed("__v1", "__v2")
         if df2 is None else grouped(df2, "id_2", "__v2")
     )
-    pairs = g1.crossJoin(g2).filter(F.col("id_1") != F.col("id_2"))
+    n_parts = int(df1.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    pairs = g1.repartition(n_parts).crossJoin(F.broadcast(g2)).filter(F.col("id_1") != F.col("id_2"))
     if df2 is None:
         pairs = pairs.filter(F.col("id_1") < F.col("id_2"))
-    n_parts = int(df1.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    pairs = pairs.repartition(n_parts, "id_1", "id_2")
 
     kern = (lambda A, B: K.dtw_multi(A, B, metric)) if method == "dtw_multi" else (
         lambda A, B: K.msm_multi(A, B, c))
