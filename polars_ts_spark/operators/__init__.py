@@ -1,5 +1,6 @@
 from polars_ts_spark.operators import (
     baselines,
+    changepoint,
     cv,
     decomposition,
     diagnostics,
@@ -12,12 +13,15 @@ from polars_ts_spark.operators import (
     multimodal,
     pelt,
     preprocessing,
+    statespace,
     textops,
     trend,
+    var_model,
+    volatility,
 )
 
 __all__ = [
-    "baselines", "cv", "decomposition", "diagnostics", "distance", "ets",
+    "baselines", "changepoint", "cv", "decomposition", "diagnostics", "distance", "ets",
     "embedsim", "features", "kernel", "metrics", "multimodal", "pelt",
-    "preprocessing", "textops", "trend",
+    "preprocessing", "statespace", "textops", "trend", "var_model", "volatility",
 ]

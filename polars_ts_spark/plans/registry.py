@@ -796,3 +796,69 @@ def _register_textops():
 
 
 _register_textops()
+
+
+# ---------------------------------------------------------------------------
+# state-space / volatility / VAR / changepoint kernels (sequential
+# recursions — not SQL-expressible; driver records rows-only checks)
+
+
+def _bivariate_panel(spark, sf_dir):
+    """Supplier daily panel with two channels: revenue + quantity."""
+    from polars_ts_spark.sources.datasets import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.col("l_suppkey").cast("string").alias("unique_id"),
+            F.date_trunc("day", F.col("l_shipdate")).alias("ds"),
+        )
+        .agg(F.sum("l_extendedprice").alias("y"), F.sum("l_quantity").alias("y2"))
+    )
+
+
+@register("kalman_filter")
+def q_kalman_filter(spark, sf_dir):
+    from polars_ts_spark.operators import statespace
+    return statespace.kalman_filter(supplier_daily_panel(spark, sf_dir))
+
+
+@register("kalman_forecast")
+def q_kalman_forecast(spark, sf_dir):
+    from polars_ts_spark.operators import statespace
+    return statespace.kalman_forecast(supplier_daily_panel(spark, sf_dir), h=7)
+
+
+@register("garch_fit")
+def q_garch_fit(spark, sf_dir):
+    from polars_ts_spark.operators import volatility
+    return volatility.garch_fit(_monthly_panel(spark, sf_dir))
+
+
+@register("garch_forecast")
+def q_garch_forecast(spark, sf_dir):
+    from polars_ts_spark.operators import volatility
+    return volatility.garch_forecast(_monthly_panel(spark, sf_dir), h=6)
+
+
+@register("var_forecast")
+def q_var_forecast(spark, sf_dir):
+    from polars_ts_spark.operators import var_model
+    return var_model.var_forecast(_bivariate_panel(spark, sf_dir), ["y", "y2"], p=1, h=7)
+
+
+@register("granger_causality")
+def q_granger(spark, sf_dir):
+    from polars_ts_spark.operators import var_model
+    return var_model.granger_causality(_bivariate_panel(spark, sf_dir), "y2", "y", p=2)
+
+
+@register("bocpd")
+def q_bocpd(spark, sf_dir):
+    from polars_ts_spark.operators import changepoint
+    return changepoint.bocpd(supplier_daily_panel(spark, sf_dir), hazard_rate=100.0)
+
+
+@register("regime_detect")
+def q_regime(spark, sf_dir):
+    from polars_ts_spark.operators import changepoint
+    return changepoint.regime_detect(supplier_daily_panel(spark, sf_dir), n_states=2)

@@ -1,0 +1,188 @@
+"""State-space, volatility, VAR and changepoint kernels — analytic /
+planted-structure expectations (reference test style: src/pelt.rs:259,
+tests with seeded generators)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polars_ts_spark.functions import numutils
+from polars_ts_spark.operators import changepoint, statespace, var_model, volatility
+
+
+# ---------------------------------------------------------------------------
+# numutils
+
+
+def test_nelder_mead_quadratic():
+    x, fx = numutils.nelder_mead(lambda v: (v[0] - 3) ** 2 + (v[1] + 1) ** 2, np.array([0.0, 0.0]))
+    assert abs(x[0] - 3) < 1e-3 and abs(x[1] + 1) < 1e-3
+
+
+def test_chi2_sf_known_values():
+    # chi2 with 2 dof: sf(x) = exp(-x/2)
+    for x in (0.5, 2.0, 5.0):
+        assert numutils.chi2_sf(x, 2) == pytest.approx(np.exp(-x / 2), rel=1e-9)
+
+
+def test_f_sf_median():
+    # F(d,d) distribution has median 1
+    assert numutils.f_sf(1.0, 10, 10) == pytest.approx(0.5, abs=1e-9)
+
+
+def test_ridge_recovers_line():
+    rng = np.random.default_rng(0)
+    X = rng.random((200, 2))
+    y = 3 * X[:, 0] - 2 * X[:, 1] + 0.5
+    est = numutils.RidgeEstimator(alpha=0.0).fit(X, y)
+    assert np.allclose(est.predict(X), y, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Kalman
+
+
+def test_kalman_filter_converges_to_constant():
+    kf = statespace.KalmanFilter.local_level(q=1e-6, r=1.0)
+    y = np.full(200, 5.0)
+    xs, _, ll = kf.filter(y)
+    assert abs(xs[-1, 0] - 5.0) < 1e-3
+    assert np.isfinite(ll)
+
+
+def test_kalman_trend_forecast_extrapolates():
+    kf = statespace.KalmanFilter.local_trend(q_level=1e-4, q_trend=1e-4, r=0.01)
+    y = np.arange(100, dtype=float)  # perfect line slope 1
+    fc = kf.forecast(y, 5)
+    assert np.allclose(fc, [100, 101, 102, 103, 104], atol=0.5)
+
+
+def test_kalman_smoother_reduces_noise():
+    rng = np.random.default_rng(1)
+    y = 10.0 + rng.normal(0, 1, 300)
+    kf = statespace.KalmanFilter.local_level(q=0.01, r=1.0)
+    xf, _, _ = kf.filter(y)
+    xs, _, _ = kf.smooth(y)
+    assert np.var(xs[50:, 0]) < np.var(xf[50:, 0]) < np.var(y[50:])
+
+
+def test_ukf_linear_matches_kf():
+    y = np.sin(np.arange(50) / 5) + 3
+    ukf = statespace.UnscentedKalmanFilter(
+        f=lambda x: x, h=lambda x: x[0], Q=[[0.01]], R=[[0.1]], x0=[0.0], P0=[[1.0]]
+    )
+    xs, _ = ukf.filter(y)
+    assert abs(xs[-1, 0] - y[-1]) < 0.5
+
+
+def test_particle_filter_tracks_level():
+    pf = statespace.ParticleFilter(
+        transition=lambda p, rng: p + rng.normal(0, 0.1, len(p)),
+        likelihood=lambda p, y: np.exp(-0.5 * (p - y) ** 2),
+        n_particles=300,
+    )
+    y = np.concatenate([np.full(50, 0.0), np.full(50, 4.0)])
+    means = pf.filter(y, init=lambda n, rng: rng.normal(0, 1, n))
+    assert abs(means[40] - 0.0) < 0.5 and abs(means[-1] - 4.0) < 0.5
+
+
+def test_kalman_filter_operator(spark):
+    ts = pd.date_range("2024-01-01", periods=60, freq="D")
+    pdf = pd.DataFrame({
+        "unique_id": ["a"] * 60, "ds": ts, "y": np.linspace(0, 59, 60),
+    })
+    out = statespace.kalman_filter(spark.createDataFrame(pdf), model="local_trend", q=0.1).toPandas()
+    assert len(out) == 60
+    assert abs(out.sort_values("ds")["y_kalman"].iloc[-1] - 59) < 2.0
+
+
+# ---------------------------------------------------------------------------
+# GARCH
+
+
+def test_garch_fit_recovers_persistence():
+    rng = np.random.default_rng(7)
+    n = 2000
+    omega, a1, b1 = 0.1, 0.2, 0.7
+    r = np.empty(n)
+    sig2 = omega / (1 - a1 - b1)
+    for t in range(n):
+        sig2 = omega + (a1 * r[t - 1] ** 2 if t else 0.05) + b1 * sig2
+        r[t] = rng.normal(0, np.sqrt(sig2))
+    o, al, be, ll, _, _ = volatility.garch_fit_series(r, 1, 1)
+    assert 0.4 < al[0] + be[0] < 1.0  # persistence recovered in range
+    assert np.isfinite(ll)
+
+
+def test_garch_operator(spark):
+    rng = np.random.default_rng(3)
+    ts = pd.date_range("2024-01-01", periods=300, freq="D")
+    rows = []
+    for sid in ("a", "b"):
+        r = rng.normal(0, 1, 300)
+        rows.append(pd.DataFrame({"unique_id": sid, "ds": ts, "y": r}))
+    df = spark.createDataFrame(pd.concat(rows))
+    out = volatility.garch_fit(df).toPandas()
+    assert set(out["unique_id"]) == {"a", "b"}
+    assert (out["omega"] > 0).all()
+    fc = volatility.garch_forecast(df, h=5).toPandas()
+    assert len(fc) == 10 and (fc["sigma2"] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# VAR / Granger
+
+
+def test_var_recovers_coefficients():
+    rng = np.random.default_rng(0)
+    n = 500
+    Y = np.zeros((n, 2))
+    for t in range(1, n):
+        Y[t, 0] = 0.5 * Y[t - 1, 0] + 0.2 * Y[t - 1, 1] + rng.normal(0, 0.1)
+        Y[t, 1] = 0.3 * Y[t - 1, 1] + rng.normal(0, 0.1)
+    B, resid = var_model.var_fit_arrays(Y, p=1)
+    # B rows: [const, y1_lag, y2_lag]; col 0 = eq for y1
+    assert abs(B[1, 0] - 0.5) < 0.1
+    assert abs(B[2, 0] - 0.2) < 0.1
+    fc = var_model.var_forecast_arrays(Y, B, 1, 3)
+    assert fc.shape == (3, 2)
+
+
+def test_granger_detects_direction():
+    rng = np.random.default_rng(5)
+    n = 400
+    x = rng.normal(0, 1, n)
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.8 * x[t - 1] + 0.1 * y[t - 1] + rng.normal(0, 0.2)
+    Y = np.column_stack([y, x])
+    f_xy, p_xy = var_model.granger_causality_arrays(Y, cause=1, effect=0, p=1)
+    f_yx, p_yx = var_model.granger_causality_arrays(Y, cause=0, effect=1, p=1)
+    assert p_xy < 0.01          # x Granger-causes y
+    assert p_yx > 0.01          # but not the reverse
+    assert f_xy > f_yx
+
+
+# ---------------------------------------------------------------------------
+# changepoints
+
+
+def test_bocpd_flags_planted_shift():
+    rng = np.random.default_rng(2)
+    y = np.concatenate([rng.normal(0, 1, 80), rng.normal(8, 1, 80)])
+    prob, flag = changepoint.bocpd_series(y, hazard_rate=100.0, threshold=0.5)
+    # changepoint probability spikes within a few steps of the shift
+    assert prob[80:85].max() > 0.5
+    assert prob[20:70].max() < 0.5
+
+
+def test_regime_detect_two_levels(spark):
+    rng = np.random.default_rng(4)
+    y = np.concatenate([rng.normal(0, 0.5, 100), rng.normal(5, 0.5, 100)])
+    ts = pd.date_range("2024-01-01", periods=200, freq="D")
+    df = spark.createDataFrame(pd.DataFrame({"unique_id": "a", "ds": ts, "y": y}))
+    out = changepoint.regime_detect(df, n_states=2).toPandas().sort_values("ds")
+    # low-mean regime = 0, high = 1 (labels ordered by mean)
+    assert (out["regime"].iloc[10:90] == 0).mean() > 0.9
+    assert (out["regime"].iloc[110:190] == 1).mean() > 0.9
