@@ -1,6 +1,7 @@
 from polars_ts_spark.operators import (
     baselines,
     changepoint,
+    clustering,
     cv,
     decomposition,
     diagnostics,
@@ -21,7 +22,7 @@ from polars_ts_spark.operators import (
 )
 
 __all__ = [
-    "baselines", "changepoint", "cv", "decomposition", "diagnostics", "distance", "ets",
+    "baselines", "changepoint", "clustering", "cv", "decomposition", "diagnostics", "distance", "ets",
     "embedsim", "features", "kernel", "metrics", "multimodal", "pelt",
     "preprocessing", "statespace", "textops", "trend", "var_model", "volatility",
 ]

@@ -1,0 +1,659 @@
+"""Time-series clustering & classification (SURVEY §2.16).
+
+Reference parity:
+- kmedoids / TimeSeriesKMedoids -> polars_ts/clustering/kmedoids.py:17-253,
+  src/kmedoids.rs:19-146 (PAM swap on precomputed distances, seeded init)
+- clara / clarans              -> polars_ts/clustering/scalable.py:26-266
+- agglomerative_cluster        -> polars_ts/clustering/hierarchical.py:23-117
+- dbscan_cluster               -> polars_ts/clustering/density.py:31-156
+- spectral_cluster             -> polars_ts/clustering/spectral.py:52-129
+- KShape                       -> polars_ts/clustering/kshape.py:10-160
+- kmeans_dba / TimeSeriesKMeans-> polars_ts/clustering/kmeans.py:19-218, dba.py:48-132
+- silhouette / davies_bouldin / calinski_harabasz
+                               -> polars_ts/clustering/evaluation.py:65-325
+- auto_cluster                 -> polars_ts/clustering/auto.py:148-309
+- knn_classify                 -> polars_ts/classification/knn.py:13-165
+
+Spark split (SURVEY §7 Phase 3): the O(n²) distance matrix is computed
+DISTRIBUTED by the pairwise engine (operators/distance.py) — that is
+the scale-dominant stage. The matrix itself is n_series², the SMALL
+dimension of a panel (even 100k series fit as a driver matrix only for
+modest k-NN graphs; PAM-family algorithms are intrinsically
+matrix-global, same as the reference). Assignment steps (k-means/DBA,
+kNN) stay distributed: distance of every series to k broadcast
+centroids via the same cross-join+kernel plan.
+
+Determinism: all inits use an explicit LCG (mirroring the reference's
+seeded init, kmedoids.rs:20-25) — repeated runs hash-match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_ts_spark.functions import dist_kernels as K
+from polars_ts_spark.operators.distance import compute_pairwise_distance
+from polars_ts_spark.panel import ID, TARGET, TIME
+
+
+class _LCG:
+    """Tiny deterministic PRNG (same family as kmedoids.rs:20-25)."""
+
+    def __init__(self, seed: int = 42):
+        self.state = seed & 0xFFFFFFFFFFFFFFFF
+
+    def next(self) -> int:
+        self.state = (6364136223846793005 * self.state + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        return self.state >> 33
+
+    def randint(self, n: int) -> int:
+        return self.next() % n
+
+    def sample(self, n: int, k: int) -> list[int]:
+        idx = list(range(n))
+        for i in range(k):
+            j = i + self.randint(n - i)
+            idx[i], idx[j] = idx[j], idx[i]
+        return idx[:k]
+
+
+# ---------------------------------------------------------------------------
+# distance matrix assembly
+
+
+def distance_matrix(
+    df: DataFrame,
+    method: str = "dtw",
+    id_col: str = ID,
+    time_col: str = TIME,
+    target_col: str = TARGET,
+    **kwargs,
+) -> tuple[list[str], np.ndarray]:
+    """Distributed pairwise distances -> (ids, symmetric matrix).
+    The heavy O(n²·len²) kernel work runs on the cluster; only the
+    n_series² scalar matrix is collected."""
+    pairs = compute_pairwise_distance(
+        df, method=method, id_col=id_col, time_col=time_col, target_col=target_col, **kwargs
+    ).collect()
+    ids = sorted({r["id_1"] for r in pairs} | {r["id_2"] for r in pairs})
+    pos = {s: i for i, s in enumerate(ids)}
+    D = np.zeros((len(ids), len(ids)))
+    for r in pairs:
+        i, j = pos[r["id_1"]], pos[r["id_2"]]
+        D[i, j] = D[j, i] = r[method]
+    return ids, D
+
+
+# ---------------------------------------------------------------------------
+# PAM k-medoids + CLARA + CLARANS (numpy on the collected matrix)
+
+
+def pam_kmedoids(D: np.ndarray, k: int, max_iter: int = 100, seed: int = 42):
+    """PAM: seeded init + greedy swap until no improvement
+    (kmedoids.rs:19-146). Returns (medoid_idx, labels, cost)."""
+    n = len(D)
+    rng = _LCG(seed)
+    medoids = rng.sample(n, k)
+    labels = np.argmin(D[:, medoids], axis=1)
+    cost = float(D[np.arange(n), np.asarray(medoids)[labels]].sum())
+    for _ in range(max_iter):
+        best = (cost, None, None)
+        for mi in range(k):
+            others = [c for c in range(n) if c not in medoids]
+            for cand in others:
+                trial = list(medoids)
+                trial[mi] = cand
+                tl = np.argmin(D[:, trial], axis=1)
+                tc = float(D[np.arange(n), np.asarray(trial)[tl]].sum())
+                if tc < best[0] - 1e-12:
+                    best = (tc, mi, cand)
+        if best[1] is None:
+            break
+        cost = best[0]
+        medoids[best[1]] = best[2]
+        labels = np.argmin(D[:, medoids], axis=1)
+    return medoids, labels, cost
+
+
+def clara(D: np.ndarray, k: int, n_samples: int = 5, sample_size: int | None = None, seed: int = 42):
+    """CLARA: PAM on samples, keep best full-data cost (scalable.py:26-130)."""
+    n = len(D)
+    ssize = sample_size or min(n, 40 + 2 * k)
+    best = (np.inf, None, None)
+    rng = _LCG(seed)
+    for s in range(n_samples):
+        idx = sorted(rng.sample(n, ssize))
+        sub = D[np.ix_(idx, idx)]
+        med_local, _, _ = pam_kmedoids(sub, k, seed=seed + s)
+        med = [idx[m] for m in med_local]
+        labels = np.argmin(D[:, med], axis=1)
+        cost = float(D[np.arange(n), np.asarray(med)[labels]].sum())
+        if cost < best[0]:
+            best = (cost, med, labels)
+    return best[1], best[2], best[0]
+
+
+def clarans(D: np.ndarray, k: int, num_local: int = 3, max_neighbor: int = 50, seed: int = 42):
+    """CLARANS randomized medoid search (scalable.py:140-266)."""
+    n = len(D)
+    rng = _LCG(seed)
+    best = (np.inf, None)
+    for _ in range(num_local):
+        medoids = rng.sample(n, k)
+        labels = np.argmin(D[:, medoids], axis=1)
+        cost = float(D[np.arange(n), np.asarray(medoids)[labels]].sum())
+        j = 0
+        while j < max_neighbor:
+            mi = rng.randint(k)
+            cand = rng.randint(n)
+            if cand in medoids:
+                j += 1
+                continue
+            trial = list(medoids)
+            trial[mi] = cand
+            tl = np.argmin(D[:, trial], axis=1)
+            tc = float(D[np.arange(n), np.asarray(trial)[tl]].sum())
+            if tc < cost - 1e-12:
+                medoids, cost = trial, tc
+                j = 0
+            else:
+                j += 1
+        if cost < best[0]:
+            best = (cost, list(medoids))
+    medoids = best[1]
+    labels = np.argmin(D[:, medoids], axis=1)
+    return medoids, labels, best[0]
+
+
+# ---------------------------------------------------------------------------
+# hierarchical / density / spectral on the matrix
+
+
+def agglomerative_labels(D: np.ndarray, k: int, linkage: str = "average") -> np.ndarray:
+    """Naive O(n³) agglomerative clustering with average/complete/single
+    linkage (hierarchical.py:23-117); fine for matrix-scale n."""
+    n = len(D)
+    act = list(range(n))
+    members = {i: [i] for i in range(n)}
+    Dw = D.astype(float).copy()
+    np.fill_diagonal(Dw, np.inf)
+    while len(act) > k:
+        sub = Dw[np.ix_(act, act)]
+        flat = np.argmin(sub)
+        ai, aj = divmod(flat, len(act))
+        i, j = act[ai], act[aj]
+        members[i] += members[j]
+        act.remove(j)
+        for o in act:
+            if o == i:
+                continue
+            pairs = [(a, b) for a in members[i] for b in members[o]]
+            ds = np.array([D[a, b] for a, b in pairs])
+            if linkage == "single":
+                v = ds.min()
+            elif linkage == "complete":
+                v = ds.max()
+            else:
+                v = ds.mean()
+            Dw[i, o] = Dw[o, i] = v
+    labels = np.empty(n, dtype=int)
+    for ci, root in enumerate(sorted(act)):
+        for m in members[root]:
+            labels[m] = ci
+    return labels
+
+
+def dbscan_labels(D: np.ndarray, eps: float, min_samples: int = 3) -> np.ndarray:
+    """DBSCAN on a precomputed matrix (density.py:31-156); noise = -1."""
+    n = len(D)
+    labels = np.full(n, -1, dtype=int)
+    visited = np.zeros(n, dtype=bool)
+    cid = 0
+    for p in range(n):
+        if visited[p]:
+            continue
+        visited[p] = True
+        neigh = list(np.flatnonzero(D[p] <= eps))
+        if len(neigh) < min_samples:
+            continue
+        labels[p] = cid
+        queue = [q for q in neigh if q != p]
+        while queue:
+            q = queue.pop()
+            if not visited[q]:
+                visited[q] = True
+                qn = list(np.flatnonzero(D[q] <= eps))
+                if len(qn) >= min_samples:
+                    queue.extend(x for x in qn if not visited[x])
+            if labels[q] == -1:
+                labels[q] = cid
+        cid += 1
+    return labels
+
+
+def _kmeans_euclid(X: np.ndarray, k: int, seed: int = 42, iters: int = 100) -> np.ndarray:
+    rng = _LCG(seed)
+    cent = X[sorted(rng.sample(len(X), k))].copy()
+    labels = np.zeros(len(X), dtype=int)
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        new = np.argmin(d, axis=1)
+        if np.array_equal(new, labels) and _ > 0:
+            break
+        labels = new
+        for c in range(k):
+            pts = X[labels == c]
+            if len(pts):
+                cent[c] = pts.mean(axis=0)
+    return labels
+
+
+def spectral_labels(D: np.ndarray, k: int, sigma: float | None = None, seed: int = 42) -> np.ndarray:
+    """Normalized spectral clustering (Ng-Jordan-Weiss) from the
+    distance matrix (spectral.py:52-129)."""
+    sigma = sigma or (np.median(D[D > 0]) or 1.0)
+    A = np.exp(-(D ** 2) / (2 * sigma ** 2))
+    np.fill_diagonal(A, 0.0)
+    d = A.sum(axis=1)
+    d_inv = 1.0 / np.sqrt(np.maximum(d, 1e-12))
+    L = d_inv[:, None] * A * d_inv[None, :]
+    vals, vecs = np.linalg.eigh(L)
+    X = vecs[:, -k:]
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return _kmeans_euclid(X, k, seed)
+
+
+# ---------------------------------------------------------------------------
+# evaluation scores (evaluation.py:65-325)
+
+
+def silhouette_score(D: np.ndarray, labels: np.ndarray) -> float:
+    n = len(D)
+    labels = np.asarray(labels)
+    uniq = np.unique(labels)
+    if len(uniq) < 2:
+        return 0.0
+    s = np.empty(n)
+    for i in range(n):
+        own = labels == labels[i]
+        own[i] = False
+        a = D[i, own].mean() if own.any() else 0.0
+        b = min(D[i, labels == c].mean() for c in uniq if c != labels[i])
+        s[i] = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+    return float(s.mean())
+
+
+def davies_bouldin_score(D: np.ndarray, labels: np.ndarray) -> float:
+    """Medoid-based DB index from the distance matrix."""
+    labels = np.asarray(labels)
+    uniq = np.unique(labels)
+    med = {}
+    spread = {}
+    for c in uniq:
+        idx = np.flatnonzero(labels == c)
+        sub = D[np.ix_(idx, idx)]
+        mi = idx[int(np.argmin(sub.sum(axis=1)))]
+        med[c] = mi
+        spread[c] = D[mi, idx].mean()
+    vals = []
+    for ci in uniq:
+        worst = 0.0
+        for cj in uniq:
+            if ci == cj:
+                continue
+            denom = D[med[ci], med[cj]] or 1e-12
+            worst = max(worst, (spread[ci] + spread[cj]) / denom)
+        vals.append(worst)
+    return float(np.mean(vals))
+
+
+def calinski_harabasz_score(D: np.ndarray, labels: np.ndarray) -> float:
+    """Medoid-based CH analogue from distances (evaluation.py:238-325)."""
+    labels = np.asarray(labels)
+    n = len(D)
+    uniq = np.unique(labels)
+    if len(uniq) < 2:
+        return 0.0
+    global_med = int(np.argmin(D.sum(axis=1)))
+    within = 0.0
+    between = 0.0
+    for c in uniq:
+        idx = np.flatnonzero(labels == c)
+        sub = D[np.ix_(idx, idx)]
+        mi = idx[int(np.argmin(sub.sum(axis=1)))]
+        within += (D[mi, idx] ** 2).sum()
+        between += len(idx) * D[global_med, mi] ** 2
+    if within == 0:
+        return float("inf")
+    return float((between / (len(uniq) - 1)) / (within / (n - len(uniq))))
+
+
+# ---------------------------------------------------------------------------
+# Spark-facing cluster operators (labels as DataFrames, [id, cluster])
+
+
+def _labels_df(spark, ids: list[str], labels, id_col: str) -> DataFrame:
+    pdf = pd.DataFrame({id_col: ids, "cluster": np.asarray(labels, dtype="int32")})
+    return spark.createDataFrame(pdf)
+
+
+def kmedoids(
+    df: DataFrame, k: int = 3, method: str = "dtw", seed: int = 42,
+    id_col: str = ID, time_col: str = TIME, target_col: str = TARGET, **kw,
+) -> DataFrame:
+    """PAM over the distributed distance matrix -> [id, cluster]."""
+    ids, D = distance_matrix(df, method, id_col, time_col, target_col, **kw)
+    _, labels, _ = pam_kmedoids(D, k, seed=seed)
+    return _labels_df(df.sparkSession, ids, labels, id_col)
+
+
+def clara_cluster(
+    df: DataFrame, k: int = 3, method: str = "dtw", seed: int = 42,
+    id_col: str = ID, time_col: str = TIME, target_col: str = TARGET, **kw,
+) -> DataFrame:
+    ids, D = distance_matrix(df, method, id_col, time_col, target_col, **kw)
+    _, labels, _ = clara(D, k, seed=seed)
+    return _labels_df(df.sparkSession, ids, labels, id_col)
+
+
+def clarans_cluster(
+    df: DataFrame, k: int = 3, method: str = "dtw", seed: int = 42,
+    id_col: str = ID, time_col: str = TIME, target_col: str = TARGET, **kw,
+) -> DataFrame:
+    ids, D = distance_matrix(df, method, id_col, time_col, target_col, **kw)
+    _, labels, _ = clarans(D, k, seed=seed)
+    return _labels_df(df.sparkSession, ids, labels, id_col)
+
+
+def agglomerative_cluster(
+    df: DataFrame, k: int = 3, method: str = "dtw", linkage: str = "average",
+    id_col: str = ID, time_col: str = TIME, target_col: str = TARGET, **kw,
+) -> DataFrame:
+    ids, D = distance_matrix(df, method, id_col, time_col, target_col, **kw)
+    return _labels_df(df.sparkSession, ids, agglomerative_labels(D, k, linkage), id_col)
+
+
+def dbscan_cluster(
+    df: DataFrame, eps: float, min_samples: int = 3, method: str = "dtw",
+    id_col: str = ID, time_col: str = TIME, target_col: str = TARGET, **kw,
+) -> DataFrame:
+    ids, D = distance_matrix(df, method, id_col, time_col, target_col, **kw)
+    return _labels_df(df.sparkSession, ids, dbscan_labels(D, eps, min_samples), id_col)
+
+
+def spectral_cluster(
+    df: DataFrame, k: int = 3, method: str = "dtw", seed: int = 42,
+    id_col: str = ID, time_col: str = TIME, target_col: str = TARGET, **kw,
+) -> DataFrame:
+    ids, D = distance_matrix(df, method, id_col, time_col, target_col, **kw)
+    return _labels_df(df.sparkSession, ids, spectral_labels(D, k, seed=seed), id_col)
+
+
+def auto_cluster(
+    df: DataFrame,
+    methods: list[str] = ("kmedoids",),
+    distances: list[str] = ("dtw", "msm"),
+    k_range: list[int] = (2, 3, 4),
+    metric: str = "silhouette",
+    seed: int = 42,
+    id_col: str = ID, time_col: str = TIME, target_col: str = TARGET,
+) -> tuple[DataFrame, pd.DataFrame]:
+    """Grid search methods × distances × k, scored on the chosen
+    internal metric; distance matrices computed once per distance and
+    reused (auto.py:148-309 + evaluation caching pattern).
+    Returns (best labels DataFrame, results table)."""
+    results = []
+    best = (-np.inf, None, None)
+    for dist in distances:
+        ids, D = distance_matrix(df, dist, id_col, time_col, target_col)
+        for m in methods:
+            for k in k_range:
+                if m == "kmedoids":
+                    _, labels, _ = pam_kmedoids(D, k, seed=seed)
+                elif m == "spectral":
+                    labels = spectral_labels(D, k, seed=seed)
+                elif m == "agglomerative":
+                    labels = agglomerative_labels(D, k)
+                else:
+                    raise ValueError(f"unknown method {m}")
+                if metric == "silhouette":
+                    score = silhouette_score(D, labels)
+                elif metric == "davies_bouldin":
+                    score = -davies_bouldin_score(D, labels)
+                else:
+                    score = calinski_harabasz_score(D, labels)
+                results.append({"method": m, "distance": dist, "k": k, "score": score})
+                if score > best[0]:
+                    best = (score, ids, labels)
+    return _labels_df(df.sparkSession, best[1], best[2], id_col), pd.DataFrame(results)
+
+
+# ---------------------------------------------------------------------------
+# KShape (z-norm + SBD alignment + eigen shape extraction)
+
+
+def _znorm(x: np.ndarray) -> np.ndarray:
+    s = x.std()
+    return (x - x.mean()) / (s if s > 0 else 1.0)
+
+
+def _sbd_align(x: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """Shift x to maximize NCC with ref (kshape.py alignment step)."""
+    n = len(ref)
+    cc = np.correlate(x, ref, mode="full")
+    denom = np.linalg.norm(x) * np.linalg.norm(ref)
+    if denom > 0:
+        cc = cc / denom
+    shift = int(np.argmax(cc)) - (len(x) - 1)
+    out = np.zeros(n)
+    if shift >= 0:
+        out[shift:] = x[: n - shift]
+    else:
+        out[:shift] = x[-shift:]
+    return out
+
+
+def _shape_extract(X: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """Dominant eigenvector of the aligned, centered scatter
+    (kshape.py:80-120), via power iteration with fixed start."""
+    aligned = np.stack([_sbd_align(x, ref) for x in X])
+    aligned = np.stack([_znorm(a) for a in aligned])
+    n = aligned.shape[1]
+    S = aligned.T @ aligned
+    Q = np.eye(n) - np.ones((n, n)) / n
+    M = Q @ S @ Q
+    v = np.ones(n) / np.sqrt(n)
+    for _ in range(100):
+        v2 = M @ v
+        nv = np.linalg.norm(v2)
+        if nv == 0:
+            break
+        v2 = v2 / nv
+        if np.allclose(v2, v, atol=1e-10):
+            v = v2
+            break
+        v = v2
+    # sign: match the aligned mean
+    if np.dot(v, aligned.mean(axis=0)) < 0:
+        v = -v
+    return _znorm(v)
+
+
+def kshape(
+    df: DataFrame, k: int = 3, max_iter: int = 20, seed: int = 42,
+    id_col: str = ID, time_col: str = TIME, target_col: str = TARGET,
+) -> DataFrame:
+    """KShape clustering (kshape.py:10-160): series collected (panel
+    scale: n_series bounded), z-normed, SBD assignment + eigen shape
+    centroids. [id, cluster]."""
+    rows = (
+        df.groupBy(F.col(id_col).cast("string").alias(id_col))
+        .agg(F.expr(f"transform(array_sort(collect_list(struct({time_col} as t, "
+                    f"cast({target_col} as double) as v))), s -> s.v)").alias("vals"))
+        .collect()
+    )
+    ids = [r[id_col] for r in rows]
+    L = max(len(r["vals"]) for r in rows)
+    X = np.stack([
+        np.pad(np.asarray(r["vals"], float), (0, L - len(r["vals"])), constant_values=np.nan)
+        for r in rows
+    ])
+    X = np.where(np.isnan(X), 0.0, X)
+    X = np.stack([_znorm(x) for x in X])
+    rng = _LCG(seed)
+    labels = np.array([rng.randint(k) for _ in range(len(X))])
+    centroids = np.stack([
+        X[labels == c].mean(axis=0) if (labels == c).any() else X[rng.randint(len(X))]
+        for c in range(k)
+    ])
+    for _ in range(max_iter):
+        # centroid refinement
+        for c in range(k):
+            mem = X[labels == c]
+            if len(mem):
+                centroids[c] = _shape_extract(mem, centroids[c])
+        # assignment by SBD
+        d = np.stack([K.sbd_batch(X, np.broadcast_to(centroids[c], X.shape)) for c in range(k)], axis=1)
+        new = np.argmin(d, axis=1)
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    order = {c: r for r, c in enumerate(pd.unique(labels))}
+    labels = np.array([order[c] for c in labels])
+    return _labels_df(df.sparkSession, ids, labels, id_col)
+
+
+# ---------------------------------------------------------------------------
+# k-means with DBA centroids — distributed assignment
+
+
+def dba_barycenter(X: list[np.ndarray], init: np.ndarray, n_iter: int = 5) -> np.ndarray:
+    """Petitjean DTW Barycenter Averaging (dba.py:48-132): align every
+    series to the current barycenter along the DTW path, average the
+    warped contributions."""
+    bary = init.copy()
+    m = len(bary)
+    for _ in range(n_iter):
+        sums = np.zeros(m)
+        counts = np.zeros(m)
+        for x in X:
+            n = len(x)
+            D = np.full((n + 1, m + 1), np.inf)
+            D[0, 0] = 0.0
+            for i in range(1, n + 1):
+                for j in range(1, m + 1):
+                    D[i, j] = abs(x[i - 1] - bary[j - 1]) + min(D[i - 1, j], D[i, j - 1], D[i - 1, j - 1])
+            i, j = n, m
+            while i > 0 and j > 0:
+                sums[j - 1] += x[i - 1]
+                counts[j - 1] += 1
+                step = np.argmin([D[i - 1, j - 1], D[i - 1, j], D[i, j - 1]])
+                if step == 0:
+                    i, j = i - 1, j - 1
+                elif step == 1:
+                    i -= 1
+                else:
+                    j -= 1
+        mask = counts > 0
+        bary[mask] = sums[mask] / counts[mask]
+    return bary
+
+
+def kmeans_dba(
+    df: DataFrame, k: int = 3, max_iter: int = 5, dba_iter: int = 3, seed: int = 42,
+    id_col: str = ID, time_col: str = TIME, target_col: str = TARGET,
+) -> DataFrame:
+    """TimeSeriesKMeans with DBA centroids (kmeans.py:19-218).
+    ASSIGNMENT IS DISTRIBUTED: distance of every series to the k
+    centroids runs through the pairwise engine (series × broadcast
+    centroid panel cross join); only the barycenter update (k small
+    centroid refits over member arrays) runs on the driver."""
+    spark = df.sparkSession
+    grouped = (
+        df.groupBy(F.col(id_col).cast("string").alias(id_col))
+        .agg(F.expr(f"transform(array_sort(collect_list(struct({time_col} as t, "
+                    f"cast({target_col} as double) as v))), s -> s.v)").alias("vals"))
+        .cache()
+    )
+    rows = grouped.collect()
+    ids = [r[id_col] for r in rows]
+    series = {r[id_col]: np.asarray(r["vals"], float) for r in rows}
+    rng = _LCG(seed)
+    cent_ids = [ids[i] for i in rng.sample(len(ids), k)]
+    centroids = [series[c].copy() for c in cent_ids]
+    labels = {sid: 0 for sid in ids}
+    for _ in range(max_iter):
+        # distributed assignment: centroid panel (k rows) vs series panel
+        cent_rows = []
+        for c, arr in enumerate(centroids):
+            for t, v in enumerate(arr):
+                cent_rows.append((f"__cent_{c}", t, float(v)))
+        cent_df = spark.createDataFrame(cent_rows, ["unique_id", "t", "y"]).select(
+            F.col("unique_id"),
+            F.timestamp_seconds(F.col("t") * 86400).alias("ds"),
+            "y",
+        )
+        panel = df.select(
+            F.col(id_col).cast("string").alias("unique_id"),
+            F.col(time_col).alias("ds"),
+            F.col(target_col).alias("y"),
+        )
+        d = compute_pairwise_distance(panel, cent_df, method="dtw").collect()
+        best: dict[str, tuple[float, int]] = {}
+        for r in d:
+            sid, cid = (r["id_1"], r["id_2"]) if str(r["id_2"]).startswith("__cent_") else (r["id_2"], r["id_1"])
+            if not str(cid).startswith("__cent_"):
+                continue
+            c = int(str(cid).split("_")[-1])
+            v = r["dtw"]
+            if sid not in best or v < best[sid][0]:
+                best[sid] = (v, c)
+        new_labels = {sid: best.get(sid, (0.0, 0))[1] for sid in ids}
+        if new_labels == labels:
+            break
+        labels = new_labels
+        for c in range(k):
+            mem = [series[sid] for sid in ids if labels[sid] == c]
+            if mem:
+                centroids[c] = dba_barycenter(mem, centroids[c], n_iter=dba_iter)
+    return _labels_df(spark, ids, [labels[sid] for sid in ids], id_col)
+
+
+# ---------------------------------------------------------------------------
+# kNN classification — fully distributed
+
+
+def knn_classify(
+    train: DataFrame,
+    test: DataFrame,
+    labels: DataFrame,
+    k: int = 3,
+    method: str = "dtw",
+    id_col: str = ID, time_col: str = TIME, target_col: str = TARGET,
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN vote over any pairwise distance (knn.py:13-165):
+    train×test distance join -> window top-k -> majority vote.
+    Fully distributed; no driver matrix. [id, label_pred]."""
+    from pyspark.sql import Window
+
+    d = compute_pairwise_distance(
+        test, train, method=method, id_col=id_col, time_col=time_col, target_col=target_col
+    )
+    lab = labels.select(F.col(id_col).cast("string").alias("id_2"), F.col(label_col))
+    w = Window.partitionBy("id_1").orderBy(F.col(method).asc(), F.col("id_2"))
+    topk = (
+        d.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .join(lab, "id_2")
+    )
+    votes = topk.groupBy("id_1", label_col).agg(F.count(F.lit(1)).alias("votes"))
+    w2 = Window.partitionBy("id_1").orderBy(F.col("votes").desc(), F.col(label_col))
+    return (
+        votes.withColumn("_r", F.row_number().over(w2))
+        .filter(F.col("_r") == 1)
+        .select(F.col("id_1").alias(id_col), F.col(label_col).alias("label_pred"))
+    )

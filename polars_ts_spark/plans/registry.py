@@ -862,3 +862,52 @@ def q_bocpd(spark, sf_dir):
 def q_regime(spark, sf_dir):
     from polars_ts_spark.operators import changepoint
     return changepoint.regime_detect(supplier_daily_panel(spark, sf_dir), n_states=2)
+
+
+# ---------------------------------------------------------------------------
+# clustering & classification (driver algorithms over the DISTRIBUTED
+# distance matrix; seeded LCG init -> deterministic, rows-only checks)
+
+
+@register("kmedoids_dtw")
+def q_kmedoids(spark, sf_dir):
+    from polars_ts_spark.operators import clustering
+    return clustering.kmedoids(_monthly_panel(spark, sf_dir), k=3, method="dtw")
+
+
+@register("clara_cluster")
+def q_clara(spark, sf_dir):
+    from polars_ts_spark.operators import clustering
+    return clustering.clara_cluster(_monthly_panel(spark, sf_dir), k=3, method="msm")
+
+
+@register("spectral_cluster")
+def q_spectral(spark, sf_dir):
+    from polars_ts_spark.operators import clustering
+    return clustering.spectral_cluster(_monthly_panel(spark, sf_dir), k=3, method="sbd")
+
+
+@register("agglomerative_cluster")
+def q_agglo(spark, sf_dir):
+    from polars_ts_spark.operators import clustering
+    return clustering.agglomerative_cluster(_monthly_panel(spark, sf_dir), k=3, method="dtw")
+
+
+@register("kshape_cluster")
+def q_kshape(spark, sf_dir):
+    from polars_ts_spark.operators import clustering
+    return clustering.kshape(_monthly_panel(spark, sf_dir), k=3)
+
+
+@register("knn_classify_dtw")
+def q_knn_classify(spark, sf_dir):
+    from polars_ts_spark.operators import clustering
+    from polars_ts_spark.sources.datasets import load_table
+    panel = _monthly_panel(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("unique_id"),
+        F.col("s_nationkey").cast("string").alias("label"),
+    )
+    train = panel.filter(F.col("unique_id").cast("int") % 2 == 1)
+    test = panel.filter(F.col("unique_id").cast("int") % 2 == 0)
+    return clustering.knn_classify(train, test, sup, k=3, method="dtw")
