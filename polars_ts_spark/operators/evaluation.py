@@ -1,0 +1,435 @@
+"""Backtesting, ensembles, conformal intervals, reconciliation and the
+remaining evaluation metrics (SURVEY §2.13/2.14/2.17).
+
+Reference parity:
+- backtest / compare_models -> polars_ts/backtesting/backtest.py:126-387
+- WeightedEnsemble          -> polars_ts/ensemble/weighted.py:48-165
+- StackingForecaster        -> polars_ts/ensemble/stacking.py:16-128
+- conformal_interval        -> polars_ts/probabilistic/conformal.py:21-130
+- reconcile                 -> polars_ts/reconciliation.py:41-590
+- crps                      -> polars_ts/metrics/forecast.py:212-279
+- calibration_table         -> polars_ts/calibration.py:9-150
+- bias_correct              -> polars_ts/bias.py:53-143
+- permutation_importance    -> polars_ts/importance.py:11-90
+
+Spark notes: folds are time-filters over the SAME lazy panel (no data
+copies); each fold's fit/predict is already distributed, so fold
+parallelism is job-level (the reference burns processes per fold,
+backtest.py:207-227 — we don't need to). Conformal quantiles use EXACT
+percentile (not approx) to keep the finite-sample guarantee
+(SURVEY §4.2). Reconciliation maps the summing matrix to a broadcast
+edges join + groupBy — no driver matmul needed for bottom_up/top_down.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_ts_spark.operators import metrics as M
+from polars_ts_spark.panel import ID, TARGET, TIME
+
+# ---------------------------------------------------------------------------
+# backtesting
+
+
+def backtest(
+    df: DataFrame,
+    model_fn: Callable[[DataFrame, int], DataFrame],
+    horizon: int = 7,
+    n_folds: int = 3,
+    step: int | None = None,
+    metrics: Sequence[str] = ("mae", "rmse"),
+    id_col: str = ID,
+    time_col: str = TIME,
+    target_col: str = TARGET,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Rolling-origin backtest (backtest.py:126-298).
+
+    ``model_fn(train_df, h) -> forecast_df [id, ds, y_hat]``. Folds cut
+    on the distinct sorted timestamps (collected — timestamps are the
+    small dimension). Returns (fold_scores, summary)."""
+    times = [r[0] for r in df.select(time_col).distinct().orderBy(time_col).collect()]
+    if len(times) < horizon * (n_folds + 1):
+        raise ValueError("not enough timestamps for the requested folds")
+    step = step or horizon
+    fold_rows = []
+    for fold in range(n_folds):
+        cut_idx = len(times) - horizon - (n_folds - 1 - fold) * step
+        cut = times[cut_idx - 1]
+        test_end = times[min(cut_idx + horizon - 1, len(times) - 1)]
+        train = df.filter(F.col(time_col) <= F.lit(cut))
+        test = df.filter((F.col(time_col) > F.lit(cut)) & (F.col(time_col) <= F.lit(test_end)))
+        preds = model_fn(train, horizon)
+        joined = test.select(id_col, time_col, target_col).join(
+            preds, [id_col, time_col], "inner"
+        )
+        agg = {}
+        if "mae" in metrics:
+            agg["mae"] = F.mean(F.abs(F.col(target_col) - F.col("y_hat")))
+        if "rmse" in metrics:
+            agg["rmse"] = F.sqrt(F.mean(F.pow(F.col(target_col) - F.col("y_hat"), 2)))
+        if "smape" in metrics:
+            agg["smape"] = F.mean(
+                2 * F.abs(F.col(target_col) - F.col("y_hat"))
+                / (F.abs(F.col(target_col)) + F.abs(F.col("y_hat")))
+            )
+        row = joined.agg(*[v.alias(k) for k, v in agg.items()]).collect()[0].asDict()
+        row["fold"] = fold
+        fold_rows.append(row)
+    folds = pd.DataFrame(fold_rows)
+    summary = folds.drop(columns="fold").agg(["mean", "std"]).T.reset_index()
+    summary.columns = ["metric", "mean", "std"]
+    return folds, summary
+
+
+def compare_models(
+    df: DataFrame,
+    models: dict[str, Callable[[DataFrame, int], DataFrame]],
+    horizon: int = 7,
+    n_folds: int = 3,
+    metrics: Sequence[str] = ("mae", "rmse"),
+    **kw,
+) -> pd.DataFrame:
+    """Backtest each named model, tagged comparison table
+    (backtest.py:301-387)."""
+    rows = []
+    for name, fn in models.items():
+        _, summary = backtest(df, fn, horizon, n_folds, metrics=metrics, **kw)
+        for _, r in summary.iterrows():
+            rows.append({"model": name, "metric": r["metric"], "mean": r["mean"], "std": r["std"]})
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# ensembles
+
+
+def weighted_ensemble(
+    forecasts: dict[str, DataFrame],
+    weights: dict[str, float] | None = None,
+    id_col: str = ID,
+    time_col: str = TIME,
+) -> DataFrame:
+    """Weighted average of forecast frames on [id, ds]
+    (ensemble/weighted.py:48-165). Equal weights by default."""
+    names = list(forecasts)
+    w = weights or {n: 1.0 / len(names) for n in names}
+    total = sum(w.values())
+    out = None
+    for n in names:
+        f = forecasts[n].select(
+            id_col, time_col, (F.col("y_hat") * (w[n] / total)).alias(f"__w_{n}")
+        )
+        out = f if out is None else out.join(f, [id_col, time_col], "inner")
+    return out.select(
+        id_col, time_col,
+        sum(F.col(f"__w_{n}") for n in names).alias("y_hat"),
+    )
+
+
+def inverse_error_weights(
+    df: DataFrame,
+    forecasts: dict[str, DataFrame],
+    id_col: str = ID,
+    time_col: str = TIME,
+    target_col: str = TARGET,
+) -> dict[str, float]:
+    """weights ∝ 1/MAE on overlapping actuals (weighted.py:70-110)."""
+    out = {}
+    for n, f in forecasts.items():
+        j = df.join(f, [id_col, time_col], "inner")
+        mae = j.agg(F.mean(F.abs(F.col(target_col) - F.col("y_hat")))).collect()[0][0]
+        out[n] = 1.0 / max(float(mae), 1e-12)
+    s = sum(out.values())
+    return {n: v / s for n, v in out.items()}
+
+
+class StackingForecaster:
+    """Meta-learner (ridge) on base-model backtest predictions
+    (ensemble/stacking.py:16-128): base models forecast a held-out
+    window; the meta weights are fit on (base preds -> actual)."""
+
+    def __init__(self, base_models: dict[str, Callable[[DataFrame, int], DataFrame]],
+                 id_col: str = ID, time_col: str = TIME, target_col: str = TARGET):
+        self.base = base_models
+        self.id_col, self.time_col, self.target_col = id_col, time_col, target_col
+
+    def fit(self, df: DataFrame, holdout: int = 7) -> "StackingForecaster":
+        times = [r[0] for r in df.select(self.time_col).distinct().orderBy(self.time_col).collect()]
+        cut = times[-holdout - 1]
+        train = df.filter(F.col(self.time_col) <= F.lit(cut))
+        test = df.filter(F.col(self.time_col) > F.lit(cut))
+        joined = test.select(self.id_col, self.time_col, self.target_col)
+        names = list(self.base)
+        for n in names:
+            p = self.base[n](train, holdout).withColumnRenamed("y_hat", f"__p_{n}")
+            joined = joined.join(p, [self.id_col, self.time_col], "inner")
+        pdf = joined.toPandas()
+        X = pdf[[f"__p_{n}" for n in names]].to_numpy(dtype=float)
+        y = pdf[self.target_col].to_numpy(dtype=float)
+        X1 = np.column_stack([X, np.ones(len(X))])
+        self.meta = np.linalg.lstsq(X1, y, rcond=None)[0]
+        return self
+
+    def predict(self, df: DataFrame, h: int = 7) -> DataFrame:
+        names = list(self.base)
+        out = None
+        for n in names:
+            p = self.base[n](df, h).withColumnRenamed("y_hat", f"__p_{n}")
+            out = p if out is None else out.join(p, [self.id_col, self.time_col], "inner")
+        expr = sum(F.col(f"__p_{n}") * float(self.meta[i]) for i, n in enumerate(names)) + float(self.meta[-1])
+        return out.select(self.id_col, self.time_col, expr.alias("y_hat"))
+
+
+# ---------------------------------------------------------------------------
+# conformal intervals
+
+
+def conformal_interval(
+    calib: DataFrame,
+    forecast: DataFrame,
+    coverage: float = 0.9,
+    symmetric: bool = True,
+    id_col: str = ID,
+    time_col: str = TIME,
+    target_col: str = TARGET,
+) -> DataFrame:
+    """Split-conformal bounds (conformal.py:21-130): finite-sample
+    corrected EXACT quantile of calibration residuals per series, then
+    y_hat ± q. calib must contain [id, ds, y, y_hat].
+
+    Exact `percentile` (not percentile_approx) keeps the coverage
+    guarantee (SURVEY §4.2)."""
+    def _order_stat(resid: DataFrame, p: float, name: str) -> DataFrame:
+        # the finite-sample conformal quantile IS an order statistic:
+        # the ceil(p*(n+1))-th smallest residual (clamped to [1, n]).
+        # row_number avoids `percentile`'s constant-fraction restriction
+        # and keeps the guarantee exact.
+        w = Window.partitionBy(id_col).orderBy(F.col("__r"))
+        ranked = resid.select(
+            id_col, "__r",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("__n"),
+        )
+        idx = F.greatest(F.lit(1), F.least(F.col("__n"), F.ceil(F.lit(p) * (F.col("__n") + 1))))
+        return ranked.filter(F.col("__rn") == idx).select(id_col, F.col("__r").alias(name))
+
+    if symmetric:
+        resid = calib.select(
+            id_col, F.abs(F.col(target_col) - F.col("y_hat")).alias("__r")
+        )
+        q = _order_stat(resid, coverage, "__q")
+        return (
+            forecast.join(q, id_col, "left")
+            .select(
+                id_col, time_col, "y_hat",
+                (F.col("y_hat") - F.col("__q")).alias("y_hat_lower"),
+                (F.col("y_hat") + F.col("__q")).alias("y_hat_upper"),
+            )
+        )
+    lo_p, hi_p = (1 - coverage) / 2, 1 - (1 - coverage) / 2
+    resid = calib.select(id_col, (F.col(target_col) - F.col("y_hat")).alias("__r"))
+    q = _order_stat(resid, lo_p, "__lo").join(_order_stat(resid, hi_p, "__hi"), id_col)
+    return (
+        forecast.join(q, id_col, "left")
+        .select(
+            id_col, time_col, "y_hat",
+            (F.col("y_hat") + F.col("__lo")).alias("y_hat_lower"),
+            (F.col("y_hat") + F.col("__hi")).alias("y_hat_upper"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# hierarchical reconciliation
+
+
+def reconcile_bottom_up(
+    bottom: DataFrame,
+    hierarchy: dict[str, str],
+    id_col: str = ID,
+    time_col: str = TIME,
+    value_col: str = "y_hat",
+) -> DataFrame:
+    """Bottom-up: parents = sum of descendants' base forecasts
+    (reconciliation.py:41-120). The hierarchy (child -> parent) is
+    broadcast as an edge table; totals come from a groupBy — the
+    summing-matrix matmul expressed relationally, no driver linear
+    algebra. Output includes bottom AND ancestor rows."""
+    spark = bottom.sparkSession
+    # transitive closure on the driver (hierarchies are small, §1.4)
+    anc_rows = []
+    for child in hierarchy:
+        node, seen = child, set()
+        while node in hierarchy and hierarchy[node] not in seen:
+            parent = hierarchy[node]
+            anc_rows.append((child, parent))
+            seen.add(parent)
+            node = parent
+    edges = spark.createDataFrame(anc_rows, [id_col, "__anc"])
+    parents = (
+        bottom.join(F.broadcast(edges), id_col)
+        .groupBy(F.col("__anc").alias(id_col), time_col)
+        .agg(F.sum(value_col).alias(value_col))
+    )
+    return bottom.select(id_col, time_col, value_col).unionByName(parents)
+
+
+def reconcile_top_down(
+    bottom_hist: DataFrame,
+    total_forecast: DataFrame,
+    hierarchy: dict[str, str],
+    id_col: str = ID,
+    time_col: str = TIME,
+    target_col: str = TARGET,
+    value_col: str = "y_hat",
+) -> DataFrame:
+    """Top-down by historical proportions (reconciliation.py:150-230):
+    p_i = mean share of bottom series i in the total; bottom forecast =
+    p_i * total forecast."""
+    root = {v for v in hierarchy.values() if v not in hierarchy}
+    assert len(root) == 1, "top_down needs a single root"
+    totals = bottom_hist.groupBy(time_col).agg(F.sum(target_col).alias("__tot"))
+    shares = (
+        bottom_hist.join(totals, time_col)
+        .groupBy(id_col)
+        .agg(F.mean(F.col(target_col) / F.col("__tot")).alias("__share"))
+    )
+    return (
+        total_forecast.crossJoin(F.broadcast(shares))
+        .select(id_col, time_col, (F.col(value_col) * F.col("__share")).alias(value_col))
+    )
+
+
+def reconcile_ols(
+    forecasts: DataFrame,
+    hierarchy: dict[str, str],
+    id_col: str = ID,
+    time_col: str = TIME,
+    value_col: str = "y_hat",
+) -> DataFrame:
+    """MinT-OLS projection (reconciliation.py:260-360): per timestamp,
+    ŷ_rec = S (S'S)^-1 S' ŷ over the full node vector. S is built on
+    the driver (hierarchy small); the per-timestamp matmul runs in a
+    grouped pandas UDF keyed by ds — distributed over time."""
+    nodes = sorted(set(hierarchy) | set(hierarchy.values()))
+    bottoms = sorted(set(hierarchy) - set(hierarchy.values()))
+    anc: dict[str, set[str]] = {b: {b} for b in bottoms}
+    for b in bottoms:
+        node = b
+        while node in hierarchy:
+            node = hierarchy[node]
+            anc[b].add(node)
+    S = np.zeros((len(nodes), len(bottoms)))
+    for j, b in enumerate(bottoms):
+        for i, n in enumerate(nodes):
+            if n in anc[b]:
+                S[i, j] = 1.0
+    P = S @ np.linalg.inv(S.T @ S) @ S.T  # projection onto coherent space
+    node_pos = {n: i for i, n in enumerate(nodes)}
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        y = np.zeros(len(nodes))
+        for _, r in pdf.iterrows():
+            y[node_pos[r[id_col]]] = r[value_col]
+        rec = P @ y
+        return pd.DataFrame({
+            id_col: nodes,
+            time_col: pdf[time_col].iloc[0],
+            value_col: rec,
+        })
+
+    schema = f"{id_col} string, {time_col} timestamp, {value_col} double"
+    return forecasts.groupBy(time_col).applyInPandas(kern, schema)
+
+
+# ---------------------------------------------------------------------------
+# probabilistic & bias metrics
+
+
+def crps(
+    df: DataFrame,
+    quantile_cols: dict[float, str],
+    target_col: str = TARGET,
+) -> DataFrame:
+    """CRPS as the mean pinball loss over quantiles
+    (metrics/forecast.py:212-279). Returns a 1-row frame [crps]."""
+    terms = []
+    for q, c in quantile_cols.items():
+        err = F.col(target_col) - F.col(f"`{c}`")
+        terms.append(F.when(err >= 0, q * err).otherwise((q - 1) * err))
+    pinball = sum(terms) / len(terms)
+    return df.agg(F.mean(pinball).alias("crps"))
+
+
+def calibration_table(
+    df: DataFrame,
+    quantile_cols: dict[float, str],
+    target_col: str = TARGET,
+) -> DataFrame:
+    """Observed vs expected quantile coverage (calibration.py:9-80):
+    [quantile, expected, observed]."""
+    rows = []
+    for q, c in sorted(quantile_cols.items()):
+        rows.append(
+            df.agg(
+                F.lit(float(q)).alias("quantile"),
+                F.lit(float(q)).alias("expected"),
+                F.mean((F.col(target_col) <= F.col(f"`{c}`")).cast("double")).alias("observed"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def bias_correct(
+    df: DataFrame,
+    method: str = "mean",
+    id_col: str = ID,
+    target_col: str = TARGET,
+) -> DataFrame:
+    """Subtract per-series mean (or median) error from y_hat
+    (bias.py:53-143). Input needs [id, y, y_hat]; adds y_hat_corrected."""
+    err = (F.col("y_hat") - F.col(target_col))
+    agg = F.mean(err) if method == "mean" else F.expr(f"percentile(y_hat - {target_col}, 0.5)")
+    corr = df.groupBy(id_col).agg(agg.alias("__bias"))
+    return (
+        df.join(corr, id_col, "left")
+        .withColumn("y_hat_corrected", F.col("y_hat") - F.col("__bias"))
+        .drop("__bias")
+    )
+
+
+def permutation_importance(
+    df: DataFrame,
+    feat_cols: Sequence[str],
+    target_col: str,
+    estimator,
+    n_repeats: int = 3,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Metric degradation under column shuffle (importance.py:11-90).
+    Fits once on the collected design matrix, shuffles each column
+    n_repeats times with a seeded generator."""
+    pdf = df.select(*feat_cols, target_col).dropna().toPandas()
+    X = pdf[list(feat_cols)].to_numpy(dtype=float)
+    y = pdf[target_col].to_numpy(dtype=float)
+    estimator.fit(X, y)
+    base = float(np.mean(np.abs(estimator.predict(X) - y)))
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i, c in enumerate(feat_cols):
+        degr = []
+        for _ in range(n_repeats):
+            Xp = X.copy()
+            Xp[:, i] = rng.permutation(Xp[:, i])
+            degr.append(float(np.mean(np.abs(estimator.predict(Xp) - y))) - base)
+        rows.append({"feature": c, "importance": float(np.mean(degr)), "std": float(np.std(degr))})
+    return pd.DataFrame(rows).sort_values("importance", ascending=False).reset_index(drop=True)

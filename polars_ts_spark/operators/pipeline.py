@@ -1,0 +1,377 @@
+"""ML forecasting pipeline layer (SURVEY §2.12 — the flagship ops).
+
+Reference parity:
+- RecursiveForecaster -> polars_ts/models/multistep.py:61-252 (train a
+  1-step model on the lag matrix; recursive h-step feedback)
+- DirectForecaster    -> polars_ts/models/multistep.py:255-450 (one
+  model per horizon step)
+- ForecastPipeline    -> polars_ts/pipeline.py:209-462 (transform ->
+  lag/rolling/calendar features -> estimator; recursive decode with
+  in-loop feature rebuild + inverse transform)
+- GlobalForecaster    -> polars_ts/global_model.py:25-382 (pooled
+  pipeline + ordinal id encoding)
+- QuantileRegressor   -> polars_ts/probabilistic/quantile_regression.py:19-177
+
+Spark split (SURVEY §3.2): TRAINING features are built by the Catalyst
+window plan (operators/features.py — one shuffle for the whole chain);
+the design matrix is collected to the driver for the closed-form ridge
+solve (X'X is n_features², independent of panel size — at 100 TB the
+collect becomes a treeAggregate of X'X/X'y Gram blocks, same math).
+PREDICTION is `applyInPandas` per series: the recursive decode
+replicates the training feature builder step-by-step in numpy with the
+broadcast coefficient vector — exactly the reference's
+`_build_step_features` loop (pipeline.py:116-201), vectorized per
+group and distributed across series.
+
+Estimators are pluggable via the sklearn protocol (fit/predict);
+RidgeEstimator (functions/numutils.py) is the built-in default since
+the container ships no sklearn.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_ts_spark.functions.numutils import RidgeEstimator
+from polars_ts_spark.operators import features as FT
+from polars_ts_spark.operators.kernel import for_each_series
+from polars_ts_spark.panel import ID, TARGET, TIME, require_columns
+
+# ---------------------------------------------------------------------------
+# design-matrix assembly (training side — pure Spark feature plan)
+
+
+def _training_frame(
+    df: DataFrame,
+    lags: list[int],
+    rolling_windows: list[int],
+    rolling_aggs: list[str],
+    calendar: bool,
+    id_col: str,
+    time_col: str,
+    target_col: str,
+) -> tuple[DataFrame, list[str]]:
+    out = FT.lag_features(df, lags, id_col, time_col, target_col)
+    if rolling_windows:
+        # rolling features must not leak the current value into the
+        # regressors: shift by 1 (reference builds them from history
+        # in the decode loop, pipeline.py:137-160)
+        lagged = out.withColumn(
+            "__y_shift", F.lag(target_col, 1).over(FT.series_window(id_col, time_col))
+        )
+        lagged = FT.rolling_features(
+            lagged, rolling_windows, rolling_aggs, id_col=id_col,
+            time_col=time_col, target_col="__y_shift", min_samples=1,
+        )
+        for w in rolling_windows:
+            for a in rolling_aggs:
+                lagged = lagged.withColumnRenamed(
+                    f"__y_shift_rolling_{a}_{w}", f"{target_col}_rolling_{a}_{w}"
+                )
+        out = lagged.drop("__y_shift")
+    if calendar:
+        out = FT.calendar_features(
+            out,
+            ["day_of_week", "day_of_month", "month", "quarter", "year", "is_weekend"],
+            time_col=time_col,
+        )
+    feat_cols = [c for c in out.columns if c not in (id_col, time_col, target_col)]
+    return out.dropna(), feat_cols
+
+
+def _collect_xy(feat_df: DataFrame, feat_cols: list[str], target_col: str):
+    pdf = feat_df.select(*feat_cols, target_col).toPandas()
+    X = pdf[feat_cols].to_numpy(dtype=float)
+    y = pdf[target_col].to_numpy(dtype=float)
+    return X, y
+
+
+def _np_calendar(ts: pd.Timestamp) -> dict[str, float]:
+    iso_dow = float(ts.isoweekday())
+    return {
+        "day_of_week": iso_dow,
+        "day_of_month": float(ts.day),
+        "month": float(ts.month),
+        "quarter": float((ts.month - 1) // 3 + 1),
+        "year": float(ts.year),
+        "is_weekend": 1.0 if iso_dow >= 6 else 0.0,
+    }
+
+
+class RecursiveForecaster:
+    """1-step estimator on lag/rolling/calendar features; h-step
+    recursive decode feeding predictions back (multistep.py:61-252).
+
+    fit() runs one Spark feature job + a driver solve; predict()
+    distributes the sequential decode per series."""
+
+    def __init__(
+        self,
+        estimator=None,
+        lags: list[int] = (1, 7),
+        rolling_windows: list[int] = (),
+        rolling_aggs: list[str] = ("mean",),
+        calendar: bool = False,
+        id_col: str = ID,
+        time_col: str = TIME,
+        target_col: str = TARGET,
+    ):
+        self.estimator = estimator or RidgeEstimator()
+        self.lags = list(lags)
+        self.rolling_windows = list(rolling_windows)
+        self.rolling_aggs = list(rolling_aggs)
+        self.calendar = calendar
+        self.id_col, self.time_col, self.target_col = id_col, time_col, target_col
+        self.feat_cols: list[str] | None = None
+
+    def fit(self, df: DataFrame) -> "RecursiveForecaster":
+        require_columns(df, self.id_col, self.time_col, self.target_col)
+        feat_df, feat_cols = _training_frame(
+            df, self.lags, self.rolling_windows, self.rolling_aggs,
+            self.calendar, self.id_col, self.time_col, self.target_col,
+        )
+        self.feat_cols = feat_cols
+        X, y = _collect_xy(feat_df, feat_cols, self.target_col)
+        self.estimator.fit(X, y)
+        return self
+
+    def _decode_kernel(self, h: int):
+        est = self.estimator
+        lags = self.lags
+        rw, ra = self.rolling_windows, self.rolling_aggs
+        cal = self.calendar
+        idc, tc, yc = self.id_col, self.time_col, self.target_col
+        feat_cols = list(self.feat_cols)
+
+        def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(tc)
+            hist = list(pdf[yc].to_numpy(dtype=float))
+            ts = pd.to_datetime(pdf[tc])
+            freq = (ts.diff().dropna().median()) if len(ts) > 1 else pd.Timedelta(days=1)
+            cur_t = ts.iloc[-1]
+            out_t, out_y = [], []
+            for _ in range(h):
+                cur_t = cur_t + freq
+                row = {}
+                for k in lags:
+                    row[f"{yc}_lag_{k}"] = hist[-k] if k <= len(hist) else np.nan
+                for w in rw:
+                    tail = np.asarray(hist[-w:], dtype=float)
+                    for a in ra:
+                        row[f"{yc}_rolling_{a}_{w}"] = getattr(np, a if a != "mean" else "mean")(tail) if a != "std" else tail.std(ddof=1)
+                if cal:
+                    row.update(_np_calendar(cur_t))
+                x = np.array([[row[c] for c in feat_cols]], dtype=float)
+                y_hat = float(est.predict(x)[0])
+                hist.append(y_hat)
+                out_t.append(cur_t)
+                out_y.append(y_hat)
+            return pd.DataFrame({idc: pdf[idc].iloc[0], tc: out_t, "y_hat": out_y})
+
+        return kern
+
+    def predict(self, df: DataFrame, h: int = 7) -> DataFrame:
+        if self.feat_cols is None:
+            raise RuntimeError("call fit() first")
+        schema = f"{self.id_col} string, {self.time_col} timestamp, y_hat double"
+        return for_each_series(df, self._decode_kernel(h), schema, id_col=self.id_col, time_col=self.time_col)
+
+
+class DirectForecaster(RecursiveForecaster):
+    """One estimator per horizon step trained on shifted targets
+    (multistep.py:255-450): no recursive feedback, h independent
+    1-shot models."""
+
+    def fit(self, df: DataFrame, h: int = 7) -> "DirectForecaster":
+        require_columns(df, self.id_col, self.time_col, self.target_col)
+        self.h = h
+        feat_df, feat_cols = _training_frame(
+            df, self.lags, self.rolling_windows, self.rolling_aggs,
+            self.calendar, self.id_col, self.time_col, self.target_col,
+        )
+        self.feat_cols = feat_cols
+        w = FT.series_window(self.id_col, self.time_col)
+        self.models = []
+        for step in range(1, h + 1):
+            shifted = feat_df.withColumn("__target", F.lead(self.target_col, step - 1).over(w)).dropna()
+            X, y = _collect_xy(shifted, feat_cols, "__target")
+            est = self.estimator.clone() if hasattr(self.estimator, "clone") else RidgeEstimator()
+            self.models.append(est.fit(X, y))
+        return self
+
+    def predict(self, df: DataFrame, h: int | None = None) -> DataFrame:
+        h = h or self.h
+        models = self.models[:h]
+        lags, rw, ra, cal = self.lags, self.rolling_windows, self.rolling_aggs, self.calendar
+        idc, tc, yc = self.id_col, self.time_col, self.target_col
+        feat_cols = list(self.feat_cols)
+
+        def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(tc)
+            hist = list(pdf[yc].to_numpy(dtype=float))
+            ts = pd.to_datetime(pdf[tc])
+            freq = (ts.diff().dropna().median()) if len(ts) > 1 else pd.Timedelta(days=1)
+            row = {}
+            for k in lags:
+                row[f"{yc}_lag_{k}"] = hist[-k] if k <= len(hist) else np.nan
+            for w_ in rw:
+                tail = np.asarray(hist[-w_:], dtype=float)
+                for a in ra:
+                    row[f"{yc}_rolling_{a}_{w_}"] = tail.mean() if a == "mean" else tail.std(ddof=1)
+            out_t, out_y = [], []
+            cur_t = ts.iloc[-1]
+            for s, est in enumerate(models, start=1):
+                cur_t = cur_t + freq
+                r = dict(row)
+                if cal:
+                    r.update(_np_calendar(cur_t))
+                x = np.array([[r[c] for c in feat_cols]], dtype=float)
+                out_t.append(cur_t)
+                out_y.append(float(est.predict(x)[0]))
+            return pd.DataFrame({idc: pdf[idc].iloc[0], tc: out_t, "y_hat": out_y})
+
+        schema = f"{idc} string, {tc} timestamp, y_hat double"
+        return for_each_series(df, kern, schema, id_col=idc, time_col=tc)
+
+
+class ForecastPipeline(RecursiveForecaster):
+    """Full pipeline: optional log target transform + the recursive
+    feature pipeline (pipeline.py:209-462). ``target_transform`` in
+    {None, "log"} (log1p/expm1 round trip, transforms/log.py)."""
+
+    def __init__(self, *args, target_transform: str | None = None, **kw):
+        super().__init__(*args, **kw)
+        self.target_transform = target_transform
+
+    def fit(self, df: DataFrame) -> "ForecastPipeline":
+        if self.target_transform == "log":
+            df = df.withColumn(self.target_col, F.log1p(F.col(self.target_col)))
+        super().fit(df)
+        return self
+
+    def predict(self, df: DataFrame, h: int = 7) -> DataFrame:
+        if self.target_transform == "log":
+            df = df.withColumn(self.target_col, F.log1p(F.col(self.target_col)))
+        out = super().predict(df, h)
+        if self.target_transform == "log":
+            out = out.withColumn("y_hat", F.expm1(F.col("y_hat")))
+        return out
+
+
+class GlobalForecaster(RecursiveForecaster):
+    """Pooled model with ordinal id encoding as an extra feature
+    (global_model.py:25-382). The encoding is a broadcast join of a
+    tiny id->code map; decode adds the constant per series."""
+
+    def fit(self, df: DataFrame) -> "GlobalForecaster":
+        ids = [r[0] for r in df.select(self.id_col).distinct().orderBy(self.id_col).collect()]
+        self.id_codes = {s: float(i) for i, s in enumerate(ids)}
+        code_df = df.sparkSession.createDataFrame(
+            [(s, c) for s, c in self.id_codes.items()], [self.id_col, "__id_code"]
+        )
+        df2 = df.join(F.broadcast(code_df), self.id_col)
+        feat_df, feat_cols = _training_frame(
+            df2, self.lags, self.rolling_windows, self.rolling_aggs,
+            self.calendar, self.id_col, self.time_col, self.target_col,
+        )
+        feat_cols = [c for c in feat_cols if c != "__id_code"] + ["__id_code"]
+        self.feat_cols = feat_cols
+        X, y = _collect_xy(feat_df, feat_cols, self.target_col)
+        self.estimator.fit(X, y)
+        return self
+
+    def predict(self, df: DataFrame, h: int = 7) -> DataFrame:
+        codes = self.id_codes
+        idc = self.id_col
+        est, feat_cols = self.estimator, list(self.feat_cols)
+        lags, rw, ra, cal = self.lags, self.rolling_windows, self.rolling_aggs, self.calendar
+        tc, yc = self.time_col, self.target_col
+
+        def kern2(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(tc)
+            code = codes.get(str(pdf[idc].iloc[0]), -1.0)
+            hist = list(pdf[yc].to_numpy(dtype=float))
+            ts = pd.to_datetime(pdf[tc])
+            freq = (ts.diff().dropna().median()) if len(ts) > 1 else pd.Timedelta(days=1)
+            cur_t = ts.iloc[-1]
+            out_t, out_y = [], []
+            for _ in range(h):
+                cur_t = cur_t + freq
+                row = {"__id_code": code}
+                for k in lags:
+                    row[f"{yc}_lag_{k}"] = hist[-k] if k <= len(hist) else np.nan
+                for w_ in rw:
+                    tail = np.asarray(hist[-w_:], dtype=float)
+                    for a in ra:
+                        row[f"{yc}_rolling_{a}_{w_}"] = tail.mean() if a == "mean" else tail.std(ddof=1)
+                if cal:
+                    row.update(_np_calendar(cur_t))
+                x = np.array([[row[c] for c in feat_cols]], dtype=float)
+                y_hat = float(est.predict(x)[0])
+                hist.append(y_hat)
+                out_t.append(cur_t)
+                out_y.append(y_hat)
+            return pd.DataFrame({idc: pdf[idc].iloc[0], tc: out_t, "y_hat": out_y})
+
+        schema = f"{idc} string, {tc} timestamp, y_hat double"
+        return for_each_series(df, kern2, schema, id_col=idc, time_col=tc)
+
+
+class QuantileRegressor:
+    """One ridge-on-pinball-proxy model per quantile via iteratively
+    reweighted least squares (quantile_regression.py:19-177 surface;
+    the reference delegates loss to sklearn estimators — we implement
+    quantile fits directly). predict emits q_<q> columns."""
+
+    def __init__(self, quantiles=(0.1, 0.5, 0.9), lags=(1, 7), n_irls: int = 20,
+                 id_col: str = ID, time_col: str = TIME, target_col: str = TARGET):
+        self.quantiles = list(quantiles)
+        self.lags = list(lags)
+        self.n_irls = n_irls
+        self.id_col, self.time_col, self.target_col = id_col, time_col, target_col
+
+    def _fit_quantile(self, X: np.ndarray, y: np.ndarray, q: float) -> np.ndarray:
+        X1 = np.column_stack([X, np.ones(len(X))])
+        w = np.linalg.lstsq(X1, y, rcond=None)[0]
+        for _ in range(self.n_irls):
+            r = y - X1 @ w
+            wt = np.where(r >= 0, q, 1 - q) / np.maximum(np.abs(r), 1e-6)
+            A = X1.T @ (wt[:, None] * X1)
+            w = np.linalg.solve(A + 1e-8 * np.eye(X1.shape[1]), X1.T @ (wt * y))
+        return w
+
+    def fit(self, df: DataFrame) -> "QuantileRegressor":
+        feat_df, feat_cols = _training_frame(
+            df, self.lags, [], [], False, self.id_col, self.time_col, self.target_col
+        )
+        self.feat_cols = feat_cols
+        X, y = _collect_xy(feat_df, feat_cols, self.target_col)
+        self.weights = {q: self._fit_quantile(X, y, q) for q in self.quantiles}
+        return self
+
+    def predict(self, df: DataFrame, h: int = 7) -> DataFrame:
+        lags, qs, weights = self.lags, self.quantiles, self.weights
+        idc, tc, yc = self.id_col, self.time_col, self.target_col
+        med_key = min(qs, key=lambda q: abs(q - 0.5))
+
+        def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(tc)
+            hist = list(pdf[yc].to_numpy(dtype=float))
+            ts = pd.to_datetime(pdf[tc])
+            freq = (ts.diff().dropna().median()) if len(ts) > 1 else pd.Timedelta(days=1)
+            cur_t = ts.iloc[-1]
+            rows = []
+            for _ in range(h):
+                cur_t = cur_t + freq
+                x = np.array([hist[-k] for k in lags] + [1.0])
+                preds = {f"q_{q}": float(x @ weights[q]) for q in qs}
+                hist.append(preds[f"q_{med_key}"])  # feed median back
+                rows.append({idc: pdf[idc].iloc[0], tc: cur_t, **preds})
+            return pd.DataFrame(rows)
+
+        qcols = ", ".join(f"`q_{q}` double" for q in qs)
+        schema = f"{idc} string, {tc} timestamp, {qcols}"
+        return for_each_series(df, kern, schema, id_col=idc, time_col=tc)

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polars_ts_spark.operators import baselines, decomposition, features, metrics, preprocessing
@@ -911,3 +911,256 @@ def q_knn_classify(spark, sf_dir):
     train = panel.filter(F.col("unique_id").cast("int") % 2 == 1)
     test = panel.filter(F.col("unique_id").cast("int") % 2 == 0)
     return clustering.knn_classify(train, test, sup, k=3, method="dtw")
+
+
+# ---------------------------------------------------------------------------
+# pipeline layer / evaluation / reconciliation
+
+
+_NAIVE_FC_CTE = """,
+fc AS (
+    SELECT g.unique_id,
+           g.last_ts + INTERVAL '1 second' * (steps.step * f.freq_s) AS ds,
+           g.last_y AS y_hat
+    FROM g JOIN freq f ON g.unique_id = f.unique_id CROSS JOIN steps
+)
+"""
+
+
+@register(
+    "conformal_interval",
+    PANEL_CTE + ", " + _FREQ_CTE.format(h=7) + _NAIVE_FC_CTE + """,
+    resid AS (
+        SELECT unique_id, ABS(y - LAG(y) OVER (PARTITION BY unique_id ORDER BY ds)) AS r
+        FROM panel QUALIFY r IS NOT NULL
+    ),
+    ranked AS (
+        SELECT unique_id, r,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY r) AS rn,
+               COUNT(*) OVER (PARTITION BY unique_id) AS n
+        FROM resid
+    ),
+    q AS (
+        SELECT unique_id, r AS qv FROM ranked
+        WHERE rn = GREATEST(1, LEAST(n, CEIL(0.9 * (n + 1))))
+    )
+    SELECT fc.unique_id, fc.ds, fc.y_hat,
+           fc.y_hat - q.qv AS y_hat_lower,
+           fc.y_hat + q.qv AS y_hat_upper
+    FROM fc LEFT JOIN q USING (unique_id)
+    """,
+)
+def q_conformal(spark, sf_dir):
+    from polars_ts_spark.operators import evaluation
+    panel = supplier_daily_panel(spark, sf_dir)
+    w = Window.partitionBy("unique_id").orderBy("ds")
+    calib = panel.withColumn("y_hat", F.lag("y").over(w)).dropna()
+    fc = baselines.naive_forecast(panel, h=7)
+    return evaluation.conformal_interval(calib, fc, coverage=0.9)
+
+
+@register(
+    "weighted_ensemble",
+    PANEL_CTE + ", " + _FREQ_CTE.format(h=7) + _NAIVE_FC_CTE + """,
+    tails AS (
+        SELECT unique_id, AVG(y) AS ma FROM (
+            SELECT unique_id, y,
+                   ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds DESC) AS rn
+            FROM panel
+        ) WHERE rn <= 28 GROUP BY 1
+    )
+    SELECT fc.unique_id, fc.ds,
+           ROUND(0.6 * fc.y_hat + 0.4 * t.ma, 2) AS y_hat
+    FROM fc JOIN tails t USING (unique_id)
+    """,
+)
+def q_weighted_ensemble(spark, sf_dir):
+    from polars_ts_spark.operators import evaluation
+    panel = supplier_daily_panel(spark, sf_dir)
+    f1 = baselines.naive_forecast(panel, h=7)
+    f2 = baselines.moving_average_forecast(panel, h=7, window=28)
+    ens = evaluation.weighted_ensemble({"naive": f1, "ma": f2}, {"naive": 0.6, "ma": 0.4})
+    return ens.withColumn("y_hat", F.round("y_hat", 2))
+
+
+@register(
+    "reconcile_bottom_up",
+    PANEL_CTE + ", " + _FREQ_CTE.format(h=7) + _NAIVE_FC_CTE + """,
+    anc AS (
+        SELECT CAST(s_suppkey AS VARCHAR) AS unique_id,
+               'n_' || CAST(s_nationkey AS VARCHAR) AS anc
+        FROM supplier
+        UNION ALL
+        SELECT CAST(s_suppkey AS VARCHAR),
+               'r_' || CAST(n_regionkey AS VARCHAR)
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ),
+    parents AS (
+        SELECT a.anc AS unique_id, fc.ds, SUM(fc.y_hat) AS y_hat
+        FROM fc JOIN anc a USING (unique_id)
+        GROUP BY 1, 2
+    )
+    SELECT unique_id, ds, y_hat FROM fc
+    UNION ALL
+    SELECT unique_id, ds, y_hat FROM parents
+    """,
+)
+def q_reconcile_bottom_up(spark, sf_dir):
+    from polars_ts_spark.operators import evaluation
+    from polars_ts_spark.sources.datasets import load_table
+    panel = supplier_daily_panel(spark, sf_dir)
+    fc = baselines.naive_forecast(panel, h=7)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rows = sup.join(nat, sup["s_nationkey"] == nat["n_nationkey"]).select(
+        F.col("s_suppkey").cast("string"),
+        F.concat(F.lit("n_"), F.col("s_nationkey").cast("string")),
+        F.concat(F.lit("r_"), F.col("n_regionkey").cast("string")),
+    ).collect()
+    hierarchy = {}
+    for r in rows:
+        hierarchy[r[0]] = r[1]
+        hierarchy[r[1]] = r[2]
+    return evaluation.reconcile_bottom_up(fc, hierarchy)
+
+
+_QPRED_CTE = PANEL_CTE + """,
+q AS (
+    SELECT unique_id,
+           quantile_cont(y, 0.1) AS q10,
+           quantile_cont(y, 0.5) AS q50,
+           quantile_cont(y, 0.9) AS q90
+    FROM panel GROUP BY 1
+),
+scored AS (SELECT p.*, q.q10, q.q50, q.q90 FROM panel p JOIN q USING (unique_id))
+"""
+
+
+@register(
+    "crps_quantile",
+    _QPRED_CTE + """
+    SELECT AVG((
+        (CASE WHEN y - q10 >= 0 THEN 0.1 * (y - q10) ELSE -0.9 * (y - q10) END) +
+        (CASE WHEN y - q50 >= 0 THEN 0.5 * (y - q50) ELSE -0.5 * (y - q50) END) +
+        (CASE WHEN y - q90 >= 0 THEN 0.9 * (y - q90) ELSE -0.1 * (y - q90) END)
+    ) / 3) AS crps
+    FROM scored
+    """,
+)
+def q_crps(spark, sf_dir):
+    from polars_ts_spark.operators import evaluation
+    panel = supplier_daily_panel(spark, sf_dir)
+    q = panel.groupBy("unique_id").agg(
+        F.expr("percentile(y, 0.1)").alias("q10"),
+        F.expr("percentile(y, 0.5)").alias("q50"),
+        F.expr("percentile(y, 0.9)").alias("q90"),
+    )
+    scored = panel.join(q, "unique_id")
+    return evaluation.crps(scored, {0.1: "q10", 0.5: "q50", 0.9: "q90"})
+
+
+@register(
+    "calibration_table",
+    _QPRED_CTE + """
+    SELECT 0.1 AS quantile, 0.1 AS expected, AVG(CASE WHEN y <= q10 THEN 1.0 ELSE 0.0 END) AS observed FROM scored
+    UNION ALL
+    SELECT 0.5, 0.5, AVG(CASE WHEN y <= q50 THEN 1.0 ELSE 0.0 END) FROM scored
+    UNION ALL
+    SELECT 0.9, 0.9, AVG(CASE WHEN y <= q90 THEN 1.0 ELSE 0.0 END) FROM scored
+    """,
+)
+def q_calibration(spark, sf_dir):
+    from polars_ts_spark.operators import evaluation
+    panel = supplier_daily_panel(spark, sf_dir)
+    q = panel.groupBy("unique_id").agg(
+        F.expr("percentile(y, 0.1)").alias("q10"),
+        F.expr("percentile(y, 0.5)").alias("q50"),
+        F.expr("percentile(y, 0.9)").alias("q90"),
+    )
+    scored = panel.join(q, "unique_id")
+    return evaluation.calibration_table(scored, {0.1: "q10", 0.5: "q50", 0.9: "q90"})
+
+
+@register(
+    "bias_correct",
+    PANEL_CTE + """,
+    withpred AS (
+        SELECT unique_id, ds, y,
+               LAG(y) OVER (PARTITION BY unique_id ORDER BY ds) AS y_hat
+        FROM panel QUALIFY y_hat IS NOT NULL
+    ),
+    b AS (SELECT unique_id, AVG(y_hat - y) AS bias FROM withpred GROUP BY 1)
+    SELECT w.unique_id, w.ds, w.y, w.y_hat, w.y_hat - b.bias AS y_hat_corrected
+    FROM withpred w JOIN b USING (unique_id)
+    """,
+)
+def q_bias_correct(spark, sf_dir):
+    from polars_ts_spark.operators import evaluation
+    panel = supplier_daily_panel(spark, sf_dir)
+    w = Window.partitionBy("unique_id").orderBy("ds")
+    calib = panel.withColumn("y_hat", F.lag("y").over(w)).dropna()
+    return evaluation.bias_correct(calib)
+
+
+@register("recursive_forecast")  # fitted-model decode: rows-only
+def q_recursive_forecast(spark, sf_dir):
+    from polars_ts_spark.operators.pipeline import RecursiveForecaster
+    panel = supplier_daily_panel(spark, sf_dir)
+    return RecursiveForecaster(lags=[1, 7], calendar=True).fit(panel).predict(panel, h=7)
+
+
+@register("direct_forecast")  # rows-only
+def q_direct_forecast(spark, sf_dir):
+    from polars_ts_spark.operators.pipeline import DirectForecaster
+    panel = supplier_daily_panel(spark, sf_dir)
+    return DirectForecaster(lags=[1, 7]).fit(panel, h=7).predict(panel)
+
+
+@register("global_forecast")  # rows-only
+def q_global_forecast(spark, sf_dir):
+    from polars_ts_spark.operators.pipeline import GlobalForecaster
+    panel = supplier_daily_panel(spark, sf_dir)
+    return GlobalForecaster(lags=[1, 7]).fit(panel).predict(panel, h=7)
+
+
+@register("forecast_pipeline_log")  # rows-only
+def q_forecast_pipeline(spark, sf_dir):
+    from polars_ts_spark.operators.pipeline import ForecastPipeline
+    panel = supplier_daily_panel(spark, sf_dir)
+    m = ForecastPipeline(lags=[1, 7], rolling_windows=[7], target_transform="log").fit(panel)
+    return m.predict(panel, h=7)
+
+
+@register("quantile_regression")  # rows-only
+def q_quantile_regression(spark, sf_dir):
+    from polars_ts_spark.operators.pipeline import QuantileRegressor
+    panel = supplier_daily_panel(spark, sf_dir)
+    return QuantileRegressor(quantiles=(0.1, 0.5, 0.9), lags=(1, 7)).fit(panel).predict(panel, h=7)
+
+
+@register("stacking_forecast")  # rows-only
+def q_stacking(spark, sf_dir):
+    from polars_ts_spark.operators import evaluation
+    from polars_ts_spark.operators.pipeline import RecursiveForecaster
+    panel = supplier_daily_panel(spark, sf_dir)
+
+    def ridge_fn(train, h):
+        return RecursiveForecaster(lags=[1, 7]).fit(train).predict(train, h)
+
+    def naive_fn(train, h):
+        return baselines.naive_forecast(train, h=h)
+
+    m = evaluation.StackingForecaster({"ridge": ridge_fn, "naive": naive_fn}).fit(panel, holdout=7)
+    return m.predict(panel, h=7)
+
+
+@register("backtest_summary")  # driver table: rows-only
+def q_backtest(spark, sf_dir):
+    from polars_ts_spark.operators import evaluation
+
+    def naive_fn(train, h):
+        return baselines.naive_forecast(train, h=h)
+
+    panel = supplier_daily_panel(spark, sf_dir)
+    _, summary = evaluation.backtest(panel, naive_fn, horizon=7, n_folds=2)
+    return spark.createDataFrame(summary)

@@ -1,0 +1,208 @@
+"""Pipeline layer + evaluation: recursive/direct forecasters, global
+model, quantile regression, backtest, ensembles, conformal,
+reconciliation. Analytic panels where the right answer is known."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polars_ts_spark.operators import evaluation as E
+from polars_ts_spark.operators import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def linear_panel(spark):
+    """Two perfectly linear series: y_t = a + b*t — a lag-based ridge
+    must extrapolate them almost exactly."""
+    ts = pd.date_range("2024-01-01", periods=80, freq="D")
+    rows = []
+    for sid, (a, b) in {"s1": (10.0, 1.0), "s2": (50.0, -0.5)}.items():
+        rows.append(pd.DataFrame({"unique_id": sid, "ds": ts, "y": a + b * np.arange(80)}))
+    return spark.createDataFrame(pd.concat(rows))
+
+
+def test_recursive_forecaster_extrapolates_lines(linear_panel):
+    m = P.RecursiveForecaster(lags=[1, 2]).fit(linear_panel)
+    out = m.predict(linear_panel, h=5).toPandas().sort_values(["unique_id", "ds"])
+    s1 = out[out["unique_id"] == "s1"]["y_hat"].to_numpy()
+    s2 = out[out["unique_id"] == "s2"]["y_hat"].to_numpy()
+    assert np.allclose(s1, 10 + np.arange(80, 85), atol=0.1)
+    assert np.allclose(s2, 50 - 0.5 * np.arange(80, 85), atol=0.1)
+
+
+def test_direct_forecaster(linear_panel):
+    m = P.DirectForecaster(lags=[1, 2]).fit(linear_panel, h=3)
+    out = m.predict(linear_panel).toPandas()
+    s1 = out[out["unique_id"] == "s1"].sort_values("ds")["y_hat"].to_numpy()
+    assert np.allclose(s1, [90, 91, 92], atol=0.5)
+
+
+def test_forecast_pipeline_log_transform(spark):
+    ts = pd.date_range("2024-01-01", periods=60, freq="D")
+    y = np.exp(0.05 * np.arange(60))  # exponential growth -> linear in log
+    df = spark.createDataFrame(pd.DataFrame({"unique_id": "g", "ds": ts, "y": y}))
+    m = P.ForecastPipeline(lags=[1, 2], target_transform="log").fit(df)
+    out = m.predict(df, h=3).toPandas().sort_values("ds")
+    expected = np.exp(0.05 * np.arange(60, 63))
+    assert np.allclose(out["y_hat"].to_numpy(), expected, rtol=0.05)
+
+
+def test_global_forecaster_pools_series(linear_panel):
+    m = P.GlobalForecaster(lags=[1, 2]).fit(linear_panel)
+    out = m.predict(linear_panel, h=3).toPandas()
+    assert set(out["unique_id"]) == {"s1", "s2"}
+    s1 = out[out["unique_id"] == "s1"].sort_values("ds")["y_hat"].to_numpy()
+    assert np.allclose(s1, [90, 91, 92], atol=1.0)
+
+
+def test_quantile_regressor_orders_quantiles(spark):
+    rng = np.random.default_rng(0)
+    ts = pd.date_range("2024-01-01", periods=200, freq="D")
+    y = 10 + rng.normal(0, 2, 200)
+    df = spark.createDataFrame(pd.DataFrame({"unique_id": "q", "ds": ts, "y": y}))
+    m = P.QuantileRegressor(quantiles=(0.1, 0.5, 0.9), lags=(1, 2)).fit(df)
+    out = m.predict(df, h=4).toPandas()
+    assert ((out["q_0.1"] <= out["q_0.5"]) & (out["q_0.5"] <= out["q_0.9"])).all()
+
+
+def test_backtest_and_compare(linear_panel):
+    def naive(train, h):
+        from polars_ts_spark.operators.baselines import naive_forecast
+        return naive_forecast(train, h=h)
+
+    def drift(train, h):
+        m = P.RecursiveForecaster(lags=[1, 2]).fit(train)
+        return m.predict(train, h=h)
+
+    folds, summary = E.backtest(linear_panel, drift, horizon=5, n_folds=2)
+    assert len(folds) == 2
+    assert summary[summary["metric"] == "mae"]["mean"].iloc[0] < 0.5  # linear: near-exact
+
+    comp = E.compare_models(linear_panel, {"naive": naive, "ridge": drift}, horizon=5, n_folds=2)
+    mae = comp[comp["metric"] == "mae"].set_index("model")["mean"]
+    assert mae["ridge"] < mae["naive"]  # ridge beats naive on trends
+
+
+def test_weighted_ensemble_exact(spark):
+    ts = pd.date_range("2024-02-01", periods=3, freq="D")
+    f1 = spark.createDataFrame(pd.DataFrame({"unique_id": "a", "ds": ts, "y_hat": [1.0, 2.0, 3.0]}))
+    f2 = spark.createDataFrame(pd.DataFrame({"unique_id": "a", "ds": ts, "y_hat": [3.0, 4.0, 5.0]}))
+    out = E.weighted_ensemble({"m1": f1, "m2": f2}).toPandas().sort_values("ds")
+    assert np.allclose(out["y_hat"], [2.0, 3.0, 4.0])
+    out2 = E.weighted_ensemble({"m1": f1, "m2": f2}, {"m1": 3.0, "m2": 1.0}).toPandas().sort_values("ds")
+    assert np.allclose(out2["y_hat"], [1.5, 2.5, 3.5])
+
+
+def test_stacking_learns_weights(linear_panel):
+    def good(train, h):
+        return P.RecursiveForecaster(lags=[1, 2]).fit(train).predict(train, h)
+
+    def bad(train, h):
+        from polars_ts_spark.operators.baselines import naive_forecast
+        return naive_forecast(train, h=h)
+
+    m = E.StackingForecaster({"good": good, "bad": bad}).fit(linear_panel, holdout=5)
+    out = m.predict(linear_panel, h=3).toPandas()
+    s1 = out[out["unique_id"] == "s1"].sort_values("ds")["y_hat"].to_numpy()
+    assert np.allclose(s1, [90, 91, 92], atol=1.0)  # meta puts weight on `good`
+
+
+def test_conformal_coverage(spark):
+    rng = np.random.default_rng(1)
+    ts = pd.date_range("2024-01-01", periods=400, freq="D")
+    calib = pd.DataFrame({
+        "unique_id": "c", "ds": ts, "y": rng.normal(0, 1, 400), "y_hat": 0.0,
+    })
+    fc = pd.DataFrame({
+        "unique_id": "c",
+        "ds": pd.date_range("2025-02-05", periods=5, freq="D"),
+        "y_hat": 0.0,
+    })
+    out = E.conformal_interval(
+        spark.createDataFrame(calib), spark.createDataFrame(fc), coverage=0.9
+    ).toPandas()
+    # |N(0,1)| 90th percentile ~= 1.645
+    assert out["y_hat_upper"].iloc[0] == pytest.approx(1.645, abs=0.15)
+    assert out["y_hat_lower"].iloc[0] == pytest.approx(-1.645, abs=0.15)
+    new = E.conformal_interval(
+        spark.createDataFrame(calib), spark.createDataFrame(fc), coverage=0.9, symmetric=False
+    ).toPandas()
+    assert (new["y_hat_lower"] <= new["y_hat_upper"]).all()
+
+
+def test_reconcile_bottom_up(spark):
+    ts = pd.to_datetime(["2024-01-01", "2024-01-02"])
+    rows = []
+    for sid, vals in {"a1": [1.0, 2.0], "a2": [3.0, 4.0], "b1": [5.0, 6.0]}.items():
+        rows.append(pd.DataFrame({"unique_id": sid, "ds": ts, "y_hat": vals}))
+    bottom = spark.createDataFrame(pd.concat(rows))
+    hierarchy = {"a1": "A", "a2": "A", "b1": "B", "A": "total", "B": "total"}
+    out = E.reconcile_bottom_up(bottom, hierarchy).toPandas()
+    d = {(r["unique_id"], str(r["ds"])[:10]): r["y_hat"] for _, r in out.iterrows()}
+    assert d[("A", "2024-01-01")] == 4.0
+    assert d[("B", "2024-01-02")] == 6.0
+    assert d[("total", "2024-01-01")] == 9.0
+
+
+def test_reconcile_top_down(spark):
+    ts = pd.to_datetime(["2024-01-01", "2024-01-02"])
+    hist = spark.createDataFrame(pd.concat([
+        pd.DataFrame({"unique_id": "a1", "ds": ts, "y": [1.0, 1.0]}),
+        pd.DataFrame({"unique_id": "a2", "ds": ts, "y": [3.0, 3.0]}),
+    ]))
+    tot = spark.createDataFrame(pd.DataFrame({
+        "ds": pd.to_datetime(["2024-01-03"]), "y_hat": [8.0]}))
+    out = E.reconcile_top_down(hist, tot, {"a1": "total", "a2": "total"}).toPandas()
+    d = dict(zip(out["unique_id"], out["y_hat"]))
+    assert d["a1"] == pytest.approx(2.0) and d["a2"] == pytest.approx(6.0)
+
+
+def test_reconcile_ols_coherent(spark):
+    ts = pd.to_datetime(["2024-01-01"])
+    rows = []
+    for sid, v in {"a1": 1.0, "a2": 3.0, "A": 5.0}.items():  # incoherent: 1+3 != 5
+        rows.append(pd.DataFrame({"unique_id": sid, "ds": ts, "y_hat": [v]}))
+    fc = spark.createDataFrame(pd.concat(rows))
+    out = E.reconcile_ols(fc, {"a1": "A", "a2": "A"}).toPandas()
+    d = dict(zip(out["unique_id"], out["y_hat"]))
+    assert d["A"] == pytest.approx(d["a1"] + d["a2"], abs=1e-9)  # now coherent
+
+
+def test_crps_and_calibration(spark):
+    rng = np.random.default_rng(2)
+    n = 500
+    y = rng.normal(0, 1, n)
+    pdf = pd.DataFrame({
+        "y": y, "q_0.1": -1.2816, "q_0.5": 0.0, "q_0.9": 1.2816,
+    })
+    df = spark.createDataFrame(pdf)
+    qc = {0.1: "q_0.1", 0.5: "q_0.5", 0.9: "q_0.9"}
+    c = E.crps(df, qc).collect()[0]["crps"]
+    assert 0 < c < 1
+    cal = E.calibration_table(df, qc).toPandas()
+    for _, r in cal.iterrows():
+        assert r["observed"] == pytest.approx(r["expected"], abs=0.06)
+
+
+def test_bias_correct(spark):
+    pdf = pd.DataFrame({
+        "unique_id": ["a"] * 4, "y": [1.0, 2.0, 3.0, 4.0], "y_hat": [2.0, 3.0, 4.0, 5.0],
+    })
+    out = E.bias_correct(spark.createDataFrame(pdf)).toPandas()
+    assert np.allclose(out["y_hat_corrected"], out["y"])  # constant +1 bias removed
+
+
+def test_permutation_importance(spark):
+    from polars_ts_spark.functions.numutils import RidgeEstimator
+    rng = np.random.default_rng(3)
+    n = 300
+    pdf = pd.DataFrame({
+        "x1": rng.normal(0, 1, n), "x2": rng.normal(0, 1, n),
+    })
+    pdf["y"] = 5 * pdf["x1"] + 0.01 * pdf["x2"]
+    imp = E.permutation_importance(
+        spark.createDataFrame(pdf), ["x1", "x2"], "y", RidgeEstimator()
+    )
+    assert imp.iloc[0]["feature"] == "x1"
+    assert imp.iloc[0]["importance"] > 10 * max(imp.iloc[1]["importance"], 1e-9)
