@@ -1164,3 +1164,42 @@ def q_backtest(spark, sf_dir):
     panel = supplier_daily_panel(spark, sf_dir)
     _, summary = evaluation.backtest(panel, naive_fn, horizon=7, n_folds=2)
     return spark.createDataFrame(summary)
+
+
+# ---------------------------------------------------------------------------
+# streaming surface (SURVEY §2.18): batch partial_fit parity +
+# event-time windowed aggregation (oracle-able via time_bucket)
+
+
+@register("streaming_ets_state")  # sequential state recursion: rows-only
+def q_streaming_ets(spark, sf_dir):
+    from polars_ts_spark.streaming.structured import streaming_ets_update
+    return streaming_ets_update(supplier_daily_panel(spark, sf_dir), method="holt")
+
+
+@register(
+    "event_window_agg",
+    EVENT_PANEL_CTE.replace("CASE WHEN value < 10 THEN NULL ELSE CAST(value AS DOUBLE) END",
+                            "CAST(value AS DOUBLE)") + """
+    SELECT unique_id,
+           time_bucket(INTERVAL '1 hour', ds) AS window_start,
+           time_bucket(INTERVAL '1 hour', ds) + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n_events,
+           SUM(y) AS y_sum
+    FROM panel
+    GROUP BY 1, 2
+    """,
+)
+def q_event_window_agg(spark, sf_dir):
+    from polars_ts_spark.sources.datasets import user_event_panel
+    from polars_ts_spark.streaming.structured import tumbling_event_aggregate
+    return tumbling_event_aggregate(user_event_panel(spark, sf_dir), "1 hour")
+
+
+@register("streaming_global_forecast")  # driver online model: rows-only
+def q_streaming_global(spark, sf_dir):
+    from polars_ts_spark.streaming.online import StreamingGlobalForecaster
+    panel = supplier_daily_panel(spark, sf_dir)
+    m = StreamingGlobalForecaster(lags=(1, 2), window_size=60)
+    m.partial_fit(panel)
+    return spark.createDataFrame(m.predict(3))

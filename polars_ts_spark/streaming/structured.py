@@ -1,0 +1,184 @@
+"""Structured Streaming wrappers (SURVEY §2.18 Spark mapping + §7
+Phase 5): the StreamingETS state recursion under
+``applyInPandasWithState`` keyed by series id, and watermarked
+event-time aggregation as the beyond-reference extension.
+
+The reference has no watermarks or event-time windows — ordered
+micro-batch partial_fit only (streaming/ets.py:96-115). Parity is the
+state kernel (shared with streaming/online.py); the watermark/window
+surface is Spark-native value-add for the driver's `events` stream.
+
+Scale notes: state lives in the streaming state store (one record per
+unique_id — RocksDB-backed on a real cluster); each micro-batch
+shuffles only by key. The watermark bounds state for the windowed
+aggregation so late events older than the threshold are dropped
+instead of growing state without bound.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from polars_ts_spark.panel import ID, TARGET, TIME
+
+# output of each micro-batch per key: current smoothed state
+ETS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("unique_id", StringType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("n_obs", LongType()),
+    ]
+)
+
+# state tuple persisted in the state store
+ETS_STATE_SCHEMA = StructType(
+    [
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("n_obs", LongType()),
+    ]
+)
+
+
+def streaming_ets_update(
+    stream_df: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    method: str = "holt",
+    id_col: str = ID,
+    time_col: str = TIME,
+    target_col: str = TARGET,
+) -> DataFrame:
+    """Attach the ETS state recursion to a (possibly streaming)
+    DataFrame grouped by series id. Works identically under
+    ``readStream`` (state persisted across micro-batches by the state
+    store) and in batch mode (single pass).
+
+    Returns one row per key per micro-batch: [unique_id, level, trend,
+    n_obs] — the live forecast state (ŷ_{t+h} = level + h·trend).
+
+    On a non-streaming DataFrame the same recursion runs under plain
+    applyInPandas (applyInPandasWithState is streaming-only) — one
+    pass, identical output.
+    """
+
+    def _fold(level, trend, n, ys):
+        for y in ys:
+            if level is None:
+                level, trend, n = float(y), 0.0, 1
+                continue
+            prev = level
+            if method == "ses":
+                level = alpha * y + (1 - alpha) * level
+            else:
+                level = alpha * y + (1 - alpha) * (level + trend)
+                trend = beta * (level - prev) + (1 - beta) * trend
+            n += 1
+        return level, trend, n
+
+    if not stream_df.isStreaming:
+        def batch_kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(time_col)
+            level, trend, n = _fold(None, 0.0, 0, pdf[target_col].astype(float))
+            return pd.DataFrame(
+                {"unique_id": [str(pdf[id_col].iloc[0])], "level": [level],
+                 "trend": [trend], "n_obs": [n]}
+            )
+
+        return stream_df.groupBy(F.col(id_col)).applyInPandas(
+            batch_kern, schema=ETS_OUTPUT_SCHEMA
+        )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            level, trend, n = state.get
+        else:
+            level, trend, n = None, 0.0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            level, trend, n = _fold(level, trend, n, pdf[target_col].astype(float))
+        state.update((float(level if level is not None else 0.0), float(trend), int(n)))
+        yield pd.DataFrame(
+            {"unique_id": [key[0]], "level": [level], "trend": [trend], "n_obs": [n]}
+        )
+
+    return (
+        stream_df.groupBy(F.col(id_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=ETS_OUTPUT_SCHEMA,
+            stateStructType=ETS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def watermarked_event_counts(
+    stream_df: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    time_col: str = "ds",
+    id_col: str = "unique_id",
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with a watermark (the
+    beyond-reference extension, SURVEY §2.18): counts + sum per
+    (series, window); late data beyond `watermark` is dropped and the
+    state store stays bounded."""
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(F.col(id_col), F.window(F.col(time_col), window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("y").alias("y_sum"),
+        )
+        .select(
+            id_col,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "y_sum",
+        )
+    )
+
+
+def tumbling_event_aggregate(
+    df: DataFrame,
+    window: str = "1 hour",
+    time_col: str = "ds",
+    id_col: str = "unique_id",
+    target_col: str = "y",
+) -> DataFrame:
+    """Batch twin of watermarked_event_counts (same plan minus the
+    watermark) — lets the correctness gate check the windowing logic
+    against SQL time_bucket."""
+    return (
+        df.groupBy(F.col(id_col), F.window(F.col(time_col), window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(target_col).alias("y_sum"),
+        )
+        .select(
+            id_col,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "y_sum",
+        )
+    )

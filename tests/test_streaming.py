@@ -1,0 +1,163 @@
+"""Streaming layer: partial_fit parity with batch kernels, sliding
+buffers, and the Structured Streaming state recursion (run with a file
+stream + availableNow trigger, results collected from a memory sink)."""
+
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from polars_ts_spark.streaming.online import (
+    OnlineSGDRegressor,
+    SlidingWindowManager,
+    StreamingETS,
+    StreamingGlobalForecaster,
+    StreamingKalmanFilter,
+)
+
+
+def _panel(n=60, ids=("a", "b"), fn=lambda t: t * 1.0):
+    ts = pd.date_range("2024-01-01", periods=n, freq="D")
+    return pd.concat([
+        pd.DataFrame({"unique_id": sid, "ds": ts, "y": fn(np.arange(n)) + i})
+        for i, sid in enumerate(ids)
+    ])
+
+
+def test_sliding_window_manager_evicts():
+    m = SlidingWindowManager(window_size=3)
+    m.extend("a", [1, 2, 3, 4, 5])
+    assert list(m.get("a")) == [3, 4, 5]
+    assert m.series_ids() == ["a"]
+
+
+def test_streaming_ets_incremental_equals_batch():
+    pdf = _panel(60)
+    full = StreamingETS(method="holt").fit(pdf)
+    inc = StreamingETS(method="holt").fit(pdf.iloc[: 2 * 30])  # first half (both ids interleaved)
+    # split by time instead: first 30 days then rest
+    cut = pdf["ds"].iloc[29]
+    inc = StreamingETS(method="holt").fit(pdf[pdf["ds"] <= cut])
+    inc.partial_fit(pdf[pdf["ds"] > cut])
+    p_full = full.predict(3).set_index(["unique_id", "step"])["y_hat"]
+    p_inc = inc.predict(3).set_index(["unique_id", "step"])["y_hat"]
+    assert np.allclose(p_full.to_numpy(), p_inc.to_numpy(), atol=1e-12)
+
+
+def test_streaming_ets_new_ids_bootstrapped():
+    m = StreamingETS(method="ses")
+    m.fit(_panel(20, ids=("a",)))
+    m.partial_fit(_panel(20, ids=("b",)))
+    assert set(m.state) == {"a", "b"}
+
+
+def test_streaming_ets_holt_tracks_trend():
+    m = StreamingETS(method="holt", alpha=0.5, beta=0.3).fit(_panel(100))
+    pred = m.predict(2)
+    a2 = pred[(pred["unique_id"] == "a") & (pred["step"] == 2)]["y_hat"].iloc[0]
+    assert abs(a2 - 101.0) < 2.0  # line continues
+
+
+def test_streaming_kalman_incremental_equals_batch():
+    pdf = _panel(50)
+    cut = pdf["ds"].iloc[24]
+    full = StreamingKalmanFilter().fit(pdf)
+    inc = StreamingKalmanFilter().fit(pdf[pdf["ds"] <= cut]).partial_fit(pdf[pdf["ds"] > cut])
+    assert np.allclose(
+        full.predict().set_index("unique_id")["y_hat"].to_numpy(),
+        inc.predict().set_index("unique_id")["y_hat"].to_numpy(),
+        atol=1e-12,
+    )
+
+
+def test_online_sgd_learns_line():
+    rng = np.random.default_rng(0)
+    X = rng.random((2000, 2))
+    y = 2 * X[:, 0] + 3 * X[:, 1] + 1
+    est = OnlineSGDRegressor(lr=0.5)
+    for i in range(0, 2000, 100):
+        est.partial_fit(X[i:i + 100], y[i:i + 100])
+    assert np.mean(np.abs(est.predict(X) - y)) < 0.2
+
+
+def test_streaming_global_forecaster():
+    m = StreamingGlobalForecaster(lags=(1, 2), window_size=30, lr=0.5)
+    pdf = _panel(120)
+    for start in range(0, 120, 30):  # four micro-batches by time
+        lo, hi = pdf["ds"].iloc[start], pdf["ds"].iloc[min(start + 29, 119)]
+        m.partial_fit(pdf[(pdf["ds"] >= lo) & (pdf["ds"] <= hi)])
+    pred = m.predict(1)
+    a1 = pred[pred["unique_id"] == "a"]["y_hat"].iloc[0]
+    assert abs(a1 - 120.0) < 15.0  # learned roughly the trend
+
+
+def test_structured_streaming_ets_state(spark):
+    """Real Structured Streaming run: parquet file source ->
+    applyInPandasWithState -> memory sink, availableNow trigger."""
+    from polars_ts_spark.streaming.structured import streaming_ets_update
+
+    tmp = tempfile.mkdtemp(prefix="stream_src_")
+    try:
+        pdf = _panel(40)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = spark.readStream.schema(schema).parquet(tmp)
+        out = streaming_ets_update(stream, method="holt")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ets_state")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        res = spark.sql("SELECT * FROM ets_state").toPandas()
+        assert set(res["unique_id"]) == {"a", "b"}
+        assert (res["n_obs"] == 40).all()
+        # state matches the batch kernel exactly
+        batch = StreamingETS(method="holt").fit(pdf)
+        for sid in ("a", "b"):
+            lvl = res[res["unique_id"] == sid]["level"].iloc[-1]
+            assert lvl == pytest.approx(batch.state[sid]["level"], abs=1e-9)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_tumbling_event_aggregate(spark):
+    from polars_ts_spark.streaming.structured import tumbling_event_aggregate
+
+    ts = pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 01:20"])
+    df = spark.createDataFrame(pd.DataFrame({"unique_id": "u", "ds": ts, "y": [1.0, 2.0, 4.0]}))
+    out = tumbling_event_aggregate(df, "1 hour").toPandas().sort_values("window_start")
+    assert list(out["n_events"]) == [2, 1]
+    assert list(out["y_sum"]) == [3.0, 4.0]
+
+
+def test_watermarked_stream_window_counts(spark):
+    """Watermarked windowed aggregation on a real stream."""
+    from polars_ts_spark.streaming.structured import watermarked_event_counts
+
+    tmp = tempfile.mkdtemp(prefix="stream_wm_")
+    try:
+        ts = pd.date_range("2024-01-01", periods=48, freq="30min")
+        pdf = pd.DataFrame({"unique_id": "u", "ds": ts, "y": np.ones(48)})
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = spark.readStream.schema(schema).parquet(tmp)
+        out = watermarked_event_counts(stream, window="1 hour", watermark="2 hours")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("wm_counts")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        res = spark.sql("SELECT * FROM wm_counts").toPandas()
+        # append mode only emits windows the watermark has closed
+        assert (res["n_events"] == 2).all()
+        assert len(res) >= 20
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
