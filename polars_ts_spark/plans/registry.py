@@ -1203,3 +1203,178 @@ def q_streaming_global(spark, sf_dir):
     m = StreamingGlobalForecaster(lags=(1, 2), window_size=60)
     m.partial_fit(panel)
     return spark.createDataFrame(m.predict(3))
+
+
+# ---------------------------------------------------------------------------
+# preprocessing ops not yet gated
+
+
+@register(
+    "impute_linear",
+    EVENT_PANEL_CTE + """,
+    idxd AS (
+        SELECT unique_id, ds, y,
+               CAST(ROW_NUMBER() OVER w AS DOUBLE) AS idx
+        FROM panel WINDOW w AS (PARTITION BY unique_id ORDER BY ds)
+    ),
+    interp AS (
+        SELECT unique_id, ds, y, idx,
+               LAST_VALUE(y IGNORE NULLS) OVER wp AS pv,
+               LAST_VALUE(CASE WHEN y IS NOT NULL THEN idx END IGNORE NULLS) OVER wp AS pi,
+               FIRST_VALUE(y IGNORE NULLS) OVER wn AS nv,
+               FIRST_VALUE(CASE WHEN y IS NOT NULL THEN idx END IGNORE NULLS) OVER wn AS ni
+        FROM idxd
+        WINDOW wp AS (PARTITION BY unique_id ORDER BY ds ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wn AS (PARTITION BY unique_id ORDER BY ds ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT unique_id, ds,
+           COALESCE(y, pv + (nv - pv) * (idx - pi) / (ni - pi), pv, nv) AS y
+    FROM interp
+    """,
+)
+def q_impute_linear(spark, sf_dir):
+    return preprocessing.impute(_event_panel_with_nulls(spark, sf_dir), "linear")
+
+
+@register(
+    "impute_seasonal",
+    EVENT_PANEL_CTE + """,
+    idxd AS (
+        SELECT unique_id, ds, y,
+               (ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) - 1) % 7 AS phase
+        FROM panel
+    )
+    SELECT unique_id, ds,
+           COALESCE(y, AVG(y) OVER (PARTITION BY unique_id, phase)) AS y
+    FROM idxd
+    """,
+)
+def q_impute_seasonal(spark, sf_dir):
+    return preprocessing.impute_seasonal(_event_panel_with_nulls(spark, sf_dir), period=7)
+
+
+@register(
+    "treat_outliers_clip",
+    PANEL_CTE + """,
+    stats AS (
+        SELECT unique_id, ds, y,
+               AVG(y) OVER p AS mu, STDDEV_SAMP(y) OVER p AS sd
+        FROM panel WINDOW p AS (PARTITION BY unique_id)
+    )
+    SELECT unique_id, ds,
+           CASE WHEN ABS(y - mu) / NULLIF(sd, 0) > 3.0
+                THEN LEAST(GREATEST(y, mu - 3.0 * sd), mu + 3.0 * sd)
+                ELSE y END AS y
+    FROM stats
+    """,
+)
+def q_treat_outliers(spark, sf_dir):
+    return preprocessing.treat_outliers(
+        supplier_daily_panel(spark, sf_dir), method="zscore", replacement="clip", threshold=3.0
+    )
+
+
+@register(
+    "undifference_roundtrip",
+    PANEL_CTE + "SELECT unique_id, ds, y, y AS y_original FROM panel",
+)
+def q_undifference(spark, sf_dir):
+    d = preprocessing.difference(supplier_daily_panel(spark, sf_dir), order=1, period=7)
+    return preprocessing.undifference(d, order=1, period=7)
+
+
+@register(
+    "covariate_lag_features",
+    PANEL_CTE + """
+    SELECT unique_id, ds, y,
+           y * y AS y2,
+           LAG(y * y, 1) OVER w AS y2_lag_1,
+           LAG(y * y, 7) OVER w AS y2_lag_7
+    FROM panel WINDOW w AS (PARTITION BY unique_id ORDER BY ds)
+    """,
+)
+def q_covariate_lags(spark, sf_dir):
+    panel = supplier_daily_panel(spark, sf_dir).withColumn("y2", F.col("y") * F.col("y"))
+    return features.covariate_lag_features(panel, ["y2"], [1, 7])
+
+
+@register(
+    "interaction_features",
+    PANEL_CTE + """
+    SELECT unique_id, ds, y, y AS a, y + 1 AS b,
+           y * (y + 1) AS a_x_b
+    FROM panel
+    """,
+)
+def q_interactions(spark, sf_dir):
+    panel = (supplier_daily_panel(spark, sf_dir)
+             .withColumn("a", F.col("y"))
+             .withColumn("b", F.col("y") + 1))
+    return features.interaction_features(panel, [("a", "b")], "multiply")
+
+
+# ---------------------------------------------------------------------------
+# ARIMA / ROCKET / causal / imaging (per-series kernels: rows-only)
+
+
+@register("arima_forecast")
+def q_arima(spark, sf_dir):
+    from polars_ts_spark.operators import arima
+    return arima.arima_forecast(supplier_daily_panel(spark, sf_dir), h=7, order=(1, 1, 0))
+
+
+@register("auto_arima")
+def q_auto_arima(spark, sf_dir):
+    from polars_ts_spark.operators import arima
+    return arima.auto_arima(_monthly_panel(spark, sf_dir), h=6)
+
+
+@register("rocket_features")
+def q_rocket(spark, sf_dir):
+    from polars_ts_spark.operators import rocket
+    return rocket.rocket_features(_monthly_panel(spark, sf_dir), n_kernels=50)
+
+
+@register("minirocket_features")
+def q_minirocket(spark, sf_dir):
+    from polars_ts_spark.operators import rocket
+    return rocket.minirocket_features(_monthly_panel(spark, sf_dir), dilations=(1, 2))
+
+
+@register("synthetic_control")
+def q_synth_control(spark, sf_dir):
+    from polars_ts_spark.operators import causal
+    panel = _monthly_panel(spark, sf_dir)
+    ids = sorted(r[0] for r in panel.select("unique_id").distinct().collect())
+    times = sorted(r[0] for r in panel.select("ds").distinct().collect())
+    cut = times[int(len(times) * 0.7)]
+    out = causal.synthetic_control(panel, ids[0], cut)
+    return spark.createDataFrame(out)
+
+
+@register("causal_impact")
+def q_causal_impact(spark, sf_dir):
+    from polars_ts_spark.operators import causal
+    panel = _monthly_panel(spark, sf_dir)
+    times = sorted(r[0] for r in panel.select("ds").distinct().collect())
+    cut = times[int(len(times) * 0.8)]
+    out = causal.causal_impact(panel, cut)
+    return spark.createDataFrame(out)
+
+
+@register("gasf_image")
+def q_gasf(spark, sf_dir):
+    from polars_ts_spark.operators import imaging
+    return imaging.series_to_image(_monthly_panel(spark, sf_dir), "gasf")
+
+
+@register("rqa_features")
+def q_rqa(spark, sf_dir):
+    from polars_ts_spark.operators import imaging
+    return imaging.rqa_features(_monthly_panel(spark, sf_dir))
+
+
+@register("signature_features")
+def q_signature(spark, sf_dir):
+    from polars_ts_spark.operators import imaging
+    return imaging.signature_features(_monthly_panel(spark, sf_dir))

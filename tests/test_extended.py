@@ -1,0 +1,183 @@
+"""ARIMA, ROCKET, causal inference, imaging — analytic expectations."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from polars_ts_spark.operators import arima, causal, imaging, rocket
+
+
+# ---------------------------------------------------------------------------
+# ARIMA
+
+
+def test_ar1_recovers_coefficient():
+    rng = np.random.default_rng(0)
+    n, phi_true = 1000, 0.7
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = phi_true * y[t - 1] + rng.normal(0, 1)
+    c, phi, theta, sigma2, aic = arima.arma_fit_series(y, p=1, q=0)
+    assert abs(phi[0] - phi_true) < 0.05
+    assert abs(sigma2 - 1.0) < 0.15
+
+
+def test_arima_d1_tracks_trend():
+    y = 5.0 + 2.0 * np.arange(100)  # perfect line: d=1 -> constant diffs
+    fc = arima.arima_forecast_series(y, p=0, d=1, q=0, h=4)
+    assert np.allclose(fc, [205, 207, 209, 211], atol=0.5)
+
+
+def test_auto_arima_prefers_ar_for_ar_process():
+    rng = np.random.default_rng(1)
+    n = 500
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.8 * y[t - 1] + rng.normal(0, 1)
+    p, d, q = arima.auto_arima_series(y, max_p=2, max_d=1, max_q=1)
+    assert p >= 1 and d == 0
+
+
+def test_arima_operator(spark):
+    ts = pd.date_range("2024-01-01", periods=60, freq="D")
+    df = spark.createDataFrame(pd.DataFrame({
+        "unique_id": "a", "ds": ts, "y": 1.0 * np.arange(60)}))
+    out = arima.arima_forecast(df, h=3, order=(0, 1, 0)).toPandas().sort_values("ds")
+    assert np.allclose(out["y_hat"], [60, 61, 62], atol=0.5)
+    auto = arima.auto_arima(df, h=2).toPandas()
+    assert len(auto) == 2 and {"p", "d", "q"} <= set(auto.columns)
+
+
+# ---------------------------------------------------------------------------
+# ROCKET
+
+
+@pytest.fixture(scope="module")
+def rocket_panel(spark):
+    ts = pd.date_range("2024-01-01", periods=50, freq="D")
+    t = np.arange(50)
+    rows = []
+    for i in range(3):
+        rows.append(pd.DataFrame({"unique_id": f"sin{i}", "ds": ts, "y": np.sin(t / 2 + i)}))
+        rows.append(pd.DataFrame({"unique_id": f"lin{i}", "ds": ts, "y": t / 25.0 + i * 0.1}))
+    return spark.createDataFrame(pd.concat(rows))
+
+
+def test_rocket_features_shape_and_determinism(rocket_panel):
+    f1 = rocket.rocket_features(rocket_panel, n_kernels=20).toPandas().sort_values("unique_id")
+    f2 = rocket.rocket_features(rocket_panel, n_kernels=20).toPandas().sort_values("unique_id")
+    assert f1.shape == (6, 41)
+    assert np.allclose(
+        f1.drop(columns="unique_id").to_numpy(), f2.drop(columns="unique_id").to_numpy()
+    )  # seeded -> identical
+
+
+def test_minirocket_features(rocket_panel):
+    f = rocket.minirocket_features(rocket_panel, dilations=(1, 2)).toPandas()
+    assert f.shape == (6, 1 + 84 * 2)
+    vals = f.drop(columns="unique_id").to_numpy()
+    assert ((vals >= 0) & (vals <= 1)).all()  # PPVs
+
+
+def test_rocket_classifier_separates(rocket_panel, spark):
+    labels = spark.createDataFrame(
+        [(f"sin{i}", "sine") for i in range(3)] + [(f"lin{i}", "linear") for i in range(3)],
+        ["unique_id", "label"],
+    )
+    clf = rocket.RocketClassifier(n_kernels=50).fit(rocket_panel, labels)
+    pred = clf.predict(rocket_panel)
+    d = dict(zip(pred["unique_id"], pred["label_pred"]))
+    assert d["sin0"] == "sine" and d["lin0"] == "linear"
+    assert sum(d[f"sin{i}"] == "sine" for i in range(3)) >= 2
+
+
+# ---------------------------------------------------------------------------
+# causal
+
+
+def test_synthetic_control_recovers_effect(spark):
+    rng = np.random.default_rng(2)
+    ts = pd.date_range("2024-01-01", periods=100, freq="D")
+    base = np.sin(np.arange(100) / 10) * 5 + 20
+    rows = []
+    lift = np.where(np.arange(100) >= 70, 10.0, 0.0)  # +10 after day 70
+    rows.append(pd.DataFrame({"unique_id": "treated", "ds": ts, "y": base + lift}))
+    for i in range(4):
+        rows.append(pd.DataFrame({
+            "unique_id": f"donor{i}", "ds": ts,
+            "y": base * (0.8 + 0.1 * i) + rng.normal(0, 0.1, 100)}))
+    panel = spark.createDataFrame(pd.concat(rows))
+    out = causal.synthetic_control(panel, "treated", ts[70])
+    post = out[out["period"] == "post"]
+    assert abs(post["effect"].mean() - 10.0) < 1.0
+    pre = out[out["period"] == "pre"]
+    assert abs(pre["effect"].mean()) < 0.5
+
+
+def test_causal_impact_detects_lift(spark):
+    ts = pd.date_range("2024-01-01", periods=120, freq="D")
+    y = 50 + 0.5 * np.arange(120) + np.where(np.arange(120) >= 90, 20.0, 0.0)
+    df = spark.createDataFrame(pd.DataFrame({"unique_id": "x", "ds": ts, "y": y}))
+    out = causal.causal_impact(df, ts[90])
+    assert abs(out.attrs["avg_effect"] - 20.0) < 3.0
+    assert out.attrs["cum_effect_total"] > 400
+
+
+# ---------------------------------------------------------------------------
+# imaging
+
+
+def test_gasf_gadf_properties():
+    x = np.sin(np.arange(30) / 3)
+    G, D = imaging.gasf(x), imaging.gadf(x)
+    assert G.shape == (30, 30) and D.shape == (30, 30)
+    assert np.allclose(G, G.T)          # GASF symmetric
+    assert np.allclose(D, -D.T)         # GADF antisymmetric
+    assert np.allclose(np.diag(D), 0)
+
+
+def test_mtf_rows_are_probabilities():
+    x = np.sin(np.arange(64) / 5)
+    M = imaging.mtf(x, n_bins=4)
+    assert M.shape == (64, 64)
+    assert (M >= 0).all() and (M <= 1).all()
+
+
+def test_recurrence_periodic_signal():
+    x = np.sin(np.arange(60) * 2 * np.pi / 12)  # period 12
+    R = imaging.recurrence_plot(x, epsilon=0.05)
+    assert np.allclose(np.diag(R), 1)
+    assert len(R) == 59  # dim-2 embedding shortens by (m-1)*delay
+    # periodicity: points 12 apart recur
+    assert np.diagonal(R, offset=12).mean() > 0.9
+    stats = imaging.rqa_stats(R)
+    assert stats["determinism"] > 0.8  # deterministic signal
+
+
+def test_spectrogram_peak_frequency():
+    fs_idx = 4  # bin with 8-sample period in a 32-window
+    x = np.sin(np.arange(256) * 2 * np.pi / 8)
+    S = imaging.spectrogram(x, nperseg=32)
+    assert S.shape[0] == 17
+    assert (np.argmax(S, axis=0) == fs_idx).all()
+
+
+def test_signature_linear_path():
+    x = np.linspace(0, 1, 50)  # x == t
+    sig = imaging.path_signature_level2(x)
+    assert sig[0] == pytest.approx(1.0)      # S1_t
+    assert sig[1] == pytest.approx(1.0)      # S1_x
+    assert sig[2] == pytest.approx(0.5, abs=0.02)  # S2_tt = 1/2
+    assert sig[5] == pytest.approx(0.5, abs=0.02)
+
+
+def test_imaging_operators(spark):
+    ts = pd.date_range("2024-01-01", periods=40, freq="D")
+    df = spark.createDataFrame(pd.DataFrame({
+        "unique_id": "a", "ds": ts, "y": np.sin(np.arange(40) / 3)}))
+    img = imaging.series_to_image(df, "gasf").collect()[0]["image"]
+    assert len(img) == 40 and len(img[0]) == 40
+    rqa = imaging.rqa_features(df).toPandas()
+    assert 0 <= rqa["recurrence_rate"].iloc[0] <= 1
+    sig = imaging.signature_features(df).toPandas()
+    assert sig.shape == (1, 7)
