@@ -433,3 +433,125 @@ def permutation_importance(
             degr.append(float(np.mean(np.abs(estimator.predict(Xp) - y))) - base)
         rows.append({"feature": c, "importance": float(np.mean(degr)), "std": float(np.std(degr))})
     return pd.DataFrame(rows).sort_values("importance", ascending=False).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Kaboudan predictability metric (metrics/kaboudan.py:21-216)
+
+
+def kaboudan_metric(
+    df: DataFrame,
+    model_fn: Callable[[DataFrame, int], DataFrame],
+    horizon: int = 7,
+    block_size: int = 7,
+    seed: int = 42,
+    id_col: str = ID,
+    time_col: str = TIME,
+    target_col: str = TARGET,
+) -> pd.DataFrame:
+    """eta = max(0, 1 - SSE / SSE_shuffled): backtest SSE on the true
+    series vs on a block-shuffled version (destroys temporal structure;
+    predictable series -> eta near 1). Deterministic block shuffle via
+    a seeded generator on the driver."""
+    times = [r[0] for r in df.select(time_col).distinct().orderBy(time_col).collect()]
+    cut = times[-horizon - 1]
+    train = df.filter(F.col(time_col) <= F.lit(cut))
+    test = df.filter(F.col(time_col) > F.lit(cut))
+
+    def sse_of(train_df):
+        preds = model_fn(train_df, horizon)
+        j = test.select(id_col, time_col, target_col).join(preds, [id_col, time_col], "inner")
+        return (
+            j.groupBy(id_col)
+            .agg(F.sum(F.pow(F.col(target_col) - F.col("y_hat"), 2)).alias("sse"))
+            .toPandas()
+            .set_index(id_col)["sse"]
+        )
+
+    sse = sse_of(train)
+    # block-shuffle each series' training values (ids/timestamps fixed)
+    pdf = train.select(id_col, time_col, target_col).toPandas()
+    pdf[time_col] = pd.to_datetime(pdf[time_col])
+    rng = np.random.default_rng(seed)
+    parts = []
+    for sid, g in pdf.groupby(id_col, sort=True):
+        g = g.sort_values(time_col).reset_index(drop=True)
+        vals = g[target_col].to_numpy().copy()
+        blocks = [vals[i : i + block_size] for i in range(0, len(vals), block_size)]
+        order = rng.permutation(len(blocks))
+        g[target_col] = np.concatenate([blocks[i] for i in order])[: len(vals)]
+        parts.append(g)
+    shuffled = df.sparkSession.createDataFrame(pd.concat(parts))
+    sse_sh = sse_of(shuffled)
+    eta = (1.0 - sse / sse_sh).clip(lower=0.0)
+    return pd.DataFrame({id_col: eta.index, "kaboudan": eta.to_numpy()})
+
+
+# ---------------------------------------------------------------------------
+# EnbPI bootstrap-ensemble intervals (conformal.py:190-416)
+
+
+class EnbPI:
+    """Ensemble-bootstrap prediction intervals: B bootstrap model fits;
+    each point's residual comes from models whose bootstrap sample
+    excluded it (out-of-bag); intervals = y_hat ± conformal quantile of
+    the OOB residuals, updatable online via update()."""
+
+    def __init__(self, model_factory, n_bootstraps: int = 10, coverage: float = 0.9, seed: int = 42,
+                 id_col: str = ID, time_col: str = TIME, target_col: str = TARGET):
+        self.factory = model_factory
+        self.B = n_bootstraps
+        self.coverage = coverage
+        self.seed = seed
+        self.id_col, self.time_col, self.target_col = id_col, time_col, target_col
+        self.residuals: list[float] = []
+
+    def fit(self, df: DataFrame, holdout: int = 7) -> "EnbPI":
+        times = [r[0] for r in df.select(self.time_col).distinct().orderBy(self.time_col).collect()]
+        rng = np.random.default_rng(self.seed)
+        cut = times[-holdout - 1]
+        train = df.filter(F.col(self.time_col) <= F.lit(cut))
+        test = df.filter(F.col(self.time_col) > F.lit(cut)).select(
+            self.id_col, self.time_col, self.target_col
+        )
+        train_times = [t for t in times if t <= cut]
+        self.models = []
+        preds = []
+        for b in range(self.B):
+            # bootstrap by time blocks: sample timestamps with replacement
+            keep = set(rng.choice(len(train_times), len(train_times), replace=True).tolist())
+            sample = train.filter(
+                F.col(self.time_col).isin([train_times[i] for i in sorted(keep)])
+            )
+            m = self.factory()
+            m.fit(sample)
+            self.models.append(m)
+            p = m.predict(sample, holdout).withColumnRenamed("y_hat", f"__p_{b}")
+            preds.append(p)
+        joined = test
+        for b, p in enumerate(preds):
+            joined = joined.join(p, [self.id_col, self.time_col], "left")
+        pdf = joined.toPandas()
+        pcols = [f"__p_{b}" for b in range(self.B)]
+        ens = pdf[pcols].mean(axis=1)
+        self.residuals = list((pdf[self.target_col] - ens).abs().dropna())
+        return self
+
+    def update(self, actual: float, predicted: float) -> None:
+        self.residuals.append(abs(actual - predicted))
+
+    def predict_interval(self, df: DataFrame, h: int = 7) -> DataFrame:
+        out = None
+        for b, m in enumerate(self.models):
+            p = m.predict(df, h).withColumnRenamed("y_hat", f"__p_{b}")
+            out = p if out is None else out.join(p, [self.id_col, self.time_col], "inner")
+        mean_expr = sum(F.col(f"__p_{b}") for b in range(self.B)) / self.B
+        r = sorted(self.residuals)
+        k = min(len(r) - 1, max(0, int(np.ceil(self.coverage * (len(r) + 1))) - 1))
+        q = float(r[k]) if r else 0.0
+        return out.select(
+            self.id_col, self.time_col,
+            mean_expr.alias("y_hat"),
+            (mean_expr - q).alias("y_hat_lower"),
+            (mean_expr + q).alias("y_hat_upper"),
+        )

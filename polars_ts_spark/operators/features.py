@@ -243,3 +243,56 @@ def target_encode(
         ).alias(f"{cat_col}_encoded"),
     )
     return df.join(F.broadcast(enc), on=cat_col, how="left")
+
+
+# ---------------------------------------------------------------------------
+# holiday features (features/advanced.py:57-113) — the `holidays`
+# package is not in the container; fixed-date holiday tables are built
+# on the driver (deterministic) and broadcast-joined.
+
+_FIXED_HOLIDAYS = {
+    "US": ((1, 1), (7, 4), (12, 25), (12, 31)),
+    "DE": ((1, 1), (5, 1), (10, 3), (12, 25), (12, 26)),
+}
+
+
+def holiday_features(
+    df: DataFrame,
+    country: str = "US",
+    distance: bool = True,
+    time_col: str = TIME,
+) -> DataFrame:
+    """``is_holiday`` (+ ``days_to_holiday`` / ``days_since_holiday``):
+    holiday calendar built on the driver for the panel's year span,
+    broadcast-joined on the date — no shuffle of the fact table."""
+    import datetime as _dt
+
+    require_columns(df, time_col)
+    yr = df.select(
+        F.min(F.year(time_col)).alias("lo"), F.max(F.year(time_col)).alias("hi")
+    ).collect()[0]
+    days = [
+        _dt.date(y, m, d)
+        for y in range(int(yr["lo"]) - 1, int(yr["hi"]) + 2)
+        for (m, d) in _FIXED_HOLIDAYS[country]
+    ]
+    spark = df.sparkSession
+    hol = spark.createDataFrame([(d,) for d in days], ["__hday"])
+    out = df.withColumn("__date", F.to_date(time_col))
+    flagged = out.join(
+        F.broadcast(hol.withColumn("__is_h", F.lit(1))),
+        out["__date"] == hol["__hday"],
+        "left",
+    ).withColumn("is_holiday", F.col("__is_h").isNotNull()).drop("__hday", "__is_h")
+    if not distance:
+        return flagged.drop("__date")
+    # distances via a broadcast sorted-array lookup (holiday list tiny)
+    days_sorted = sorted(days)
+    arr = F.array(*[F.lit(d) for d in days_sorted])
+    nxt = F.array_min(F.filter(arr, lambda d: d >= F.col("__date")))
+    prv = F.array_max(F.filter(arr, lambda d: d <= F.col("__date")))
+    return (
+        flagged.withColumn("days_to_holiday", F.datediff(nxt, F.col("__date")))
+        .withColumn("days_since_holiday", F.datediff(F.col("__date"), prv))
+        .drop("__date")
+    )

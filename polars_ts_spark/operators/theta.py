@@ -1,0 +1,88 @@
+"""Theta-method forecast and the SCUM-style auto-model ensemble
+(SURVEY §2.12).
+
+Reference parity:
+- SCUM -> polars_ts/models/scum.py:10-68 (mean ensemble of four
+  statsforecast auto models; ours averages auto_arima, SES and Theta —
+  the members available in-container)
+- theta: the classical decomposition used inside DynamicOptimizedTheta
+  (scum.py member): SES on the theta=2 line + linear drift.
+
+Per-series applyInPandas; members run in the SAME worker pass (one
+shuffle total, not one per member).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from polars_ts_spark.operators.arima import arima_forecast_series, auto_arima_series
+from polars_ts_spark.operators.kernel import for_each_series
+from polars_ts_spark.panel import ID, TARGET, TIME
+
+
+def theta_forecast_series(y: np.ndarray, h: int, alpha: float = 0.3) -> np.ndarray:
+    """Classical Theta(0,2): average of the linear-trend line (theta=0)
+    and SES on the theta=2 line, drift-corrected."""
+    y = np.asarray(y, float)
+    n = len(y)
+    t = np.arange(n, dtype=float)
+    # theta=0 line: OLS trend
+    A = np.column_stack([t, np.ones(n)])
+    (b, a), *_ = np.linalg.lstsq(A, y, rcond=None)
+    trend_fc = a + b * (n + np.arange(h))
+    # theta=2 line: 2y - trend, smoothed by SES
+    theta2 = 2 * y - (a + b * t)
+    level = theta2[0]
+    for v in theta2[1:]:
+        level = alpha * v + (1 - alpha) * level
+    ses_fc = np.full(h, level)
+    return 0.5 * (trend_fc + ses_fc)
+
+
+def theta_forecast(
+    df: DataFrame, h: int = 7, alpha: float = 0.3,
+    id_col: str = ID, time_col: str = TIME, target_col: str = TARGET,
+) -> DataFrame:
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col)
+        y = pdf[target_col].to_numpy(dtype=float)
+        ts = pd.to_datetime(pdf[time_col])
+        freq = ts.diff().dropna().median() if len(ts) > 1 else pd.Timedelta(days=1)
+        fc = theta_forecast_series(y, h, alpha)
+        fut = [ts.iloc[-1] + (i + 1) * freq for i in range(h)]
+        return pd.DataFrame({id_col: pdf[id_col].iloc[0], time_col: fut, "y_hat": fc})
+
+    schema = f"{id_col} string, {time_col} timestamp, y_hat double"
+    return for_each_series(df, kern, schema, id_col=id_col, time_col=time_col)
+
+
+def scum_forecast(
+    df: DataFrame, h: int = 7,
+    id_col: str = ID, time_col: str = TIME, target_col: str = TARGET,
+) -> DataFrame:
+    """SCUM-style mean ensemble (scum.py:10-68): auto-ARIMA + SES +
+    Theta averaged per step, all computed in one worker pass."""
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col)
+        y = pdf[target_col].to_numpy(dtype=float)
+        ts = pd.to_datetime(pdf[time_col])
+        freq = ts.diff().dropna().median() if len(ts) > 1 else pd.Timedelta(days=1)
+        members = []
+        if len(y) >= 12:
+            order = auto_arima_series(y, max_p=2, max_d=1, max_q=1)
+            members.append(arima_forecast_series(y, *order, h))
+        level = y[0]
+        for v in y[1:]:
+            level = 0.3 * v + 0.7 * level
+        members.append(np.full(h, level))
+        members.append(theta_forecast_series(y, h))
+        fc = np.mean(members, axis=0)
+        fut = [ts.iloc[-1] + (i + 1) * freq for i in range(h)]
+        return pd.DataFrame({id_col: pdf[id_col].iloc[0], time_col: fut, "y_hat": fc})
+
+    schema = f"{id_col} string, {time_col} timestamp, y_hat double"
+    return for_each_series(df, kern, schema, id_col=id_col, time_col=time_col)

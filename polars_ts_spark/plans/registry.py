@@ -1378,3 +1378,65 @@ def q_rqa(spark, sf_dir):
 def q_signature(spark, sf_dir):
     from polars_ts_spark.operators import imaging
     return imaging.signature_features(_monthly_panel(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# anomaly / theta / kaboudan / EnbPI / holidays
+
+
+@register("isolation_forest")  # seeded forest: rows-only
+def q_iforest(spark, sf_dir):
+    from polars_ts_spark.operators import anomaly
+    return anomaly.isolation_forest_detect(supplier_daily_panel(spark, sf_dir), n_trees=50)
+
+
+@register("bayesian_anomaly")  # sequential recursion: rows-only
+def q_bayes_anomaly(spark, sf_dir):
+    from polars_ts_spark.operators import anomaly
+    return anomaly.bayesian_anomaly_score(supplier_daily_panel(spark, sf_dir))
+
+
+@register("theta_forecast")  # rows-only
+def q_theta(spark, sf_dir):
+    from polars_ts_spark.operators import theta
+    return theta.theta_forecast(supplier_daily_panel(spark, sf_dir), h=7)
+
+
+@register("scum_forecast")  # rows-only
+def q_scum(spark, sf_dir):
+    from polars_ts_spark.operators import theta
+    return theta.scum_forecast(_monthly_panel(spark, sf_dir), h=6)
+
+
+@register("kaboudan_metric")  # rows-only
+def q_kaboudan(spark, sf_dir):
+    from polars_ts_spark.operators import evaluation
+
+    def model(train, h):
+        return baselines.naive_forecast(train, h=h)
+
+    panel = supplier_daily_panel(spark, sf_dir)
+    return spark.createDataFrame(evaluation.kaboudan_metric(panel, model, horizon=7))
+
+
+@register("enbpi_interval")  # bootstrap ensemble: rows-only
+def q_enbpi(spark, sf_dir):
+    from polars_ts_spark.operators import evaluation
+    from polars_ts_spark.operators.pipeline import RecursiveForecaster
+    panel = supplier_daily_panel(spark, sf_dir)
+    m = evaluation.EnbPI(lambda: RecursiveForecaster(lags=[1, 7]), n_bootstraps=3).fit(panel, holdout=7)
+    return m.predict_interval(panel, h=7)
+
+
+@register(
+    "holiday_features",
+    PANEL_CTE + """
+    SELECT unique_id, ds, y,
+           (strftime(ds, '%m-%d') IN ('01-01', '07-04', '12-25', '12-31')) AS is_holiday
+    FROM panel
+    """,
+)
+def q_holidays(spark, sf_dir):
+    return features.holiday_features(
+        supplier_daily_panel(spark, sf_dir), "US", distance=False
+    )

@@ -1,0 +1,98 @@
+"""Anomaly detection, theta/SCUM forecasts, Kaboudan, EnbPI, holidays."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polars_ts_spark.operators import anomaly, features, theta
+from polars_ts_spark.operators import evaluation as E
+
+
+def test_isolation_forest_flags_planted_outlier():
+    rng = np.random.default_rng(0)
+    X = rng.normal(0, 1, (500, 2))
+    X[0] = [10.0, 10.0]  # clear outlier
+    f = anomaly.IsolationForest(n_trees=50).fit(X)
+    s = f.score(X)
+    assert s[0] > 0.6
+    assert np.argmax(s) == 0
+    assert s[1:].mean() < 0.55
+
+
+def test_isolation_forest_operator(spark):
+    rng = np.random.default_rng(1)
+    ts = pd.date_range("2024-01-01", periods=200, freq="D")
+    y = rng.normal(100, 1, 200)
+    y[50] = 200.0
+    df = spark.createDataFrame(pd.DataFrame({"unique_id": "a", "ds": ts, "y": y}))
+    out = (anomaly.isolation_forest_detect(df, n_trees=50).toPandas()
+           .sort_values("ds").reset_index(drop=True))
+    assert bool(out["is_anomaly"].iloc[50])
+    assert out["anomaly_score"].idxmax() == 50
+    assert out["is_anomaly"].sum() <= 15
+
+
+def test_bayesian_anomaly_scores_spike(spark):
+    rng = np.random.default_rng(2)
+    ts = pd.date_range("2024-01-01", periods=300, freq="D")
+    y = rng.normal(0, 1, 300)
+    y[150] = 15.0
+    df = spark.createDataFrame(pd.DataFrame({"unique_id": "a", "ds": ts, "y": y}))
+    out = anomaly.bayesian_anomaly_score(df).toPandas().sort_values("ds").reset_index(drop=True)
+    assert out["anomaly_score"].idxmax() == 150
+    assert bool(out["is_anomaly"].iloc[150])
+
+
+def test_theta_extrapolates_trend(spark):
+    ts = pd.date_range("2024-01-01", periods=80, freq="D")
+    df = spark.createDataFrame(pd.DataFrame({
+        "unique_id": "a", "ds": ts, "y": 10.0 + 2.0 * np.arange(80)}))
+    out = theta.theta_forecast(df, h=3).toPandas().sort_values("ds")
+    # theta on a pure line: trend line exact, SES flat -> average has
+    # half the slope but starts near the last value
+    assert out["y_hat"].iloc[0] > 160
+    scum = theta.scum_forecast(df, h=3).toPandas()
+    assert len(scum) == 3 and np.isfinite(scum["y_hat"]).all()
+
+
+def test_kaboudan_high_for_predictable(spark):
+    ts = pd.date_range("2024-01-01", periods=100, freq="D")
+    rng = np.random.default_rng(3)
+    rows = [
+        pd.DataFrame({"unique_id": "line", "ds": ts, "y": 1.0 * np.arange(100)}),
+        pd.DataFrame({"unique_id": "noise", "ds": ts, "y": rng.normal(0, 1, 100)}),
+    ]
+    df = spark.createDataFrame(pd.concat(rows))
+
+    def model(train, h):
+        from polars_ts_spark.operators.pipeline import RecursiveForecaster
+        return RecursiveForecaster(lags=[1, 2]).fit(train).predict(train, h)
+
+    out = E.kaboudan_metric(df, model, horizon=7, block_size=7).set_index("unique_id")
+    assert out.loc["line", "kaboudan"] > 0.9   # perfectly predictable
+    assert out.loc["line", "kaboudan"] > out.loc["noise", "kaboudan"]
+
+
+def test_enbpi_intervals_cover(spark):
+    from polars_ts_spark.operators.pipeline import RecursiveForecaster
+    ts = pd.date_range("2024-01-01", periods=100, freq="D")
+    rng = np.random.default_rng(4)
+    df = spark.createDataFrame(pd.DataFrame({
+        "unique_id": "a", "ds": ts, "y": 50 + np.arange(100) + rng.normal(0, 1, 100)}))
+    m = E.EnbPI(lambda: RecursiveForecaster(lags=[1, 2]), n_bootstraps=4).fit(df, holdout=7)
+    out = m.predict_interval(df, h=3).toPandas()
+    assert (out["y_hat_lower"] <= out["y_hat"]).all()
+    assert (out["y_hat"] <= out["y_hat_upper"]).all()
+    n0 = len(m.residuals)
+    m.update(10.0, 9.0)
+    assert len(m.residuals) == n0 + 1
+
+
+def test_holiday_features(spark):
+    ts = pd.to_datetime(["2024-01-01", "2024-07-03", "2024-07-04", "2024-12-25"])
+    df = spark.createDataFrame(pd.DataFrame({"unique_id": "a", "ds": ts, "y": 1.0}))
+    out = features.holiday_features(df, "US").toPandas().sort_values("ds").reset_index(drop=True)
+    assert list(out["is_holiday"]) == [True, False, True, True]
+    assert out["days_to_holiday"].iloc[1] == 1     # Jul 3 -> Jul 4
+    assert out["days_since_holiday"].iloc[1] == 184  # Jul 3 <- Jan 1 (leap year)
