@@ -1440,3 +1440,61 @@ def q_holidays(spark, sf_dir):
     return features.holiday_features(
         supplier_daily_panel(spark, sf_dir), "US", distance=False
     )
+
+
+# ---------------------------------------------------------------------------
+# Bayesian forecasting / multivariate distances / adapters
+
+
+@register("gp_forecast")  # rows-only
+def q_gp_forecast(spark, sf_dir):
+    from polars_ts_spark.operators import bayesian
+    return bayesian.gp_forecast(_monthly_panel(spark, sf_dir), h=6)
+
+
+@register("mcmc_forecast")  # rows-only
+def q_mcmc_forecast(spark, sf_dir):
+    from polars_ts_spark.operators import bayesian
+    return bayesian.mcmc_forecast(_monthly_panel(spark, sf_dir), h=6, n_samples=800)
+
+
+@register("bayesian_ets")  # rows-only
+def q_bayesian_ets(spark, sf_dir):
+    from polars_ts_spark.operators import bayesian
+    return bayesian.bayesian_ets(_monthly_panel(spark, sf_dir), h=6, n_samples=500)
+
+
+@register("bsts_forecast")  # rows-only
+def q_bsts(spark, sf_dir):
+    from polars_ts_spark.operators import bayesian
+    return bayesian.bsts_forecast(supplier_daily_panel(spark, sf_dir), h=7, season_length=7)
+
+
+@register("pairwise_dtw_multi")  # rows-only
+def q_dtw_multi(spark, sf_dir):
+    from polars_ts_spark.operators.distance import compute_pairwise_distance_multi
+    biv = _bivariate_panel(spark, sf_dir)
+    monthly = (biv.groupBy("unique_id", F.date_trunc("month", F.col("ds")).alias("ds"))
+               .agg(F.avg("y").alias("y"), F.avg("y2").alias("y2")))
+    return compute_pairwise_distance_multi(monthly, method="dtw_multi", value_cols=["y", "y2"])
+
+
+@register("pairwise_dtw_fast")  # rows-only (FastDTW approximation)
+def q_dtw_fast(spark, sf_dir):
+    from polars_ts_spark.operators.distance import compute_pairwise_distance
+    return compute_pairwise_distance(_monthly_panel(spark, sf_dir), method="dtw",
+                                     variant="fast", param=3)
+
+
+@register(
+    "adapter_huggingface",
+    PANEL_CTE + """
+    SELECT unique_id AS id, COUNT(*) AS n_points, SUM(y) AS target_sum
+    FROM panel GROUP BY 1
+    """,
+)
+def q_adapter_hf(spark, sf_dir):
+    from polars_ts_spark.sources import adapters
+    recs = adapters.to_huggingface(supplier_daily_panel(spark, sf_dir))
+    rows = [(r["id"], len(r["target"]), float(sum(r["target"]))) for r in recs]
+    return spark.createDataFrame(rows, ["id", "n_points", "target_sum"])
