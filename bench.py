@@ -51,6 +51,15 @@ HEADLINE = [
     "text_stats",
     "cosine_topk",
     "lsh_ann_topk",
+    # model & pipeline layer
+    "recursive_forecast",
+    "arima_forecast",
+    "kalman_filter",
+    "conformal_interval",
+    "reconcile_bottom_up",
+    "event_window_agg",
+    "kmedoids_dtw",
+    "regime_detect",
 ]
 
 
