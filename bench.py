@@ -78,6 +78,10 @@ def main():
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # several operators cache intermediates (pairwise grouped
+        # arrays, reconcile bottoms); drop them between queries so
+        # accumulated blocks don't GC-pressure later measurements
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",

@@ -147,17 +147,20 @@ def _hmm_fit_series(y: np.ndarray, n_states: int = 2, n_iter: int = 50):
             beta[t] = (A @ (B[t + 1] * beta[t + 1])) / c[t + 1]
         gamma = alpha * beta
         gamma /= np.maximum(gamma.sum(axis=1, keepdims=True), 1e-300)
-        xi_sum = np.zeros((n_states, n_states))
-        for t in range(n - 1):
-            xi = alpha[t][:, None] * A * B[t + 1][None, :] * beta[t + 1][None, :] / c[t + 1]
-            xi_sum += xi
+        # xi_sum = sum_t alpha_t (x) (A * B_{t+1} beta_{t+1} / c_{t+1})
+        # vectorized over t — the per-step Python loop dominated runtime
+        w = B[1:] * beta[1:] / c[1:, None]
+        xi_sum = A * (alpha[:-1].T @ w)
         # M-step
         pi = gamma[0]
         A = xi_sum / np.maximum(xi_sum.sum(axis=1, keepdims=True), 1e-300)
         w = gamma.sum(axis=0)
+        prev_means = means
         means = (gamma * y[:, None]).sum(axis=0) / np.maximum(w, 1e-300)
         var = (gamma * (y[:, None] - means[None, :]) ** 2).sum(axis=0) / np.maximum(w, 1e-300)
         var = np.maximum(var, 1e-8)
+        if np.max(np.abs(means - prev_means)) < 1e-8 * (1 + np.max(np.abs(means))):
+            break
     # order states by mean so labels are deterministic
     order = np.argsort(means)
     remap = np.empty(n_states, dtype=int)

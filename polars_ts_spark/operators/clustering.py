@@ -657,3 +657,98 @@ def knn_classify(
         .filter(F.col("_r") == 1)
         .select(F.col("id_1").alias(id_col), F.col(label_col).alias("label_pred"))
     )
+
+
+# ---------------------------------------------------------------------------
+# u-shapelet clustering (clustering/shapelets.py:138-296)
+
+
+def _sliding_min_dist(x: np.ndarray, shp: np.ndarray) -> float:
+    """Min z-normalized euclidean distance of shapelet to any window —
+    all windows at once via a stride-tricks view (no Python loop)."""
+    m = len(shp)
+    if len(x) < m:
+        return float("inf")
+    s = (shp - shp.mean()) / (shp.std() or 1.0)
+    W = np.lib.stride_tricks.sliding_window_view(x, m)
+    mu = W.mean(axis=1, keepdims=True)
+    sd = W.std(axis=1, keepdims=True)
+    sd = np.where(sd == 0, 1.0, sd)
+    Wz = (W - mu) / sd
+    d = ((Wz - s[None, :]) ** 2).sum(axis=1)
+    return float(np.sqrt(d.min() / m))
+
+
+def _gap_score(dists: np.ndarray) -> tuple[float, float]:
+    """Best gap between the sorted distance groups (shapelets.py
+    gap-statistic): maximize (mu_B - sigma_B) - (mu_A + sigma_A) over
+    split points with both sides non-trivial."""
+    d = np.sort(dists)
+    n = len(d)
+    best, thr = -np.inf, d[n // 2] if n else 0.0
+    # both sides need >= 2 members: singleton "clusters" trivially
+    # maximize the gap statistic on noise
+    for k in range(max(2, n // 5), min(n - 2, 4 * n // 5) + 1):
+        a, b = d[:k], d[k:]
+        gap = (b.mean() - b.std()) - (a.mean() + a.std())
+        if gap > best:
+            best, thr = gap, (d[k - 1] + d[k]) / 2.0
+    return best, thr
+
+
+def shapelet_cluster(
+    df: DataFrame,
+    k: int = 2,
+    shapelet_lengths: tuple[int, ...] = (8, 12),
+    max_candidates_per_series: int = 4,
+    id_col: str = ID,
+    time_col: str = TIME,
+    target_col: str = TARGET,
+) -> DataFrame:
+    """U-shapelet clustering: repeatedly pick the candidate subsequence
+    with the best distance-gap score, split the remaining series at the
+    gap threshold (shapelets.py:138-296). Candidate scoring runs on the
+    collected array panel (n_series is the small dimension); output
+    [id, cluster]."""
+    rows = (
+        df.groupBy(F.col(id_col).cast("string").alias(id_col))
+        .agg(F.expr(f"transform(array_sort(collect_list(struct({time_col} as t, "
+                    f"cast({target_col} as double) as v))), s -> s.v)").alias("vals"))
+        .collect()
+    )
+    ids = [r[id_col] for r in rows]
+    series = {r[id_col]: np.asarray(r["vals"], float) for r in rows}
+    unassigned = list(ids)
+    labels: dict[str, int] = {}
+    for c in range(k - 1):
+        if len(unassigned) <= 1:
+            break
+        best = (-np.inf, None, None)
+        for sid in unassigned:
+            x = series[sid]
+            for L in shapelet_lengths:
+                if len(x) <= L:
+                    continue
+                starts = np.linspace(0, len(x) - L, max_candidates_per_series).astype(int)
+                for st in starts:
+                    shp = x[st : st + L]
+                    dists = np.array([
+                        _sliding_min_dist(series[o], shp) for o in unassigned
+                    ])
+                    score, thr = _gap_score(dists)
+                    if score > best[0]:
+                        best = (score, shp, thr)
+        if best[1] is None:
+            break
+        _, shp, thr = best
+        members = [
+            sid for sid in unassigned if _sliding_min_dist(series[sid], shp) <= thr
+        ]
+        if not members or len(members) == len(unassigned):
+            break
+        for sid in members:
+            labels[sid] = c
+        unassigned = [s for s in unassigned if s not in members]
+    for sid in unassigned:
+        labels[sid] = k - 1
+    return _labels_df(df.sparkSession, ids, [labels[s] for s in ids], id_col)

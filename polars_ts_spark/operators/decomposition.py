@@ -100,3 +100,57 @@ def seasonal_decompose_features(
         ).alias("seasonal_strength"),
         F.var_samp("resid").alias("resid_var"),
     )
+
+
+def fourier_decomposition(
+    df: DataFrame,
+    period: float = 7.0,
+    n_harmonics: int = 3,
+    trend_window: int | None = None,
+    id_col: str = ID,
+    time_col: str = TIME,
+    target_col: str = TARGET,
+) -> DataFrame:
+    """Fourier-OLS decomposition (decomposition/fourier_decomposition.py:12-180):
+    trend = centered moving average; seasonal = per-series least-squares
+    fit of sin/cos harmonics of the within-series index on the detrended
+    values; residual = remainder. Output adds trend/seasonal/residual.
+
+    The per-series OLS runs in applyInPandas (the reference delegates to
+    polars-ds lstsq); the design matrix is (n x 2K), normal equations
+    solved exactly per series."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_ts_spark.operators.kernel import for_each_series
+
+    w = trend_window or int(period)
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col)
+        y = pdf[target_col].to_numpy(dtype=float)
+        n = len(y)
+        trend = pd.Series(y).rolling(w, min_periods=1, center=True).mean().to_numpy()
+        detr = y - trend
+        t = np.arange(n, dtype=float)
+        cols = []
+        for k in range(1, n_harmonics + 1):
+            ang = 2.0 * np.pi * k * t / period
+            cols.append(np.sin(ang))
+            cols.append(np.cos(ang))
+        X = np.column_stack(cols) if cols else np.zeros((n, 0))
+        if X.shape[1] and n > X.shape[1]:
+            beta, *_ = np.linalg.lstsq(X, detr, rcond=None)
+            seasonal = X @ beta
+        else:
+            seasonal = np.zeros(n)
+        return pd.DataFrame({
+            id_col: pdf[id_col], time_col: pdf[time_col], target_col: y,
+            "trend": trend, "seasonal": seasonal, "residual": y - trend - seasonal,
+        })
+
+    schema = (
+        f"{id_col} string, {time_col} timestamp, {target_col} double, "
+        "trend double, seasonal double, residual double"
+    )
+    return for_each_series(df, kern, schema, id_col=id_col)

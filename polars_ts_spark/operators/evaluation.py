@@ -272,6 +272,9 @@ def reconcile_bottom_up(
             seen.add(parent)
             node = parent
     edges = spark.createDataFrame(anc_rows, [id_col, "__anc"])
+    # bottom feeds BOTH the passthrough and the ancestor aggregation —
+    # cache it or the upstream forecast plan runs once per consumer
+    bottom = bottom.cache()
     parents = (
         bottom.join(F.broadcast(edges), id_col)
         .groupBy(F.col("__anc").alias(id_col), time_col)

@@ -37,4 +37,11 @@ def for_each_series(
             pdf = pdf.sort_values(time_col, kind="mergesort").reset_index(drop=True)
         return kernel(pdf)
 
-    return df.groupBy(id_col).applyInPandas(run, schema=schema)
+    # Explicit repartition by key: AQE coalesces the (byte-small) group
+    # shuffle to a handful of partitions, which strangles the
+    # CPU-heavy Python kernel stage (measured 8 tasks on a 32-core
+    # box). A user-specified repartition is exempt from AQE coalescing
+    # and the following groupBy reuses the distribution — same single
+    # shuffle, full task parallelism.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n_parts, id_col).groupBy(id_col).applyInPandas(run, schema=schema)

@@ -1489,12 +1489,25 @@ def q_dtw_fast(spark, sf_dir):
 @register(
     "adapter_huggingface",
     PANEL_CTE + """
-    SELECT unique_id AS id, COUNT(*) AS n_points, SUM(y) AS target_sum
+    SELECT unique_id AS id, COUNT(*) AS n_points, ROUND(SUM(y), 2) AS target_sum
     FROM panel GROUP BY 1
     """,
 )
 def q_adapter_hf(spark, sf_dir):
     from polars_ts_spark.sources import adapters
     recs = adapters.to_huggingface(supplier_daily_panel(spark, sf_dir))
-    rows = [(r["id"], len(r["target"]), float(sum(r["target"]))) for r in recs]
+    rows = [(r["id"], len(r["target"]), round(float(sum(r["target"])), 2)) for r in recs]
     return spark.createDataFrame(rows, ["id", "n_points", "target_sum"])
+
+
+@register("fourier_decomposition")  # per-series OLS: rows-only
+def q_fourier_decomp(spark, sf_dir):
+    return decomposition.fourier_decomposition(
+        supplier_daily_panel(spark, sf_dir), period=7, n_harmonics=2
+    )
+
+
+@register("shapelet_cluster")  # rows-only
+def q_shapelet(spark, sf_dir):
+    from polars_ts_spark.operators import clustering
+    return clustering.shapelet_cluster(_monthly_panel(spark, sf_dir), k=2, shapelet_lengths=(8,))

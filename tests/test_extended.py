@@ -181,3 +181,42 @@ def test_imaging_operators(spark):
     assert 0 <= rqa["recurrence_rate"].iloc[0] <= 1
     sig = imaging.signature_features(df).toPandas()
     assert sig.shape == (1, 7)
+
+
+# ---------------------------------------------------------------------------
+# fourier decomposition & shapelets
+
+
+def test_fourier_decomposition_recovers_harmonic(spark):
+    from polars_ts_spark.operators import decomposition
+    ts = pd.date_range("2024-01-01", periods=140, freq="D")
+    t = np.arange(140)
+    seas = 4 * np.sin(2 * np.pi * t / 7)
+    y = 50 + 0.2 * t + seas
+    df = spark.createDataFrame(pd.DataFrame({"unique_id": "a", "ds": ts, "y": y}))
+    out = decomposition.fourier_decomposition(df, period=7, n_harmonics=2).toPandas()
+    out = out.sort_values("ds").reset_index(drop=True)
+    mid = out.iloc[10:130]  # away from the rolling-trend edges
+    assert np.allclose(mid["seasonal"], seas[10:130], atol=0.5)
+    assert mid["residual"].abs().mean() < 0.5
+
+
+def test_shapelet_cluster_separates_shapes(spark):
+    from polars_ts_spark.operators import clustering
+    ts = pd.date_range("2024-01-01", periods=40, freq="D")
+    t = np.arange(40)
+    rows = []
+    rng = np.random.default_rng(0)
+    for i in range(3):  # spike group: a sharp bump
+        y = np.where((t > 10) & (t < 16), 8.0, 0.0) + rng.normal(0, 0.1, 40)
+        rows.append(pd.DataFrame({"unique_id": f"spike{i}", "ds": ts, "y": y}))
+    for i in range(3):  # smooth sine group
+        rows.append(pd.DataFrame({
+            "unique_id": f"sine{i}", "ds": ts,
+            "y": np.sin(t / 3) + rng.normal(0, 0.1, 40)}))
+    df = spark.createDataFrame(pd.concat(rows))
+    out = clustering.shapelet_cluster(df, k=2, shapelet_lengths=(8,)).toPandas()
+    lab = dict(zip(out["unique_id"], out["cluster"]))
+    assert len({lab[f"spike{i}"] for i in range(3)}) == 1
+    assert len({lab[f"sine{i}"] for i in range(3)}) == 1
+    assert lab["spike0"] != lab["sine0"]
