@@ -660,6 +660,159 @@ def knn_classify(
 
 
 # ---------------------------------------------------------------------------
+# HDBSCAN (clustering/density.py:31-100 — reference delegates to the
+# hdbscan package on a precomputed matrix; rebuilt here from scratch:
+# mutual-reachability MST -> single-linkage tree -> condensed tree ->
+# excess-of-mass cluster selection)
+
+
+def hdbscan_labels(
+    D: np.ndarray, min_cluster_size: int = 3, min_samples: int | None = None
+) -> np.ndarray:
+    """HDBSCAN* on a precomputed distance matrix. Noise = -1. The
+    matrix is n_series² (driver-small); the distances feeding it are
+    computed distributed."""
+    n = len(D)
+    mcs = max(2, min_cluster_size)
+    if n < 2 * mcs:
+        return np.full(n, -1, dtype=int)
+    ms = min(min_samples or mcs, n - 1)
+    core = np.sort(D, axis=1)[:, ms]  # k-th NN incl. self at col 0
+    MR = np.maximum(np.maximum.outer(core, core), D)
+    np.fill_diagonal(MR, 0.0)
+    # Prim MST on the dense mutual-reachability graph, O(n²)
+    in_tree = np.zeros(n, dtype=bool)
+    in_tree[0] = True
+    best = MR[0].copy()
+    src = np.zeros(n, dtype=int)
+    edges = []
+    for _ in range(n - 1):
+        cand = np.where(in_tree, np.inf, best)
+        j = int(np.argmin(cand))
+        edges.append((int(src[j]), j, float(cand[j])))
+        in_tree[j] = True
+        upd = (MR[j] < best) & ~in_tree
+        src[np.where(upd)[0]] = j
+        best = np.minimum(best, MR[j])
+    edges.sort(key=lambda e: e[2])
+    # single-linkage dendrogram: points 0..n-1, merges n..2n-2
+    parent = list(range(2 * n - 1))
+    children: dict[int, tuple[int, int]] = {}
+    dist_of: dict[int, float] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nxt = n
+    for a, b, w in edges:
+        ra, rb = find(a), find(b)
+        children[nxt] = (ra, rb)
+        dist_of[nxt] = w
+        parent[ra] = parent[rb] = nxt
+        nxt += 1
+    sizes = {i: 1 for i in range(n)}
+    for m in range(n, 2 * n - 1):
+        l, r = children[m]
+        sizes[m] = sizes[l] + sizes[r]
+
+    def leaves(m: int) -> list[int]:
+        stack, out = [m], []
+        while stack:
+            x = stack.pop()
+            out.append(x) if x < n else stack.extend(children[x])
+        return out
+
+    # condense: follow each cluster down through sub-mcs fall-outs until
+    # a true split (both sides >= mcs) or death; accumulate stability
+    # sum_p (lambda_leave(p) - lambda_birth)
+    clusters: dict[int, dict] = {}
+
+    def condense(m: int, birth: float) -> int:
+        cid = len(clusters)
+        clusters[cid] = {"members": [], "stability": 0.0, "children": []}
+        mem = clusters[cid]["members"]
+        node = m
+        while True:
+            if node < n:
+                mem.append(node)  # singleton remnant — zero further stability
+                break
+            lam = 1.0 / dist_of[node] if dist_of[node] > 0 else np.inf
+            lam = min(lam, 1e12)
+            l, r = children[node]
+            sl, sr = sizes[l], sizes[r]
+            if sl >= mcs and sr >= mcs:  # true split: spawn child clusters
+                clusters[cid]["stability"] += (sl + sr) * (lam - birth)
+                clusters[cid]["children"] = [condense(l, lam), condense(r, lam)]
+                break
+            if sl < mcs and sr < mcs:  # cluster dies into noise
+                clusters[cid]["stability"] += (sl + sr) * (lam - birth)
+                mem.extend(leaves(node))
+                break
+            small, big = (l, r) if sl < mcs else (r, l)
+            clusters[cid]["stability"] += sizes[small] * (lam - birth)
+            mem.extend(leaves(small))  # fell out of THIS cluster -> member
+            node = big
+        return cid
+
+    root_cid = condense(2 * n - 2, 0.0)
+    # excess-of-mass selection, children before parents
+    selected: set[int] = set()
+    subtree_stab: dict[int, float] = {}
+    for cid in sorted(clusters, reverse=True):
+        ch = clusters[cid]["children"]
+        if not ch:
+            subtree_stab[cid] = clusters[cid]["stability"]
+            selected.add(cid)
+            continue
+        child_sum = sum(subtree_stab[c] for c in ch)
+        if clusters[cid]["stability"] >= child_sum and cid != root_cid:
+            subtree_stab[cid] = clusters[cid]["stability"]
+            # deselect all descendants
+            stack = list(ch)
+            while stack:
+                c = stack.pop()
+                selected.discard(c)
+                stack.extend(clusters[c]["children"])
+            selected.add(cid)
+        else:
+            subtree_stab[cid] = child_sum
+    selected.discard(root_cid)
+    # a point belongs to the selected cluster it fell out of; points
+    # falling out of unselected clusters (e.g. the root) are noise
+    labels = np.full(n, -1, dtype=int)
+    chosen = sorted(
+        (c for c in selected if len(clusters[c]["members"]) >= mcs),
+        key=lambda c: min(clusters[c]["members"]),
+    )
+    for lab, cid in enumerate(chosen):
+        labels[clusters[cid]["members"]] = lab
+    return labels
+
+
+def hdbscan_cluster(
+    df: DataFrame,
+    min_cluster_size: int = 3,
+    min_samples: int | None = None,
+    method: str = "dtw",
+    id_col: str = ID,
+    time_col: str = TIME,
+    target_col: str = TARGET,
+    **kwargs,
+) -> DataFrame:
+    """HDBSCAN over any pairwise distance (clustering/density.py:31-100).
+    Distance stage distributed; tree extraction on the collected
+    n_series² matrix. Output [id, cluster] with -1 = noise."""
+    ids, D = distance_matrix(
+        df, method=method, id_col=id_col, time_col=time_col, target_col=target_col, **kwargs
+    )
+    labels = hdbscan_labels(D, min_cluster_size=min_cluster_size, min_samples=min_samples)
+    return _labels_df(df.sparkSession, ids, [int(x) for x in labels], id_col)
+
+
+# ---------------------------------------------------------------------------
 # u-shapelet clustering (clustering/shapelets.py:138-296)
 
 

@@ -351,6 +351,71 @@ def reconcile_ols(
     return forecasts.groupBy(time_col).applyInPandas(kern, schema)
 
 
+def reconcile_middle_out(
+    middle_forecast: DataFrame,
+    bottom_hist: DataFrame,
+    hierarchy: dict[str, str],
+    id_col: str = ID,
+    time_col: str = TIME,
+    target_col: str = TARGET,
+    value_col: str = "y_hat",
+) -> DataFrame:
+    """Middle-out reconciliation (reconciliation.py:380-470): forecasts
+    are taken at a middle level (the ids present in middle_forecast);
+    bottom series get top-down historical-proportion shares of their
+    middle ancestor, nodes above the middle get bottom-up sums of the
+    middle forecasts. Output = bottom + middle + ancestor rows.
+
+    All three directions are joins/group-bys on the forecast frame —
+    the hierarchy edge tables are broadcast, nothing is collected."""
+    spark = middle_forecast.sparkSession
+    middle = {r[0] for r in middle_forecast.select(id_col).distinct().collect()}
+    # bottom -> its middle ancestor; middle -> each ancestor above it
+    bottoms = set(hierarchy) - set(hierarchy.values())
+    down_rows, up_rows = [], []
+    for b in bottoms:
+        node = b
+        while node in hierarchy and node not in middle:
+            node = hierarchy[node]
+        if node in middle and b not in middle:
+            down_rows.append((b, node))
+    for m in middle:
+        node, seen = m, set()
+        while node in hierarchy and hierarchy[node] not in seen:
+            node = hierarchy[node]
+            up_rows.append((m, node))
+            seen.add(node)
+    down = spark.createDataFrame(down_rows, [id_col, "__mid"])
+    # historical share of each bottom within its middle group, averaged
+    # over timestamps (top_down proportions, scoped per middle subtree)
+    hist = bottom_hist.join(F.broadcast(down), id_col)
+    totals = hist.groupBy("__mid", time_col).agg(F.sum(target_col).alias("__tot"))
+    shares = (
+        hist.join(totals, ["__mid", time_col])
+        .groupBy(id_col, "__mid")
+        .agg(F.mean(F.col(target_col) / F.col("__tot")).alias("__share"))
+    )
+    middle_forecast = middle_forecast.cache()
+    mid_fc = middle_forecast.select(
+        F.col(id_col).alias("__mid"), time_col, F.col(value_col).alias("__mfc")
+    )
+    bottom_rows = (
+        shares.join(mid_fc, "__mid")
+        .select(id_col, time_col, (F.col("__share") * F.col("__mfc")).alias(value_col))
+    )
+    up = spark.createDataFrame(up_rows, [id_col, "__anc"])
+    parent_rows = (
+        middle_forecast.join(F.broadcast(up), id_col)
+        .groupBy(F.col("__anc").alias(id_col), time_col)
+        .agg(F.sum(value_col).alias(value_col))
+    )
+    return (
+        bottom_rows
+        .unionByName(middle_forecast.select(id_col, time_col, value_col))
+        .unionByName(parent_rows)
+    )
+
+
 # ---------------------------------------------------------------------------
 # probabilistic & bias metrics
 
@@ -385,6 +450,55 @@ def calibration_table(
                 F.lit(float(q)).alias("expected"),
                 F.mean((F.col(target_col) <= F.col(f"`{c}`")).cast("double")).alias("observed"),
             )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def pit_histogram(
+    df: DataFrame,
+    quantile_cols: dict[float, str],
+    n_bins: int = 10,
+    target_col: str = TARGET,
+) -> DataFrame:
+    """Probability-integral-transform histogram (calibration.py:90-150):
+    each observation's PIT value is the fraction of predicted quantiles
+    it exceeds; binned into n_bins equal-width bins. A calibrated
+    forecaster yields a flat histogram. Output [bin_lower, frequency]."""
+    cols = [c for _, c in sorted(quantile_cols.items())]
+    hits = sum(
+        (F.col(target_col) > F.col(f"`{c}`")).cast("double") for c in cols
+    )
+    pit = hits / float(len(cols))
+    binned = df.select(
+        F.least(F.floor(pit * n_bins), F.lit(n_bins - 1)).cast("int").alias("__bin")
+    )
+    n = df.count()
+    return (
+        binned.groupBy("__bin")
+        .agg((F.count("*") / float(n)).alias("frequency"))
+        .select((F.col("__bin") / float(n_bins)).alias("bin_lower"), "frequency")
+    )
+
+
+def reliability_diagram(
+    df: DataFrame,
+    quantile_cols: dict[float, str],
+    target_col: str = TARGET,
+) -> DataFrame:
+    """Reliability diagram table (calibration.py:60-90): nominal
+    quantile level vs observed coverage, plus the calibration gap.
+    Output [quantile, expected, observed, gap]."""
+    rows = []
+    for q, c in sorted(quantile_cols.items()):
+        rows.append(
+            df.agg(
+                F.lit(float(q)).alias("quantile"),
+                F.lit(float(q)).alias("expected"),
+                F.mean((F.col(target_col) <= F.col(f"`{c}`")).cast("double")).alias("observed"),
+            ).withColumn("gap", F.col("observed") - F.col("expected"))
         )
     out = rows[0]
     for r in rows[1:]:

@@ -109,6 +109,87 @@ def var_forecast(
     return for_each_series(df, kern, schema, id_col=id_col, time_col=time_col)
 
 
+def bayesian_var_fit_arrays(
+    Y: np.ndarray, p: int = 1, lam: float = 0.2, own_lag_mean: float = 1.0
+):
+    """Conjugate Bayesian VAR(p) with a Minnesota-style ridge prior
+    (bayesian_var/model.py:59-403, priors.py:15-45): prior mean puts
+    ``own_lag_mean`` on each variable's first own lag and 0 elsewhere;
+    prior precision is diagonal with tightness 1/lam² (tighter on
+    longer lags, scaled by lag²). Posterior mean solves
+    (X'X + Λ) B = X'Y + Λ B0. Returns (B_post, XtX_inv, Sigma)."""
+    Y = np.asarray(Y, float)
+    k = Y.shape[1]
+    X, T_ = _lag_design(Y, p)
+    d = X.shape[1]
+    B0 = np.zeros((d, k))
+    prec = np.zeros(d)
+    prec[0] = 1e-4  # near-flat prior on the intercept
+    for lag in range(1, p + 1):
+        prec[1 + (lag - 1) * k : 1 + lag * k] = (lag / lam) ** 2
+    for j in range(k):
+        B0[1 + j, j] = own_lag_mean  # first own lag
+    L = np.diag(prec)
+    A = X.T @ X + L
+    B_post = np.linalg.solve(A, X.T @ T_ + L @ B0)
+    resid = T_ - X @ B_post
+    dof = max(len(T_) - d, 1)
+    Sigma = (resid.T @ resid) / dof
+    return B_post, np.linalg.inv(A), Sigma
+
+
+def bayesian_var_forecast(
+    df: DataFrame,
+    value_cols: list[str],
+    p: int = 1,
+    h: int = 7,
+    lam: float = 0.2,
+    n_draws: int = 200,
+    coverage: float = 0.8,
+    seed: int = 42,
+    id_col: str = ID,
+    time_col: str = TIME,
+) -> DataFrame:
+    """Per-series Bayesian VAR forecast with credible bands: posterior
+    coefficient draws (matrix-normal, seeded) propagated h steps;
+    bands = empirical posterior-predictive quantiles. Output
+    [id, step, {c}_hat, {c}_lo, {c}_hi per value col]."""
+    alpha = (1.0 - coverage) / 2.0
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = pdf[id_col].iloc[0]
+        Y = pdf[value_cols].to_numpy(dtype=float)
+        k = len(value_cols)
+        if len(Y) <= 1 + k * p + 2:
+            mean = lo = hi = np.full((h, k), np.nan)
+        else:
+            B, A_inv, Sigma = bayesian_var_fit_arrays(Y, p, lam)
+            mean = var_forecast_arrays(Y, B, p, h)
+            rng = np.random.default_rng(seed)
+            # draw vec(B) ~ N(vec(B_post), Sigma (x) A_inv), propagate
+            Lc = np.linalg.cholesky(A_inv + 1e-12 * np.eye(len(A_inv)))
+            Sc = np.linalg.cholesky(Sigma + 1e-12 * np.eye(k))
+            sims = np.empty((n_draws, h, k))
+            for s in range(n_draws):
+                Bd = B + Lc @ rng.standard_normal(B.shape) @ Sc.T
+                sims[s] = var_forecast_arrays(Y, Bd, p, h)
+                sims[s] += rng.standard_normal((h, k)) @ Sc.T  # obs noise
+            lo = np.quantile(sims, alpha, axis=0)
+            hi = np.quantile(sims, 1.0 - alpha, axis=0)
+        d = {id_col: [sid] * h, "step": list(range(1, h + 1))}
+        for i, c in enumerate(value_cols):
+            d[f"{c}_hat"] = mean[:, i]
+            d[f"{c}_lo"] = lo[:, i]
+            d[f"{c}_hi"] = hi[:, i]
+        return pd.DataFrame(d)
+
+    cols = ", ".join(
+        f"`{c}_hat` double, `{c}_lo` double, `{c}_hi` double" for c in value_cols
+    )
+    schema = f"{id_col} string, step int, {cols}"
+    return for_each_series(df, kern, schema, id_col=id_col, time_col=time_col)
+
+
 def granger_causality(
     df: DataFrame,
     cause_col: str,

@@ -1511,3 +1511,152 @@ def q_fourier_decomp(spark, sf_dir):
 def q_shapelet(spark, sf_dir):
     from polars_ts_spark.operators import clustering
     return clustering.shapelet_cluster(_monthly_panel(spark, sf_dir), k=2, shapelet_lengths=(8,))
+
+
+# ---------------------------------------------------------------------------
+# middle-out reconciliation, PIT/reliability calibration, HDBSCAN, BVAR
+
+
+@register(
+    "reconcile_middle_out",
+    PANEL_CTE + """,
+    map AS (
+        SELECT CAST(s_suppkey AS VARCHAR) AS unique_id,
+               'n_' || CAST(s_nationkey AS VARCHAR) AS mid,
+               'r_' || CAST(n_regionkey AS VARCHAR) AS anc
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ),
+    npanel AS (
+        SELECT m.mid AS unique_id, p.ds, SUM(p.y) AS y
+        FROM panel p JOIN map m USING (unique_id) GROUP BY 1, 2
+    ),
+    freq AS (
+        SELECT unique_id, CAST(CASE WHEN COUNT(d) = 0 THEN 86400 ELSE MEDIAN(d) END AS BIGINT) AS freq_s
+        FROM (
+            SELECT unique_id,
+                   epoch(ds) - epoch(LAG(ds) OVER (PARTITION BY unique_id ORDER BY ds)) AS d
+            FROM npanel
+        ) GROUP BY 1
+    ),
+    g AS (SELECT unique_id, max_by(y, ds) AS last_y, MAX(ds) AS last_ts FROM npanel GROUP BY 1),
+    steps AS (SELECT UNNEST(generate_series(1, 7)) AS step),
+    midfc AS (
+        SELECT g.unique_id,
+               g.last_ts + INTERVAL '1 second' * (steps.step * f.freq_s) AS ds,
+               g.last_y AS y_hat
+        FROM g JOIN freq f USING (unique_id) CROSS JOIN steps
+    ),
+    tot AS (
+        SELECT m.mid, p.ds, SUM(p.y) AS tot
+        FROM panel p JOIN map m USING (unique_id) GROUP BY 1, 2
+    ),
+    shares AS (
+        SELECT p.unique_id, m.mid, AVG(p.y / t.tot) AS share
+        FROM panel p JOIN map m USING (unique_id)
+        JOIN tot t ON t.mid = m.mid AND t.ds = p.ds
+        GROUP BY 1, 2
+    ),
+    nmap AS (SELECT DISTINCT mid, anc FROM map)
+    SELECT s.unique_id, f.ds, s.share * f.y_hat AS y_hat
+    FROM shares s JOIN midfc f ON f.unique_id = s.mid
+    UNION ALL
+    SELECT unique_id, ds, y_hat FROM midfc
+    UNION ALL
+    SELECT nm.anc AS unique_id, f.ds, SUM(f.y_hat) AS y_hat
+    FROM midfc f JOIN nmap nm ON nm.mid = f.unique_id
+    GROUP BY 1, 2
+    """,
+)
+def q_reconcile_middle_out(spark, sf_dir):
+    from polars_ts_spark.operators import evaluation
+    from polars_ts_spark.sources.datasets import load_table
+    panel = supplier_daily_panel(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rows = sup.join(nat, sup["s_nationkey"] == nat["n_nationkey"]).select(
+        F.col("s_suppkey").cast("string"),
+        F.concat(F.lit("n_"), F.col("s_nationkey").cast("string")),
+        F.concat(F.lit("r_"), F.col("n_regionkey").cast("string")),
+    ).collect()
+    hierarchy = {}
+    for r in rows:
+        hierarchy[r[0]] = r[1]
+        hierarchy[r[1]] = r[2]
+    nation_panel = (
+        panel.join(
+            F.broadcast(spark.createDataFrame(
+                [(r[0], r[1]) for r in rows], ["unique_id", "mid"])),
+            "unique_id")
+        .groupBy(F.col("mid").alias("unique_id"), "ds")
+        .agg(F.sum("y").alias("y"))
+    )
+    mid_fc = baselines.naive_forecast(nation_panel, h=7)
+    return evaluation.reconcile_middle_out(mid_fc, panel, hierarchy)
+
+
+@register(
+    "pit_histogram",
+    _QPRED_CTE + """,
+    pits AS (
+        SELECT LEAST(CAST(FLOOR(((CASE WHEN y > q10 THEN 1.0 ELSE 0.0 END
+                                 + CASE WHEN y > q50 THEN 1.0 ELSE 0.0 END
+                                 + CASE WHEN y > q90 THEN 1.0 ELSE 0.0 END) / 3.0) * 10) AS INT), 9) AS bin
+        FROM scored
+    )
+    SELECT bin / 10.0 AS bin_lower,
+           COUNT(*) * 1.0 / (SELECT COUNT(*) FROM scored) AS frequency
+    FROM pits GROUP BY 1
+    """,
+)
+def q_pit_histogram(spark, sf_dir):
+    from polars_ts_spark.operators import evaluation
+    panel = supplier_daily_panel(spark, sf_dir)
+    q = panel.groupBy("unique_id").agg(
+        F.expr("percentile(y, 0.1)").alias("q10"),
+        F.expr("percentile(y, 0.5)").alias("q50"),
+        F.expr("percentile(y, 0.9)").alias("q90"),
+    )
+    scored = panel.join(q, "unique_id")
+    return evaluation.pit_histogram(scored, {0.1: "q10", 0.5: "q50", 0.9: "q90"}, n_bins=10)
+
+
+@register(
+    "reliability_diagram",
+    _QPRED_CTE + """
+    SELECT 0.1 AS quantile, 0.1 AS expected,
+           AVG(CASE WHEN y <= q10 THEN 1.0 ELSE 0.0 END) AS observed,
+           AVG(CASE WHEN y <= q10 THEN 1.0 ELSE 0.0 END) - 0.1 AS gap FROM scored
+    UNION ALL
+    SELECT 0.5, 0.5, AVG(CASE WHEN y <= q50 THEN 1.0 ELSE 0.0 END),
+           AVG(CASE WHEN y <= q50 THEN 1.0 ELSE 0.0 END) - 0.5 FROM scored
+    UNION ALL
+    SELECT 0.9, 0.9, AVG(CASE WHEN y <= q90 THEN 1.0 ELSE 0.0 END),
+           AVG(CASE WHEN y <= q90 THEN 1.0 ELSE 0.0 END) - 0.9 FROM scored
+    """,
+)
+def q_reliability(spark, sf_dir):
+    from polars_ts_spark.operators import evaluation
+    panel = supplier_daily_panel(spark, sf_dir)
+    q = panel.groupBy("unique_id").agg(
+        F.expr("percentile(y, 0.1)").alias("q10"),
+        F.expr("percentile(y, 0.5)").alias("q50"),
+        F.expr("percentile(y, 0.9)").alias("q90"),
+    )
+    scored = panel.join(q, "unique_id")
+    return evaluation.reliability_diagram(scored, {0.1: "q10", 0.5: "q50", 0.9: "q90"})
+
+
+@register("hdbscan_cluster")  # density tree extraction: rows-only
+def q_hdbscan(spark, sf_dir):
+    from polars_ts_spark.operators import clustering
+    return clustering.hdbscan_cluster(
+        _monthly_panel(spark, sf_dir), min_cluster_size=3, method="sbd"
+    )
+
+
+@register("bayesian_var")  # posterior sampling: rows-only
+def q_bayesian_var(spark, sf_dir):
+    from polars_ts_spark.operators import var_model
+    return var_model.bayesian_var_forecast(
+        _bivariate_panel(spark, sf_dir), ["y", "y2"], p=1, h=7, n_draws=100
+    )

@@ -220,3 +220,78 @@ def test_shapelet_cluster_separates_shapes(spark):
     assert len({lab[f"spike{i}"] for i in range(3)}) == 1
     assert len({lab[f"sine{i}"] for i in range(3)}) == 1
     assert lab["spike0"] != lab["sine0"]
+
+
+# ---------------------------------------------------------------------------
+# middle-out reconciliation / PIT / reliability / HDBSCAN / Bayesian VAR
+
+
+def test_reconcile_middle_out_coherent(spark):
+    from polars_ts_spark.operators import baselines, evaluation
+    ts = pd.date_range("2024-01-01", periods=30, freq="D")
+    rows = []
+    for b, scale in [("b1", 1.0), ("b2", 2.0), ("b3", 4.0)]:
+        rows.append(pd.DataFrame({"unique_id": b, "ds": ts, "y": scale * 10.0}))
+    hist = spark.createDataFrame(pd.concat(rows))
+    hierarchy = {"b1": "m1", "b2": "m1", "b3": "m2", "m1": "root", "m2": "root"}
+    mid_hist = spark.createDataFrame(pd.concat([
+        pd.DataFrame({"unique_id": "m1", "ds": ts, "y": 30.0}),
+        pd.DataFrame({"unique_id": "m2", "ds": ts, "y": 40.0}),
+    ]))
+    mid_fc = baselines.naive_forecast(mid_hist, h=3)
+    out = evaluation.reconcile_middle_out(mid_fc, hist, hierarchy).toPandas()
+    piv = out.pivot_table(index="ds", columns="unique_id", values="y_hat")
+    # top-down shares: b1 gets 1/3 of m1, b2 gets 2/3
+    assert np.allclose(piv["b1"], 10.0)
+    assert np.allclose(piv["b2"], 20.0)
+    assert np.allclose(piv["b3"], 40.0)
+    # bottom-up above the middle: root = m1 + m2
+    assert np.allclose(piv["root"], piv["m1"] + piv["m2"])
+
+
+def test_pit_histogram_and_reliability(spark):
+    from polars_ts_spark.operators import evaluation
+    rng = np.random.default_rng(3)
+    y = rng.normal(0, 1, 400)
+    pdf = pd.DataFrame({"y": y, "q10": -1.2816, "q50": 0.0, "q90": 1.2816})
+    df = spark.createDataFrame(pdf)
+    qc = {0.1: "q10", 0.5: "q50", 0.9: "q90"}
+    hist = evaluation.pit_histogram(df, qc, n_bins=10).toPandas()
+    assert abs(hist["frequency"].sum() - 1.0) < 1e-9
+    rel = evaluation.reliability_diagram(df, qc).toPandas().sort_values("quantile")
+    assert np.allclose(rel["observed"] - rel["expected"], rel["gap"])
+    # standard-normal data against true quantiles: gaps are small
+    assert rel["gap"].abs().max() < 0.08
+
+
+def test_hdbscan_labels_planted_clusters():
+    from polars_ts_spark.operators.clustering import hdbscan_labels
+    rng = np.random.default_rng(7)
+    pts = np.concatenate([
+        rng.normal(0.0, 0.3, (8, 2)),
+        rng.normal(6.0, 0.3, (8, 2)),
+        np.array([[3.0, 40.0]]),  # an outlier far from both blobs
+    ])
+    D = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+    lab = hdbscan_labels(D, min_cluster_size=3)
+    assert len(set(lab[:8])) == 1 and lab[0] != -1
+    assert len(set(lab[8:16])) == 1 and lab[8] != -1
+    assert lab[0] != lab[8]
+    assert lab[16] == -1  # outlier is noise
+
+
+def test_bayesian_var_matches_ols_with_loose_prior(spark):
+    from polars_ts_spark.operators import var_model
+    rng = np.random.default_rng(11)
+    n = 200
+    y1 = np.zeros(n); y2 = np.zeros(n)
+    for t in range(1, n):
+        y1[t] = 0.6 * y1[t - 1] + 0.2 * y2[t - 1] + rng.normal(0, 0.5)
+        y2[t] = 0.3 * y2[t - 1] + rng.normal(0, 0.5)
+    ts = pd.date_range("2024-01-01", periods=n, freq="D")
+    df = spark.createDataFrame(pd.DataFrame({"unique_id": "a", "ds": ts, "y": y1, "y2": y2}))
+    bv = var_model.bayesian_var_forecast(df, ["y", "y2"], p=1, h=5, lam=50.0, n_draws=100).toPandas()
+    ols = var_model.var_forecast(df, ["y", "y2"], p=1, h=5).toPandas()
+    m = bv.merge(ols, on=["unique_id", "step"])
+    assert np.allclose(m["y_hat_x"], m["y_hat_y"], atol=0.05)
+    assert (m["y_lo"] <= m["y_hat_x"]).all() and (m["y_hat_x"] <= m["y_hi"]).all()
