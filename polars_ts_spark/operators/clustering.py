@@ -75,15 +75,15 @@ def distance_matrix(
     """Distributed pairwise distances -> (ids, symmetric matrix).
     The heavy O(n²·len²) kernel work runs on the cluster; only the
     n_series² scalar matrix is collected."""
-    pairs = compute_pairwise_distance(
+    pdf = compute_pairwise_distance(
         df, method=method, id_col=id_col, time_col=time_col, target_col=target_col, **kwargs
-    ).collect()
-    ids = sorted({r["id_1"] for r in pairs} | {r["id_2"] for r in pairs})
+    ).toPandas()  # Arrow transfer; n_series² rows of 3 scalars
+    ids = sorted(set(pdf["id_1"]) | set(pdf["id_2"]))
     pos = {s: i for i, s in enumerate(ids)}
+    i = pdf["id_1"].map(pos).to_numpy()
+    j = pdf["id_2"].map(pos).to_numpy()
     D = np.zeros((len(ids), len(ids)))
-    for r in pairs:
-        i, j = pos[r["id_1"]], pos[r["id_2"]]
-        D[i, j] = D[j, i] = r[method]
+    D[i, j] = D[j, i] = pdf[method].to_numpy(dtype=float)
     return ids, D
 
 
@@ -100,21 +100,32 @@ def pam_kmedoids(D: np.ndarray, k: int, max_iter: int = 100, seed: int = 42):
     labels = np.argmin(D[:, medoids], axis=1)
     cost = float(D[np.arange(n), np.asarray(medoids)[labels]].sum())
     for _ in range(max_iter):
-        best = (cost, None, None)
+        # FastPAM1-style exact swap deltas: for every (medoid-out mi,
+        # candidate-in c) pair in one O(n²) vectorized pass instead of
+        # k·n argmin re-evaluations. Same greedy best-swap trajectory.
+        Dm = D[:, medoids]                      # (n, k)
+        order = np.argsort(Dm, axis=1)
+        d1 = Dm[np.arange(n), order[:, 0]]      # nearest medoid dist
+        d2 = Dm[np.arange(n), order[:, 1]] if k > 1 else np.full(n, np.inf)
+        near = order[:, 0]                      # index into medoid list
+        Dc = D.T                                # Dc[c] = distances to cand c
+        gain = np.minimum(Dc - d1, 0.0)         # (n_cand, n): removal-free gain
+        base = gain.sum(axis=1)                 # per-candidate total
+        # correction for points whose nearest medoid is the one removed
+        delta = np.empty((k, n))
         for mi in range(k):
-            others = [c for c in range(n) if c not in medoids]
-            for cand in others:
-                trial = list(medoids)
-                trial[mi] = cand
-                tl = np.argmin(D[:, trial], axis=1)
-                tc = float(D[np.arange(n), np.asarray(trial)[tl]].sum())
-                if tc < best[0] - 1e-12:
-                    best = (tc, mi, cand)
-        if best[1] is None:
+            mask = near == mi
+            corr = (np.minimum(Dc[:, mask], d2[mask]) - d1[mask]).sum(axis=1)
+            delta[mi] = base - gain[:, mask].sum(axis=1) + corr
+        delta[:, medoids] = 0.0                 # candidates already medoids
+        flat = int(np.argmin(delta))
+        mi, cand = divmod(flat, n)
+        if delta[mi, cand] >= -1e-12:
             break
-        cost = best[0]
-        medoids[best[1]] = best[2]
+        cost += float(delta[mi, cand])
+        medoids[mi] = cand
         labels = np.argmin(D[:, medoids], axis=1)
+    cost = float(D[np.arange(n), np.asarray(medoids)[labels]].sum())
     return medoids, labels, cost
 
 
