@@ -89,6 +89,56 @@ def _collect_xy(feat_df: DataFrame, feat_cols: list[str], target_col: str):
     return X, y
 
 
+def _ridge_fit_distributed(
+    feat_df: DataFrame, feat_cols: list[str], target_col: str, alpha: float
+) -> np.ndarray:
+    """Fit ridge WITHOUT collecting the design matrix: X'X and X'y are
+    sums of per-row outer products, so one Spark aggregation of
+    d(d+3)/2 + 2 scalars replaces shipping n×d rows to the driver —
+    the design-matrix collect is the piece that cannot survive a 100×
+    scale-up; the sufficient statistics are O(d²) regardless of n.
+    Returns w (intercept last), identical to numutils.ridge_fit up to
+    float summation order."""
+    d = len(feat_cols)
+    c = [F.col(f).cast("double") for f in feat_cols]
+    t = F.col(target_col).cast("double")
+    exprs = []
+    for i in range(d):
+        for j in range(i, d):
+            exprs.append(F.sum(c[i] * c[j]).alias(f"xx_{i}_{j}"))
+        exprs.append(F.sum(c[i]).alias(f"xs_{i}"))
+        exprs.append(F.sum(c[i] * t).alias(f"xy_{i}"))
+    exprs.append(F.sum(t).alias("__ys"))
+    exprs.append(F.count(F.lit(1)).alias("__n"))
+    row = feat_df.agg(*exprs).collect()[0]
+    A = np.zeros((d + 1, d + 1))
+    b = np.zeros(d + 1)
+    for i in range(d):
+        for j in range(i, d):
+            A[i, j] = A[j, i] = row[f"xx_{i}_{j}"]
+        A[i, d] = A[d, i] = row[f"xs_{i}"]
+        b[i] = row[f"xy_{i}"]
+    A[d, d] = float(row["__n"])
+    b[d] = row["__ys"]
+    if alpha > 0:
+        idx = np.arange(d)
+        A[idx, idx] += alpha
+    return np.linalg.solve(A, b)
+
+
+def _fit_estimator(est, feat_df: DataFrame, feat_cols: list[str], target_col: str):
+    """Ridge (the default) fits from distributed sufficient statistics;
+    arbitrary sklearn-protocol estimators fall back to collecting the
+    (driver-scale) design matrix, as the reference does."""
+    from polars_ts_spark.functions.numutils import RidgeEstimator as _RE
+
+    if isinstance(est, _RE):
+        est.coef_ = _ridge_fit_distributed(feat_df, feat_cols, target_col, est.alpha)
+        return est
+    X, y = _collect_xy(feat_df, feat_cols, target_col)
+    return est.fit(X, y)
+
+
 def _np_calendar(ts: pd.Timestamp) -> dict[str, float]:
     iso_dow = float(ts.isoweekday())
     return {
@@ -134,8 +184,7 @@ class RecursiveForecaster:
             self.calendar, self.id_col, self.time_col, self.target_col,
         )
         self.feat_cols = feat_cols
-        X, y = _collect_xy(feat_df, feat_cols, self.target_col)
-        self.estimator.fit(X, y)
+        _fit_estimator(self.estimator, feat_df, feat_cols, self.target_col)
         return self
 
     def _decode_kernel(self, h: int):
@@ -197,9 +246,8 @@ class DirectForecaster(RecursiveForecaster):
         self.models = []
         for step in range(1, h + 1):
             shifted = feat_df.withColumn("__target", F.lead(self.target_col, step - 1).over(w)).dropna()
-            X, y = _collect_xy(shifted, feat_cols, "__target")
             est = self.estimator.clone() if hasattr(self.estimator, "clone") else RidgeEstimator()
-            self.models.append(est.fit(X, y))
+            self.models.append(_fit_estimator(est, shifted, feat_cols, "__target"))
         return self
 
     def predict(self, df: DataFrame, h: int | None = None) -> DataFrame:
@@ -279,8 +327,7 @@ class GlobalForecaster(RecursiveForecaster):
         )
         feat_cols = [c for c in feat_cols if c != "__id_code"] + ["__id_code"]
         self.feat_cols = feat_cols
-        X, y = _collect_xy(feat_df, feat_cols, self.target_col)
-        self.estimator.fit(X, y)
+        _fit_estimator(self.estimator, feat_df, feat_cols, self.target_col)
         return self
 
     def predict(self, df: DataFrame, h: int = 7) -> DataFrame:
