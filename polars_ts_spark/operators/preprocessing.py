@@ -206,6 +206,24 @@ def treat_outliers(
         repl = F.least(F.greatest(y, lo), hi)
     elif replacement == "median":
         repl = F.median(y).over(p)
+    elif replacement == "interpolate":
+        # linear blend between the nearest non-outlier neighbors in
+        # time, falling back to one-sided fill at the series edges —
+        # pure ignore-nulls window expressions, no UDF
+        w_prev = p.orderBy(time_col).rowsBetween(Window.unboundedPreceding, -1)
+        w_next = p.orderBy(time_col).rowsBetween(1, Window.unboundedFollowing)
+        good_y = F.when(~F.col("is_outlier"), y)
+        t = F.col(time_col).cast("double")
+        good_t = F.when(~F.col("is_outlier"), t)
+        py = F.last(good_y, ignorenulls=True).over(w_prev)
+        pt = F.last(good_t, ignorenulls=True).over(w_prev)
+        ny = F.first(good_y, ignorenulls=True).over(w_next)
+        nt = F.first(good_t, ignorenulls=True).over(w_next)
+        repl = (
+            F.when(py.isNotNull() & ny.isNotNull(),
+                   py + (ny - py) * (t - pt) / (nt - pt))
+            .otherwise(F.coalesce(py, ny, y))
+        )
     elif replacement == "null":
         repl = F.lit(None).cast("double")
     else:

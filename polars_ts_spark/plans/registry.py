@@ -1660,3 +1660,38 @@ def q_bayesian_var(spark, sf_dir):
     return var_model.bayesian_var_forecast(
         _bivariate_panel(spark, sf_dir), ["y", "y2"], p=1, h=7, n_draws=100
     )
+
+
+@register(
+    "treat_outliers_interpolate",
+    PANEL_CTE + """,
+    stats AS (
+        SELECT unique_id, ds, y,
+               ABS(y - AVG(y) OVER p) / NULLIF(STDDEV_SAMP(y) OVER p, 0) > 3.0 AS is_out
+        FROM panel WINDOW p AS (PARTITION BY unique_id)
+    ),
+    nb AS (
+        SELECT unique_id, ds, y, is_out,
+               LAST_VALUE(CASE WHEN NOT is_out THEN y END IGNORE NULLS) OVER wp AS py,
+               LAST_VALUE(CASE WHEN NOT is_out THEN epoch(ds) END IGNORE NULLS) OVER wp AS pt,
+               FIRST_VALUE(CASE WHEN NOT is_out THEN y END IGNORE NULLS) OVER wn AS ny,
+               FIRST_VALUE(CASE WHEN NOT is_out THEN epoch(ds) END IGNORE NULLS) OVER wn AS nt
+        FROM stats
+        WINDOW wp AS (PARTITION BY unique_id ORDER BY ds
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wn AS (PARTITION BY unique_id ORDER BY ds
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT unique_id, ds,
+           CASE WHEN NOT COALESCE(is_out, FALSE) THEN y
+                WHEN py IS NOT NULL AND ny IS NOT NULL
+                     THEN py + (ny - py) * (epoch(ds) - pt) / (nt - pt)
+                ELSE COALESCE(py, ny, y) END AS y
+    FROM nb
+    """,
+)
+def q_treat_outliers_interp(spark, sf_dir):
+    return preprocessing.treat_outliers(
+        supplier_daily_panel(spark, sf_dir), method="zscore",
+        replacement="interpolate", threshold=3.0,
+    )

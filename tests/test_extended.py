@@ -295,3 +295,16 @@ def test_bayesian_var_matches_ols_with_loose_prior(spark):
     m = bv.merge(ols, on=["unique_id", "step"])
     assert np.allclose(m["y_hat_x"], m["y_hat_y"], atol=0.05)
     assert (m["y_lo"] <= m["y_hat_x"]).all() and (m["y_hat_x"] <= m["y_hi"]).all()
+
+
+def test_treat_outliers_interpolate(spark):
+    from polars_ts_spark.operators import preprocessing
+    ts = pd.date_range("2024-01-01", periods=9, freq="D")
+    y = [10.0, 10.0, 10.0, 10.0, 500.0, 12.0, 12.0, 12.0, 12.0]
+    df = spark.createDataFrame(pd.DataFrame({"unique_id": "a", "ds": ts, "y": y}))
+    out = preprocessing.treat_outliers(
+        df, method="zscore", replacement="interpolate", threshold=2.0
+    ).toPandas().sort_values("ds")
+    # the spike is replaced by the midpoint of its neighbors (equal spacing)
+    assert abs(out["y"].iloc[4] - 11.0) < 1e-9
+    assert np.allclose(out["y"].drop(index=out.index[4]), [10, 10, 10, 10, 12, 12, 12, 12])
