@@ -634,6 +634,139 @@ def kmeans_dba(
 
 
 # ---------------------------------------------------------------------------
+# KASBA (clustering/kasba.py:16-262, src/kasba/*): k-means under the
+# MSM elastic distance with stochastic-subgradient barycenter updates.
+# Same Spark split as kmeans_dba: assignment distributed, the k small
+# barycenter refits on the driver.
+
+
+def _msm_path(a: np.ndarray, b: np.ndarray, c: float = 1.0) -> list[tuple[int, int]]:
+    """MSM alignment: full DP grid + backtrack of the argmin move.
+    Returns matched index pairs (i, j) along the optimal path."""
+    n, m = len(a), len(b)
+    D = np.full((n, m), np.inf)
+    D[0, 0] = abs(a[0] - b[0])
+    for i in range(1, n):
+        D[i, 0] = D[i - 1, 0] + float(K._msm_cost(a[i], a[i - 1], b[0], c))
+    for j in range(1, m):
+        D[0, j] = D[0, j - 1] + float(K._msm_cost(b[j], a[0], b[j - 1], c))
+    for i in range(1, n):
+        for j in range(1, m):
+            D[i, j] = min(
+                D[i - 1, j - 1] + abs(a[i] - b[j]),
+                D[i - 1, j] + float(K._msm_cost(a[i], a[i - 1], b[j], c)),
+                D[i, j - 1] + float(K._msm_cost(b[j], a[i], b[j - 1], c)),
+            )
+    path = []
+    i, j = n - 1, m - 1
+    while i > 0 or j > 0:
+        path.append((i, j))
+        if i == 0:
+            j -= 1
+        elif j == 0:
+            i -= 1
+        else:
+            diag = D[i - 1, j - 1] + abs(a[i] - b[j])
+            up = D[i - 1, j] + float(K._msm_cost(a[i], a[i - 1], b[j], c))
+            left = D[i, j - 1] + float(K._msm_cost(b[j], a[i], b[j - 1], c))
+            if diag <= up and diag <= left:
+                i, j = i - 1, j - 1
+            elif up <= left:
+                i -= 1
+            else:
+                j -= 1
+    path.append((0, 0))
+    return path[::-1]
+
+
+def _ssg_barycenter(
+    members: list[np.ndarray], init: np.ndarray, c: float, n_epochs: int, rng: "_LCG"
+) -> np.ndarray:
+    """Stochastic subgradient Fréchet-mean update under MSM
+    (src/kasba/ssg): one pass per epoch over members in seeded random
+    order; step toward the member's path-aligned projection with a
+    decaying rate."""
+    bary = init.copy()
+    step = 0
+    for _ in range(n_epochs):
+        order = rng.sample(len(members), len(members))
+        for mi in order:
+            x = members[mi]
+            path = _msm_path(bary, x, c)
+            aligned = bary.copy()
+            cnt = np.zeros(len(bary))
+            acc = np.zeros(len(bary))
+            for i, j in path:
+                acc[i] += x[j]
+                cnt[i] += 1
+            has = cnt > 0
+            aligned[has] = acc[has] / cnt[has]
+            eta = 1.0 / (1.0 + step)
+            bary += eta * (aligned - bary)
+            step += 1
+    return bary
+
+
+def kasba(
+    df: DataFrame, k: int = 3, max_iter: int = 5, ssg_epochs: int = 2,
+    c: float = 1.0, seed: int = 42,
+    id_col: str = ID, time_col: str = TIME, target_col: str = TARGET,
+) -> DataFrame:
+    """KASBA clustering (clustering/kasba.py:16-262): k-means with the
+    MSM distance and accelerated stochastic barycenter averaging.
+    Assignment (the O(n·k·len²) stage) runs through the distributed
+    pairwise engine; only the k barycenter refits run on the driver.
+    Output [id, cluster]."""
+    spark = df.sparkSession
+    rows = (
+        df.groupBy(F.col(id_col).cast("string").alias(id_col))
+        .agg(F.expr(f"transform(array_sort(collect_list(struct({time_col} as t, "
+                    f"cast({target_col} as double) as v))), s -> s.v)").alias("vals"))
+        .collect()
+    )
+    ids = [r[id_col] for r in rows]
+    series = {r[id_col]: np.asarray(r["vals"], float) for r in rows}
+    rng = _LCG(seed)
+    centroids = [series[ids[i]].copy() for i in rng.sample(len(ids), k)]
+    labels = {sid: -1 for sid in ids}
+    panel = df.select(
+        F.col(id_col).cast("string").alias("unique_id"),
+        F.col(time_col).alias("ds"),
+        F.col(target_col).alias("y"),
+    )
+    for _ in range(max_iter):
+        cent_rows = [
+            (f"__cent_{ci}", t, float(v))
+            for ci, arr in enumerate(centroids)
+            for t, v in enumerate(arr)
+        ]
+        cent_df = spark.createDataFrame(cent_rows, ["unique_id", "t", "y"]).select(
+            "unique_id", F.timestamp_seconds(F.col("t") * 86400).alias("ds"), "y"
+        )
+        d = compute_pairwise_distance(panel, cent_df, method="msm", c=c).toPandas()
+        cent_mask = d["id_2"].astype(str).str.startswith("__cent_")
+        sid = np.where(cent_mask, d["id_1"], d["id_2"])
+        cid = np.where(cent_mask, d["id_2"], d["id_1"])
+        keep = pd.Series(cid).astype(str).str.startswith("__cent_").to_numpy()
+        pares = pd.DataFrame({
+            "sid": sid[keep],
+            "c": [int(s.split("_")[-1]) for s in cid[keep]],
+            "v": d["msm"].to_numpy()[keep],
+        })
+        best = pares.loc[pares.groupby("sid")["v"].idxmin()]
+        new_labels = dict(zip(best["sid"], best["c"]))
+        new_labels = {s: int(new_labels.get(s, 0)) for s in ids}
+        if new_labels == labels:
+            break
+        labels = new_labels
+        for ci in range(k):
+            mem = [series[s] for s in ids if labels[s] == ci]
+            if mem:
+                centroids[ci] = _ssg_barycenter(mem, centroids[ci], c, ssg_epochs, rng)
+    return _labels_df(spark, ids, [labels[s] for s in ids], id_col)
+
+
+# ---------------------------------------------------------------------------
 # kNN classification — fully distributed
 
 

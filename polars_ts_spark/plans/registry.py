@@ -1695,3 +1695,9 @@ def q_treat_outliers_interp(spark, sf_dir):
         supplier_daily_panel(spark, sf_dir), method="zscore",
         replacement="interpolate", threshold=3.0,
     )
+
+
+@register("kasba")  # stochastic barycenter refits: rows-only
+def q_kasba(spark, sf_dir):
+    from polars_ts_spark.operators import clustering
+    return clustering.kasba(_monthly_panel(spark, sf_dir), k=3, max_iter=3, ssg_epochs=1)

@@ -308,3 +308,23 @@ def test_treat_outliers_interpolate(spark):
     # the spike is replaced by the midpoint of its neighbors (equal spacing)
     assert abs(out["y"].iloc[4] - 11.0) < 1e-9
     assert np.allclose(out["y"].drop(index=out.index[4]), [10, 10, 10, 10, 12, 12, 12, 12])
+
+
+def test_kasba_separates_levels(spark):
+    from polars_ts_spark.operators import clustering
+    ts = pd.date_range("2024-01-01", periods=30, freq="D")
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(4):
+        rows.append(pd.DataFrame({
+            "unique_id": f"low{i}", "ds": ts,
+            "y": np.sin(np.arange(30) / 4) + rng.normal(0, 0.1, 30)}))
+        rows.append(pd.DataFrame({
+            "unique_id": f"high{i}", "ds": ts,
+            "y": 10 + np.sin(np.arange(30) / 4) + rng.normal(0, 0.1, 30)}))
+    df = spark.createDataFrame(pd.concat(rows))
+    out = clustering.kasba(df, k=2, max_iter=4).toPandas()
+    lab = dict(zip(out["unique_id"], out["cluster"]))
+    assert len({lab[f"low{i}"] for i in range(4)}) == 1
+    assert len({lab[f"high{i}"] for i in range(4)}) == 1
+    assert lab["low0"] != lab["high0"]
