@@ -24,21 +24,29 @@ def seasonal_decomposition(
 ) -> DataFrame:
     """Classical decomposition (seasonal_decomposition.py:8-105):
 
-    - trend   = centered rolling mean over ``freq`` rows
-      (rowsBetween(-freq//2, freq//2), :66)
+    - trend   = centered rolling mean over ``freq`` rows; NULL where the
+      centered window holds fewer than ``freq`` rows (polars rolling_mean
+      with min_samples=window_size, :66) — those edge rows are dropped at
+      the end, matching the reference's ``drop_nulls()`` (:92)
     - detrend = y - trend (additive) or y / trend (multiplicative)
     - seasonal = mean of detrended by phase (row_index mod freq),
-      re-centered so the seasonal component sums to ~0 (or ~1) (:71-75)
-    - resid = y - trend - seasonal (or y / (trend·seasonal))
-    - optional ``is_anomaly`` = |resid| > threshold·std(resid) (:100-104)
+      re-centered by subtracting the plain per-series row-mean of the
+      phase means (the reference always subtracts, even multiplicative,
+      :78)
+    - resid = y - trend - seasonal (or y / trend / seasonal)
+    - optional ``is_anomaly`` = |resid| > threshold·std(resid) (:97-99)
     """
     require_columns(df, id_col, time_col, target_col)
     if method not in ("additive", "multiplicative"):
         raise ValueError(f"unknown method {method!r}")
+    if freq <= 1:
+        raise ValueError(f"freq must be > 1, got {freq}")
     w = series_window(id_col, time_col)
     y = F.col(target_col)
-    half = freq // 2
-    trend = F.avg(y).over(w.rowsBetween(-half, half))
+    # polars rolling_mean(center=True, window_size=n) covers
+    # [i-(n-1)//2, i+n//2] and yields null unless all n rows are present
+    wspec = w.rowsBetween(-((freq - 1) // 2), freq // 2)
+    trend = F.when(F.count(y).over(wspec) == freq, F.avg(y).over(wspec))
     out = df.withColumn("trend", trend)
     out = out.withColumn(
         "__phase", (F.row_number().over(w) - F.lit(1)) % F.lit(freq)
@@ -47,31 +55,23 @@ def seasonal_decomposition(
     out = out.withColumn("__detrended", detr)
     phase_w = Window.partitionBy(id_col, "__phase")
     series_w = Window.partitionBy(id_col)
-    raw_seasonal = F.avg("__detrended").over(phase_w)
-    out = out.withColumn("__raw_seasonal", raw_seasonal)
-    # re-center: subtract (divide by) the mean of the per-phase means so the
-    # seasonal component averages 0 (1). avg of distinct phase means == avg
-    # over one representative row per phase; using avg over all rows is only
-    # identical for complete cycles — use mean of per-phase means explicitly.
-    phase_mean_of_means = F.avg(
-        F.when(F.row_number().over(Window.partitionBy(id_col, "__phase").orderBy(time_col)) == 1,
-               F.col("__raw_seasonal"))
-    ).over(series_w)
-    if method == "additive":
-        seasonal = F.col("__raw_seasonal") - phase_mean_of_means
-    else:
-        seasonal = F.col("__raw_seasonal") / phase_mean_of_means
+    # avg ignores the edge-null detrended rows, matching polars mean()
+    out = out.withColumn("__raw_seasonal", F.avg("__detrended").over(phase_w))
+    # re-center by the plain row-mean of the broadcast phase means over the
+    # whole series (pre-drop) — the reference's seasonal_idx.mean().over(id)
+    seasonal = F.col("__raw_seasonal") - F.avg("__raw_seasonal").over(series_w)
     out = out.withColumn("seasonal", seasonal)
     if method == "additive":
         resid = y - F.col("trend") - F.col("seasonal")
     else:
-        resid = y / (F.col("trend") * F.col("seasonal"))
+        resid = y / F.col("trend") / F.col("seasonal")
     out = out.withColumn("resid", resid)
+    # reference drop_nulls(): edge rows with null trend (hence null resid)
+    out = out.where(F.col("trend").isNotNull() & y.isNotNull())
     if anomaly_threshold is not None:
         rs = F.stddev_samp("resid").over(series_w)
-        center = F.lit(0.0) if method == "additive" else F.lit(1.0)
         out = out.withColumn(
-            "is_anomaly", F.abs(F.col("resid") - center) > F.lit(anomaly_threshold) * rs
+            "is_anomaly", F.abs(F.col("resid")) > F.lit(anomaly_threshold) * rs
         )
     return out.drop("__phase", "__detrended", "__raw_seasonal")
 
@@ -84,21 +84,27 @@ def seasonal_decompose_features(
     time_col: str = TIME,
     target_col: str = TARGET,
 ) -> DataFrame:
-    """Per-series strength features (seasonal_decompose_features.py:16-120):
-    trend_strength = max(0, 1 - Var(resid)/Var(trend + resid)),
-    seasonal_strength = max(0, 1 - Var(resid)/Var(seasonal + resid)),
-    resid_var."""
+    """Per-series strength features (seasonal_decompose_features.py:103-137,
+    simple mode), computed over the decomposition's surviving (non-edge) rows:
+
+    - trend_strength    = |Var(resid)/Var(trend + resid) - 1|
+      (the reference's ``.sub(1).abs().clip(lower_bound=0)``, :104-113)
+    - seasonal_strength = |Var(resid)/Var(seasonal + resid) - 1| (:120-129)
+    - resid_var         = Std(resid) / Mean(y) (:117)
+
+    All sample (ddof=1) statistics, as polars ``.var()``/``.std()``.
+    """
     dec = seasonal_decomposition(df, freq, method, None, id_col, time_col, target_col)
+    # try_divide: NULL on zero variance (degenerate series) instead of the
+    # ANSI divide-by-zero error; DuckDB division yields the same NULL
     return dec.groupBy(id_col).agg(
-        F.greatest(
-            F.lit(0.0),
-            F.lit(1.0) - F.var_samp("resid") / F.var_samp(F.col("trend") + F.col("resid")),
+        F.abs(
+            F.try_divide(F.var_samp("resid"), F.var_samp(F.col("trend") + F.col("resid"))) - F.lit(1.0)
         ).alias("trend_strength"),
-        F.greatest(
-            F.lit(0.0),
-            F.lit(1.0) - F.var_samp("resid") / F.var_samp(F.col("seasonal") + F.col("resid")),
+        F.abs(
+            F.try_divide(F.var_samp("resid"), F.var_samp(F.col("seasonal") + F.col("resid"))) - F.lit(1.0)
         ).alias("seasonal_strength"),
-        F.var_samp("resid").alias("resid_var"),
+        F.try_divide(F.stddev_samp("resid"), F.avg(target_col)).alias("resid_var"),
     )
 
 

@@ -555,7 +555,7 @@ scored AS (
            {scores}
     FROM toks GROUP BY doc_id
 )
-SELECT doc_id, {pred} AS lang_pred, {best} AS lang_score FROM scored
+SELECT doc_id, {pred} AS lang_pred, CAST({best} AS BIGINT) AS lang_score FROM scored
 """
 
 

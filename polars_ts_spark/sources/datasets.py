@@ -22,6 +22,10 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects unless
+    # nanosAsLong is set; the session may be externally built (driver harness),
+    # so set it here as a runtime conf rather than only at session build time.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -34,11 +34,27 @@ def test_decomposition_anomaly_flag(spark):
 
 
 def test_strength_features(spark):
-    trend_vals = [float(i) for i in range(24)]
-    df = make_panel(spark, {"A": trend_vals})
+    import math
+    import random
+
+    rng = random.Random(7)
+    vals = [
+        float(i) + 3.0 * math.sin(2 * math.pi * i / 4) + 0.1 * rng.gauss(0, 1)
+        for i in range(24)
+    ]
+    df = make_panel(spark, {"A": vals})
     out = seasonal_decompose_features(df, freq=4).first()
-    assert out["trend_strength"] > 0.95
-    assert 0.0 <= out["seasonal_strength"] <= 1.0
+    assert out["trend_strength"] > 0.9
+    assert out["seasonal_strength"] > 0.9
+    assert out["resid_var"] is not None
+
+
+def test_strength_features_degenerate_series_nulls(spark):
+    # pure linear trend: Var(resid) and Var(seasonal+resid) are both 0 ->
+    # 0/0 -> NULL (try_divide), not an ANSI error
+    df = make_panel(spark, {"A": [float(i) for i in range(24)]})
+    out = seasonal_decompose_features(df, freq=4).first()
+    assert out["seasonal_strength"] is None
 
 
 def test_expanding_cv(spark):
