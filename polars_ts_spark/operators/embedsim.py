@@ -39,6 +39,11 @@ from polars_ts_spark.operators.textops import MERSENNE_P, spark_hash32
 
 DIM = 64  # embedding dimensionality of the driver's corpus
 
+# brute_force_topk collects the corpus to the driver before the broadcast
+# GEMM; above this row count that is a driver-OOM pattern, so it routes to
+# the LSH-bucketed ANN path instead (200k × 64 float64 ≈ 100 MB).
+MAX_BROADCAST_ROWS = 200_000
+
 
 def _as_double(col: str) -> F.Column:
     return F.col(col).cast("array<double>")
@@ -106,11 +111,19 @@ def brute_force_topk(
 
     spark = df.sparkSession
     pdf = df.select(id_col, vec_col).dropna().toPandas()
+    n = len(pdf)
+    id_dtype = dict(df.dtypes)[id_col]
+    schema = f"vec_id {id_dtype}, neighbor_id {id_dtype}, cosine double, rank int"
+    if n == 0:
+        return spark.createDataFrame([], schema=schema)
+    if n > MAX_BROADCAST_ROWS:
+        # the corpus no longer fits a driver collect + broadcast — route to
+        # the bucketed ANN path (approximate, linear shuffle)
+        return lsh_ann_topk(df, k=k, id_col=id_col, vec_col=vec_col, dim=dim)
     ids = pdf[id_col].to_numpy()
     M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     nrm = np.sqrt((M * M).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, M, nrm))
-    n = len(ids)
 
     def gen(batches):
         ids_b, Mb, nrm_b = bc.value
@@ -121,7 +134,7 @@ def brute_force_topk(
             out_v, out_n, out_c, out_r = [], [], [], []
             for i, r in enumerate(rows):
                 s = S[i].copy()
-                s[r] = -np.inf  # exclude self
+                s[ids_b == ids_b[r]] = -np.inf  # exclude self BY ID (dup-safe)
                 order = np.lexsort((ids_b, -s))[:k]  # cos desc, id asc
                 take = order[np.isfinite(s[order])]
                 out_v.extend([ids_b[r]] * len(take))
@@ -135,8 +148,6 @@ def brute_force_topk(
 
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     idx = spark.range(0, n).repartition(n_parts)
-    id_dtype = dict(df.dtypes)[id_col]
-    schema = f"vec_id {id_dtype}, neighbor_id {id_dtype}, cosine double, rank int"
     return idx.mapInPandas(gen, schema=schema)
 
 
@@ -263,6 +274,125 @@ def lsh_bucket_ids(
     return df.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def _band_keys_udf(n_bands: int, bits: int, dim: int):
+    """Vectorized Arrow UDF computing every band key in ONE GEMM per
+    batch: signs of V(batch×dim) @ P.T(dim×n_bands·bits), bit-packed per
+    band. Deterministic md5-derived planes (same `_plane_value` series
+    as the SQL path). A per-bit literal expression tree (n_bands·bits·
+    dim terms) OOMs Catalyst codegen; a zip_with/aggregate HOF is
+    interpreted per element — the batched GEMM is both the fastest and
+    the smallest plan."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(
+        [[_plane_value(p, d) for d in range(dim)] for p in range(n_bands * bits)]
+    )  # (n_bands*bits, dim)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    def _keys(vecs):
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits_m = (V @ P.T) > 0  # (n, n_bands*bits)
+        b = bits_m.reshape(len(V), n_bands, bits)
+        k = (b * weights[None, None, :]).sum(axis=2).astype(np.int32)
+        return pd.Series(list(k))
+
+    # no type hints: postponed annotations (PEP 563) break inference
+    return pandas_udf(_keys, "array<int>")
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    k: int = 5,
+    n_bands: int = 12,
+    bits_per_band: int = 4,
+    dim: int = DIM,
+    max_bucket: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded (AND/OR) hyperplane-LSH approximate top-k.
+    Output [vec_id, neighbor_id, cosine, rank] — approximate, fully
+    deterministic.
+
+    Construction: ``n_bands`` independent bands of ``bits_per_band``
+    sign bits. A vector lands in one bucket per band; two vectors are
+    candidates iff they collide in >= 1 band (OR over bands of an AND
+    over bits) — the standard recall amplification that a single flat
+    bucket table lacks (round-1 version: 6 planes = 64 buckets, bucket
+    population ~n/64, pair count ~n²/64 through a global window —
+    slower than brute force).
+
+    Per bucket the exact cosine re-rank is ONE BLAS GEMM inside
+    applyInPandas emitting only the local top-k rows per member —
+    buckets over ``max_bucket`` vectors are deterministically re-split
+    first, bounding worst-case kernel cost at skewed buckets. The final
+    merge dedups candidates across bands (max cosine) and ranks <=
+    n_bands*k rows per vector — a linear shuffle, never the all-pairs
+    set.
+
+    Scale: pair generation is O(sum of bucket²) bounded by
+    max_bucket · n; no driver collect; at 100 TB the band keys would be
+    written as bucketing columns so repeated queries skip the shuffle."""
+    import pandas as pd
+
+    keys_udf = _band_keys_udf(n_bands, bits_per_band, dim)
+    exploded = (
+        df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .dropna()
+        .withColumn("__keys", keys_udf("v"))
+        .select(id_col, "v", F.posexplode("__keys").alias("band", "bkt"))
+    )
+
+    id_dtype = dict(df.dtypes)[id_col]
+    cand_schema = f"vec_id {id_dtype}, neighbor_id {id_dtype}, cosine double"
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"vec_id": ids[:0], "neighbor_id": ids[:0],
+                                 "cosine": np.array([], dtype=np.float64)})
+        M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        # deterministic re-split of oversized buckets (skew cap): Knuth
+        # multiplicative hash of the row's id, NOT randomness
+        n_splits = -(-m // max_bucket)
+        split_of = (ids.astype(np.int64) * 2654435761 % 2**31) % n_splits if n_splits > 1 \
+            else np.zeros(m, dtype=np.int64)
+        out_v, out_n, out_c = [], [], []
+        for sp in range(n_splits):
+            sel = np.where(split_of == sp)[0]
+            if len(sel) < 2:
+                continue
+            ids_s, Ms = ids[sel], M[sel]
+            nrm = np.sqrt((Ms * Ms).sum(axis=1))
+            S = np.round((Ms @ Ms.T) / (nrm[:, None] * nrm[None, :]), 6)
+            kk = min(k, len(sel) - 1)
+            for i in range(len(sel)):
+                s = S[i].copy()
+                s[ids_s == ids_s[i]] = -np.inf  # self (and dup-id) exclusion
+                order = np.lexsort((ids_s, -s))[:kk]
+                take = order[np.isfinite(s[order])]
+                out_v.extend([ids_s[i]] * len(take))
+                out_n.extend(ids_s[take])
+                out_c.extend(s[take])
+        return pd.DataFrame({"vec_id": out_v, "neighbor_id": out_n, "cosine": out_c})
+
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    cands = (
+        exploded.repartition(n_parts, "band", "bkt")
+        .groupBy("band", "bkt")
+        .applyInPandas(lambda key, pdf: bucket_topk(pdf), schema=cand_schema)
+    )
+    # dedup across bands, then rank the <= n_bands*k survivors per vector
+    best = cands.groupBy("vec_id", "neighbor_id").agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        best.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     k: int = 5,
@@ -271,36 +401,10 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k within LSH buckets: candidates share a bucket; exact
-    cosine re-rank inside the bucket. Output [vec_id, neighbor_id,
-    cosine, rank] — approximate (recall < 1), deterministic.
-
-    Scale: equi-join on bucket replaces the cross join; with B buckets
-    the pair count drops ~B× vs brute force."""
-    buckets = lsh_bucket_ids(df, n_planes, dim, id_col, vec_col)
-    v = (
-        df.join(buckets, id_col)
-        .select(F.col(id_col), _as_double(vec_col).alias("v"), "bucket")
-        .withColumn("nrm", _norm_expanded("v", dim))
-    )
-    a = v.select(
-        F.col(id_col).alias("vec_id"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"), F.col("bucket").alias("ba"),
-    )
-    b = v.select(
-        F.col(id_col).alias("neighbor_id"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"), F.col("bucket").alias("bb"),
-    )
-    pairs = a.join(b, F.col("ba") == F.col("bb")).filter(
-        F.col("vec_id") != F.col("neighbor_id")
-    )
-    cos = F.round(_dot_expanded("va", "vb", dim) / (F.col("na") * F.col("nb")), 6)
-    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        pairs.select("vec_id", "neighbor_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    """Back-compat shim for the round-1 flat-bucket signature: one band
+    of ``n_planes`` bits through the banded path."""
+    return lsh_ann_topk(df, k=k, n_bands=1, bits_per_band=n_planes, dim=dim,
+                        id_col=id_col, vec_col=vec_col)
 
 
 def knn_label_vote(

@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from polars_ts_spark.panel import ID, TIME, require_columns
@@ -45,3 +46,44 @@ def for_each_series(
     # shuffle, full task parallelism.
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     return df.repartition(n_parts, id_col).groupBy(id_col).applyInPandas(run, schema=schema)
+
+
+def for_series_batches(
+    df: DataFrame,
+    kernel: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: T.StructType | str,
+    id_col: str = ID,
+    time_col: str = TIME,
+    sort: bool = True,
+) -> DataFrame:
+    """Apply ``kernel(pdf) -> pdf`` to a BATCH of whole series at once.
+
+    Series are hashed into one bucket per shuffle partition; the kernel
+    receives every row of each series in its bucket, sorted by
+    (id, time). This is the SIMD-batching bridge: kernels that run a
+    per-timestep recursion (PELT, distance DPs) stack it across the
+    batch's series axis instead of looping series-by-series, amortizing
+    Python/numpy dispatch over the whole bucket — the same trick
+    ``functions/dist_kernels.py`` plays for pair batches.
+
+    Same scale properties as ``for_each_series``: one shuffle keyed by
+    id-hash, explicit repartition so AQE's coalescing can't strangle the
+    CPU-heavy Python stage, Arrow both directions.
+    """
+    require_columns(df, id_col, time_col)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns="__bucket")
+        if sort:
+            pdf = pdf.sort_values([id_col, time_col], kind="mergesort").reset_index(drop=True)
+        return kernel(pdf)
+
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    bucketed = df.withColumn(
+        "__bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_parts))
+    )
+    return (
+        bucketed.repartition(n_parts, "__bucket")
+        .groupBy("__bucket")
+        .applyInPandas(run, schema=schema)
+    )

