@@ -725,6 +725,11 @@ def kasba(
         .collect()
     )
     ids = [r[id_col] for r in rows]
+    clash = [s for s in ids if s.startswith("__cent_")]
+    if clash:
+        raise ValueError(
+            f"series ids may not start with the reserved '__cent_' prefix: {clash[:3]}"
+        )
     series = {r[id_col]: np.asarray(r["vals"], float) for r in rows}
     rng = _LCG(seed)
     centroids = [series[ids[i]].copy() for i in rng.sample(len(ids), k)]
@@ -755,7 +760,9 @@ def kasba(
         })
         best = pares.loc[pares.groupby("sid")["v"].idxmin()]
         new_labels = dict(zip(best["sid"], best["c"]))
-        new_labels = {s: int(new_labels.get(s, 0)) for s in ids}
+        # a series with no distance row (shouldn't happen, but don't
+        # silently reassign) keeps its previous label
+        new_labels = {s: int(new_labels.get(s, labels.get(s, 0))) for s in ids}
         if new_labels == labels:
             break
         labels = new_labels

@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from polars_ts_spark.operators.kernel import for_each_series
 from polars_ts_spark.panel import ID, TARGET, TIME, require_columns
@@ -88,12 +89,27 @@ def _chi2_sf(x: float, k: int) -> float:
     return max(0.0, min(1.0, math.exp(-xx + a * math.log(xx) - gln) * h))
 
 
+# Above this lag count the expression plan (max_lags+1 window lag columns
+# + as many aggregate pairs) stops being worth its plan size and the
+# numpy kernel takes over.
+ACF_EXPR_MAX_LAGS = 24
+
+
 def acf(df: DataFrame, max_lags: int = 20, id_col: str = ID,
         time_col: str = TIME, target_col: str = TARGET) -> DataFrame:
-    """[id, lag, acf, ci_lower, ci_upper]; 95% bands ±1.96/√n."""
+    """[id, lag, acf, ci_lower, ci_upper]; 95% bands ±1.96/√n.
+
+    For small ``max_lags`` (the common diagnostic case) this is a pure
+    Catalyst plan — demean via one partition window, materialize the
+    ``max_lags+1`` lagged columns under the same (id, time) sort, one
+    groupBy computing every SUM(d·d_k)/SUM(d·d) pair map-side-combined,
+    then ``stack`` to long form. Two Exchanges total, no Python. The
+    whole-series numpy kernel remains for large lag counts."""
     if max_lags < 1:
         raise ValueError("max_lags must be >= 1")
     require_columns(df, id_col, time_col, target_col)
+    if max_lags <= ACF_EXPR_MAX_LAGS:
+        return _acf_expr(df, max_lags, id_col, time_col, target_col)
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
         vals = pdf[target_col].dropna().to_numpy(dtype=float)
@@ -110,6 +126,45 @@ def acf(df: DataFrame, max_lags: int = 20, id_col: str = ID,
     return for_each_series(df, kern,
                            f"{id_col} string, lag long, acf double, ci_lower double, ci_upper double",
                            id_col, time_col)
+
+
+def _acf_expr(df: DataFrame, max_lags: int, id_col: str, time_col: str,
+              target_col: str) -> DataFrame:
+    """Expression-only ACF (matches the DuckDB oracle shape exactly:
+    SUM(d·d_k)/SUM(d·d) over the demeaned series, NULL past the series
+    end)."""
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy(id_col)
+    ws = Window.partitionBy(id_col).orderBy(time_col)
+    y = F.col(target_col)
+    base = df.select(
+        F.col(id_col),
+        F.col(time_col),
+        (y - F.avg(y).over(wp)).alias("d"),
+        F.count(y).over(wp).alias("n"),
+    )
+    base = base.select(
+        id_col, "d", "n",
+        *[F.lag("d", k).over(ws).alias(f"d{k}") for k in range(1, max_lags + 1)],
+    )
+    aggs = [
+        F.first("n").alias("n"),
+        F.sum(F.col("d") * F.col("d")).alias("var"),
+        *[F.sum(F.col("d") * F.col(f"d{k}")).alias(f"num{k}") for k in range(1, max_lags + 1)],
+    ]
+    per_series = base.groupBy(id_col).agg(*aggs).where(F.col("n") >= 2)
+    pairs = ["0L, try_divide(var, var)"]
+    pairs += [f"{k}L, try_divide(num{k}, var)" for k in range(1, max_lags + 1)]
+    stacked = per_series.select(
+        id_col, "n",
+        F.expr(f"stack({max_lags + 1}, {', '.join(pairs)}) AS (lag, acf)"),
+    )
+    ci = F.lit(1.96) / F.sqrt(F.col("n"))
+    return stacked.select(
+        id_col, "lag", "acf",
+        (-ci).alias("ci_lower"), ci.alias("ci_upper"),
+    )
 
 
 def pacf(df: DataFrame, max_lags: int = 20, id_col: str = ID,

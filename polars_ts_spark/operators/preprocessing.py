@@ -219,8 +219,11 @@ def treat_outliers(
         pt = F.last(good_t, ignorenulls=True).over(w_prev)
         ny = F.first(good_y, ignorenulls=True).over(w_next)
         nt = F.first(good_t, ignorenulls=True).over(w_next)
+        # nt != pt: with duplicate timestamps the two anchors can
+        # coincide, which would null the blend — fall through to the
+        # one-sided fill instead
         repl = (
-            F.when(py.isNotNull() & ny.isNotNull(),
+            F.when(py.isNotNull() & ny.isNotNull() & (nt != pt),
                    py + (ny - py) * (t - pt) / (nt - pt))
             .otherwise(F.coalesce(py, ny, y))
         )

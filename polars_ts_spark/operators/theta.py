@@ -73,7 +73,7 @@ def scum_forecast(
         freq = ts.diff().dropna().median() if len(ts) > 1 else pd.Timedelta(days=1)
         members = []
         if len(y) >= 12:
-            order = auto_arima_series(y, max_p=2, max_d=1, max_q=1)
+            order, _seas = auto_arima_series(y, max_p=2, max_d=1, max_q=1)
             members.append(arima_forecast_series(y, *order, h))
         level = y[0]
         for v in y[1:]:

@@ -1338,7 +1338,15 @@ def q_arima(spark, sf_dir):
 @register("auto_arima")
 def q_auto_arima(spark, sf_dir):
     from polars_ts_spark.operators import arima
-    return arima.auto_arima(_monthly_panel(spark, sf_dir), h=6)
+    return arima.auto_arima(_monthly_panel(spark, sf_dir), h=6, season_length=12)
+
+
+@register("sarima_forecast")  # CSS + Nelder-Mead: rows-only
+def q_sarima(spark, sf_dir):
+    from polars_ts_spark.operators import arima
+    return arima.arima_forecast(
+        _monthly_panel(spark, sf_dir), h=6, order=(0, 1, 1), seasonal_order=(1, 0, 0, 12)
+    )
 
 
 @register("rocket_features")

@@ -34,8 +34,41 @@ def test_auto_arima_prefers_ar_for_ar_process():
     y = np.zeros(n)
     for t in range(1, n):
         y[t] = 0.8 * y[t - 1] + rng.normal(0, 1)
-    p, d, q = arima.auto_arima_series(y, max_p=2, max_d=1, max_q=1)
+    (p, d, q), _seas = arima.auto_arima_series(y, max_p=2, max_d=1, max_q=1)
     assert p >= 1 and d == 0
+
+
+def test_sarima_recovers_seasonal_ar():
+    # planted SAR(1)_7: y_t = 0.8 y_{t-7} + e
+    rng = np.random.default_rng(2)
+    n, s, Phi_true = 700, 7, 0.8
+    y = np.zeros(n)
+    for t in range(s, n):
+        y[t] = Phi_true * y[t - s] + rng.normal(0, 1)
+    c, phi, theta, Phi, Theta, sigma2, aic = arima.sarma_fit_series(y, 0, 0, P=1, Q=0, s=s)
+    assert abs(Phi[0] - Phi_true) < 0.1
+    assert abs(sigma2 - 1.0) < 0.2
+
+
+def test_sarima_seasonal_difference_roundtrip():
+    # pure weekly pattern + linear trend: (0,1,0)(0,1,0,7) nails it
+    s = 7
+    pattern = np.array([1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0])
+    y = np.tile(pattern, 20) + 0.5 * np.arange(140)
+    fc = arima.sarima_forecast_series(y, (0, 0, 0), (0, 1, 0, s), h=s)
+    expected = pattern + 0.5 * (np.arange(140, 147))
+    assert np.allclose(fc, expected, atol=1e-6)
+
+
+def test_auto_arima_detects_seasonal_structure():
+    rng = np.random.default_rng(3)
+    n, s = 400, 7
+    y = np.zeros(n)
+    for t in range(s, n):
+        y[t] = 0.9 * y[t - s] + rng.normal(0, 1)
+    order, seas = arima.auto_arima_series(y, max_p=1, max_d=1, max_q=1, s=s)
+    assert seas[3] == s
+    assert seas[0] >= 1 or seas[1] >= 1  # seasonal AR or seasonal diff chosen
 
 
 def test_arima_operator(spark):
