@@ -309,17 +309,9 @@ def reconcile_top_down(
     )
 
 
-def reconcile_ols(
-    forecasts: DataFrame,
-    hierarchy: dict[str, str],
-    id_col: str = ID,
-    time_col: str = TIME,
-    value_col: str = "y_hat",
-) -> DataFrame:
-    """MinT-OLS projection (reconciliation.py:260-360): per timestamp,
-    ŷ_rec = S (S'S)^-1 S' ŷ over the full node vector. S is built on
-    the driver (hierarchy small); the per-timestamp matmul runs in a
-    grouped pandas UDF keyed by ds — distributed over time."""
+def _summing_matrix(hierarchy: dict[str, str]):
+    """S (n_nodes × n_bottom) for a child->parent tree
+    (ref reconciliation.py:297-328). Returns (S, nodes, bottoms)."""
     nodes = sorted(set(hierarchy) | set(hierarchy.values()))
     bottoms = sorted(set(hierarchy) - set(hierarchy.values()))
     anc: dict[str, set[str]] = {b: {b} for b in bottoms}
@@ -333,22 +325,159 @@ def reconcile_ols(
         for i, n in enumerate(nodes):
             if n in anc[b]:
                 S[i, j] = 1.0
-    P = S @ np.linalg.inv(S.T @ S) @ S.T  # projection onto coherent space
+    return S, nodes, bottoms
+
+
+def mint_projection(hierarchy: dict[str, str], W: np.ndarray | None = None) -> tuple[np.ndarray, list[str]]:
+    """MinTrace projection P = S (S' W⁻¹ S)⁻¹ S' W⁻¹ (OLS when W is
+    None/identity). Returns (P, node order)."""
+    S, nodes, _ = _summing_matrix(hierarchy)
+    if W is None:
+        P = S @ np.linalg.inv(S.T @ S) @ S.T
+    else:
+        W_inv = np.linalg.pinv(W)
+        P = S @ np.linalg.pinv(S.T @ W_inv @ S) @ S.T @ W_inv
+    return P, nodes
+
+
+def _apply_projection(
+    forecasts: DataFrame,
+    P: np.ndarray,
+    nodes: list[str],
+    id_col: str,
+    time_col: str,
+    value_col: str,
+    interval_cols: list[str] | None = None,
+) -> DataFrame:
+    """ŷ_rec(t) = P ŷ(t) per timestamp via a grouped pandas UDF keyed
+    by ds — distributed over time; missing nodes contribute 0 (ref
+    _apply_projection, reconciliation.py:330-366). Interval columns are
+    reconciled with the same P independently."""
     node_pos = {n: i for i, n in enumerate(nodes)}
+    cols = [value_col, *(interval_cols or [])]
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        y = np.zeros(len(nodes))
-        for _, r in pdf.iterrows():
-            y[node_pos[r[id_col]]] = r[value_col]
-        rec = P @ y
-        return pd.DataFrame({
-            id_col: nodes,
-            time_col: pdf[time_col].iloc[0],
-            value_col: rec,
-        })
+        out = {id_col: nodes, time_col: pdf[time_col].iloc[0]}
+        idx = pdf[id_col].map(node_pos)
+        known = idx.notna()
+        for c in cols:
+            y = np.zeros(len(nodes))
+            y[idx[known].astype(int)] = pdf[c][known].to_numpy(dtype=float)
+            out[c] = P @ y
+        return pd.DataFrame(out)
 
-    schema = f"{id_col} string, {time_col} timestamp, {value_col} double"
+    schema = ", ".join([f"{id_col} string", f"{time_col} timestamp"]
+                       + [f"{c} double" for c in cols])
     return forecasts.groupBy(time_col).applyInPandas(kern, schema)
+
+
+def reconcile_ols(
+    forecasts: DataFrame,
+    hierarchy: dict[str, str],
+    id_col: str = ID,
+    time_col: str = TIME,
+    value_col: str = "y_hat",
+    interval_cols: list[str] | None = None,
+) -> DataFrame:
+    """MinT-OLS projection (reconciliation.py:260-360): per timestamp,
+    ŷ_rec = S (S'S)^-1 S' ŷ over the full node vector. S is built on
+    the driver (hierarchy small); the per-timestamp matmul runs in a
+    grouped pandas UDF keyed by ds — distributed over time. Optional
+    ``interval_cols`` (e.g. lo/hi bounds) are projected with the same P
+    (ref reconciliation.py:53-104 interval reconciliation)."""
+    P, nodes = mint_projection(hierarchy, None)
+    return _apply_projection(forecasts, P, nodes, id_col, time_col, value_col, interval_cols)
+
+
+def reconcile_permbu(
+    forecasts: DataFrame,
+    hierarchy: dict[str, str],
+    residuals: DataFrame,
+    id_col: str = ID,
+    time_col: str = TIME,
+    value_col: str = "y_hat",
+    residual_col: str = "residual",
+    shrink: float = 0.5,
+    interval_cols: list[str] | None = None,
+) -> DataFrame:
+    """PERMBU MinTrace (ref reconciliation.py:483-523): W is the
+    empirical residual covariance shrunk halfway to its diagonal, then
+    P = S (S' W⁻¹ S)⁻¹ S' W⁻¹.
+
+    Spark-first W: W[i,j] = (1/T)·Σ_t e_i(t)e_j(t) is a residual
+    self-join on timestamp + one groupBy over (node_i, node_j) — the
+    covariance never materializes row-wise on the driver; only the
+    n_nodes² aggregate (driver-scale by construction) is collected."""
+    _, nodes, _ = _summing_matrix(hierarchy)
+    node_set = set(nodes)
+    res = residuals.select(
+        F.col(id_col).alias("__n"), F.col(time_col).alias("__t"),
+        F.col(residual_col).cast("double").alias("__e"),
+    ).where(F.col("__n").isin(*node_set))
+    T = res.select("__t").distinct().count()
+    a = res.select(F.col("__n").alias("__i"), "__t", F.col("__e").alias("__ei"))
+    b = res.select(F.col("__n").alias("__j"), "__t", F.col("__e").alias("__ej"))
+    cov_rows = (
+        a.join(b, "__t")
+        .groupBy("__i", "__j")
+        .agg(F.sum(F.col("__ei") * F.col("__ej")).alias("__s"))
+        .collect()
+    )
+    pos = {n: i for i, n in enumerate(nodes)}
+    W = np.zeros((len(nodes), len(nodes)))
+    for row in cov_rows:
+        W[pos[row["__i"]], pos[row["__j"]]] = row["__s"] / max(T, 1)
+    W_reg = shrink * np.diag(np.diag(W)) + (1 - shrink) * W
+    P, nodes = mint_projection(hierarchy, W_reg)
+    return _apply_projection(forecasts, P, nodes, id_col, time_col, value_col, interval_cols)
+
+
+def reconcile_mint_cv(
+    forecasts: DataFrame,
+    hierarchy: dict[str, str],
+    train_data: DataFrame,
+    n_folds: int = 5,
+    id_col: str = ID,
+    time_col: str = TIME,
+    value_col: str = "y_hat",
+    target_col: str = TARGET,
+    shrink: float = 0.5,
+    interval_cols: list[str] | None = None,
+) -> DataFrame:
+    """MinTrace with cross-validated covariance (ref
+    reconciliation.py:525-589): time folds over train_data, per-fold
+    residuals = validation values − train-split node means, W = mean of
+    fold covariances shrunk to its diagonal. The node×time matrix is
+    n_nodes·T values — driver-scale (the hierarchy bounds n_nodes), as
+    in the reference."""
+    _, nodes, _ = _summing_matrix(hierarchy)
+    pos = {n: i for i, n in enumerate(nodes)}
+    pdf = (
+        train_data.select(id_col, time_col, F.col(target_col).cast("double"))
+        .where(F.col(id_col).isin(*set(nodes)))
+        .toPandas()
+    )
+    times = sorted(pdf[time_col].unique())
+    n_times = len(times)
+    t_pos = {t: i for i, t in enumerate(times)}
+    Y = np.zeros((len(nodes), n_times))
+    Y[pdf[id_col].map(pos), pdf[time_col].map(t_pos)] = pdf[target_col].to_numpy()
+    folds = min(n_folds, n_times)
+    fold_size = n_times // folds
+    W_sum = np.zeros((len(nodes), len(nodes)))
+    for fold in range(folds):
+        val_start = fold * fold_size
+        val_end = val_start + fold_size if fold < folds - 1 else n_times
+        train_idx = list(range(0, val_start)) + list(range(val_end, n_times))
+        if not train_idx:
+            continue
+        mean_fc = Y[:, train_idx].mean(axis=1, keepdims=True)
+        resid = Y[:, val_start:val_end] - mean_fc
+        W_sum += (resid @ resid.T) / resid.shape[1]
+    W = W_sum / folds
+    W_reg = shrink * np.diag(np.diag(W)) + (1 - shrink) * W
+    P, nodes = mint_projection(hierarchy, W_reg)
+    return _apply_projection(forecasts, P, nodes, id_col, time_col, value_col, interval_cols)
 
 
 def reconcile_middle_out(

@@ -53,8 +53,16 @@ def _training_frame(
     id_col: str,
     time_col: str,
     target_col: str,
+    past_covariates: list[str] | None = None,
+    past_covariate_lags: list[int] | None = None,
+    future_covariates: list[str] | None = None,
 ) -> tuple[DataFrame, list[str]]:
     out = FT.lag_features(df, lags, id_col, time_col, target_col)
+    if past_covariates:
+        # lagged values only — the covariate's CURRENT value is unknown
+        # at decode time (ref multistep.py:143-160)
+        cov_lags = past_covariate_lags or list(lags)
+        out = FT.covariate_lag_features(out, past_covariates, cov_lags, id_col, time_col)
     if rolling_windows:
         # rolling features must not leak the current value into the
         # regressors: shift by 1 (reference builds them from history
@@ -78,7 +86,10 @@ def _training_frame(
             ["day_of_week", "day_of_month", "month", "quarter", "year", "is_weekend"],
             time_col=time_col,
         )
-    feat_cols = [c for c in out.columns if c not in (id_col, time_col, target_col)]
+    # raw past-covariate columns are carriers, not features; future
+    # covariates ARE features (known over the horizon, ref pipeline.py:62-66)
+    excluded = {id_col, time_col, target_col, *(past_covariates or [])}
+    feat_cols = [c for c in out.columns if c not in excluded]
     return out.dropna(), feat_cols
 
 
@@ -165,6 +176,9 @@ class RecursiveForecaster:
         rolling_windows: list[int] = (),
         rolling_aggs: list[str] = ("mean",),
         calendar: bool = False,
+        past_covariates: list[str] | None = None,
+        future_covariates: list[str] | None = None,
+        past_covariate_lags: list[int] | None = None,
         id_col: str = ID,
         time_col: str = TIME,
         target_col: str = TARGET,
@@ -174,30 +188,77 @@ class RecursiveForecaster:
         self.rolling_windows = list(rolling_windows)
         self.rolling_aggs = list(rolling_aggs)
         self.calendar = calendar
+        self.past_covariates = sorted(past_covariates) if past_covariates else None
+        self.future_covariates = sorted(future_covariates) if future_covariates else None
+        self.past_covariate_lags = sorted(past_covariate_lags) if past_covariate_lags else None
         self.id_col, self.time_col, self.target_col = id_col, time_col, target_col
         self.feat_cols: list[str] | None = None
 
     def fit(self, df: DataFrame) -> "RecursiveForecaster":
-        require_columns(df, self.id_col, self.time_col, self.target_col)
+        require_columns(df, self.id_col, self.time_col, self.target_col,
+                        *(self.past_covariates or []), *(self.future_covariates or []))
         feat_df, feat_cols = _training_frame(
             df, self.lags, self.rolling_windows, self.rolling_aggs,
             self.calendar, self.id_col, self.time_col, self.target_col,
+            self.past_covariates, self.past_covariate_lags, self.future_covariates,
         )
         self.feat_cols = feat_cols
         _fit_estimator(self.estimator, feat_df, feat_cols, self.target_col)
         return self
+
+    def _decode_input(self, df: DataFrame, future_df: DataFrame | None) -> DataFrame:
+        """History rows plus (optional) future-covariate rows, tagged by
+        __role, co-partitioned by series — the future covariate lookup
+        stays distributed instead of a driver dict (ref multistep.py
+        builds future_lookup on the driver)."""
+        if self.future_covariates and future_df is None:
+            raise ValueError("future_df is required when future_covariates are configured")
+        hist = df.select(
+            self.id_col, self.time_col,
+            F.col(self.target_col).cast("double").alias(self.target_col),
+            *[F.col(c).cast("double").alias(c)
+              for c in (*(self.past_covariates or []), *(self.future_covariates or []))],
+        ).withColumn("__role", F.lit("hist"))
+        if not self.future_covariates:
+            return hist
+        fut = future_df.select(
+            self.id_col, self.time_col,
+            F.lit(None).cast("double").alias(self.target_col),
+            *[F.lit(None).cast("double").alias(c) for c in (self.past_covariates or [])],
+            *[F.col(c).cast("double") for c in self.future_covariates],
+        ).withColumn("__role", F.lit("future"))
+        return hist.unionByName(fut)
 
     def _decode_kernel(self, h: int):
         est = self.estimator
         lags = self.lags
         rw, ra = self.rolling_windows, self.rolling_aggs
         cal = self.calendar
+        pcov = self.past_covariates or []
+        fcov = self.future_covariates or []
+        cov_lags = self.past_covariate_lags or self.lags
         idc, tc, yc = self.id_col, self.time_col, self.target_col
         feat_cols = list(self.feat_cols)
 
         def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            if "__role" in pdf.columns:
+                fut_rows = pdf[pdf["__role"] == "future"]
+                pdf = pdf[pdf["__role"] == "hist"]
+            else:
+                fut_rows = pdf.iloc[0:0]
             pdf = pdf.sort_values(tc)
+            if not len(pdf):
+                return pd.DataFrame({idc: pd.Series([], dtype="str"),
+                                     tc: pd.Series([], dtype="datetime64[us]"),
+                                     "y_hat": pd.Series([], dtype="float64")})
             hist = list(pdf[yc].to_numpy(dtype=float))
+            # past covariates are frozen at their last known values during
+            # decode (ref multistep.py:225-243: buffers are never extended)
+            pcov_tail = {c: pdf[c].to_numpy(dtype=float) for c in pcov}
+            fcov_by_ts = {
+                c: dict(zip(pd.to_datetime(fut_rows[tc]), fut_rows[c].astype(float)))
+                for c in fcov
+            } if len(fut_rows) else {c: {} for c in fcov}
             ts = pd.to_datetime(pdf[tc])
             freq = (ts.diff().dropna().median()) if len(ts) > 1 else pd.Timedelta(days=1)
             cur_t = ts.iloc[-1]
@@ -213,6 +274,12 @@ class RecursiveForecaster:
                         row[f"{yc}_rolling_{a}_{w}"] = getattr(np, a if a != "mean" else "mean")(tail) if a != "std" else tail.std(ddof=1)
                 if cal:
                     row.update(_np_calendar(cur_t))
+                for c in pcov:
+                    buf = pcov_tail[c]
+                    for k in cov_lags:
+                        row[f"{c}_lag_{k}"] = buf[-k] if k <= len(buf) else (buf[0] if len(buf) else 0.0)
+                for c in fcov:
+                    row[c] = fcov_by_ts[c].get(cur_t, 0.0)
                 x = np.array([[row[c] for c in feat_cols]], dtype=float)
                 y_hat = float(est.predict(x)[0])
                 hist.append(y_hat)
@@ -222,11 +289,12 @@ class RecursiveForecaster:
 
         return kern
 
-    def predict(self, df: DataFrame, h: int = 7) -> DataFrame:
+    def predict(self, df: DataFrame, h: int = 7, future_df: DataFrame | None = None) -> DataFrame:
         if self.feat_cols is None:
             raise RuntimeError("call fit() first")
         schema = f"{self.id_col} string, {self.time_col} timestamp, y_hat double"
-        return for_each_series(df, self._decode_kernel(h), schema, id_col=self.id_col, time_col=self.time_col)
+        inp = self._decode_input(df, future_df)
+        return for_each_series(inp, self._decode_kernel(h), schema, id_col=self.id_col, time_col=self.time_col)
 
 
 class DirectForecaster(RecursiveForecaster):
@@ -235,31 +303,55 @@ class DirectForecaster(RecursiveForecaster):
     1-shot models."""
 
     def fit(self, df: DataFrame, h: int = 7) -> "DirectForecaster":
-        require_columns(df, self.id_col, self.time_col, self.target_col)
+        require_columns(df, self.id_col, self.time_col, self.target_col,
+                        *(self.past_covariates or []), *(self.future_covariates or []))
         self.h = h
         feat_df, feat_cols = _training_frame(
             df, self.lags, self.rolling_windows, self.rolling_aggs,
             self.calendar, self.id_col, self.time_col, self.target_col,
+            self.past_covariates, self.past_covariate_lags, self.future_covariates,
         )
         self.feat_cols = feat_cols
         w = FT.series_window(self.id_col, self.time_col)
         self.models = []
         for step in range(1, h + 1):
-            shifted = feat_df.withColumn("__target", F.lead(self.target_col, step - 1).over(w)).dropna()
+            shifted = feat_df.withColumn("__target", F.lead(self.target_col, step - 1).over(w))
+            # model k sees the future covariate's value AT the predicted
+            # step, not at the feature row (ref multistep.py:355-360)
+            for c in (self.future_covariates or []):
+                shifted = shifted.withColumn(c, F.lead(c, step - 1).over(w))
+            shifted = shifted.dropna()
             est = self.estimator.clone() if hasattr(self.estimator, "clone") else RidgeEstimator()
             self.models.append(_fit_estimator(est, shifted, feat_cols, "__target"))
         return self
 
-    def predict(self, df: DataFrame, h: int | None = None) -> DataFrame:
+    def predict(self, df: DataFrame, h: int | None = None,
+                future_df: DataFrame | None = None) -> DataFrame:
         h = h or self.h
         models = self.models[:h]
         lags, rw, ra, cal = self.lags, self.rolling_windows, self.rolling_aggs, self.calendar
+        pcov = self.past_covariates or []
+        fcov = self.future_covariates or []
+        cov_lags = self.past_covariate_lags or self.lags
         idc, tc, yc = self.id_col, self.time_col, self.target_col
         feat_cols = list(self.feat_cols)
 
         def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            if "__role" in pdf.columns:
+                fut_rows = pdf[pdf["__role"] == "future"]
+                pdf = pdf[pdf["__role"] == "hist"]
+            else:
+                fut_rows = pdf.iloc[0:0]
             pdf = pdf.sort_values(tc)
+            if not len(pdf):
+                return pd.DataFrame({idc: pd.Series([], dtype="str"),
+                                     tc: pd.Series([], dtype="datetime64[us]"),
+                                     "y_hat": pd.Series([], dtype="float64")})
             hist = list(pdf[yc].to_numpy(dtype=float))
+            fcov_by_ts = {
+                c: dict(zip(pd.to_datetime(fut_rows[tc]), fut_rows[c].astype(float)))
+                for c in fcov
+            } if len(fut_rows) else {c: {} for c in fcov}
             ts = pd.to_datetime(pdf[tc])
             freq = (ts.diff().dropna().median()) if len(ts) > 1 else pd.Timedelta(days=1)
             row = {}
@@ -269,6 +361,10 @@ class DirectForecaster(RecursiveForecaster):
                 tail = np.asarray(hist[-w_:], dtype=float)
                 for a in ra:
                     row[f"{yc}_rolling_{a}_{w_}"] = tail.mean() if a == "mean" else tail.std(ddof=1)
+            for c in pcov:
+                buf = pdf[c].to_numpy(dtype=float)
+                for k in cov_lags:
+                    row[f"{c}_lag_{k}"] = buf[-k] if k <= len(buf) else (buf[0] if len(buf) else 0.0)
             out_t, out_y = [], []
             cur_t = ts.iloc[-1]
             for s, est in enumerate(models, start=1):
@@ -276,13 +372,16 @@ class DirectForecaster(RecursiveForecaster):
                 r = dict(row)
                 if cal:
                     r.update(_np_calendar(cur_t))
+                for c in fcov:
+                    r[c] = fcov_by_ts[c].get(cur_t, 0.0)
                 x = np.array([[r[c] for c in feat_cols]], dtype=float)
                 out_t.append(cur_t)
                 out_y.append(float(est.predict(x)[0]))
             return pd.DataFrame({idc: pdf[idc].iloc[0], tc: out_t, "y_hat": out_y})
 
         schema = f"{idc} string, {tc} timestamp, y_hat double"
-        return for_each_series(df, kern, schema, id_col=idc, time_col=tc)
+        inp = self._decode_input(df, future_df)
+        return for_each_series(inp, kern, schema, id_col=idc, time_col=tc)
 
 
 class ForecastPipeline(RecursiveForecaster):
@@ -300,10 +399,10 @@ class ForecastPipeline(RecursiveForecaster):
         super().fit(df)
         return self
 
-    def predict(self, df: DataFrame, h: int = 7) -> DataFrame:
+    def predict(self, df: DataFrame, h: int = 7, future_df: DataFrame | None = None) -> DataFrame:
         if self.target_transform == "log":
             df = df.withColumn(self.target_col, F.log1p(F.col(self.target_col)))
-        out = super().predict(df, h)
+        out = super().predict(df, h, future_df)
         if self.target_transform == "log":
             out = out.withColumn("y_hat", F.expm1(F.col("y_hat")))
         return out

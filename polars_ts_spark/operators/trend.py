@@ -5,10 +5,13 @@ Reference semantics (src/mann_kendall.rs:25-77, src/sens_slope.rs:21-49):
   S = Σ_{i<j} sign(x_j - x_i); nulls dropped; n<2 -> 0.
 - sens_slope: median of all pairwise slopes (x_j - x_i)/(j - i); n<2 -> 0.
 
-Implementation: numpy broadcast in O(n²) *chunks* (bounded memory per
-task) inside `applyInPandas` — the reference's Fenwick O(n log n) trick
-matters for single-machine Python loops; with numpy the chunked
-broadcast is faster in practice and embarrassingly parallel over series.
+Implementation: short series use a numpy O(n²) chunked broadcast
+(bounded memory, SIMD-fast at panel lengths); long series switch to the
+reference's Fenwick-tree O(n log n) formulation
+(src/mann_kendall.rs:39-70) — S accumulated as
+(#previous smaller − #previous larger) per element over a rank-
+compressed binary indexed tree, so a 100k-point series costs ~n·log n
+instead of the n² ≈ 10¹⁰ sign evaluations the broadcast would need.
 """
 
 from __future__ import annotations
@@ -23,10 +26,45 @@ from polars_ts_spark.panel import ID, TARGET, TIME, require_columns
 _CHUNK = 512  # rows per broadcast block: memory <= CHUNK * n * 8 bytes
 
 
+# beyond this length the O(n log n) Fenwick path beats the O(n²/CHUNK)
+# numpy broadcast (crossover measured around a few thousand points)
+_FENWICK_MIN_N = 4096
+
+
+def _mk_s_fenwick(vals: np.ndarray) -> int:
+    """S = Σ_{i<j} sign(x_j − x_i) in O(n log n): for each element,
+    add (#previous smaller − #previous larger), counted by a binary
+    indexed tree over rank-compressed values (ties share a rank and
+    contribute 0, matching sign() == 0)."""
+    uniq, inv = np.unique(vals, return_inverse=True)
+    m = len(uniq)
+    tree = [0] * (m + 1)
+    s = 0
+    for seen, r in enumerate(inv + 1):  # 1-based ranks
+        i = r - 1
+        less = 0
+        while i > 0:
+            less += tree[i]
+            i -= i & (-i)
+        i = r
+        less_or_eq = 0
+        while i > 0:
+            less_or_eq += tree[i]
+            i -= i & (-i)
+        s += less - (seen - less_or_eq)
+        i = r
+        while i <= m:
+            tree[i] += 1
+            i += i & (-i)
+    return s
+
+
 def mann_kendall_stat(vals: np.ndarray) -> float:
     n = len(vals)
     if n < 2:
         return 0.0
+    if n >= _FENWICK_MIN_N:
+        return _mk_s_fenwick(vals) / (0.5 * n * (n - 1))
     s = 0
     for lo in range(0, n - 1, _CHUNK):
         hi = min(lo + _CHUNK, n - 1)

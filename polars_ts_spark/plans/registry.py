@@ -1036,6 +1036,131 @@ def q_reconcile_bottom_up(spark, sf_dir):
     return evaluation.reconcile_bottom_up(fc, hierarchy)
 
 
+# three-level node panel (nation -> region -> total) shared by the MinT
+# reconciliation family; ids are 'n_<key>', 'r_<key>', 'total'
+_NODE_PANEL_CTE = """
+WITH nat AS (
+    SELECT 'n_' || CAST(s_nationkey AS VARCHAR) AS unique_id,
+           date_trunc('day', l_shipdate) AS ds, SUM(l_extendedprice) AS y
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2
+),
+reg AS (
+    SELECT 'r_' || CAST(n_regionkey AS VARCHAR) AS unique_id, nat.ds, SUM(nat.y) AS y
+    FROM nat JOIN nation ON nat.unique_id = 'n_' || CAST(n_nationkey AS VARCHAR)
+    GROUP BY 1, 2
+),
+tot AS (SELECT 'total' AS unique_id, ds, SUM(y) AS y FROM nat GROUP BY 1, 2),
+panel AS (
+    SELECT * FROM nat UNION ALL SELECT * FROM reg UNION ALL SELECT * FROM tot
+)
+"""
+
+
+def _dim_hierarchy() -> dict[str, str] | None:
+    """nation->region->total child->parent map from the (SF-invariant)
+    dimension parquet; None when unavailable (oracle then skipped)."""
+    try:
+        import duckdb
+        rows = duckdb.sql(
+            "SELECT n_nationkey, n_regionkey FROM "
+            "read_parquet('/root/testdata/sf0.001/nation.parquet')"
+        ).fetchall()
+    except Exception:
+        return None
+    h = {f"n_{int(nk)}": f"r_{int(rk)}" for nk, rk in rows}
+    h.update({f"r_{int(rk)}": "total" for _, rk in rows})
+    return h
+
+
+def _mint_oracle() -> str | None:
+    """MinT-OLS reconciliation as SQL: the projection matrix P (a pure
+    function of the static dimension hierarchy) is inlined as a VALUES
+    table; rec_i(ds) = sum_j P[i,j]·yhat_j(ds)."""
+    h = _dim_hierarchy()
+    if h is None:
+        return None
+    from polars_ts_spark.operators.evaluation import mint_projection
+    P, nodes = mint_projection(h, None)
+    vals = ",\n          ".join(
+        f"('{nodes[i]}', '{nodes[j]}', {float(P[i, j])!r})"
+        for i in range(len(nodes)) for j in range(len(nodes))
+    )
+    return (
+        _NODE_PANEL_CTE + ", " + _FREQ_CTE.format(h=7) + _NAIVE_FC_CTE + f""",
+    pmat(i, j, w) AS (
+        VALUES {vals}
+    )
+    SELECT p.i AS unique_id, fc.ds, ROUND(SUM(p.w * fc.y_hat), 6) AS y_hat
+    FROM fc JOIN pmat p ON fc.unique_id = p.j
+    GROUP BY 1, 2
+    """)
+
+
+def _node_panel(spark, sf_dir):
+    from polars_ts_spark.sources.datasets import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat_dim = load_table(spark, sf_dir, "nation")
+    nat = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(
+            F.concat(F.lit("n_"), F.col("s_nationkey").cast("string")).alias("unique_id"),
+            F.date_trunc("day", F.col("l_shipdate")).alias("ds"),
+        )
+        .agg(F.sum("l_extendedprice").alias("y"))
+    )
+    nmap = nat_dim.select(
+        F.concat(F.lit("n_"), F.col("n_nationkey").cast("string")).alias("unique_id"),
+        F.concat(F.lit("r_"), F.col("n_regionkey").cast("string")).alias("__r"),
+    )
+    reg = (
+        nat.join(F.broadcast(nmap), "unique_id")
+        .groupBy(F.col("__r").alias("unique_id"), "ds")
+        .agg(F.sum("y").alias("y"))
+    )
+    tot = (
+        nat.groupBy("ds").agg(F.sum("y").alias("y"))
+        .select(F.lit("total").alias("unique_id"), "ds", "y")
+    )
+    return nat.unionByName(reg).unionByName(tot)
+
+
+def _register_mint():
+    oracle = _mint_oracle()
+
+    @register("reconcile_mint", oracle)
+    def q_reconcile_mint(spark, sf_dir):
+        from polars_ts_spark.operators import evaluation
+        panel = _node_panel(spark, sf_dir)
+        fc = baselines.naive_forecast(panel, h=7)
+        h = _dim_hierarchy()
+        out = evaluation.reconcile_ols(fc, h)
+        return out.select("unique_id", "ds", F.round("y_hat", 6).alias("y_hat"))
+
+    @register("reconcile_permbu")  # covariance-weighted: rows-only
+    def q_reconcile_permbu(spark, sf_dir):
+        from polars_ts_spark.operators import evaluation
+        panel = _node_panel(spark, sf_dir).cache()
+        fc = baselines.naive_forecast(panel, h=7)
+        w = Window.partitionBy("unique_id").orderBy("ds")
+        residuals = (
+            panel.withColumn("residual", F.col("y") - F.lag("y").over(w))
+            .where(F.col("residual").isNotNull())
+            .select("unique_id", "ds", "residual")
+        )
+        return evaluation.reconcile_permbu(fc, _dim_hierarchy(), residuals)
+
+    @register("reconcile_mint_cv")  # CV covariance: rows-only
+    def q_reconcile_mint_cv(spark, sf_dir):
+        from polars_ts_spark.operators import evaluation
+        panel = _node_panel(spark, sf_dir)
+        fc = baselines.naive_forecast(panel, h=7)
+        return evaluation.reconcile_mint_cv(fc, _dim_hierarchy(), panel, n_folds=5)
+
+
+_register_mint()
+
+
 _QPRED_CTE = PANEL_CTE + """,
 q AS (
     SELECT unique_id,
@@ -1126,6 +1251,44 @@ def q_direct_forecast(spark, sf_dir):
     from polars_ts_spark.operators.pipeline import DirectForecaster
     panel = supplier_daily_panel(spark, sf_dir)
     return DirectForecaster(lags=[1, 7]).fit(panel, h=7).predict(panel)
+
+
+@register("recursive_forecast_covariates")  # fitted-model decode: rows-only
+def q_recursive_forecast_covariates(spark, sf_dir):
+    """Past covariate (order count) + future covariate (day-of-week
+    sine, known over the horizon via future_df) through the recursive
+    pipeline (ref pipeline.py:399-404, multistep.py:61-252)."""
+    from polars_ts_spark.operators.pipeline import RecursiveForecaster
+    from polars_ts_spark.sources.datasets import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    panel = (
+        li.groupBy(
+            F.col("l_suppkey").cast("string").alias("unique_id"),
+            F.date_trunc("day", F.col("l_shipdate")).alias("ds"),
+        )
+        .agg(
+            F.sum("l_extendedprice").alias("y"),
+            F.count(F.lit(1)).cast("double").alias("n_items"),
+        )
+        .withColumn("dow_sin", F.sin(F.dayofweek("ds") * F.lit(2 * 3.141592653589793 / 7)))
+    )
+    m = RecursiveForecaster(
+        lags=[1, 7], past_covariates=["n_items"], future_covariates=["dow_sin"],
+    ).fit(panel)
+    last = panel.groupBy("unique_id").agg(F.max("ds").alias("last_ds"))
+    future = (
+        last.select(
+            "unique_id",
+            F.explode(F.sequence(F.lit(1), F.lit(7))).alias("step"),
+            "last_ds",
+        )
+        .select(
+            "unique_id",
+            F.expr("last_ds + make_interval(0, 0, 0, step)").alias("ds"),
+        )
+        .withColumn("dow_sin", F.sin(F.dayofweek("ds") * F.lit(2 * 3.141592653589793 / 7)))
+    )
+    return m.predict(panel, h=7, future_df=future)
 
 
 @register("global_forecast")  # rows-only

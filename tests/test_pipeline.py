@@ -22,6 +22,62 @@ def linear_panel(spark):
     return spark.createDataFrame(pd.concat(rows))
 
 
+@pytest.fixture(scope="module")
+def covariate_panel(spark):
+    """y_t = 3·x_{t-1} + 2·z_t with x a past covariate and z a future
+    covariate known over the horizon: a linear model that actually uses
+    the covariates recovers y exactly; one that ignores them cannot
+    (x and z are noise-like, so lags of y alone carry no signal)."""
+    rng = np.random.default_rng(11)
+    ts = pd.date_range("2024-01-01", periods=120, freq="D")
+    frames = []
+    for sid in ("a", "b"):
+        x = rng.normal(0, 1, 120)
+        z = rng.normal(0, 1, 120)
+        y = np.zeros(120)
+        y[1:] = 3.0 * x[:-1] + 2.0 * z[1:]
+        frames.append(pd.DataFrame(
+            {"unique_id": sid, "ds": ts, "y": y, "x": x, "z": z}))
+    pdf = pd.concat(frames)
+    hist = pdf[pdf["ds"] < ts[115]]
+    future = pdf[pdf["ds"] >= ts[115]][["unique_id", "ds", "z"]]
+    truth = pdf[pdf["ds"] >= ts[115]][["unique_id", "ds", "y", "x", "z"]]
+    return spark.createDataFrame(hist), spark.createDataFrame(future), truth
+
+
+def test_recursive_forecaster_covariates_recover_signal(covariate_panel, spark):
+    hist, future, truth = covariate_panel
+    m = P.RecursiveForecaster(
+        lags=[1], past_covariates=["x"], past_covariate_lags=[1],
+        future_covariates=["z"],
+    ).fit(hist)
+    out = m.predict(hist, h=1, future_df=future).toPandas()
+    merged = out.merge(truth, on=["unique_id", "ds"])
+    # step 1: x_{t-1} is the last observed x, z_t comes from future_df ->
+    # prediction matches the generating equation
+    assert len(merged) == 2
+    assert np.allclose(merged["y_hat"], merged["y"], atol=0.05)
+
+
+def test_recursive_forecaster_requires_future_df(covariate_panel):
+    hist, _future, _ = covariate_panel
+    m = P.RecursiveForecaster(lags=[1], future_covariates=["z"]).fit(hist)
+    with pytest.raises(ValueError, match="future_df"):
+        m.predict(hist, h=2)
+
+
+def test_direct_forecaster_covariates(covariate_panel):
+    hist, future, truth = covariate_panel
+    m = P.DirectForecaster(
+        lags=[1], past_covariates=["x"], past_covariate_lags=[1],
+        future_covariates=["z"],
+    ).fit(hist, h=1)
+    out = m.predict(hist, future_df=future).toPandas()
+    merged = out.merge(truth, on=["unique_id", "ds"])
+    assert len(merged) == 2
+    assert np.allclose(merged["y_hat"], merged["y"], atol=0.05)
+
+
 def test_recursive_forecaster_extrapolates_lines(linear_panel):
     m = P.RecursiveForecaster(lags=[1, 2]).fit(linear_panel)
     out = m.predict(linear_panel, h=5).toPandas().sort_values(["unique_id", "ds"])
@@ -167,6 +223,62 @@ def test_reconcile_ols_coherent(spark):
     out = E.reconcile_ols(fc, {"a1": "A", "a2": "A"}).toPandas()
     d = dict(zip(out["unique_id"], out["y_hat"]))
     assert d["A"] == pytest.approx(d["a1"] + d["a2"], abs=1e-9)  # now coherent
+
+
+def _incoherent_fc(spark):
+    ts = pd.to_datetime(["2024-01-01", "2024-01-02"])
+    vals = {"a1": [1.0, 2.0], "a2": [3.0, 1.0], "A": [5.0, 4.0]}
+    return spark.createDataFrame(pd.concat(
+        pd.DataFrame({"unique_id": sid, "ds": ts, "y_hat": v}) for sid, v in vals.items()
+    ))
+
+
+def test_reconcile_permbu_coherent_and_weighted(spark):
+    fc = _incoherent_fc(spark)
+    rng = np.random.default_rng(4)
+    hist_ts = pd.date_range("2023-01-01", periods=40, freq="D")
+    res = pd.concat(
+        pd.DataFrame({"unique_id": sid, "ds": hist_ts,
+                      "residual": rng.normal(0, sd, 40)})
+        for sid, sd in {"a1": 0.1, "a2": 5.0, "A": 1.0}.items()
+    )
+    out = E.reconcile_permbu(fc, {"a1": "A", "a2": "A"},
+                             spark.createDataFrame(res)).toPandas()
+    piv = out.pivot(index="ds", columns="unique_id", values="y_hat")
+    assert np.allclose(piv["A"], piv["a1"] + piv["a2"], atol=1e-9)  # coherent
+    # a1 has tiny residual variance -> MinT trusts it: its base forecast
+    # moves less than the noisy a2's
+    base = {"a1": 1.0, "a2": 3.0}
+    first = piv.iloc[0]
+    assert abs(first["a1"] - base["a1"]) < abs(first["a2"] - base["a2"])
+
+
+def test_reconcile_mint_cv_coherent(spark):
+    fc = _incoherent_fc(spark)
+    hist_ts = pd.date_range("2023-01-01", periods=30, freq="D")
+    rng = np.random.default_rng(5)
+    train = pd.concat(
+        pd.DataFrame({"unique_id": sid, "ds": hist_ts, "y": rng.normal(m, 1, 30)})
+        for sid, m in {"a1": 1.0, "a2": 3.0, "A": 4.0}.items()
+    )
+    out = E.reconcile_mint_cv(fc, {"a1": "A", "a2": "A"},
+                              spark.createDataFrame(train), n_folds=3).toPandas()
+    piv = out.pivot(index="ds", columns="unique_id", values="y_hat")
+    assert np.allclose(piv["A"], piv["a1"] + piv["a2"], atol=1e-9)
+
+
+def test_reconcile_ols_interval_cols(spark):
+    ts = pd.to_datetime(["2024-01-01"])
+    rows = pd.concat(
+        pd.DataFrame({"unique_id": sid, "ds": ts, "y_hat": [v],
+                      "lo": [v - 1], "hi": [v + 1]})
+        for sid, v in {"a1": 1.0, "a2": 3.0, "A": 5.0}.items()
+    )
+    out = E.reconcile_ols(spark.createDataFrame(rows), {"a1": "A", "a2": "A"},
+                          interval_cols=["lo", "hi"]).toPandas()
+    d = out.set_index("unique_id")
+    for c in ("y_hat", "lo", "hi"):
+        assert d.loc["A", c] == pytest.approx(d.loc["a1", c] + d.loc["a2", c], abs=1e-9)
 
 
 def test_crps_and_calibration(spark):
