@@ -1504,6 +1504,16 @@ def q_auto_arima(spark, sf_dir):
     return arima.auto_arima(_monthly_panel(spark, sf_dir), h=6, season_length=12)
 
 
+@register("window_model_forecast")  # fitted-model decode: rows-only
+def q_window_model_forecast(spark, sf_dir):
+    """The DL-forecaster plumbing (window assembly + batched inference
+    hook) with the torch-free closed-form window model (ref dl/nbeats.py
+    predict loop; torch nets plug into the same batch_forecast)."""
+    from polars_ts_spark.operators.deep import RidgeWindowForecaster
+    panel = supplier_daily_panel(spark, sf_dir)
+    return RidgeWindowForecaster(h=7, input_size=14).fit(panel).predict(panel)
+
+
 @register("sarima_forecast")  # CSS + Nelder-Mead: rows-only
 def q_sarima(spark, sf_dir):
     from polars_ts_spark.operators import arima

@@ -1,0 +1,74 @@
+"""Torch-optional DL scaffolding: window assembly, the pluggable
+batch-inference hook, the closed-form ridge window model, and the
+ImportError guard on the torch ports (torch is absent here)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from polars_ts_spark.operators import deep
+from tests.conftest import make_panel
+
+
+def test_build_training_windows(spark):
+    df = make_panel(spark, {"A": [float(i) for i in range(10)]})
+    win = deep.build_training_windows(df, input_size=3, h=2).toPandas()
+    assert len(win) == 6  # 10 - (3 + 2) + 1
+    w0 = win.sort_values("start").iloc[0]
+    assert list(w0["x"]) == [0.0, 1.0, 2.0]
+    assert list(w0["y_fut"]) == [3.0, 4.0]
+    wl = win.sort_values("start").iloc[-1]
+    assert list(wl["x"]) == [5.0, 6.0, 7.0]
+    assert list(wl["y_fut"]) == [8.0, 9.0]
+
+
+def test_batch_forecast_hook_and_padding(spark):
+    df = make_panel(spark, {"A": [float(i) for i in range(8)], "B": [5.0, 6.0]})
+    calls = []
+
+    def last_value_hook(contexts):
+        calls.append(contexts.shape)
+        return np.repeat(contexts[:, -1:], 3, axis=1)
+
+    out = deep.batch_forecast(df, last_value_hook, input_size=4, h=3).toPandas()
+    a = out[out["unique_id"] == "A"].sort_values("ds")["y_hat"].to_numpy()
+    b = out[out["unique_id"] == "B"].sort_values("ds")["y_hat"].to_numpy()
+    assert np.allclose(a, 7.0) and np.allclose(b, 6.0)
+    # every call got a (S, input_size) matrix — batched, not per series
+    assert all(shape[1] == 4 for shape in calls)
+
+
+def test_ridge_window_forecaster_extrapolates(spark):
+    ts_vals = {s: [a + 2.0 * i for i in range(40)] for s, a in {"A": 0.0, "B": 100.0}.items()}
+    df = make_panel(spark, ts_vals)
+    m = deep.RidgeWindowForecaster(h=3, input_size=4, alpha=1e-6).fit(df)
+    out = m.predict(df).toPandas()
+    a = out[out["unique_id"] == "A"].sort_values("ds")["y_hat"].to_numpy()
+    assert np.allclose(a, [80.0, 82.0, 84.0], atol=0.5)
+
+
+def test_ridge_window_forecaster_too_short_raises(spark):
+    df = make_panel(spark, {"A": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="no training windows"):
+        deep.RidgeWindowForecaster(h=3, input_size=4).fit(df)
+
+
+def test_torch_ports_guarded(spark):
+    df = make_panel(spark, {"A": [float(i) for i in range(60)]})
+    nb = deep.NBEATSForecaster(h=2, input_size=8)  # construction is torch-free
+    pt = deep.PatchTSTForecaster(h=2, input_size=8)
+    has_torch = True
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        has_torch = False
+    if has_torch:  # pragma: no cover - container has no torch
+        nb.fit(df)
+        assert nb.predict(df).count() == 2
+    else:
+        with pytest.raises(ImportError, match="torch"):
+            nb.fit(df)
+        with pytest.raises(ImportError, match="torch"):
+            pt.fit(df)
+        with pytest.raises(RuntimeError, match="fit"):
+            nb.predict(df)
