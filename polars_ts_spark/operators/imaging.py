@@ -112,6 +112,46 @@ def spectrogram(x: np.ndarray, nperseg: int = 32, overlap: float = 0.5) -> np.nd
     return np.stack(frames, axis=1)
 
 
+def _morlet(M: int, s: float = 1.0, w: float = 5.0) -> np.ndarray:
+    """Complex Morlet wavelet (imaging/spectral.py:40-44)."""
+    t = np.arange(-M // 2, M // 2 + 1, dtype=np.float64)
+    return np.exp(1j * w * t / s) * np.exp(-0.5 * (t / s) ** 2) * np.pi ** (-0.25)
+
+
+def _ricker(M: int, a: float = 1.0) -> np.ndarray:
+    """Mexican-hat (Ricker) wavelet (imaging/spectral.py:47-50)."""
+    t = np.arange(-M // 2, M // 2 + 1, dtype=np.float64) / a
+    return (2.0 / (np.sqrt(3 * a) * np.pi ** 0.25)) * (1 - t ** 2) * np.exp(-0.5 * t ** 2)
+
+
+def scalogram(x: np.ndarray, wavelet: str = "morlet",
+              scales: np.ndarray | None = None, n_scales: int = 32) -> np.ndarray:
+    """CWT magnitude scalogram (scale × time), log-spaced scales
+    1..len/4 by default (imaging/spectral.py:53-91,134-177). Convolution
+    via np.convolve — the container has no scipy; same 'same'-mode
+    cross-correlation semantics as the reference's fftconvolve."""
+    x = np.asarray(x, float)
+    n = len(x)
+    if wavelet in ("mexh",):
+        wavelet = "ricker"
+    if wavelet in ("morl",):
+        wavelet = "morlet"
+    if wavelet not in ("morlet", "ricker"):
+        raise ValueError(f"Unknown wavelet {wavelet!r}")
+    if scales is None:
+        scales = np.geomspace(1, max(n // 4, 2), num=n_scales)
+    coeffs = np.zeros((len(scales), n), dtype=np.complex128)
+    for i, scale in enumerate(scales):
+        M = max(min(10 * int(np.ceil(scale)), n), 1)
+        w = _morlet(M, s=scale) if wavelet == "morlet" else _ricker(M, a=scale).astype(complex)
+        # scipy-'same' centering on x: np.convolve('same') would size to
+        # the LONGER input when the wavelet exceeds the series
+        full = np.convolve(x, w[::-1].conj(), mode="full")
+        start = (len(w) - 1) // 2
+        coeffs[i] = full[start:start + n]
+    return np.abs(coeffs)
+
+
 def path_signature_level2(x: np.ndarray) -> np.ndarray:
     """Level-2 signature of the path (t, x): [S1_t, S1_x, S2_tt, S2_tx,
     S2_xt, S2_xx] (signature.py:117-175, truncated depth 2)."""
@@ -136,6 +176,8 @@ _IMAGE_KERNELS = {
     "gadf": gadf,
     "mtf": mtf,
     "recurrence": recurrence_plot,
+    "scalogram": scalogram,
+    "spectrogram": spectrogram,
 }
 
 
@@ -160,6 +202,68 @@ def series_to_image(
 
     schema = f"{id_col} string, image array<array<double>>"
     return df.groupBy(id_col).applyInPandas(kern, schema=schema)
+
+
+def vision_embeddings(
+    decoded_df: DataFrame,
+    embed_batch=None,
+    dim: int = 64,
+    pixel_col: str = "pixels",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vision-model embeddings over decoded images -> [id, embedding]
+    (ref imaging/embeddings.py:172-260: torchvision resnet/vit/clip).
+
+    The Spark plumbing (Arrow-batched pixel stacking, ONE model call
+    per batch, array<float> output) is real; the model is a pluggable
+    ``embed_batch(P: (n, n_pixels)) -> (n, dim)`` hook. Without a hook
+    and without torch installed this raises ImportError — the same
+    honest-stub pattern as operators/multimodal.decode_image."""
+    import pandas as pd
+
+    if embed_batch is None:
+        def embed_batch(P):  # pragma: no cover - torch absent in CI
+            try:
+                import torch  # noqa: F401
+                import torchvision  # noqa: F401
+            except ImportError as e:
+                raise ImportError(
+                    "torch/torchvision required for default vision embeddings; "
+                    "pass embed_batch= for a custom (or stub) model"
+                ) from e
+            raise NotImplementedError("wire a torchvision model here")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            P = np.vstack([np.asarray(p, dtype=np.float64) for p in pdf[pixel_col]])
+            E = np.asarray(embed_batch(P), dtype=np.float32)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "embedding": list(E),
+            })
+
+    id_dtype = dict(decoded_df.dtypes)[id_col]
+    return decoded_df.select(id_col, pixel_col).mapInPandas(
+        gen, schema=f"{id_col} {id_dtype}, embedding array<float>"
+    )
+
+
+def deterministic_embed_hook(dim: int = 64):
+    """Deterministic stand-in for a vision model: mean/std pooling of
+    pixels through a fixed md5-seeded random projection. Keeps the
+    embedding pipeline testable end-to-end without torch."""
+    import hashlib
+
+    def hook(P: np.ndarray) -> np.ndarray:
+        d_in = P.shape[1]
+        seed = int(hashlib.md5(f"vis_{d_in}_{dim}".encode()).hexdigest()[:8], 16)
+        rng = np.random.default_rng(seed)
+        W = rng.standard_normal((d_in, dim)) / np.sqrt(d_in)
+        return (P - P.mean(axis=1, keepdims=True)) @ W
+
+    return hook
 
 
 def rqa_features(

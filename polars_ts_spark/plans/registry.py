@@ -650,10 +650,69 @@ def q_acf(spark, sf_dir):
     return diagnostics.acf(supplier_daily_panel(spark, sf_dir), max_lags=3)
 
 
-@register("pacf")  # Durbin-Levinson recursion: rows-only
+def _pacf_oracle(m: int) -> str:
+    """Durbin-Levinson UNROLLED into SQL for a fixed small max_lags:
+    wide per-series ACF columns r1..rm, then the phi_k_j recursion as a
+    chain of derived columns — the same arithmetic, term order and
+    zero-denominator guard as ``pacf_values``."""
+    lag_cols = ", ".join(
+        f"LAG(d, {k}) OVER (PARTITION BY unique_id ORDER BY ds) AS d{k}"
+        for k in range(1, m + 1)
+    )
+    r_cols = ", ".join(
+        f"SUM(d * d{k}) / SUM(d * d) AS r{k}" for k in range(1, m + 1)
+    )
+    phi_steps = ["SELECT *, r1 AS phi_1_1 FROM rw"]
+    prev = "p1"
+    steps_sql = []
+    joiner = ",\n    "
+    for k in range(2, m + 1):
+        num = f"r{k} - (" + " + ".join(
+            f"phi_{k-1}_{j} * r{k-j}" for j in range(1, k)) + ")"
+        den = "1 - (" + " + ".join(
+            f"phi_{k-1}_{j} * r{j}" for j in range(1, k)) + ")"
+        cols = [f"CASE WHEN ({den}) = 0 THEN 0.0 ELSE ({num}) / ({den}) END AS phi_{k}_{k}"]
+        steps_sql.append(f"p{k}a AS (SELECT *, {', '.join(cols)} FROM {prev})")
+        lower = ", ".join(
+            f"phi_{k-1}_{j} - phi_{k}_{k} * phi_{k-1}_{k-j} AS phi_{k}_{j}"
+            for j in range(1, k)
+        )
+        steps_sql.append(f"p{k} AS (SELECT *, {lower} FROM p{k}a)")
+        prev = f"p{k}"
+    rows = ["SELECT unique_id, CAST(0 AS BIGINT) AS lag, 1.0 AS pacf, "
+            "-1.96 / SQRT(n) AS ci_lower, 1.96 / SQRT(n) AS ci_upper FROM " + prev]
+    for k in range(1, m + 1):
+        rows.append(
+            f"SELECT unique_id, CAST({k} AS BIGINT) AS lag, ROUND(phi_{k}_{k}, 6) AS pacf, "
+            f"-1.96 / SQRT(n) AS ci_lower, 1.96 / SQRT(n) AS ci_upper FROM {prev}"
+        )
+    return (
+        PANEL_CTE + f""",
+    demeaned AS (
+        SELECT unique_id, ds,
+               y - AVG(y) OVER (PARTITION BY unique_id) AS d,
+               COUNT(*) OVER (PARTITION BY unique_id) AS n
+        FROM panel
+    ),
+    lagged AS (SELECT unique_id, d, n, {lag_cols} FROM demeaned),
+    rw AS (
+        SELECT unique_id, FIRST(n) AS n, {r_cols}
+        FROM lagged GROUP BY unique_id HAVING FIRST(n) >= 2
+    ),
+    p1 AS ({phi_steps[0]}),
+    {joiner.join(steps_sql)}
+    """ + " UNION ALL ".join(rows)
+    )
+
+
+@register("pacf", _pacf_oracle(5))
 def q_pacf(spark, sf_dir):
     from polars_ts_spark.operators import diagnostics
-    return diagnostics.pacf(supplier_daily_panel(spark, sf_dir), max_lags=5)
+    out = diagnostics.pacf(supplier_daily_panel(spark, sf_dir), max_lags=5)
+    # round both engines: Durbin-Levinson amplifies summation-order drift
+    return out.select(
+        "unique_id", "lag", F.round("pacf", 6).alias("pacf"), "ci_lower", "ci_upper"
+    )
 
 
 @register(
@@ -689,7 +748,27 @@ def q_pelt(spark, sf_dir):
     return pelt_mod.pelt(supplier_daily_panel(spark, sf_dir), cost="mean")
 
 
-@register("hampel_outliers")  # nested window medians: rows-only
+@register(
+    "hampel_outliers",
+    PANEL_CTE + """,
+    idx AS (
+        SELECT unique_id, ds, y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+               MEDIAN(y) OVER (PARTITION BY unique_id ORDER BY ds
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS med
+        FROM panel
+    ),
+    mad AS (
+        SELECT a.unique_id, a.rn, MEDIAN(ABS(b.y - a.med)) AS mad
+        FROM idx a JOIN idx b
+          ON a.unique_id = b.unique_id AND b.rn BETWEEN a.rn - 3 AND a.rn + 3
+        GROUP BY 1, 2
+    )
+    SELECT i.unique_id, i.ds, i.y,
+           (d.mad > 0 AND ABS(i.y - i.med) > 3.0 * 1.4826 * d.mad) AS is_outlier
+    FROM idx i JOIN mad d ON i.unique_id = d.unique_id AND i.rn = d.rn
+    """,
+)
 def q_hampel(spark, sf_dir):
     from polars_ts_spark.operators import diagnostics
     return diagnostics.hampel_outliers(supplier_daily_panel(spark, sf_dir), window=7)
@@ -1559,6 +1638,19 @@ def q_causal_impact(spark, sf_dir):
 def q_gasf(spark, sf_dir):
     from polars_ts_spark.operators import imaging
     return imaging.series_to_image(_monthly_panel(spark, sf_dir), "gasf")
+
+
+@register("scalogram_image")  # CWT kernel: rows-only
+def q_scalogram(spark, sf_dir):
+    from polars_ts_spark.operators import imaging
+    return imaging.series_to_image(_monthly_panel(spark, sf_dir), "scalogram", n_scales=16)
+
+
+@register("vision_embeddings")  # stubbed model, real plumbing: rows-only
+def q_vision_embeddings(spark, sf_dir):
+    from polars_ts_spark.operators import imaging, multimodal
+    decoded = multimodal.decode_image(multimodal.attach_binary_payload(_docs(spark, sf_dir)))
+    return imaging.vision_embeddings(decoded, imaging.deterministic_embed_hook(32), dim=32)
 
 
 @register("rqa_features")

@@ -216,6 +216,58 @@ def test_imaging_operators(spark):
     assert sig.shape == (1, 7)
 
 
+def test_scalogram_peaks_at_signal_scale():
+    # pure sinusoid of period ~19: CWT energy concentrates at the
+    # matching scale (morlet center freq w=5 -> scale ~ period*5/(2pi))
+    n, period = 256, 19.0
+    x = np.sin(2 * np.pi * np.arange(n) / period)
+    scales = np.arange(1, 33, dtype=float)
+    S = imaging.scalogram(x, "morlet", scales=scales)
+    assert S.shape == (32, n)
+    energy = (S ** 2)[:, 64:-64].sum(axis=1)  # ignore edge cone
+    best = scales[np.argmax(energy)]
+    expected = period * 5 / (2 * np.pi)  # ~15.1
+    assert abs(best - expected) <= 3.0
+
+
+def test_scalogram_image_operator(spark):
+    ts = pd.date_range("2024-01-01", periods=40, freq="D")
+    df = spark.createDataFrame(pd.DataFrame({
+        "unique_id": "a", "ds": ts, "y": np.sin(np.arange(40) / 3)}))
+    img = imaging.series_to_image(df, "scalogram", n_scales=8).collect()[0]["image"]
+    assert len(img) == 8 and len(img[0]) == 40
+
+
+def test_vision_embeddings_plumbing(spark):
+    from polars_ts_spark.operators import multimodal
+    docs = spark.createDataFrame([(0, "alpha"), (1, "alpha"), (2, "gamma")],
+                                 ["doc_id", "text"])
+    decoded = multimodal.decode_image(multimodal.attach_binary_payload(docs))
+    out = imaging.vision_embeddings(
+        decoded, imaging.deterministic_embed_hook(16), dim=16
+    ).toPandas()
+    assert len(out) == 3
+    assert all(len(e) == 16 for e in out["embedding"])
+    e = {r["doc_id"]: np.asarray(r["embedding"]) for _, r in out.iterrows()}
+    assert np.allclose(e[0], e[1])  # identical payloads -> identical embedding
+    assert not np.allclose(e[0], e[2])
+
+
+def test_vision_embeddings_default_requires_torch(spark):
+    from polars_ts_spark.operators import multimodal
+    docs = spark.createDataFrame([(0, "alpha")], ["doc_id", "text"])
+    decoded = multimodal.decode_image(multimodal.attach_binary_payload(docs))
+    try:
+        import torch  # noqa: F401
+        has_torch = True
+    except ImportError:
+        has_torch = False
+    if not has_torch:
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="torch"):
+            imaging.vision_embeddings(decoded).toPandas()
+
+
 # ---------------------------------------------------------------------------
 # fourier decomposition & shapelets
 
