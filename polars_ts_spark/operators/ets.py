@@ -82,6 +82,132 @@ def _hw_state(values: np.ndarray, alpha: float, beta: float, gamma: float,
     return level, trend, seasons
 
 
+def _ets_sse(values: np.ndarray, kind: str, params: np.ndarray, m: int) -> float:
+    """One-step-ahead in-sample SSE for an ETS variant (fit criterion
+    for auto_ets_series)."""
+    y = values
+    n = len(y)
+    if kind == "ses":
+        (alpha,) = params
+        level = y[0]
+        sse = 0.0
+        for t in range(1, n):
+            sse += (y[t] - level) ** 2
+            level = alpha * y[t] + (1 - alpha) * level
+        return sse
+    if kind == "holt":
+        alpha, beta = params
+        level, trend = y[0], y[1] - y[0]
+        sse = 0.0
+        for t in range(1, n):
+            pred = level + trend
+            sse += (y[t] - pred) ** 2
+            prev = level
+            level = alpha * y[t] + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1 - beta) * trend
+        return sse
+    # additive Holt-Winters
+    alpha, beta, gamma = params
+    first = y[:m].mean()
+    second = y[m:2 * m].mean()
+    level, trend = first, (second - first) / m
+    seasons = (y[:m] - first).astype(float).copy()
+    sse = 0.0
+    for t in range(m, n):
+        si = t % m
+        pred = level + trend + seasons[si]
+        sse += (y[t] - pred) ** 2
+        prev = level
+        level = alpha * (y[t] - seasons[si]) + (1 - alpha) * (level + trend)
+        trend = beta * (level - prev) + (1 - beta) * trend
+        seasons[si] = gamma * (y[t] - level) + (1 - gamma) * seasons[si]
+    return sse
+
+
+def auto_ets_series(y: np.ndarray, h: int, season_length: int = 0) -> np.ndarray:
+    """AutoETS-style: optimize the smoothing parameters of each ETS
+    variant (SES / Holt / additive HW when seasonal data allows) by
+    one-step SSE, select by AIC, forecast from the winner's final
+    state (statsforecast AutoETS in spirit; scum.py:15 member)."""
+    from polars_ts_spark.functions.numutils import nelder_mead
+
+    y = np.asarray(y, float)
+    n = len(y)
+    m = season_length
+    cands: list[tuple[str, np.ndarray]] = [("ses", np.array([0.3]))]
+    if n >= 4:
+        cands.append(("holt", np.array([0.3, 0.1])))
+    if m and m > 1 and n >= 2 * m + 3:
+        cands.append(("hw", np.array([0.3, 0.1, 0.1])))
+
+    def make_obj(kind, mm):
+        def obj(p):
+            if np.any(p <= 0.0) or np.any(p >= 1.0):
+                return 1e12
+            return _ets_sse(y, kind, p, mm)
+        return obj
+
+    best = (np.inf, None, None)
+    for kind, x0 in cands:
+        p, sse = nelder_mead(make_obj(kind, m), x0, max_iter=200)
+        k = len(x0) + 1
+        aic = n * np.log(max(sse / max(n, 1), 1e-300)) + 2 * k
+        if aic < best[0]:
+            best = (aic, kind, p)
+    _, kind, p = best
+    if kind == "ses":
+        return np.full(h, ses_level(y, float(p[0])))
+    if kind == "holt":
+        level, trend = _holt_state(y, float(p[0]), float(p[1]))
+        return level + trend * (1 + np.arange(h))
+    level, trend, seasons = _hw_state(y, float(p[0]), float(p[1]), float(p[2]), m, True)
+    return np.array([
+        level + trend * (i + 1) + seasons[(n + i) % m] for i in range(h)
+    ])
+
+
+def ces_series(y: np.ndarray, h: int) -> np.ndarray:
+    """CES-style complex exponential smoothing (scum.py:15 member;
+    Svetunkov & Kourentzes' state-space form): state (l, c) with
+    F = [[1, -(1-a1)], [1, 1-a0]], g = (a0-a1, a0+a1), ŷ = l;
+    (a0, a1) optimized by one-step SSE."""
+    from polars_ts_spark.functions.numutils import nelder_mead
+
+    y = np.asarray(y, float)
+    n = len(y)
+    if n < 3:
+        return np.full(h, y[-1] if n else np.nan)
+
+    def run(a0, a1, horizon=0):
+        l_, c_ = y[0], 0.0
+        sse = 0.0
+        for t in range(1, n):
+            e = y[t] - l_
+            sse += e * e
+            l_new = l_ - (1 - a1) * c_ + (a0 - a1) * e
+            c_new = l_ + (1 - a0) * c_ + (a0 + a1) * e
+            l_, c_ = l_new, c_new
+        fc = np.empty(horizon)
+        for i in range(horizon):
+            fc[i] = l_
+            l_new = l_ - (1 - a1) * c_
+            c_new = l_ + (1 - a0) * c_
+            l_, c_ = l_new, c_new
+        return sse, fc
+
+    def obj(p):
+        a0, a1 = p
+        if not (0.0 < a0 < 2.0 and 0.0 < a1 < 2.0):
+            return 1e12
+        sse, _ = run(a0, a1)
+        return sse if np.isfinite(sse) else 1e12
+
+    p, _ = nelder_mead(obj, np.array([1.0, 1.0]), max_iter=200)
+    _, fc = run(float(np.clip(p[0], 1e-6, 2 - 1e-6)),
+                float(np.clip(p[1], 1e-6, 2 - 1e-6)), horizon=h)
+    return fc
+
+
 def ses_forecast(df: DataFrame, h: int, alpha: float = 0.3,
                  id_col: str = ID, time_col: str = TIME, target_col: str = TARGET) -> DataFrame:
     """Flat forecast at the final smoothed level (exponential_smoothing.py:113-153)."""

@@ -1,0 +1,124 @@
+"""Zero-shot foundation-model forecast adapters (SURVEY §2.12 tail).
+
+Reference parity: polars_ts/adapters/foundation_forecast.py —
+ChronosForecaster (:80-190), TimesFMForecaster (:193-262),
+MoiraiForecaster (:265-370), foundation_forecast dispatcher (:372-408).
+
+The heavy models (torch + chronos / timesfm / uni2ts) are not in this
+container, so each adapter is an import-guarded shell around the SAME
+distributed inference plumbing as operators/deep.py: contexts are
+stacked per bucket of series and the model is called ONCE per batch
+(`deep.batch_forecast`). A custom ``predict_batch`` hook can replace
+the pretrained pipeline — that is also how the plumbing stays testable
+here. Where the stack is missing, construction succeeds (cheap,
+surface-visible) and the first predict raises a clear ImportError.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from polars_ts_spark.operators.deep import batch_forecast
+from polars_ts_spark.panel import ID, TARGET, TIME
+
+
+class _FoundationAdapter:
+    """Shared adapter shell: context_length window in, h steps out."""
+
+    _STACK = "torch"  # overridden per adapter
+    _MODEL_DOC = ""
+
+    def __init__(self, model_name: str, context_length: int = 64,
+                 predict_batch=None,
+                 id_col: str = ID, time_col: str = TIME, target_col: str = TARGET):
+        self.model_name = model_name
+        self.context_length = context_length
+        self._hook = predict_batch
+        self.id_col, self.time_col, self.target_col = id_col, time_col, target_col
+
+    def _load_hook(self, h: int):  # pragma: no cover - stacks absent in CI
+        raise ImportError(
+            f"{self._STACK} is required for {type(self).__name__} "
+            f"({self._MODEL_DOC}); pass predict_batch= to plug a custom or "
+            "stub model into the same distributed inference plumbing"
+        )
+
+    def predict(self, df: DataFrame, h: int = 12) -> DataFrame:
+        hook = self._hook or self._load_hook(h)
+        return batch_forecast(df, hook, self.context_length, h,
+                              self.id_col, self.time_col, self.target_col)
+
+
+class ChronosForecaster(_FoundationAdapter):
+    """Amazon Chronos zero-shot adapter (foundation_forecast.py:80-190):
+    sample-path median over the pipeline's probabilistic output."""
+
+    _STACK = "torch + chronos"
+    _MODEL_DOC = "e.g. amazon/chronos-t5-small"
+
+    def __init__(self, model_name: str = "amazon/chronos-t5-small",
+                 num_samples: int = 20, **kw):
+        super().__init__(model_name, **kw)
+        self.num_samples = num_samples
+
+    def _load_hook(self, h: int):  # pragma: no cover - chronos absent
+        try:
+            import torch  # noqa: F401
+            from chronos import ChronosPipeline
+        except ImportError:
+            return super()._load_hook(h)
+        pipeline = ChronosPipeline.from_pretrained(self.model_name)
+
+        def hook(contexts: np.ndarray) -> np.ndarray:
+            import torch as _t
+            samples = pipeline.predict(
+                _t.tensor(contexts, dtype=_t.float32), h,
+                num_samples=self.num_samples,
+            )
+            return np.median(samples.numpy(), axis=1)
+
+        return hook
+
+
+class TimesFMForecaster(_FoundationAdapter):
+    """Google TimesFM zero-shot adapter (foundation_forecast.py:193-262)."""
+
+    _STACK = "timesfm"
+    _MODEL_DOC = "e.g. google/timesfm-1.0-200m"
+
+    def __init__(self, model_name: str = "google/timesfm-1.0-200m", **kw):
+        super().__init__(model_name, **kw)
+
+
+class MoiraiForecaster(_FoundationAdapter):
+    """Salesforce Moirai zero-shot adapter (foundation_forecast.py:265-370)."""
+
+    _STACK = "torch + uni2ts"
+    _MODEL_DOC = "e.g. Salesforce/moirai-1.0-R-small"
+
+    def __init__(self, model_name: str = "Salesforce/moirai-1.0-R-small",
+                 num_samples: int = 20, **kw):
+        super().__init__(model_name, **kw)
+        self.num_samples = num_samples
+
+
+_ADAPTERS = {
+    "chronos": ChronosForecaster,
+    "timesfm": TimesFMForecaster,
+    "moirai": MoiraiForecaster,
+}
+
+
+def foundation_forecast(
+    df: DataFrame,
+    model: str = "chronos",
+    h: int = 12,
+    predict_batch=None,
+    **kw,
+) -> DataFrame:
+    """Dispatcher (foundation_forecast.py:372-408): pick an adapter by
+    name, forecast h steps. ``predict_batch`` plugs any local model."""
+    if model not in _ADAPTERS:
+        raise ValueError(f"unknown foundation model {model!r}; choose from {sorted(_ADAPTERS)}")
+    return _ADAPTERS[model](predict_batch=predict_batch, **kw).predict(df, h)

@@ -42,6 +42,48 @@ def theta_forecast_series(y: np.ndarray, h: int, alpha: float = 0.3) -> np.ndarr
     return 0.5 * (trend_fc + ses_fc)
 
 
+def dot_forecast_series(y: np.ndarray, h: int) -> np.ndarray:
+    """Dynamic Optimized Theta (scum.py:15 member; Fiorucci et al.
+    OTM): forecast = (1/θ)·SES(Z(θ)) + (1−1/θ)·trend-line, with both θ
+    and the SES α optimized by one-step in-sample SSE. θ=2, α=0.3
+    recovers the classical method above."""
+    from polars_ts_spark.functions.numutils import nelder_mead
+
+    y = np.asarray(y, float)
+    n = len(y)
+    if n < 4:
+        return np.full(h, y[-1] if n else np.nan)
+    t = np.arange(n, dtype=float)
+    A = np.column_stack([t, np.ones(n)])
+    (b, a), *_ = np.linalg.lstsq(A, y, rcond=None)
+    line = a + b * t
+
+    def run(theta, alpha, horizon=0):
+        Z = theta * y + (1 - theta) * line
+        level = Z[0]
+        sse = 0.0
+        for i in range(1, n):
+            pred = (1 / theta) * level + (1 - 1 / theta) * line[i]
+            sse += (y[i] - pred) ** 2
+            level = alpha * Z[i] + (1 - alpha) * level
+        fc = (1 / theta) * np.full(horizon, level) + \
+            (1 - 1 / theta) * (a + b * (n + np.arange(horizon)))
+        return sse, fc
+
+    def obj(p):
+        theta, alpha = p
+        if not (1.0 <= theta <= 5.0 and 0.0 < alpha < 1.0):
+            return 1e12
+        sse, _ = run(theta, alpha)
+        return sse if np.isfinite(sse) else 1e12
+
+    p, _ = nelder_mead(obj, np.array([2.0, 0.3]), max_iter=200)
+    theta = float(np.clip(p[0], 1.0, 5.0))
+    alpha = float(np.clip(p[1], 1e-6, 1 - 1e-6))
+    _, fc = run(theta, alpha, horizon=h)
+    return fc
+
+
 def theta_forecast(
     df: DataFrame, h: int = 7, alpha: float = 0.3,
     id_col: str = ID, time_col: str = TIME, target_col: str = TARGET,
@@ -60,11 +102,15 @@ def theta_forecast(
 
 
 def scum_forecast(
-    df: DataFrame, h: int = 7,
+    df: DataFrame, h: int = 7, season_length: int = 0,
     id_col: str = ID, time_col: str = TIME, target_col: str = TARGET,
 ) -> DataFrame:
-    """SCUM-style mean ensemble (scum.py:10-68): auto-ARIMA + SES +
-    Theta averaged per step, all computed in one worker pass."""
+    """SCUM mean ensemble (scum.py:10-68): the reference averages
+    AutoARIMA + AutoETS + AutoCES + DynamicOptimizedTheta — here the
+    from-scratch equivalents (seasonal auto-ARIMA grid, SSE-optimized
+    ETS variant selection, CES state-space recursion, optimized-theta),
+    all fitted in one worker pass per series."""
+    from polars_ts_spark.operators.ets import auto_ets_series, ces_series
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(time_col)
@@ -73,13 +119,15 @@ def scum_forecast(
         freq = ts.diff().dropna().median() if len(ts) > 1 else pd.Timedelta(days=1)
         members = []
         if len(y) >= 12:
-            order, _seas = auto_arima_series(y, max_p=2, max_d=1, max_q=1)
-            members.append(arima_forecast_series(y, *order, h))
-        level = y[0]
-        for v in y[1:]:
-            level = 0.3 * v + 0.7 * level
-        members.append(np.full(h, level))
-        members.append(theta_forecast_series(y, h))
+            order, seas = auto_arima_series(y, max_p=2, max_d=1, max_q=1, s=season_length)
+            if any(seas[:3]):
+                from polars_ts_spark.operators.arima import sarima_forecast_series
+                members.append(sarima_forecast_series(y, order, seas, h))
+            else:
+                members.append(arima_forecast_series(y, *order, h))
+        members.append(auto_ets_series(y, h, season_length))
+        members.append(ces_series(y, h))
+        members.append(dot_forecast_series(y, h))
         fc = np.mean(members, axis=0)
         fut = [ts.iloc[-1] + (i + 1) * freq for i in range(h)]
         return pd.DataFrame({id_col: pdf[id_col].iloc[0], time_col: fut, "y_hat": fc})

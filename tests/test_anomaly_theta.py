@@ -56,6 +56,31 @@ def test_theta_extrapolates_trend(spark):
     assert len(scum) == 3 and np.isfinite(scum["y_hat"]).all()
 
 
+def test_dot_beats_fixed_theta_on_trend():
+    from polars_ts_spark.operators.theta import dot_forecast_series, theta_forecast_series
+    y = 2.0 + 1.5 * np.arange(60)
+    truth = 2.0 + 1.5 * np.arange(60, 63)
+    dot_err = np.abs(dot_forecast_series(y, 3) - truth).mean()
+    fixed_err = np.abs(theta_forecast_series(y, 3) - truth).mean()
+    assert dot_err < fixed_err  # optimized theta adapts toward the trend
+
+
+def test_auto_ets_selects_seasonal_model():
+    from polars_ts_spark.operators.ets import auto_ets_series
+    pat = np.array([0.0, 10.0, 2.0, 8.0])
+    y = np.tile(pat, 12) + 0.1 * np.arange(48)
+    fc = auto_ets_series(y, 4, season_length=4)
+    expected = pat + 0.1 * np.arange(48, 52)
+    assert np.abs(fc - expected).max() < 1.5  # HW continues the pattern
+
+
+def test_ces_tracks_constant_and_trend():
+    from polars_ts_spark.operators.ets import ces_series
+    assert np.allclose(ces_series(np.full(30, 5.0), 3), 5.0, atol=1e-6)
+    fc = ces_series(1.0 * np.arange(50), 3)
+    assert np.all(np.isfinite(fc)) and fc[0] > 40
+
+
 def test_kaboudan_high_for_predictable(spark):
     ts = pd.date_range("2024-01-01", periods=100, freq="D")
     rng = np.random.default_rng(3)

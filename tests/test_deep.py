@@ -53,6 +53,28 @@ def test_ridge_window_forecaster_too_short_raises(spark):
         deep.RidgeWindowForecaster(h=3, input_size=4).fit(df)
 
 
+def test_foundation_adapters_guarded_and_pluggable(spark):
+    from polars_ts_spark.operators import foundation
+    df = make_panel(spark, {"A": [float(i) for i in range(30)]})
+    # pluggable hook runs through the same distributed plumbing
+    out = foundation.foundation_forecast(
+        df, model="chronos", h=2, context_length=8,
+        predict_batch=lambda C: np.repeat(C[:, -1:], 2, axis=1),
+    ).toPandas()
+    assert len(out) == 2 and np.allclose(out["y_hat"], 29.0)
+    # without the stack, predict raises a clear ImportError
+    try:
+        import chronos  # noqa: F401
+        has_stack = True
+    except ImportError:
+        has_stack = False
+    if not has_stack:
+        with pytest.raises(ImportError, match="chronos"):
+            foundation.ChronosForecaster().predict(df, h=2)
+    with pytest.raises(ValueError, match="unknown foundation model"):
+        foundation.foundation_forecast(df, model="nope")
+
+
 def test_torch_ports_guarded(spark):
     df = make_panel(spark, {"A": [float(i) for i in range(60)]})
     nb = deep.NBEATSForecaster(h=2, input_size=8)  # construction is torch-free
