@@ -103,10 +103,35 @@ class MoiraiForecaster(_FoundationAdapter):
         self.num_samples = num_samples
 
 
+class TimeLLMForecaster(_FoundationAdapter):
+    """Time-LLM adapter (ref adapters/llm_forecast.py:163-294): series
+    patched into a frozen-LLM prompt space. Requires torch +
+    transformers; ``predict_batch`` plugs any local substitute."""
+
+    _STACK = "torch + transformers"
+    _MODEL_DOC = "e.g. gpt2 backbone"
+
+    def __init__(self, model_name: str = "gpt2", **kw):
+        super().__init__(model_name, **kw)
+
+
+class LLMPSForecaster(_FoundationAdapter):
+    """LLM-PS adapter (ref adapters/llm_forecast.py:294-420). Requires
+    torch + transformers."""
+
+    _STACK = "torch + transformers"
+    _MODEL_DOC = "prompt-as-prefix LLM forecaster"
+
+    def __init__(self, model_name: str = "gpt2", **kw):
+        super().__init__(model_name, **kw)
+
+
 _ADAPTERS = {
     "chronos": ChronosForecaster,
     "timesfm": TimesFMForecaster,
     "moirai": MoiraiForecaster,
+    "timellm": TimeLLMForecaster,
+    "llmps": LLMPSForecaster,
 }
 
 

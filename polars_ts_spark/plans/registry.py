@@ -1583,6 +1583,14 @@ def q_auto_arima(spark, sf_dir):
     return arima.auto_arima(_monthly_panel(spark, sf_dir), h=6, season_length=12)
 
 
+@register("dec_cluster")  # embedding k-means + KL refinement: rows-only
+def q_dec_cluster(spark, sf_dir):
+    from polars_ts_spark.operators.deep_cluster import DECClusterer
+    return DECClusterer(n_clusters=3, embedding_dim=8).fit_predict(
+        _monthly_panel(spark, sf_dir)
+    )
+
+
 @register("window_model_forecast")  # fitted-model decode: rows-only
 def q_window_model_forecast(spark, sf_dir):
     """The DL-forecaster plumbing (window assembly + batched inference
