@@ -407,6 +407,64 @@ def lsh_topk(
                         id_col=id_col, vec_col=vec_col)
 
 
+def lsh_ann_topk_oracle(k: int = 5, n_bands: int = 12, bits_per_band: int = 4,
+                        dim: int = DIM) -> str:
+    """The banded-LSH ANN is fully deterministic (md5 planes, float64
+    GEMM, id tie-breaks), so it has an EXACT SQL oracle: per band a
+    literal sign-projection key, per bucket a self-join cosine top-k
+    (kk = min(k, bucket-1) like the kernel), cross-band max-cosine
+    dedup, final rank. Assumes no bucket exceeds the re-split cap
+    (true at oracle scale)."""
+    band_selects = []
+    for band in range(n_bands):
+        bits = []
+        for i in range(bits_per_band):
+            plane = [_plane_value(band * bits_per_band + i, d) for d in range(dim)]
+            dot = " + ".join(f"v[{d + 1}] * {plane[d]!r}" for d in range(dim))
+            bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+        band_selects.append(
+            f"SELECT vec_id, v, nrm, {band} AS band, {' + '.join(bits)} AS bkt FROM v"
+        )
+    keys = "\nUNION ALL\n".join(band_selects)
+    nrm = duck_norm("v", dim)
+    dot_ab = duck_dot("a.v", "b.v", dim)
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v, {nrm} AS nrm
+    FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+),
+keys AS (
+{keys}
+),
+sized AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bkt) AS bsize FROM keys
+),
+pairs AS (
+    SELECT a.band, a.bkt, a.vec_id, b.vec_id AS neighbor_id,
+           round(({dot_ab}) / (a.nrm * b.nrm), 6) AS cosine,
+           LEAST({k}, a.bsize - 1) AS kk
+    FROM sized a JOIN sized b
+      ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id <> b.vec_id
+),
+bucket_topk AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY band, bkt, vec_id ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM pairs
+    ) WHERE rn <= kk
+),
+best AS (
+    SELECT vec_id, neighbor_id, MAX(cosine) AS cosine
+    FROM bucket_topk GROUP BY 1, 2
+)
+SELECT vec_id, neighbor_id, cosine, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM best
+) WHERE rank <= {k}
+"""
+
+
 def knn_label_vote(
     df: DataFrame,
     k: int = 5,

@@ -558,16 +558,130 @@ def q_ses_forecast(spark, sf_dir):
     return ets.ses_forecast(supplier_daily_panel(spark, sf_dir), h=7, alpha=0.3)
 
 
-@register("holt_forecast")  # sequential two-state recursion: rows-only check
+def _holt_oracle(h: int, a: float, b: float) -> str:
+    """Holt's linear method as a DuckDB RECURSIVE CTE: the per-series
+    (level, trend) recursion steps once per row_number for every series
+    simultaneously — identical float64 op order to ``_holt_state``
+    (coefficients written as (1.0 - a), never pre-folded, so the IEEE
+    values match numpy's)."""
+    return (
+        PANEL_CTE.replace("WITH", "WITH RECURSIVE", 1)
+        + ", " + _FREQ_CTE.format(h=h) + f""",
+    ordered AS (
+        SELECT unique_id, y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+               COUNT(*) OVER (PARTITION BY unique_id) AS n
+        FROM panel
+    ),
+    init AS (
+        SELECT a.unique_id, CAST(a.y AS DOUBLE) AS level,
+               CAST(b.y - a.y AS DOUBLE) AS trend, a.n
+        FROM ordered a JOIN ordered b
+          ON a.unique_id = b.unique_id AND b.rn = 2
+        WHERE a.rn = 1
+    ),
+    rec AS (
+        SELECT unique_id, 1 AS t, level, trend, n FROM init
+        UNION ALL
+        SELECT r.unique_id, r.t + 1,
+               {a} * o.y + (1.0 - {a}) * (r.level + r.trend),
+               {b} * (({a} * o.y + (1.0 - {a}) * (r.level + r.trend)) - r.level)
+                   + (1.0 - {b}) * r.trend,
+               r.n
+        FROM rec r JOIN ordered o
+          ON o.unique_id = r.unique_id AND o.rn = r.t + 1
+    ),
+    final AS (SELECT * FROM rec WHERE t = n)
+    SELECT f.unique_id,
+           g.last_ts + INTERVAL '1 second' * (steps.step * fr.freq_s) AS ds,
+           f.level + steps.step * f.trend AS y_hat
+    FROM final f
+    JOIN g ON f.unique_id = g.unique_id
+    JOIN freq fr ON f.unique_id = fr.unique_id
+    CROSS JOIN steps
+    UNION ALL
+    SELECT g.unique_id,
+           g.last_ts + INTERVAL '1 second' * (steps.step * fr.freq_s) AS ds,
+           g.last_y AS y_hat
+    FROM g JOIN freq fr ON g.unique_id = fr.unique_id CROSS JOIN steps
+    WHERE g.unique_id IN (SELECT unique_id FROM ordered WHERE n = 1)
+    """)
+
+
+@register("holt_forecast", _holt_oracle(7, 0.3, 0.1))
 def q_holt_forecast(spark, sf_dir):
     from polars_ts_spark.operators import ets
     return ets.holt_forecast(supplier_daily_panel(spark, sf_dir), h=7)
 
 
-@register("holt_winters_forecast")  # rows-only
+def _holt_winters_oracle(h: int, m: int, a: float, b: float, g_: float) -> str:
+    """Additive Holt-Winters as a RECURSIVE CTE whose state includes the
+    LIST-valued seasonal vector, rebuilt per step with list_transform —
+    mirrors ``_hw_state`` exactly (coefficients as (1.0 - x)). Assumes
+    every series has >= 2m points (true for the driver panel at every
+    SF; the Spark kernel's shorter-series fallbacks are never hit).
+    Rounded to 4dp on both engines: the seasonal init means make the
+    float summation order engine-dependent."""
+    return (
+        PANEL_CTE.replace("WITH", "WITH RECURSIVE", 1)
+        + ", " + _FREQ_CTE.format(h=h) + f""",
+    ordered AS (
+        SELECT unique_id, y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+               COUNT(*) OVER (PARTITION BY unique_id) AS n
+        FROM panel
+    ),
+    base AS (
+        SELECT unique_id,
+               SUM(CASE WHEN rn <= {m} THEN y END) / {m} AS first,
+               SUM(CASE WHEN rn > {m} AND rn <= {2 * m} THEN y END) / {m} AS second,
+               LIST(y ORDER BY rn) FILTER (WHERE rn <= {m}) AS sy,
+               ANY_VALUE(n) AS n
+        FROM ordered GROUP BY unique_id
+    ),
+    hwinit AS (
+        SELECT unique_id, CAST(first AS DOUBLE) AS level,
+               CAST((second - first) / {m} AS DOUBLE) AS trend,
+               list_transform(sy, s -> CAST(s - first AS DOUBLE)) AS seasons, n
+        FROM base
+    ),
+    hwrec AS (
+        SELECT unique_id, {m} AS t, level, trend, seasons, n FROM hwinit
+        UNION ALL
+        SELECT unique_id, t,
+               lvl AS level,
+               {b} * (lvl - plevel) + (1.0 - {b}) * ptrend AS trend,
+               list_transform(range(1, {m + 1}),
+                   i -> CASE WHEN i = si THEN {g_} * (yv - lvl) + (1.0 - {g_}) * pseasons[i]
+                             ELSE pseasons[i] END) AS seasons,
+               n
+        FROM (
+            SELECT r.unique_id, r.t + 1 AS t,
+                   {a} * (o.y - r.seasons[(r.t % {m}) + 1])
+                       + (1.0 - {a}) * (r.level + r.trend) AS lvl,
+                   r.level AS plevel, r.trend AS ptrend, r.seasons AS pseasons,
+                   (r.t % {m}) + 1 AS si, o.y AS yv, r.n AS n
+            FROM hwrec r JOIN ordered o
+              ON o.unique_id = r.unique_id AND o.rn = r.t + 1
+        )
+    ),
+    final AS (SELECT * FROM hwrec WHERE t = n)
+    SELECT f.unique_id,
+           g.last_ts + INTERVAL '1 second' * (steps.step * fr.freq_s) AS ds,
+           ROUND(f.level + steps.step * f.trend
+                 + f.seasons[((f.n - 1 + steps.step) % {m}) + 1], 4) AS y_hat
+    FROM final f
+    JOIN g ON f.unique_id = g.unique_id
+    JOIN freq fr ON f.unique_id = fr.unique_id
+    CROSS JOIN steps
+    """)
+
+
+@register("holt_winters_forecast", _holt_winters_oracle(14, 7, 0.3, 0.1, 0.1))
 def q_holt_winters_forecast(spark, sf_dir):
     from polars_ts_spark.operators import ets
-    return ets.holt_winters_forecast(supplier_daily_panel(spark, sf_dir), h=14, season_length=7)
+    out = ets.holt_winters_forecast(supplier_daily_panel(spark, sf_dir), h=14, season_length=7)
+    return out.select("unique_id", "ds", F.round("y_hat", 4).alias("y_hat"))
 
 
 @register("fft_forecast")  # rows-only (np.fft not SQL-expressible)
@@ -875,7 +989,7 @@ def _register_textops():
     def q_knn_label_vote(spark, sf_dir):
         return embedsim.knn_label_vote(_embs(spark, sf_dir), k=5)
 
-    @register("lsh_ann_topk")  # approximate — rows-only check
+    @register("lsh_ann_topk", embedsim.lsh_ann_topk_oracle(5))
     def q_lsh_ann_topk(spark, sf_dir):
         return embedsim.lsh_ann_topk(_embs(spark, sf_dir), k=5)
 
@@ -1425,7 +1539,34 @@ def q_backtest(spark, sf_dir):
 # event-time windowed aggregation (oracle-able via time_bucket)
 
 
-@register("streaming_ets_state")  # sequential state recursion: rows-only
+_STREAMING_ETS_ORACLE = (
+    PANEL_CTE.replace("WITH", "WITH RECURSIVE", 1) + """,
+    ordered AS (
+        SELECT unique_id, y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+               COUNT(*) OVER (PARTITION BY unique_id) AS n
+        FROM panel
+    ),
+    rec AS (
+        SELECT unique_id, 1 AS t, CAST(y AS DOUBLE) AS level,
+               CAST(0.0 AS DOUBLE) AS trend, n
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT r.unique_id, r.t + 1,
+               0.3 * o.y + (1.0 - 0.3) * (r.level + r.trend),
+               0.1 * ((0.3 * o.y + (1.0 - 0.3) * (r.level + r.trend)) - r.level)
+                   + (1.0 - 0.1) * r.trend,
+               r.n
+        FROM rec r JOIN ordered o
+          ON o.unique_id = r.unique_id AND o.rn = r.t + 1
+    )
+    SELECT unique_id, level, trend, CAST(n AS BIGINT) AS n_obs
+    FROM rec WHERE t = n
+    """
+)
+
+
+@register("streaming_ets_state", _STREAMING_ETS_ORACLE)
 def q_streaming_ets(spark, sf_dir):
     from polars_ts_spark.streaming.structured import streaming_ets_update
     return streaming_ets_update(supplier_daily_panel(spark, sf_dir), method="holt")
