@@ -456,6 +456,94 @@ FROM cand WHERE bit_count(xor(fp1, fp2)) <= {max_hamming}
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 
 
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    id1_col: str = "doc_id_1",
+    id2_col: str = "doc_id_2",
+    max_iter: int = 50,
+    **lsh_kw,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over a duplicate-
+    pair edge list (default: ``minhash_lsh_pairs``), labeling every
+    document with the MIN doc id of its component and flagging that
+    canonical representative — the keep/drop decision a training-data
+    dedup pipeline actually needs, not just the pair list.
+    Output [doc_id, cluster_id, is_canonical].
+
+    Spark-first components: iterative min-label propagation — each
+    round is one join + one groupBy over the (linear-size) edge list,
+    converging in O(component diameter) rounds. No driver union-find,
+    no all-pairs blowup; duplicate clusters at 100 TB are shallow
+    (diameter grows with chain length, not corpus size). Lineage is cut
+    per round with localCheckpoint so the plan does not nest.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, id_col=id_col, **lsh_kw)
+    e = pairs.select(F.col(id1_col).alias("src"), F.col(id2_col).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = df.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("__nb_min"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["node"] == neigh_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("__nb_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def dedup_clusters_oracle(pairs_sql: str, id_col: str = "doc_id") -> str:
+    """Connected components in DuckDB: recursive closure of reachable
+    ids, component label = min reachable id. ``pairs_sql`` must yield
+    [doc_id_1, doc_id_2]."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+    SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+    UNION
+    SELECT doc_id_2, doc_id_1 FROM pairs
+),
+reach AS (
+    SELECT {id_col} AS node, {id_col} AS peer FROM documents
+    UNION
+    SELECT r.node, e.dst AS peer
+    FROM reach r JOIN edges e ON e.src = r.peer
+)
+SELECT node AS {id_col}, MIN(peer) AS cluster_id,
+       (node = MIN(peer)) AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc token/char statistics and a composite quality score.
     Output [doc_id, n_tokens, n_chars_obs, avg_token_len,

@@ -961,6 +961,17 @@ def _register_textops():
             _docs(spark, sf_dir), num_hashes=16, bands=4, threshold=0.5, shingle_n=3
         )
 
+    @register(
+        "dedup_clusters",
+        # the minhash pair query nests as the edge-list CTE (DuckDB
+        # allows WITH inside a CTE body)
+        textops.dedup_clusters_oracle(textops.minhash_lsh_oracle(16, 4, 0.5, 3)),
+    )
+    def q_dedup_clusters(spark, sf_dir):
+        return textops.dedup_clusters(
+            _docs(spark, sf_dir), num_hashes=16, bands=4, threshold=0.5, shingle_n=3
+        )
+
     @register("simhash_pairs", textops.simhash_oracle(3))
     def q_simhash_pairs(spark, sf_dir):
         return textops.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)

@@ -58,6 +58,23 @@ def test_simhash_exact_dup_zero_hamming(docs):
     assert pairs[(0, 1)] == 0
 
 
+def test_dedup_clusters_components(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "aaa bbb ccc ddd eee", "aaa bbb ccc ddd eee",   # 0-1 dup
+            "aaa bbb ccc ddd fff",                           # 2 near-dup of 0/1
+            "zzz yyy xxx www vvv",                           # 3 isolated
+        ])], ["doc_id", "text"])
+    # chain: (0,1), (1,2) but NOT (0,2) — transitivity must still group them
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], ["doc_id_1", "doc_id_2"])
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in textops.dedup_clusters(docs, pairs=pairs).collect()}
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[2] == (0, False)   # reached only through 1
+    assert out[3] == (3, True)
+
+
 def test_text_stats(docs):
     row = textops.text_stats(docs).filter("doc_id = 0").collect()[0]
     assert row["n_tokens"] == 9
