@@ -1032,7 +1032,44 @@ def _bivariate_panel(spark, sf_dir):
     )
 
 
-@register("kalman_filter")
+def _kalman_local_level_oracle(q: float, r: float) -> str:
+    """Scalar local-level Kalman filter as a RECURSIVE CTE stepping the
+    (x, P) state once per row for all series simultaneously. Float op
+    order mirrors ``KalmanFilter.filter`` exactly: P_pred = P + q,
+    S = P_pred + r, K = P_pred * (1/S) (numpy computes inv(S) then
+    multiplies), x = x + K*(y - x), P = (1 - K) * P_pred."""
+    return (
+        PANEL_CTE.replace("WITH", "WITH RECURSIVE", 1) + f""",
+    ordered AS (
+        SELECT unique_id, ds, CAST(y AS DOUBLE) AS y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+               COUNT(*) OVER (PARTITION BY unique_id) AS n
+        FROM panel
+    ),
+    rec AS (
+        SELECT unique_id, 1 AS t,
+               0.0 + (1000000.0 + {q}) * (1.0 / ((1000000.0 + {q}) + {r}))
+                   * (y - 0.0) AS x,
+               (1.0 - (1000000.0 + {q}) * (1.0 / ((1000000.0 + {q}) + {r})))
+                   * (1000000.0 + {q}) AS P,
+               n
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT unique_id, t, x + K * (y - x) AS x, (1.0 - K) * P_pred AS P, n
+        FROM (
+            SELECT r.unique_id, r.t + 1 AS t, r.x AS x, o.y AS y, r.n AS n,
+                   r.P + {q} AS P_pred,
+                   (r.P + {q}) * (1.0 / ((r.P + {q}) + {r})) AS K
+            FROM rec r JOIN ordered o
+              ON o.unique_id = r.unique_id AND o.rn = r.t + 1
+        )
+    )
+    SELECT r.unique_id, o.ds, o.y, r.x AS y_kalman
+    FROM rec r JOIN ordered o ON o.unique_id = r.unique_id AND o.rn = r.t
+    """)
+
+
+@register("kalman_filter", _kalman_local_level_oracle(0.01, 1.0))
 def q_kalman_filter(spark, sf_dir):
     from polars_ts_spark.operators import statespace
     return statespace.kalman_filter(supplier_daily_panel(spark, sf_dir))
