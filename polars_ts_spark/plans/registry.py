@@ -1075,10 +1075,72 @@ def q_kalman_filter(spark, sf_dir):
     return statespace.kalman_filter(supplier_daily_panel(spark, sf_dir))
 
 
-@register("kalman_forecast")
+def _kalman_local_trend_oracle(h: int, q: float, r: float) -> str:
+    """Local-trend (level+slope) Kalman filter as a RECURSIVE CTE over the
+    six-variable state (x1, x2, p11, p12, p21, p22). Every expression
+    spells out the numpy matmul term order of ``KalmanFilter.filter`` with
+    F=[[1,1],[0,1]], H=[1,0], Q=diag(q, q/10) — including the asymmetric
+    float updates of p12 vs p21 from (I-KH)@P. Anchor is the t=0 prior
+    (x=0, P=diag(1e6)); the recursive arm then handles every observation
+    uniformly. Forecast emits ROUND(x1 + step*x2, 4): numpy iterates
+    x1 += x2 h times, identical to 4dp."""
+    qt = q / 10.0
+    return (
+        PANEL_CTE.replace("WITH", "WITH RECURSIVE", 1)
+        + ", " + _FREQ_CTE.format(h=h) + f""",
+    ordered AS (
+        SELECT unique_id, CAST(y AS DOUBLE) AS y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+               COUNT(*) OVER (PARTITION BY unique_id) AS n
+        FROM panel
+    ),
+    rec AS (
+        SELECT unique_id, 0 AS t,
+               CAST(0.0 AS DOUBLE) AS x1, CAST(0.0 AS DOUBLE) AS x2,
+               CAST(1000000.0 AS DOUBLE) AS p11, CAST(0.0 AS DOUBLE) AS p12,
+               CAST(0.0 AS DOUBLE) AS p21, CAST(1000000.0 AS DOUBLE) AS p22, n
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT unique_id, t,
+               x1p + k1 * (y - x1p) AS x1,
+               x2p + k2 * (y - x1p) AS x2,
+               (1.0 - k1) * p11p AS p11,
+               (1.0 - k1) * p12p AS p12,
+               (-k2 * p11p) + p21p AS p21,
+               (-k2 * p12p) + p22p AS p22,
+               n
+        FROM (
+            SELECT unique_id, t, y, n, x1p, x2p, p11p, p12p, p21p, p22p,
+                   p11p * (1.0 / (p11p + {r})) AS k1,
+                   p21p * (1.0 / (p11p + {r})) AS k2
+            FROM (
+                SELECT r.unique_id, r.t + 1 AS t, o.y AS y, r.n AS n,
+                       r.x1 + r.x2 AS x1p, r.x2 AS x2p,
+                       ((r.p11 + r.p21) + (r.p12 + r.p22)) + {q} AS p11p,
+                       (r.p12 + r.p22) + 0.0 AS p12p,
+                       (r.p21 + r.p22) + 0.0 AS p21p,
+                       r.p22 + {qt} AS p22p
+                FROM rec r JOIN ordered o
+                  ON o.unique_id = r.unique_id AND o.rn = r.t + 1
+            )
+        )
+    )
+    SELECT r.unique_id,
+           g.last_ts + INTERVAL '1 second' * (steps.step * fr.freq_s) AS ds,
+           ROUND(r.x1 + steps.step * r.x2, 4) AS y_hat
+    FROM rec r
+    JOIN g ON r.unique_id = g.unique_id
+    JOIN freq fr ON r.unique_id = fr.unique_id
+    CROSS JOIN steps
+    WHERE r.t = r.n
+    """)
+
+
+@register("kalman_forecast", _kalman_local_trend_oracle(7, 0.01, 1.0))
 def q_kalman_forecast(spark, sf_dir):
     from polars_ts_spark.operators import statespace
-    return statespace.kalman_forecast(supplier_daily_panel(spark, sf_dir), h=7)
+    out = statespace.kalman_forecast(supplier_daily_panel(spark, sf_dir), h=7)
+    return out.select("unique_id", "ds", F.round("y_hat", 4).alias("y_hat"))
 
 
 @register("garch_fit")
@@ -1878,10 +1940,54 @@ def q_bayes_anomaly(spark, sf_dir):
     return anomaly.bayesian_anomaly_score(supplier_daily_panel(spark, sf_dir))
 
 
-@register("theta_forecast")  # rows-only
+def _theta_oracle(h: int, a_: float) -> str:
+    """Classical Theta(0,2) in closed form: OLS trend via REGR_SLOPE /
+    REGR_INTERCEPT (t = rn-1 matches numpy's arange), SES of the
+    theta2-line as the explicit geometric-weight sum (same shape as the
+    ses_forecast oracle), forecast = mean of both. Rounded 4dp on both
+    engines — numpy fits the trend with SVD lstsq, so the last float
+    bits differ from the covariance formulas."""
+    return (
+        PANEL_CTE + ", " + _FREQ_CTE.format(h=h) + f""",
+    ordered AS (
+        SELECT unique_id, CAST(y AS DOUBLE) AS y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+               COUNT(*) OVER (PARTITION BY unique_id) AS n
+        FROM panel
+    ),
+    fit AS (
+        SELECT unique_id, ANY_VALUE(n) AS n,
+               REGR_SLOPE(y, CAST(rn - 1 AS DOUBLE)) AS slope,
+               REGR_INTERCEPT(y, CAST(rn - 1 AS DOUBLE)) AS icept
+        FROM ordered GROUP BY 1
+    ),
+    lvl AS (
+        SELECT o.unique_id,
+               SUM(CASE WHEN o.rn = 1 THEN POW({1 - a_}, o.n - 1)
+                             * (2 * o.y - (f.icept + f.slope * (o.rn - 1)))
+                        ELSE {a_} * POW({1 - a_}, o.n - o.rn)
+                             * (2 * o.y - (f.icept + f.slope * (o.rn - 1))) END
+               ) AS level
+        FROM ordered o JOIN fit f USING (unique_id) GROUP BY 1
+    )
+    SELECT f.unique_id,
+           g.last_ts + INTERVAL '1 second' * (steps.step * fr.freq_s) AS ds,
+           ROUND(CASE WHEN f.n = 1 THEN g.last_y
+                      ELSE 0.5 * ((f.icept + f.slope * (f.n + steps.step - 1))
+                                  + l.level) END, 4) AS y_hat
+    FROM fit f
+    JOIN lvl l USING (unique_id)
+    JOIN g ON f.unique_id = g.unique_id
+    JOIN freq fr ON f.unique_id = fr.unique_id
+    CROSS JOIN steps
+    """)
+
+
+@register("theta_forecast", _theta_oracle(7, 0.3))
 def q_theta(spark, sf_dir):
     from polars_ts_spark.operators import theta
-    return theta.theta_forecast(supplier_daily_panel(spark, sf_dir), h=7)
+    out = theta.theta_forecast(supplier_daily_panel(spark, sf_dir), h=7)
+    return out.select("unique_id", "ds", F.round("y_hat", 4).alias("y_hat"))
 
 
 @register("scum_forecast")  # rows-only
