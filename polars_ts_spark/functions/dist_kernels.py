@@ -206,15 +206,51 @@ def msm_batch(A: np.ndarray, B: np.ndarray, c: float = 1.0) -> np.ndarray:
         col0[:, 1:] = col0[:, 0:1] + np.cumsum(_msm_cost(A[:, 1:], A[:, :-1], np.broadcast_to(b0, A[:, 1:].shape), c), axis=1)
 
     RB = _RevB(B)
+    # fused step: zero per-diagonal allocations. "x between y and z"
+    # is the sign test (x-y)*(x-z) <= 0, and the i-only / j-only
+    # difference terms (ai-ai1, bj-bj1 and their |.|) are hoisted out
+    # of the diagonal sweep entirely.
+    dA = np.diff(A, axis=1)                  # (k, n-1): dA[:, i-1] = a_i - a_{i-1}
+    adA = np.abs(dA)
+    dB = np.diff(B, axis=1)
+    RdB = _RevB(dB)                          # dB[:, j-1] = b_j - b_{j-1}
+    RadB = _RevB(np.abs(dB))
+    w_max = min(n, m)
+    sv, sav, st, st2, sm = (np.empty((k, w_max)) for _ in range(5))
+    bb = np.empty((k, w_max), dtype=bool)
 
-    def step(i, j, diag, up, left, out=None):
+    def step(i, j, diag, up, left, out):
         lo, hi, d = int(i[0]), int(i[-1]), int(i[0] + j[0])
-        ai, ai1 = A[:, lo:hi + 1], A[:, lo - 1:hi]
-        bj, bj1 = RB.diag_slice(d, lo, hi, 0), RB.diag_slice(d, lo, hi, -1)
-        d1 = diag + np.abs(ai - bj)
-        d2 = up + _msm_cost(ai, ai1, bj, c)
-        d3 = left + _msm_cost(bj, ai, bj1, c)
-        return _min3(d1, d2, d3)
+        w = hi - lo + 1
+        v, av, t, t2, m_, nb = (
+            sv[:, :w], sav[:, :w], st[:, :w], st2[:, :w], sm[:, :w], bb[:, :w],
+        )
+        ai = A[:, lo:hi + 1]
+        bj = RB.diag_slice(d, lo, hi, 0)
+        u, au = dA[:, lo - 1:hi], adA[:, lo - 1:hi]          # ai - ai1, |.|
+        # bj - bj1 for j = d-i, i in lo..hi -> dB index j-1 descending
+        q = RdB.diag_slice(d, lo, hi, -1)
+        aq = RadB.diag_slice(d, lo, hi, -1)
+        np.subtract(ai, bj, out=v)    # v = ai - bj (match term & both costs)
+        np.abs(v, out=av)
+        # d2 = up + c + (0 if (ai-ai1)(ai-bj) <= 0 else min(|u|, |v|))
+        np.multiply(u, v, out=m_)
+        np.minimum(au, av, out=t)
+        np.greater(m_, 0.0, out=nb)
+        np.multiply(t, nb, out=t)
+        np.add(t, c, out=t)
+        np.add(t, up, out=t)
+        # d3 = left + c + (0 if (ai-bj)(bj-bj1) >= 0 else min(|v|, |q|))
+        np.multiply(v, q, out=m_)
+        np.minimum(av, aq, out=t2)
+        np.less(m_, 0.0, out=nb)
+        np.multiply(t2, nb, out=t2)
+        np.add(t2, c, out=t2)
+        np.add(t2, left, out=t2)
+        # d1 = diag + |ai - bj|
+        np.add(diag, av, out=av)
+        np.minimum(t, t2, out=out)
+        np.minimum(out, av, out=out)
 
     return _dp_diag_batch(row0, col0, step)
 

@@ -94,6 +94,13 @@ def _batch_kernel_fn(method: str, variant: str | None, kwargs: dict):
     raise ValueError(f"unknown distance method {method!r}; choose from {sorted(_PARAM_DEFAULTS)}")
 
 
+# Elements of the partner-side array table above which the broadcast
+# pairing path falls back to the pair-row cross join (which can stream
+# both sides). 32M float64 = 256 MB — the same order at which
+# F.broadcast() of the grouped side stops being advisable anyway.
+_BC_ELEMS_CAP = 32_000_000
+
+
 def compute_pairwise_distance(
     df1: DataFrame,
     df2: DataFrame | None = None,
@@ -104,9 +111,130 @@ def compute_pairwise_distance(
     target_col: str = TARGET,
     **kwargs,
 ) -> DataFrame:
-    """All-pairs distance -> [id_1, id_2, <method>] (distance.py:45-169)."""
+    """All-pairs distance -> [id_1, id_2, <method>] (distance.py:45-169).
+
+    Fast path: the partner side's (n_series, len) array table rides a
+    Spark broadcast variable ONCE per executor, tasks stream only their
+    own series and enumerate partners in-process. The pair-row cross
+    join materialized every series ~n_series times through Arrow
+    (500k pair rows × both arrays at 1k series) — the broadcast path
+    moves each side once, and the symmetric-dedup "id_1 < id_2" rule
+    becomes a sorted-slice lookup instead of a filtered join. Falls
+    back to the cross-join plan when the partner table exceeds
+    _BC_ELEMS_CAP (same memory constraint the broadcast join had).
+    """
     require_columns(df1, id_col, time_col, target_col)
     id_dtype = dict(df1.dtypes)[id_col]
+    same = df2 is None
+    spark = df1.sparkSession
+    g1s = _grouped_arrays(df1, id_col, time_col, target_col, "id_1", "__v1")
+    g2s = (
+        g1s.withColumnRenamed("id_1", "id_2").withColumnRenamed("__v1", "__v2")
+        if same
+        else _grouped_arrays(df2, id_col, time_col, target_col, "id_2", "__v2")
+    )
+    rows2 = g2s.collect()
+    rows1 = rows2 if same else g1s.collect()
+    total = sum(len(r[1]) for r in rows2) + (0 if same else sum(len(r[1]) for r in rows1))
+    if total > _BC_ELEMS_CAP:
+        return _pairwise_crossjoin(
+            df1, df2, method, variant, id_col, time_col, target_col, id_dtype, **kwargs
+        )
+    fn = _batch_kernel_fn(method, variant, kwargs)
+    if not rows1 or not rows2:
+        out = spark.createDataFrame([], f"id_1 string, id_2 string, {method} double")
+        if id_dtype != "string":
+            out = out.withColumn("id_1", F.col("id_1").cast(id_dtype)).withColumn(
+                "id_2", F.col("id_2").cast(id_dtype)
+            )
+        return out
+    common = None if same else {r[0] for r in rows1} & {r[0] for r in rows2}
+    bc = spark.sparkContext.broadcast(
+        (
+            {r[0]: np.asarray(r[1], dtype=float) for r in rows1},
+            sorted((r[0], np.asarray(r[1], dtype=float)) for r in rows2),
+        )
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # stream side is just the id list (arrays ride the broadcast);
+    # round-robin repartition balances the triangular pair counts
+    stream = spark.createDataFrame(
+        pd.DataFrame({"id_1": [r[0] for r in rows1]})
+    ).repartition(n_parts)
+
+    def compute(batches):
+        # per-length partner stacks built once per task, ids sorted so
+        # the same-input dedup (id_2 > id_1) is a searchsorted slice
+        vecs1, pairs2 = bc.value
+        by_len: dict[int, list[int]] = {}
+        for j, (_, v) in enumerate(pairs2):
+            by_len.setdefault(len(v), []).append(j)
+        groups = []
+        for L, js in by_len.items():
+            gids = np.array([pairs2[j][0] for j in js])
+            mat = np.stack([pairs2[j][1] for j in js]) if L else np.empty((len(js), 0))
+            in_common = (
+                None if same else np.array([i in common for i in gids.tolist()], dtype=bool)
+            )
+            groups.append((gids, mat, in_common))
+        for pdf in batches:
+            o1, o2, od = [], [], []
+            for id1 in pdf["id_1"]:
+                a = vecs1[id1]
+                in1_common = False if same else id1 in common
+                for gids, mat, in_common in groups:
+                    if same:
+                        # partners strictly greater than id1 (sorted ids)
+                        s = int(np.searchsorted(gids, id1, side="right"))
+                        pid, pm = gids[s:], mat[s:]
+                    else:
+                        keep = gids != id1
+                        if in1_common:
+                            keep &= ~in_common | (id1 < gids)
+                        pid, pm = gids[keep], mat[keep]
+                    kq = len(pid)
+                    if kq == 0:
+                        continue
+                    n_, m_ = len(a), pm.shape[1]
+                    dist = np.empty(kq)
+                    k_max = max(32, 22528 // max(n_, m_, 1))
+                    A_full = np.broadcast_to(a, (kq, n_))
+                    for c0 in range(0, kq, k_max):
+                        dist[c0:c0 + k_max] = fn(
+                            A_full[c0:c0 + k_max], pm[c0:c0 + k_max]
+                        )
+                    o1.append(np.full(kq, id1))
+                    o2.append(pid)
+                    od.append(dist)
+            yield pd.DataFrame(
+                {
+                    "id_1": np.concatenate(o1) if o1 else np.array([], dtype=str),
+                    "id_2": np.concatenate(o2) if o2 else np.array([], dtype=str),
+                    method: np.concatenate(od) if od else np.array([], dtype=float),
+                }
+            )
+
+    out = stream.mapInPandas(compute, schema=f"id_1 string, id_2 string, {method} double")
+    if id_dtype != "string":
+        out = out.withColumn("id_1", F.col("id_1").cast(id_dtype)).withColumn(
+            "id_2", F.col("id_2").cast(id_dtype)
+        )
+    return out
+
+
+def _pairwise_crossjoin(
+    df1: DataFrame,
+    df2: DataFrame | None,
+    method: str,
+    variant: str | None,
+    id_col: str,
+    time_col: str,
+    target_col: str,
+    id_dtype: str,
+    **kwargs,
+) -> DataFrame:
+    """Pair-row cross-join fallback for partner tables too big to
+    broadcast: both sides stream, Spark plans the join."""
     same = df2 is None
     # cache: both cross-join sides (and the dedup id lists) re-read this
     # tiny frame (n_series rows of arrays); without it the whole upstream
@@ -158,12 +286,14 @@ def compute_pairwise_distance(
             for idx, (a, b) in enumerate(zip(v1, v2)):
                 shapes.setdefault((len(a), len(b)), []).append(idx)
             for (n_, m_), idxs in shapes.items():
-                # cap the stack so the three (k, n+m) DP buffers stay
+                # cap the stack so the DP + scratch buffers stay
                 # cache-resident — the diagonal sweep re-reads them
                 # (n+m) times, and DRAM-bound stacks are ~7x slower
-                # than cache-resident ones; sized for L3/32 since all
-                # 32 workers of the node share the cache
-                k_max = max(64, 65536 // max(n_, m_, 1))
+                # than cache-resident ones. Sweep-measured optimum is
+                # ~22k elements per (k, n) buffer (~176 KB) regardless
+                # of series length; all 32 workers share the L3, so
+                # smaller beats python-dispatch savings of bigger stacks
+                k_max = max(32, 22528 // max(n_, m_, 1))
                 for c0 in range(0, len(idxs), k_max):
                     cidx = idxs[c0:c0 + k_max]
                     A = np.stack([v1[i] for i in cidx])
