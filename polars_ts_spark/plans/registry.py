@@ -684,10 +684,80 @@ def q_holt_winters_forecast(spark, sf_dir):
     return out.select("unique_id", "ds", F.round("y_hat", 4).alias("y_hat"))
 
 
-@register("fft_forecast")  # rows-only (np.fft not SQL-expressible)
+def _fft_oracle(h: int, n_harm: int) -> str:
+    """rFFT extrapolation in closed form: the DFT of the detrended
+    series is an explicit cos/sin sum per (series, frequency), top-k
+    harmonic selection mirrors numpy's reversed stable argsort
+    (ORDER BY magnitude DESC, k DESC), and the forecast rebuilds
+    trend + DC + chosen sinusoids. Rounded 4dp on both engines (numpy
+    FFT's butterfly summation order differs from a naive SUM)."""
+    return (
+        PANEL_CTE + ", " + _FREQ_CTE.format(h=h) + f""",
+    ordered AS (
+        SELECT unique_id, CAST(y AS DOUBLE) AS y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+               COUNT(*) OVER (PARTITION BY unique_id) AS n
+        FROM panel
+    ),
+    fitline AS (
+        SELECT unique_id, ANY_VALUE(n) AS n, AVG(y) AS ybar,
+               REGR_SLOPE(y, CAST(rn - 1 AS DOUBLE)) AS slope,
+               REGR_INTERCEPT(y, CAST(rn - 1 AS DOUBLE)) AS icept
+        FROM ordered GROUP BY 1
+    ),
+    resid AS (
+        SELECT o.unique_id, o.rn, o.n,
+               o.y - (f.slope * (o.rn - 1) + f.icept) AS r
+        FROM ordered o JOIN fitline f USING (unique_id)
+        WHERE o.n >= 4
+    ),
+    ks AS (
+        SELECT unique_id, UNNEST(generate_series(1, n // 2)) AS k
+        FROM (SELECT unique_id, ANY_VALUE(n) AS n FROM ordered WHERE n >= 4 GROUP BY 1)
+    ),
+    spec AS (
+        SELECT r.unique_id, ks.k,
+               SUM(r.r * COS(2 * PI() * (r.rn - 1) * ks.k / r.n)) AS re,
+               SUM(-r.r * SIN(2 * PI() * (r.rn - 1) * ks.k / r.n)) AS im,
+               ANY_VALUE(r.n) AS n
+        FROM resid r JOIN ks USING (unique_id)
+        GROUP BY 1, 2
+    ),
+    spec0 AS (SELECT unique_id, SUM(r) / ANY_VALUE(n) AS dc FROM resid GROUP BY 1),
+    top AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY unique_id
+            ORDER BY SQRT(re * re + im * im) DESC, k DESC) AS rk
+        FROM spec
+    ),
+    harm AS (
+        SELECT t.unique_id, steps.step,
+               SUM((2.0 * SQRT(re * re + im * im) / n)
+                   * COS(2 * PI() * k * (n + steps.step - 1) / n
+                         + ATAN2(im, re))) AS hsum
+        FROM top t CROSS JOIN steps
+        WHERE t.rk <= {n_harm}
+        GROUP BY 1, 2
+    )
+    SELECT f.unique_id,
+           g.last_ts + INTERVAL '1 second' * (steps.step * fr.freq_s) AS ds,
+           ROUND(CASE WHEN f.n < 4 THEN f.ybar
+                      ELSE f.slope * (f.n + steps.step - 1) + f.icept
+                           + s0.dc + COALESCE(h.hsum, 0.0) END, 4) AS y_hat
+    FROM fitline f
+    JOIN g ON f.unique_id = g.unique_id
+    JOIN freq fr ON f.unique_id = fr.unique_id
+    CROSS JOIN steps
+    LEFT JOIN spec0 s0 ON s0.unique_id = f.unique_id
+    LEFT JOIN harm h ON h.unique_id = f.unique_id AND h.step = steps.step
+    """)
+
+
+@register("fft_forecast", _fft_oracle(7, 3))
 def q_fft_forecast(spark, sf_dir):
     from polars_ts_spark.operators import ets
-    return ets.fft_forecast(supplier_daily_panel(spark, sf_dir), h=7, n_harmonics=3)
+    out = ets.fft_forecast(supplier_daily_panel(spark, sf_dir), h=7, n_harmonics=3)
+    return out.select("unique_id", "ds", F.round("y_hat", 4).alias("y_hat"))
 
 
 _MONTHLY_CTE = PANEL_CTE + """,
@@ -1883,14 +1953,86 @@ def q_synth_control(spark, sf_dir):
     return spark.createDataFrame(out)
 
 
-@register("causal_impact")
+_CAUSAL_IMPACT_ORACLE = _MONTHLY_CTE.replace("WITH", "WITH RECURSIVE", 1) + """,
+    tcut AS (
+        SELECT ds AS t0 FROM (
+            SELECT ds, ROW_NUMBER() OVER (ORDER BY ds) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM (SELECT DISTINCT ds FROM monthly)
+        ) WHERE rn = CAST(FLOOR(cnt * 0.8) AS BIGINT) + 1
+    ),
+    sid AS (SELECT MIN(unique_id) AS sid FROM monthly),
+    pre AS (
+        SELECT CAST(m.y AS DOUBLE) AS y,
+               ROW_NUMBER() OVER (ORDER BY m.ds) AS rn
+        FROM monthly m, tcut, sid
+        WHERE m.unique_id = sid.sid AND m.ds < tcut.t0
+    ),
+    rvar AS (
+        SELECT GREATEST(VAR_POP(d), 0.000001) AS rr FROM (
+            SELECT y - LAG(y) OVER (ORDER BY rn) AS d FROM pre
+        ) WHERE d IS NOT NULL
+    ),
+    -- local-trend Kalman filter over the pre period, identical float op
+    -- order to KalmanFilter.filter (see _kalman_local_trend_oracle);
+    -- q_level=0.05, q_trend=0.005, r = max(var(diff(pre)), 1e-6)
+    rec AS (
+        SELECT 0 AS t,
+               CAST(0.0 AS DOUBLE) AS x1, CAST(0.0 AS DOUBLE) AS x2,
+               CAST(1000000.0 AS DOUBLE) AS p11, CAST(0.0 AS DOUBLE) AS p12,
+               CAST(0.0 AS DOUBLE) AS p21, CAST(1000000.0 AS DOUBLE) AS p22,
+               (SELECT rr FROM rvar) AS rr
+        UNION ALL
+        SELECT t,
+               x1p + k1 * (y - x1p) AS x1,
+               x2p + k2 * (y - x1p) AS x2,
+               (1.0 - k1) * p11p AS p11,
+               (1.0 - k1) * p12p AS p12,
+               (-k2 * p11p) + p21p AS p21,
+               (-k2 * p12p) + p22p AS p22,
+               rr
+        FROM (
+            SELECT t, y, rr, x1p, x2p, p11p, p12p, p21p, p22p,
+                   p11p * (1.0 / (p11p + rr)) AS k1,
+                   p21p * (1.0 / (p11p + rr)) AS k2
+            FROM (
+                SELECT r.t + 1 AS t, o.y AS y, r.rr AS rr,
+                       r.x1 + r.x2 AS x1p, r.x2 AS x2p,
+                       ((r.p11 + r.p21) + (r.p12 + r.p22)) + 0.05 AS p11p,
+                       (r.p12 + r.p22) + 0.0 AS p12p,
+                       (r.p21 + r.p22) + 0.0 AS p21p,
+                       r.p22 + 0.005 AS p22p
+                FROM rec r JOIN pre o ON o.rn = r.t + 1
+            )
+        )
+    ),
+    fin AS (SELECT x1, x2 FROM rec WHERE t = (SELECT MAX(rn) FROM pre)),
+    post AS (
+        SELECT m.ds, CAST(m.y AS DOUBLE) AS actual,
+               ROW_NUMBER() OVER (ORDER BY m.ds) AS step
+        FROM monthly m, tcut, sid
+        WHERE m.unique_id = sid.sid AND m.ds >= tcut.t0
+    )
+    SELECT p.ds, p.actual,
+           ROUND(f.x1 + p.step * f.x2, 4) AS counterfactual,
+           ROUND(p.actual - (f.x1 + p.step * f.x2), 4) AS effect,
+           ROUND(SUM(p.actual - (f.x1 + p.step * f.x2))
+                 OVER (ORDER BY p.step), 4) AS cum_effect
+    FROM post p, fin f
+    """
+
+
+@register("causal_impact", _CAUSAL_IMPACT_ORACLE)
 def q_causal_impact(spark, sf_dir):
     from polars_ts_spark.operators import causal
     panel = _monthly_panel(spark, sf_dir)
     times = sorted(r[0] for r in panel.select("ds").distinct().collect())
     cut = times[int(len(times) * 0.8)]
     out = causal.causal_impact(panel, cut)
-    return spark.createDataFrame(out)
+    sdf = spark.createDataFrame(out)
+    for c in ("counterfactual", "effect", "cum_effect"):
+        sdf = sdf.withColumn(c, F.round(c, 4))
+    return sdf
 
 
 @register("gasf_image")
@@ -1934,10 +2076,58 @@ def q_iforest(spark, sf_dir):
     return anomaly.isolation_forest_detect(supplier_daily_panel(spark, sf_dir), n_trees=50)
 
 
-@register("bayesian_anomaly")  # sequential recursion: rows-only
+_BAYES_ANOMALY_ORACLE = PANEL_CTE + """,
+    ordered AS (
+        SELECT unique_id, ds, CAST(y AS DOUBLE) AS y,
+               CAST(y AS DOUBLE) - AVG(CAST(y AS DOUBLE)) OVER (PARTITION BY unique_id) AS yc,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn
+        FROM panel
+    ),
+    -- the NIG posterior state BEFORE observing row rn has closed form:
+    -- kappa = kappa0 + (rn-1), alpha = alpha0 + (rn-1)/2,
+    -- mu = prefix_sum(yc)/kappa, and beta accumulates per-row surprise
+    -- terms that only depend on the PRIOR state -> two prefix windows
+    st AS (
+        SELECT *,
+               0.01 + (rn - 1) AS kappa_p,
+               1.0 + (rn - 1) / 2.0 AS alpha_p,
+               COALESCE(SUM(yc) OVER (PARTITION BY unique_id ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+                   / (0.01 + (rn - 1)) AS mu_p
+        FROM ordered
+    ),
+    bt AS (
+        SELECT *,
+               1.0 + COALESCE(SUM(kappa_p * (yc - mu_p) * (yc - mu_p)
+                                  / (2.0 * (kappa_p + 1.0)))
+                   OVER (PARTITION BY unique_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+                   AS beta_p
+        FROM st
+    ),
+    scored AS (
+        SELECT unique_id, ds, y,
+               -(lgamma((2.0 * alpha_p + 1.0) / 2.0) - lgamma(alpha_p)
+                 - 0.5 * LN(PI() * (2.0 * alpha_p)
+                            * (beta_p * (kappa_p + 1.0) / (alpha_p * kappa_p)))
+                 - (2.0 * alpha_p + 1.0) / 2.0
+                   * LN(1.0 + ((yc - mu_p) * (yc - mu_p)
+                               / (beta_p * (kappa_p + 1.0) / (alpha_p * kappa_p)))
+                              / (2.0 * alpha_p))) AS s
+        FROM bt
+    )
+    SELECT unique_id, ds, y, ROUND(s, 6) AS anomaly_score,
+           s > (AVG(s) OVER (PARTITION BY unique_id)
+                + 3.0 * STDDEV_POP(s) OVER (PARTITION BY unique_id)) AS is_anomaly
+    FROM scored
+    """
+
+
+@register("bayesian_anomaly", _BAYES_ANOMALY_ORACLE)
 def q_bayes_anomaly(spark, sf_dir):
     from polars_ts_spark.operators import anomaly
-    return anomaly.bayesian_anomaly_score(supplier_daily_panel(spark, sf_dir))
+    out = anomaly.bayesian_anomaly_score(supplier_daily_panel(spark, sf_dir))
+    return out.withColumn("anomaly_score", F.round("anomaly_score", 6))
 
 
 def _theta_oracle(h: int, a_: float) -> str:
