@@ -1702,7 +1702,70 @@ def q_stacking(spark, sf_dir):
     return m.predict(panel, h=7)
 
 
-@register("backtest_summary")  # driver table: rows-only
+_BACKTEST_ORACLE = PANEL_CTE + """,
+    times AS (
+        SELECT ds, ROW_NUMBER() OVER (ORDER BY ds) AS rn,
+               COUNT(*) OVER () AS cnt
+        FROM (SELECT DISTINCT ds FROM panel)
+    ),
+    -- rolling-origin folds on the distinct timestamp axis:
+    -- cut_idx = cnt - h - (n_folds-1-fold)*h (h = step = 7, n_folds = 2)
+    cuts AS (
+        SELECT f.fold,
+               (SELECT ds FROM times WHERE rn = c.cnt - 7 - (1 - f.fold) * 7) AS cut,
+               (SELECT ds FROM times
+                WHERE rn = LEAST(c.cnt - 7 - (1 - f.fold) * 7 + 7, c.cnt)) AS test_end
+        FROM (SELECT UNNEST([0, 1]) AS fold) f,
+             (SELECT ANY_VALUE(cnt) AS cnt FROM times) c
+    ),
+    -- per-fold naive model state over the train slice (ds <= cut)
+    gf AS (
+        SELECT c.fold, p.unique_id,
+               max_by(p.y, p.ds) AS last_y, MAX(p.ds) AS last_ts,
+               ANY_VALUE(c.cut) AS cut, ANY_VALUE(c.test_end) AS test_end
+        FROM panel p JOIN cuts c ON p.ds <= c.cut
+        GROUP BY 1, 2
+    ),
+    freqf AS (
+        SELECT fold, unique_id,
+               CAST(CASE WHEN COUNT(d) = 0 THEN 86400 ELSE MEDIAN(d) END AS BIGINT) AS freq_s
+        FROM (
+            SELECT c.fold, p.unique_id,
+                   epoch(p.ds) - epoch(LAG(p.ds) OVER
+                       (PARTITION BY c.fold, p.unique_id ORDER BY p.ds)) AS d
+            FROM panel p JOIN cuts c ON p.ds <= c.cut
+        ) WHERE d IS NOT NULL OR TRUE
+        GROUP BY 1, 2
+    ),
+    preds AS (
+        SELECT g.fold, g.unique_id,
+               g.last_ts + INTERVAL '1 second' * (s.step * f.freq_s) AS ds,
+               CAST(g.last_y AS DOUBLE) AS y_hat, g.cut, g.test_end
+        FROM gf g
+        JOIN freqf f ON f.fold = g.fold AND f.unique_id = g.unique_id
+        CROSS JOIN (SELECT UNNEST(generate_series(1, 7)) AS step) s
+    ),
+    joined AS (
+        SELECT pr.fold, CAST(p.y AS DOUBLE) AS y, pr.y_hat
+        FROM panel p
+        JOIN preds pr ON pr.unique_id = p.unique_id AND pr.ds = p.ds
+            AND p.ds > pr.cut AND p.ds <= pr.test_end
+    ),
+    fold_metrics AS (
+        SELECT fold, AVG(ABS(y - y_hat)) AS mae,
+               SQRT(AVG((y - y_hat) * (y - y_hat))) AS rmse
+        FROM joined GROUP BY 1
+    )
+    SELECT metric, ROUND(AVG(v), 4) AS mean, ROUND(STDDEV_SAMP(v), 4) AS std
+    FROM (
+        SELECT fold, 'mae' AS metric, mae AS v FROM fold_metrics
+        UNION ALL
+        SELECT fold, 'rmse', rmse FROM fold_metrics
+    ) GROUP BY metric
+    """
+
+
+@register("backtest_summary", _BACKTEST_ORACLE)
 def q_backtest(spark, sf_dir):
     from polars_ts_spark.operators import evaluation
 
@@ -1711,7 +1774,8 @@ def q_backtest(spark, sf_dir):
 
     panel = supplier_daily_panel(spark, sf_dir)
     _, summary = evaluation.backtest(panel, naive_fn, horizon=7, n_folds=2)
-    return spark.createDataFrame(summary)
+    sdf = spark.createDataFrame(summary)
+    return sdf.select("metric", F.round("mean", 4).alias("mean"), F.round("std", 4).alias("std"))
 
 
 # ---------------------------------------------------------------------------
@@ -2054,16 +2118,112 @@ def q_vision_embeddings(spark, sf_dir):
     return imaging.vision_embeddings(decoded, imaging.deterministic_embed_hook(32), dim=32)
 
 
-@register("rqa_features")
+_RQA_ORACLE = _MONTHLY_CTE + """,
+    -- Takens embedding dim=2/delay=1: states are (x_i, x_{i+1});
+    -- recurrence = pairwise-state distance under a FIXED epsilon. The
+    -- operator's default (10% distance quantile) is a discrete decision
+    -- on cross-engine ulp noise — the checked query pins epsilon so the
+    -- boundary is far from any near-tie
+    states AS (
+        SELECT unique_id, rn AS i, CAST(y AS DOUBLE) AS e1,
+               LEAD(CAST(y AS DOUBLE)) OVER (PARTITION BY unique_id ORDER BY rn) AS e2
+        FROM idx
+    ),
+    emb AS (SELECT * FROM states WHERE e2 IS NOT NULL),
+    cnt AS (SELECT unique_id, CAST(COUNT(*) AS DOUBLE) AS n FROM emb GROUP BY 1),
+    rec AS (
+        SELECT a.unique_id, a.i AS i, b.i AS j, c.n
+        FROM emb a JOIN emb b USING (unique_id) JOIN cnt c USING (unique_id)
+        WHERE SQRT((a.e1 - b.e1) * (a.e1 - b.e1)
+                   + (a.e2 - b.e2) * (a.e2 - b.e2)) <= 10000.0
+    ),
+    rr AS (
+        SELECT unique_id,
+               (COUNT(*) - ANY_VALUE(n)) / GREATEST(ANY_VALUE(n) * ANY_VALUE(n) - ANY_VALUE(n), 1.0) AS recurrence_rate
+        FROM rec GROUP BY 1
+    ),
+    -- diagonal lines: runs of consecutive recurrent points on each
+    -- upper off-diagonal k = j - i > 0 (gaps-and-islands)
+    diag AS (
+        SELECT unique_id, j - i AS k, i,
+               i - ROW_NUMBER() OVER (PARTITION BY unique_id, j - i ORDER BY i) AS island
+        FROM rec WHERE j > i
+    ),
+    runs AS (
+        SELECT unique_id, COUNT(*) AS run_len
+        FROM diag GROUP BY unique_id, k, island
+    ),
+    det AS (
+        SELECT r.unique_id,
+               COALESCE(SUM(CASE WHEN run_len >= 2 THEN 2.0 * run_len END), 0.0)
+                   / GREATEST((SELECT 2.0 * COUNT(*) FROM rec x
+                               WHERE x.unique_id = r.unique_id AND x.j > x.i), 1.0) AS determinism
+        FROM runs r GROUP BY 1
+    )
+    SELECT unique_id, ROUND(rr.recurrence_rate, 6) AS recurrence_rate,
+           ROUND(COALESCE(det.determinism, 0.0), 6) AS determinism
+    FROM rr LEFT JOIN det USING (unique_id)
+    """
+
+
+@register("rqa_features", _RQA_ORACLE)
 def q_rqa(spark, sf_dir):
     from polars_ts_spark.operators import imaging
-    return imaging.rqa_features(_monthly_panel(spark, sf_dir))
+    out = imaging.rqa_features(_monthly_panel(spark, sf_dir), epsilon=10000.0)
+    return out.select(
+        "unique_id",
+        F.round("recurrence_rate", 6).alias("recurrence_rate"),
+        F.round("determinism", 6).alias("determinism"),
+    )
 
 
-@register("signature_features")
+_SIGNATURE_ORACLE = _MONTHLY_CTE + """,
+    sized AS (
+        SELECT unique_id, rn, CAST(y AS DOUBLE) AS x,
+               COUNT(*) OVER (PARTITION BY unique_id) AS n
+        FROM idx
+    ),
+    -- path (t, x) with t = linspace(0, 1, n); increments via LAG, the
+    -- "left" cumulative (exclusive prefix) via a 1-PRECEDING window
+    pts AS (
+        SELECT unique_id, rn, x, n,
+               CASE WHEN rn = n THEN 1.0
+                    ELSE (rn - 1) * (1.0 / (n - 1)) END AS t
+        FROM sized WHERE n >= 2
+    ),
+    difs AS (
+        SELECT unique_id, rn,
+               t - LAG(t) OVER w AS dt, x - LAG(x) OVER w AS dx
+        FROM pts
+        WINDOW w AS (PARTITION BY unique_id ORDER BY rn)
+    ),
+    incs AS (
+        SELECT unique_id, dt, dx,
+               COALESCE(SUM(dt) OVER cum, 0.0) AS ct,
+               COALESCE(SUM(dx) OVER cum, 0.0) AS cx
+        FROM difs
+        WINDOW cum AS (PARTITION BY unique_id ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT unique_id,
+           ROUND(SUM(dt), 6) AS sig_0,
+           ROUND(SUM(dx), 6) AS sig_1,
+           ROUND(SUM(ct * dt) + 0.5 * SUM(dt * dt), 6) AS sig_2,
+           ROUND(SUM(ct * dx) + 0.5 * SUM(dt * dx), 6) AS sig_3,
+           ROUND(SUM(cx * dt) + 0.5 * SUM(dx * dt), 6) AS sig_4,
+           ROUND(SUM(cx * dx) + 0.5 * SUM(dx * dx), 6) AS sig_5
+    FROM incs WHERE dt IS NOT NULL
+    GROUP BY 1
+    """
+
+
+@register("signature_features", _SIGNATURE_ORACLE)
 def q_signature(spark, sf_dir):
     from polars_ts_spark.operators import imaging
-    return imaging.signature_features(_monthly_panel(spark, sf_dir))
+    out = imaging.signature_features(_monthly_panel(spark, sf_dir))
+    return out.select(
+        "unique_id", *[F.round(f"sig_{i}", 6).alias(f"sig_{i}") for i in range(6)]
+    )
 
 
 # ---------------------------------------------------------------------------
