@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from polars_ts_spark.operators.kernel import for_each_series
 from polars_ts_spark.panel import ID, TARGET, TIME, require_columns
@@ -210,16 +211,42 @@ def ces_series(y: np.ndarray, h: int) -> np.ndarray:
 
 def ses_forecast(df: DataFrame, h: int, alpha: float = 0.3,
                  id_col: str = ID, time_col: str = TIME, target_col: str = TARGET) -> DataFrame:
-    """Flat forecast at the final smoothed level (exponential_smoothing.py:113-153)."""
+    """Flat forecast at the final smoothed level (exponential_smoothing.py:113-153).
+
+    Pure Catalyst: the SES recursion unrolls to the closed-form
+    geometric-weight sum (see ``ses_level``), which is a window +
+    aggregate expression — no Python kernel, whole-stage codegen end to
+    end, one shuffle on the series id."""
     require_columns(df, id_col, time_col, target_col)
+    from pyspark.sql import Window
 
-    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = pdf[target_col].to_numpy(dtype=float)
-        level = ses_level(vals, alpha)
-        grid = _future_grid(pdf[time_col], h)
-        return pd.DataFrame({id_col: pdf[id_col].iloc[0], time_col: grid, "y_hat": level})
+    from polars_ts_spark.operators.baselines import _freq_agg, _future_rows
 
-    return for_each_series(df, kern, _FC_SCHEMA, id_col, time_col)
+    w = Window.partitionBy(id_col).orderBy(time_col)
+    wn = Window.partitionBy(id_col)
+    weighted = (
+        F.when(
+            F.col("__rn") == 1,
+            F.pow(F.lit(1.0 - alpha), F.col("__n") - 1) * F.col(target_col),
+        ).otherwise(
+            F.lit(alpha)
+            * F.pow(F.lit(1.0 - alpha), F.col("__n") - F.col("__rn"))
+            * F.col(target_col)
+        )
+    )
+    g = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .groupBy(id_col)
+        .agg(
+            F.sum(weighted).alias("__level"),
+            F.max(time_col).alias("__last_ts"),
+            _freq_agg(time_col).alias("__freq_s"),
+        )
+    )
+    return _future_rows(g, h, id_col, time_col).select(
+        id_col, time_col, F.col("__level").cast("double").alias("y_hat")
+    )
 
 
 def holt_forecast(df: DataFrame, h: int, alpha: float = 0.3, beta: float = 0.1,
