@@ -1225,10 +1225,83 @@ def q_garch_forecast(spark, sf_dir):
     return volatility.garch_forecast(_monthly_panel(spark, sf_dir), h=6)
 
 
-@register("var_forecast")
+_VAR_ORACLE = """
+WITH RECURSIVE panel AS (
+    SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+           date_trunc('day', l_shipdate) AS ds,
+           CAST(SUM(l_extendedprice) AS DOUBLE) AS y,
+           CAST(SUM(l_quantity) AS DOUBLE) AS y2
+    FROM lineitem GROUP BY 1, 2
+),
+ordered AS (
+    SELECT unique_id, y, y2,
+           ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+           COUNT(*) OVER (PARTITION BY unique_id) AS n
+    FROM panel
+),
+-- VAR(1) design rows t = 2..n: regressors (u, v) = lagged (y, y2);
+-- OLS per equation via the centered 2x2 normal equations (COVAR_POP
+-- ratios are scale-invariant, so population covariances suffice)
+design AS (
+    SELECT unique_id,
+           LAG(y) OVER w AS u, LAG(y2) OVER w AS v,
+           y AS w1, y2 AS w2, n
+    FROM ordered
+    WINDOW w AS (PARTITION BY unique_id ORDER BY rn)
+),
+fit AS (
+    SELECT unique_id, ANY_VALUE(n) AS n,
+           AVG(u) AS au, AVG(v) AS av, AVG(w1) AS aw1, AVG(w2) AS aw2,
+           VAR_POP(u) AS cuu, COVAR_POP(u, v) AS cuv, VAR_POP(v) AS cvv,
+           COVAR_POP(u, w1) AS cuw1, COVAR_POP(v, w1) AS cvw1,
+           COVAR_POP(u, w2) AS cuw2, COVAR_POP(v, w2) AS cvw2
+    FROM design WHERE u IS NOT NULL
+    GROUP BY 1
+),
+coef0 AS (
+    SELECT unique_id, n, au, av, aw1, aw2,
+           (cvv * cuw1 - cuv * cvw1) / (cuu * cvv - cuv * cuv) AS b11,
+           (cuu * cvw1 - cuv * cuw1) / (cuu * cvv - cuv * cuv) AS b21,
+           (cvv * cuw2 - cuv * cvw2) / (cuu * cvv - cuv * cuv) AS b12,
+           (cuu * cvw2 - cuv * cuw2) / (cuu * cvv - cuv * cuv) AS b22
+    FROM fit
+),
+coef AS (
+    SELECT unique_id, n, b11, b21, b12, b22,
+           aw1 - b11 * au - b21 * av AS c1,
+           aw2 - b12 * au - b22 * av AS c2
+    FROM coef0
+),
+lastobs AS (
+    SELECT unique_id, y AS la, y2 AS lb FROM ordered WHERE rn = n
+),
+rec AS (
+    SELECT l.unique_id, 0 AS step, l.la AS sa, l.lb AS sb
+    FROM lastobs l JOIN coef c USING (unique_id) WHERE c.n > 5
+    UNION ALL
+    SELECT r.unique_id, r.step + 1,
+           c.c1 + c.b11 * r.sa + c.b21 * r.sb,
+           c.c2 + c.b12 * r.sa + c.b22 * r.sb
+    FROM rec r JOIN coef c USING (unique_id) WHERE r.step < 7
+)
+SELECT unique_id, CAST(step AS INT) AS step,
+       ROUND(sa, 2) AS y_hat, ROUND(sb, 2) AS y2_hat
+FROM rec WHERE step >= 1
+UNION ALL
+SELECT c.unique_id, CAST(s.step AS INT), NULL, NULL
+FROM coef c CROSS JOIN (SELECT UNNEST(generate_series(1, 7)) AS step) s
+WHERE c.n <= 5
+"""
+
+
+@register("var_forecast", _VAR_ORACLE)
 def q_var_forecast(spark, sf_dir):
     from polars_ts_spark.operators import var_model
-    return var_model.var_forecast(_bivariate_panel(spark, sf_dir), ["y", "y2"], p=1, h=7)
+    out = var_model.var_forecast(_bivariate_panel(spark, sf_dir), ["y", "y2"], p=1, h=7)
+    return out.select(
+        "unique_id", "step",
+        F.round("y_hat", 2).alias("y_hat"), F.round("y2_hat", 2).alias("y2_hat"),
+    )
 
 
 @register("granger_causality")
