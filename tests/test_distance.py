@@ -180,3 +180,41 @@ def test_pairwise_multi(spark):
     df = spark.createDataFrame(rows, "unique_id string, ds timestamp, dim_0 double, dim_1 double")
     r = compute_pairwise_distance_multi(df, method="dtw_multi").first()
     assert r["dtw_multi"] > 0
+
+
+def test_pairwise_broadcast_matches_crossjoin_fallback(spark, monkeypatch):
+    """The broadcast fast path and the cross-join fallback must produce
+    identical pair sets and distances (incl. overlapping-id dedup)."""
+    import datetime as dt
+    from polars_ts_spark.operators import distance as D
+
+    rows = [
+        (sid, dt.datetime(2024, 1, 1 + j), float(hash((sid, j)) % 17))
+        for sid in ("A", "B", "C", "D")
+        for j in range(6)
+    ]
+    df = spark.createDataFrame(rows, "unique_id string, ds timestamp, y double")
+    df2 = df.filter(F_in(df, ("B", "C"))).union(
+        df.filter(F_in(df, ("A",))).withColumn("unique_id", F_lit_concat(df))
+    )
+
+    def collect(frame):
+        return sorted((r["id_1"], r["id_2"], round(r["msm"], 9)) for r in frame.collect())
+
+    fast_same = collect(compute_pairwise_distance(df, method="msm"))
+    fast_cross = collect(compute_pairwise_distance(df, df2, method="msm"))
+    monkeypatch.setattr(D, "_BC_ELEMS_CAP", -1)
+    slow_same = collect(compute_pairwise_distance(df, method="msm"))
+    slow_cross = collect(compute_pairwise_distance(df, df2, method="msm"))
+    assert fast_same == slow_same and len(fast_same) == 6
+    assert fast_cross == slow_cross
+
+
+def F_in(df, ids):
+    from pyspark.sql import functions as F
+    return F.col("unique_id").isin(*ids)
+
+
+def F_lit_concat(df):
+    from pyspark.sql import functions as F
+    return F.concat(F.col("unique_id"), F.lit("_z"))
