@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -107,7 +108,7 @@ def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
-        StructField("features", ArrayType(FloatType())),
+        StructField("features", ArrayType(DoubleType())),
     ]
 )
 
@@ -115,19 +116,22 @@ FEATURE_SCHEMA = StructType(
 def extract_features(decoded: DataFrame) -> DataFrame:
     """Per-image feature vector (channel means/stds + a 4-bin
     histogram per channel): the standard decode -> featurize hop.
-    Output [doc_id, features: array<float>] — feeds embedsim ops."""
+    Output [doc_id, features: array<double>] — feeds embedsim ops.
+    Statistics accumulate in float64 (pixels stay float32 storage):
+    float32 accumulation order is not reproducible across engines,
+    float64 over float32 inputs is."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for px, c in zip(pdf["pixels"], pdf["channels"]):
-                a = np.asarray(px, dtype=np.float32).reshape(-1, int(c))
+                a = np.asarray(px, dtype=np.float64).reshape(-1, int(c))
                 hist = [
                     np.histogram(a[:, ch], bins=4, range=(0, 1))[0] / a.shape[0]
                     for ch in range(int(c))
                 ]
                 f = np.concatenate([a.mean(axis=0), a.std(axis=0), *hist])
-                feats.append(f.astype(np.float32).tolist())
+                feats.append(f.tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return decoded.mapInPandas(kernel, FEATURE_SCHEMA)

@@ -1074,11 +1074,58 @@ def _register_textops():
     def q_lsh_ann_topk(spark, sf_dir):
         return embedsim.lsh_ann_topk(_embs(spark, sf_dir), k=5)
 
-    @register("multimodal_features")  # stubbed decode — rows-only check
+    # The decode stub is md5-deterministic, so even the stubbed pipeline
+    # is fully oracle-checkable: DuckDB rebuilds the pseudo-pixels from
+    # md5(text) hex nibbles, replicates the float32 /255 quantization
+    # (FLOAT division then DOUBLE stats, same as the kernel), and the
+    # query posexplodes the feature vector into scalar rows.
+    _MULTIMODAL_ORACLE = """
+    WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    bytes AS (
+        SELECT doc_id, i.i,
+               16 * (strpos('0123456789abcdef', substring(hx, 2 * i.i + 1, 1)) - 1)
+                 + (strpos('0123456789abcdef', substring(hx, 2 * i.i + 2, 1)) - 1) AS b
+        FROM d, (SELECT UNNEST(generate_series(0, 15)) AS i) i
+    ),
+    px AS (
+        SELECT b.doc_id, j.j % 3 AS ch,
+               CAST(CAST(b.b AS FLOAT) / CAST(255.0 AS FLOAT) AS DOUBLE) AS p
+        FROM (SELECT UNNEST(generate_series(0, 47)) AS j) j
+        JOIN bytes b ON b.i = j.j % 16
+    ),
+    chstats AS (
+        SELECT doc_id, ch, AVG(p) AS mean_v, STDDEV_POP(p) AS std_v
+        FROM px GROUP BY 1, 2
+    ),
+    counts AS (
+        SELECT doc_id, ch, LEAST(CAST(FLOOR(p * 4) AS INT), 3) AS bin,
+               COUNT(*) / 16.0 AS frac
+        FROM px GROUP BY 1, 2, 3
+    ),
+    grid AS (
+        SELECT d.doc_id, c.ch, bn.bin
+        FROM d, (SELECT UNNEST(generate_series(0, 2)) AS ch) c,
+             (SELECT UNNEST(generate_series(0, 3)) AS bin) bn
+    )
+    SELECT doc_id, CAST(ch AS INT) AS pos, ROUND(mean_v, 6) AS feature
+    FROM chstats
+    UNION ALL
+    SELECT doc_id, CAST(3 + ch AS INT), ROUND(std_v, 6) FROM chstats
+    UNION ALL
+    SELECT g.doc_id, CAST(6 + g.ch * 4 + g.bin AS INT),
+           ROUND(COALESCE(c.frac, 0.0), 6)
+    FROM grid g LEFT JOIN counts c
+      ON c.doc_id = g.doc_id AND c.ch = g.ch AND c.bin = g.bin
+    """
+
+    @register("multimodal_features", _MULTIMODAL_ORACLE)
     def q_multimodal_features(spark, sf_dir):
         from polars_ts_spark.operators import multimodal
         payload = multimodal.attach_binary_payload(_docs(spark, sf_dir))
-        return multimodal.extract_features(multimodal.decode_image(payload))
+        feats = multimodal.extract_features(multimodal.decode_image(payload))
+        return feats.select(
+            "doc_id", F.posexplode("features").alias("pos", "feature")
+        ).withColumn("feature", F.round("feature", 6))
 
 
 _register_textops()
@@ -1304,10 +1351,58 @@ def q_var_forecast(spark, sf_dir):
     )
 
 
-@register("granger_causality")
+_GRANGER_ORACLE = """
+WITH panel AS (
+    SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+           date_trunc('day', l_shipdate) AS ds,
+           CAST(SUM(l_extendedprice) AS DOUBLE) AS y,
+           CAST(SUM(l_quantity) AS DOUBLE) AS y2
+    FROM lineitem GROUP BY 1, 2
+),
+design AS (
+    SELECT unique_id,
+           LAG(y) OVER w AS u,    -- own lag (effect = y)
+           LAG(y2) OVER w AS v,   -- cause lag
+           y AS w
+    FROM panel
+    WINDOW w AS (PARTITION BY unique_id ORDER BY ds)
+),
+-- OLS via centered moments: full model w ~ [1, u, v], restricted
+-- w ~ [1, u]; RSS = n * (Cww - b_u*Cuw - b_v*Cvw); F with df (1, n-3)
+m AS (
+    SELECT unique_id, CAST(COUNT(*) AS DOUBLE) AS n,
+           VAR_POP(u) AS cuu, COVAR_POP(u, v) AS cuv, VAR_POP(v) AS cvv,
+           COVAR_POP(u, w) AS cuw, COVAR_POP(v, w) AS cvw, VAR_POP(w) AS cww
+    FROM design WHERE u IS NOT NULL GROUP BY 1
+),
+fit AS (
+    SELECT unique_id, n, cww, cuw, cuu,
+           (cvv * cuw - cuv * cvw) / (cuu * cvv - cuv * cuv) AS bu,
+           (cuu * cvw - cuv * cuw) / (cuu * cvv - cuv * cuv) AS bv,
+           cvw
+    FROM m
+),
+rss AS (
+    SELECT unique_id, n,
+           n * (cww - (bu * cuw + bv * cvw)) AS rss_f,
+           n * (cww - cuw * cuw / cuu) AS rss_r
+    FROM fit
+)
+SELECT unique_id,
+       CASE WHEN n - 3.0 <= 0 OR rss_f <= 0 THEN NULL
+            ELSE ROUND(((rss_r - rss_f) / 1.0) / (rss_f / (n - 3.0)), 4)
+       END AS f_stat
+FROM rss
+"""
+
+
+@register("granger_causality", _GRANGER_ORACLE)
 def q_granger(spark, sf_dir):
     from polars_ts_spark.operators import var_model
-    return var_model.granger_causality(_bivariate_panel(spark, sf_dir), "y2", "y", p=2)
+    out = var_model.granger_causality(_bivariate_panel(spark, sf_dir), "y2", "y", p=1)
+    # p_value needs the F survival function (no SQL equivalent); the
+    # verified surface is the F statistic itself
+    return out.select("unique_id", F.round("f_stat", 4).alias("f_stat"))
 
 
 @register("bocpd")
