@@ -1405,10 +1405,104 @@ def q_granger(spark, sf_dir):
     return out.select("unique_id", F.round("f_stat", 4).alias("f_stat"))
 
 
-@register("bocpd")
+def _bocpd_oracle(hazard: float) -> str:
+    """Adams-MacKay BOCPD as a RECURSIVE CTE whose state is five
+    LIST-valued columns (run-length posterior + the NIG hyperparameter
+    vectors), each step rebuilt with list_transform closures over the
+    incoming observation — the run-length axis lives inside the row
+    while the recursion walks time. Mirrors ``bocpd_series`` term for
+    term (Student-t log-predictive with lgamma/ln, growth/changepoint
+    mass split, in-place normalize, prepend-prior updates); cp_prob
+    rounded 6dp on both engines (pairwise vs sequential summation)."""
+    h = f"(1.0 / {hazard})"
+    return (
+        PANEL_CTE.replace("WITH", "WITH RECURSIVE", 1) + f""",
+    ordered AS (
+        SELECT unique_id, ds, CAST(y AS DOUBLE) AS y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+               COUNT(*) OVER (PARTITION BY unique_id) AS n
+        FROM panel
+    ),
+    rec AS (
+        SELECT unique_id, 0 AS t,
+               [CAST(1.0 AS DOUBLE)] AS r,
+               [CAST(0.0 AS DOUBLE)] AS mu,
+               [CAST(1.0 AS DOUBLE)] AS kap,
+               [CAST(1.0 AS DOUBLE)] AS alp,
+               [CAST(1.0 AS DOUBLE)] AS bet,
+               CAST(NULL AS DOUBLE) AS cp_prob,
+               n
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT unique_id, t,
+               list_transform(nr, x -> x / tot) AS r,
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, ln_ + 1),
+                       i -> (kap[i] * mu[i] + yv) / (kap[i] + 1))) AS mu,
+               list_prepend(CAST(1.0 AS DOUBLE),
+                   list_transform(kap, x -> x + 1)) AS kap,
+               list_prepend(CAST(1.0 AS DOUBLE),
+                   list_transform(alp, x -> x + 0.5)) AS alp,
+               list_prepend(CAST(1.0 AS DOUBLE),
+                   list_transform(range(1, ln_ + 1),
+                       i -> bet[i] + kap[i] * (yv - mu[i]) * (yv - mu[i])
+                            / (2 * (kap[i] + 1)))) AS bet,
+               CASE WHEN t <= 6
+                    THEN {h}
+                    ELSE list_aggregate(list_transform(range(1, 7),
+                             i -> nr[i] / tot), 'sum')
+               END AS cp_prob,
+               n
+        FROM (
+            SELECT *, CASE WHEN tot0 = 0 THEN 1e-300 ELSE tot0 END AS tot
+            FROM (
+                SELECT *,
+                       list_aggregate(nr, 'sum') AS tot0
+                FROM (
+                    SELECT *,
+                           list_prepend(
+                               {h} * list_aggregate(
+                                   list_transform(range(1, ln_ + 1),
+                                       i -> r[i] * pred[i]), 'sum'),
+                               list_transform(range(1, ln_ + 1),
+                                   i -> r[i] * pred[i] * (1.0 - {h}))) AS nr
+                    FROM (
+                        SELECT *,
+                               list_transform(range(1, ln_ + 1), i ->
+                                   exp(lgamma((2 * alp[i] + 1) / 2)
+                                       - lgamma(2 * alp[i] / 2)
+                                       - 0.5 * ln(pi() * (2 * alp[i])
+                                           * (bet[i] * (kap[i] + 1) / (alp[i] * kap[i])))
+                                       - (2 * alp[i] + 1) / 2
+                                         * ln(1.0 + ((yv - mu[i]) * (yv - mu[i])
+                                               / (bet[i] * (kap[i] + 1) / (alp[i] * kap[i])))
+                                              / (2 * alp[i])))) AS pred
+                        FROM (
+                            SELECT rr.unique_id, rr.t + 1 AS t, o.y AS yv,
+                                   rr.r AS r, rr.mu AS mu, rr.kap AS kap,
+                                   rr.alp AS alp, rr.bet AS bet,
+                                   len(rr.r) AS ln_, rr.n AS n
+                            FROM rec rr JOIN ordered o
+                              ON o.unique_id = rr.unique_id AND o.rn = rr.t + 1
+                        )
+                    )
+                )
+            )
+        )
+    )
+    SELECT r.unique_id, o.ds, o.y,
+           ROUND(r.cp_prob, 6) AS cp_prob,
+           r.cp_prob > 0.5 AS is_changepoint
+    FROM rec r JOIN ordered o ON o.unique_id = r.unique_id AND o.rn = r.t
+    WHERE r.t >= 1
+    """)
+
+
+@register("bocpd", _bocpd_oracle(100.0))
 def q_bocpd(spark, sf_dir):
     from polars_ts_spark.operators import changepoint
-    return changepoint.bocpd(supplier_daily_panel(spark, sf_dir), hazard_rate=100.0)
+    out = changepoint.bocpd(supplier_daily_panel(spark, sf_dir), hazard_rate=100.0)
+    return out.withColumn("cp_prob", F.round("cp_prob", 6))
 
 
 @register("regime_detect")
