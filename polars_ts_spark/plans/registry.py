@@ -926,7 +926,91 @@ def q_ljung_box_q(spark, sf_dir):
     return out.select("unique_id", "q_stat", "lags")
 
 
-@register("pelt")  # DP with pruning: rows-only
+_PELT_ORACLE = PANEL_CTE.replace("WITH", "WITH RECURSIVE", 1) + """,
+    ordered AS (
+        SELECT unique_id, ds, CAST(y AS DOUBLE) AS y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+               COUNT(*) OVER (PARTITION BY unique_id) AS n
+        FROM panel
+    ),
+    -- PELT DP (cost='mean', penalty=2 ln n, min_size=2) as a recursive
+    -- CTE: the prefix sums are built as the same left fold np.cumsum
+    -- uses, so segment costs -- and therefore every argmin and pruning
+    -- decision -- are bit-identical to the numpy kernel. State per
+    -- series: growing cum/cumsq/f/last lists + the pruned candidate set.
+    rec AS (
+        SELECT unique_id, 0 AS t,
+               [CAST(0.0 AS DOUBLE)] AS cum,
+               [CAST(0.0 AS DOUBLE)] AS cumsq,
+               [-(2.0 * ln(CAST(n AS DOUBLE)))] AS f,
+               [CAST(0 AS BIGINT)] AS lst,
+               [CAST(0 AS BIGINT)] AS cand,
+               2.0 * ln(CAST(n AS DOUBLE)) AS pen,
+               n
+        FROM ordered WHERE rn = 1 AND n >= 4
+        UNION ALL
+        SELECT unique_id, t, cum, cumsq,
+               CASE WHEN t >= 2 THEN list_append(f, fbest)
+                    ELSE list_append(f, CAST('infinity' AS DOUBLE)) END AS f,
+               CASE WHEN t >= 2 THEN list_append(lst, sbest)
+                    ELSE list_append(lst, CAST(0 AS BIGINT)) END AS lst,
+               CASE WHEN t >= 2 THEN
+                   list_append(
+                       list_transform(
+                           list_filter(range(1, len(cand) + 1), i -> kc[i] <= fbest),
+                           i -> cand[i]),
+                       CAST(t AS BIGINT))
+                    ELSE cand END AS cand,
+               pen, n
+        FROM (
+            SELECT *,
+                   CASE WHEN t >= 2 THEN list_min(tot) END AS fbest,
+                   CASE WHEN t >= 2 THEN adm[list_position(tot, list_min(tot))] END AS sbest
+            FROM (
+                SELECT *,
+                       list_transform(adm, s ->
+                           f[s + 1]
+                           + (cumsq[t + 1] - cumsq[s + 1]
+                              - (CAST(t - s AS DOUBLE)
+                                 * ((cum[t + 1] - cum[s + 1]) / CAST(t - s AS DOUBLE)))
+                                * ((cum[t + 1] - cum[s + 1]) / CAST(t - s AS DOUBLE)))
+                           + pen) AS tot,
+                       list_transform(cand, s ->
+                           f[s + 1]
+                           + (cumsq[t + 1] - cumsq[s + 1]
+                              - (CAST(t - s AS DOUBLE)
+                                 * ((cum[t + 1] - cum[s + 1]) / CAST(t - s AS DOUBLE)))
+                                * ((cum[t + 1] - cum[s + 1]) / CAST(t - s AS DOUBLE)))
+                       ) AS kc
+                FROM (
+                    SELECT *, list_filter(cand, s -> (t - s) >= 2) AS adm
+                    FROM (
+                        SELECT r.unique_id, r.t + 1 AS t,
+                               list_append(r.cum, r.cum[r.t + 1] + o.y) AS cum,
+                               list_append(r.cumsq, r.cumsq[r.t + 1] + o.y * o.y) AS cumsq,
+                               r.f AS f, r.lst AS lst, r.cand AS cand,
+                               r.pen AS pen, r.n AS n
+                        FROM rec r JOIN ordered o
+                          ON o.unique_id = r.unique_id AND o.rn = r.t + 1
+                    )
+                )
+            )
+        )
+    ),
+    fin AS (SELECT unique_id, lst, n FROM rec WHERE t = n),
+    bt AS (
+        SELECT unique_id, CAST(n AS BIGINT) AS idx, lst, n FROM fin
+        UNION ALL
+        SELECT unique_id, lst[idx + 1] AS idx, lst, n FROM bt WHERE idx > 0
+    )
+    SELECT b.unique_id, b.idx AS changepoint_idx, o.ds
+    FROM bt b JOIN ordered o
+      ON o.unique_id = b.unique_id AND o.rn = b.idx + 1
+    WHERE b.idx > 0 AND b.idx < b.n
+    """
+
+
+@register("pelt", _PELT_ORACLE)
 def q_pelt(spark, sf_dir):
     from polars_ts_spark.operators import pelt as pelt_mod
     return pelt_mod.pelt(supplier_daily_panel(spark, sf_dir), cost="mean")
