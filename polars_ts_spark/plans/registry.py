@@ -1057,14 +1057,52 @@ def _monthly_panel(spark, sf_dir):
     return preprocessing.resample(supplier_daily_panel(spark, sf_dir), "1mo", "mean")
 
 
+def _monthly_panel_exact(spark, sf_dir):
+    """Monthly panel with ORDER-INDEPENDENT float values, for the
+    pairwise-DP queries whose oracles must match to the last ulp.
+
+    ``AVG(SUM(double))`` differs in the final ulps between engines (and
+    run-to-run — both Spark and DuckDB aggregate in parallel, so the
+    summation order floats). A DP distance amplifies that: LCSS's
+    epsilon test or a min-path tie flips on an ulp, and Fréchet returns
+    a raw |a-b| whose 9-sig-digit rendering straddles a half. Summing
+    integer cents (exact, associative) and performing ONE double
+    division per month makes the panel bit-identical everywhere.
+    """
+    from polars_ts_spark.sources.datasets import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_suppkey").cast("string").alias("unique_id"),
+        F.date_trunc("day", F.col("l_shipdate")).alias("ds"),
+    ).agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("__cents"))
+    return daily.groupBy(
+        "unique_id", F.date_trunc("month", F.col("ds")).alias("ds")
+    ).agg(
+        (
+            F.sum("__cents").cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1)).cast("double"))
+        ).alias("y")
+    )
+
+
 _INF = "CAST('infinity' AS DOUBLE)"
 
-# shared prelude: monthly mean panel -> per-series ordered value lists ->
+# shared prelude: exact-cents monthly mean panel (mirrors
+# _monthly_panel_exact: bigint cent sums are order-independent, so both
+# engines see bit-identical series) -> per-series ordered value lists ->
 # symmetric-deduped pairs (id_1 < id_2, mirroring distance.py:188-189)
 _PAIRS_CTE = """,
+    daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
     monthly AS (
-        SELECT unique_id, date_trunc('month', ds) AS ds, AVG(y) AS y
-        FROM panel GROUP BY 1, 2
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM daily_cents GROUP BY 1, 2
     ),
     ser AS (
         SELECT unique_id AS sid, list(CAST(y AS DOUBLE) ORDER BY ds) AS v,
@@ -1268,7 +1306,7 @@ def _register_distance(method, oracle=None, **kw):
     @register(f"pairwise_{method}", oracle)
     def q(spark, sf_dir, _m=method, _kw=kw):
         from polars_ts_spark.operators.distance import compute_pairwise_distance
-        return compute_pairwise_distance(_monthly_panel(spark, sf_dir), method=_m, **_kw)
+        return compute_pairwise_distance(_monthly_panel_exact(spark, sf_dir), method=_m, **_kw)
 
 
 for _m in ("dtw", "msm", "erp", "lcss", "edr", "wdtw", "twe", "frechet", "ddtw"):
@@ -1280,7 +1318,7 @@ _register_distance("sbd", oracle=_SBD_ORACLE)
           _pairwise_dp_oracle("dtw", **_DP_ORACLES["dtw_sakoe_chiba"]))
 def q_dtw_sc(spark, sf_dir):
     from polars_ts_spark.operators.distance import compute_pairwise_distance
-    return compute_pairwise_distance(_monthly_panel(spark, sf_dir), method="dtw",
+    return compute_pairwise_distance(_monthly_panel_exact(spark, sf_dir), method="dtw",
                                      variant="sakoe_chiba", param=10)
 
 
