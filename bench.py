@@ -73,6 +73,15 @@ def main():
     ]
     # warm the JVM + parquet footer cache with one tiny action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm the Python-UDF worker pool: the first applyInPandas stage
+    # otherwise pays ~32 worker spawns + pandas/pyarrow imports, which
+    # lands on whichever kernel query happens to run first
+    import pandas as _pd  # noqa: PLC0415
+
+    warm = spark.createDataFrame(_pd.DataFrame({"k": list(range(32)), "v": [0.0] * 32}))
+    warm.repartition(32, "k").groupBy("k").applyInPandas(
+        lambda pdf: pdf, schema="k long, v double"
+    ).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()

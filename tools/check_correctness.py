@@ -8,6 +8,7 @@ Usage: python tools/check_correctness.py [sf_dir] [name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -57,6 +58,7 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     qs, os_ = queries(), oracle_sql()
     n_pass = n_fail = n_nooracle = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -64,24 +66,38 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None, "err": f"spark: {e}"[:300]}
             n_fail += 1
             continue
         if name not in os_:
             print(f"skip  {name}: no oracle ({len(sdf)} rows)")
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(sdf),
+                             "oracle_rows": None, "err": None}
             n_nooracle += 1
             continue
         try:
             odf = con.execute(os_[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(sdf),
+                             "oracle_rows": None, "err": f"oracle: {e}"[:300]}
             n_fail += 1
             continue
         a, b = normalize(sdf), normalize(odf)
-        if list(a.columns) != list(b.columns):
+        rec = {"rows_match": len(a) == len(b),
+               "schema_match": list(a.columns) == list(b.columns),
+               "hash_match": False,
+               "spark_rows": len(a), "oracle_rows": len(b), "err": None}
+        results[name] = rec
+        if not rec["schema_match"]:
             print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
             n_fail += 1
             continue
-        if len(a) != len(b):
+        if not rec["rows_match"]:
             print(f"FAIL  {name}: rows {len(a)} vs {len(b)}")
             n_fail += 1
             continue
@@ -94,8 +110,16 @@ def main():
             print("  oracle:", diff_rows_o.to_dict("records"))
             n_fail += 1
             continue
+        rec["hash_match"] = True
         print(f"pass  {name} ({len(a)} rows)")
         n_pass += 1
+    if not only:  # full runs snapshot the per-query outcome for the repo
+        import json
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "CORRECTNESS_LOCAL.json")
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
+        print(f"wrote {out}")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_nooracle} oracle-less")
     return 1 if n_fail else 0
 
