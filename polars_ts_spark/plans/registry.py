@@ -1551,6 +1551,8 @@ _PRIORITY = [
     "pelt", "hampel_outliers", "bocpd",
     # pairwise DP representatives
     "pairwise_dtw", "pairwise_msm", "pairwise_twe", "pairwise_sbd",
+    # ML pipeline (global ridge fit + sequential/direct decode)
+    "recursive_forecast_linear", "direct_forecast_linear",
     # state-space / multivariate / probabilistic / hierarchy / causal
     "kalman_filter", "var_forecast", "conformal_interval",
     "reconcile_mint", "backtest_summary", "causal_impact",
@@ -1558,8 +1560,7 @@ _PRIORITY = [
     "event_window_agg",
     # LLM-data-pipeline: dedup, text, similarity search, multimodal
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
-    "simhash_pairs", "cosine_topk", "cosine_dedup_pairs", "lsh_ann_topk",
-    "knn_label_vote", "multimodal_features",
+    "simhash_pairs", "cosine_topk", "lsh_ann_topk", "multimodal_features",
 ]
 
 
@@ -2456,6 +2457,145 @@ def q_recursive_forecast(spark, sf_dir):
     return RecursiveForecaster(lags=[1, 7], calendar=True).fit(panel).predict(panel, h=7)
 
 
+# The lags-only RecursiveForecaster IS oracle-expressible: the global
+# ridge fit is a 3x3 normal-equation solve over aggregated sufficient
+# statistics (exactly what _ridge_fit_distributed computes), written
+# here via Cramer's rule, and the h-step decode is a per-series
+# recursion feeding predictions back into the lag-1 slot. Rounded 2dp:
+# LAPACK LU vs Cramer agree to ~1e-10 relative, and the X'X sums are
+# parallel float aggregations on both engines.
+_RECURSIVE_LINEAR_ORACLE = (
+    PANEL_CTE.replace("WITH", "WITH RECURSIVE", 1) + ", "
+    + _FREQ_CTE.format(h=7) + """,
+    feats AS (
+        SELECT y AS yt,
+               LAG(y, 1) OVER w AS x1,
+               LAG(y, 7) OVER w AS x7
+        FROM panel
+        WINDOW w AS (PARTITION BY unique_id ORDER BY ds)
+    ),
+    sums AS (
+        SELECT SUM(x1 * x1) + 1e-6 AS a11, SUM(x1 * x7) AS a12,
+               SUM(x1) AS a13, SUM(x7 * x7) + 1e-6 AS a22,
+               SUM(x7) AS a23, CAST(COUNT(*) AS DOUBLE) AS a33,
+               SUM(x1 * yt) AS b1, SUM(x7 * yt) AS b2, SUM(yt) AS b3
+        FROM feats WHERE x1 IS NOT NULL AND x7 IS NOT NULL
+    ),
+    coefs AS (
+        SELECT
+            (b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3)
+             + a13 * (b2 * a23 - a22 * b3)) / det AS w1,
+            (a11 * (b2 * a33 - b3 * a23) - b1 * (a12 * a33 - a23 * a13)
+             + a13 * (a12 * b3 - b2 * a13)) / det AS w7,
+            (a11 * (a22 * b3 - a23 * b2) - a12 * (a12 * b3 - b2 * a13)
+             + b1 * (a12 * a23 - a22 * a13)) / det AS w0
+        FROM (
+            SELECT *, a11 * (a22 * a33 - a23 * a23)
+                      - a12 * (a12 * a33 - a23 * a13)
+                      + a13 * (a12 * a23 - a22 * a13) AS det
+            FROM sums
+        )
+    ),
+    tails AS (
+        SELECT unique_id, list(y ORDER BY ds)[-7:] AS tail
+        FROM panel GROUP BY 1
+    ),
+    dec AS (
+        SELECT unique_id, 0 AS step, tail FROM tails
+        UNION ALL
+        SELECT d.unique_id, d.step + 1,
+               list_append(d.tail[2:],
+                           (d.tail[7] * c.w1 + d.tail[1] * c.w7) + c.w0)
+        FROM dec d CROSS JOIN coefs c WHERE d.step < 7
+    )
+    SELECT d.unique_id,
+           g.last_ts + INTERVAL '1 second' * (d.step * f.freq_s) AS ds,
+           ROUND(d.tail[7], 2) AS y_hat
+    FROM dec d
+    JOIN g ON d.unique_id = g.unique_id
+    JOIN freq f ON d.unique_id = f.unique_id
+    WHERE d.step >= 1
+    """
+)
+
+
+@register("recursive_forecast_linear", _RECURSIVE_LINEAR_ORACLE)
+def q_recursive_forecast_linear(spark, sf_dir):
+    from polars_ts_spark.operators.pipeline import RecursiveForecaster
+    panel = supplier_daily_panel(spark, sf_dir)
+    out = RecursiveForecaster(lags=[1, 7], calendar=False).fit(panel).predict(panel, h=7)
+    return out.select("unique_id", "ds", F.round("y_hat", 2).alias("y_hat"))
+
+
+# DirectForecaster: h INDEPENDENT 1-shot models on lead-shifted targets
+# (no recursive feedback) — model s regresses y at feature-row rn+s-1
+# on (lag1, lag7); prediction for step s applies model s to the SAME
+# final-history feature row. Seven Cramer solves over per-step sums.
+_DIRECT_LINEAR_ORACLE = (
+    PANEL_CTE + ", " + _FREQ_CTE.format(h=7) + """,
+    ordered AS (
+        SELECT unique_id, y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn
+        FROM panel
+    ),
+    feats AS (
+        SELECT unique_id, rn, y AS yt,
+               LAG(y, 1) OVER w AS x1, LAG(y, 7) OVER w AS x7
+        FROM ordered
+        WINDOW w AS (PARTITION BY unique_id ORDER BY rn)
+    ),
+    train AS (
+        SELECT s.step AS s, f.x1, f.x7, t.y AS tgt
+        FROM feats f
+        CROSS JOIN steps s
+        JOIN ordered t ON t.unique_id = f.unique_id AND t.rn = f.rn + s.step - 1
+        WHERE f.x1 IS NOT NULL AND f.x7 IS NOT NULL
+    ),
+    sums AS (
+        SELECT s, SUM(x1 * x1) + 1e-6 AS a11, SUM(x1 * x7) AS a12,
+               SUM(x1) AS a13, SUM(x7 * x7) + 1e-6 AS a22,
+               SUM(x7) AS a23, CAST(COUNT(*) AS DOUBLE) AS a33,
+               SUM(x1 * tgt) AS b1, SUM(x7 * tgt) AS b2, SUM(tgt) AS b3
+        FROM train GROUP BY s
+    ),
+    coefs AS (
+        SELECT s,
+            (b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3)
+             + a13 * (b2 * a23 - a22 * b3)) / det AS w1,
+            (a11 * (b2 * a33 - b3 * a23) - b1 * (a12 * a33 - a23 * a13)
+             + a13 * (a12 * b3 - b2 * a13)) / det AS w7,
+            (a11 * (a22 * b3 - a23 * b2) - a12 * (a12 * b3 - b2 * a13)
+             + b1 * (a12 * a23 - a22 * a13)) / det AS w0
+        FROM (
+            SELECT *, a11 * (a22 * a33 - a23 * a23)
+                      - a12 * (a12 * a33 - a23 * a13)
+                      + a13 * (a12 * a23 - a22 * a13) AS det
+            FROM sums
+        )
+    ),
+    tails AS (
+        SELECT unique_id, list(y ORDER BY ds)[-7:] AS tail
+        FROM panel GROUP BY 1
+    )
+    SELECT t.unique_id,
+           g.last_ts + INTERVAL '1 second' * (c.s * f.freq_s) AS ds,
+           ROUND((t.tail[7] * c.w1 + t.tail[1] * c.w7) + c.w0, 2) AS y_hat
+    FROM tails t
+    CROSS JOIN coefs c
+    JOIN g ON t.unique_id = g.unique_id
+    JOIN freq f ON t.unique_id = f.unique_id
+    """
+)
+
+
+@register("direct_forecast_linear", _DIRECT_LINEAR_ORACLE)
+def q_direct_forecast_linear(spark, sf_dir):
+    from polars_ts_spark.operators.pipeline import DirectForecaster
+    panel = supplier_daily_panel(spark, sf_dir)
+    out = DirectForecaster(lags=[1, 7], calendar=False).fit(panel, h=7).predict(panel)
+    return out.select("unique_id", "ds", F.round("y_hat", 2).alias("y_hat"))
+
+
 @register("direct_forecast")  # rows-only
 def q_direct_forecast(spark, sf_dir):
     from polars_ts_spark.operators.pipeline import DirectForecaster
@@ -2936,10 +3076,47 @@ def q_causal_impact(spark, sf_dir):
     return sdf
 
 
-@register("gasf_image")
+# GASF is closed-form — min-max scale, phi = acos, cell = cos(phi_i +
+# phi_j) (imaging.py:36-40) — so the full image verifies cell-by-cell
+# against SQL. Exact-cents panel input (order-independent floats); both
+# engines round 6dp because libm acos/cos may differ in the last ulp.
+_GASF_ORACLE = """
+WITH daily_cents AS (
+    SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+           date_trunc('day', l_shipdate) AS ds,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+    FROM lineitem GROUP BY 1, 2
+),
+monthly AS (
+    SELECT unique_id, date_trunc('month', ds) AS ds,
+           CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+    FROM daily_cents GROUP BY 1, 2
+),
+ser AS (
+    SELECT unique_id AS sid, list(y ORDER BY ds) AS v FROM monthly GROUP BY 1
+),
+scaled AS (
+    SELECT sid, len(v) AS n,
+           list_transform(v, e -> acos(least(greatest(
+               (2.0 * (e - list_min(v))) / (list_max(v) - list_min(v)) - 1.0,
+               -1.0), 1.0))) AS ph
+    FROM ser
+)
+SELECT sid AS unique_id, gi.i - 1 AS i, gj.j - 1 AS j,
+       round(cos(ph[gi.i] + ph[gj.j]), 6) AS v
+FROM scaled, unnest(range(1, n + 1)) AS gi(i), unnest(range(1, n + 1)) AS gj(j)
+"""
+
+
+@register("gasf_image", _GASF_ORACLE)
 def q_gasf(spark, sf_dir):
     from polars_ts_spark.operators import imaging
-    return imaging.series_to_image(_monthly_panel(spark, sf_dir), "gasf")
+    img = imaging.series_to_image(_monthly_panel_exact(spark, sf_dir), "gasf")
+    return (
+        img.select("unique_id", F.posexplode("image").alias("i", "__row"))
+        .select("unique_id", "i", F.posexplode("__row").alias("j", "v"))
+        .withColumn("v", F.round("v", 6))
+    )
 
 
 @register("scalogram_image")  # CWT kernel: rows-only
