@@ -2971,16 +2971,131 @@ def q_sarima(spark, sf_dir):
     )
 
 
-@register("rocket_features")
+# ROCKET is oracle-expressible because the "random" kernels are a
+# deterministic function of the seed: the oracle embeds the SAME
+# generated (weights, bias, dilation, padding) as SQL literals and
+# rebuilds each convolution as an explicit left-folded sum (numpy's
+# conv += w_i * slice accumulation order), PPV as a count ratio and
+# max pooled per kernel. Exact-cents panel input so the conv > 0
+# branch can't flip on an aggregation-order ulp.
+def _rocket_oracle(n_kernels: int, seed: int = 42) -> str:
+    from polars_ts_spark.operators.rocket import generate_rocket_kernels
+
+    blocks = []
+    for ki, (w, length, bias, dilation, padding) in enumerate(
+        generate_rocket_kernels(n_kernels, seed)
+    ):
+        xp = ("list_concat(list_concat("
+              f"list_transform(range(1, {padding} + 1), __z -> 0.0), v), "
+              f"list_transform(range(1, {padding} + 1), __z -> 0.0))"
+              if padding else "v")
+        span = (length - 1) * dilation
+        n_eff = f"(len(v) + {2 * padding})"
+        out_len = f"({n_eff} - {span})"
+        conv_terms = " + ".join(
+            f"({w[i]!r} * xp[t + {i * dilation}])" for i in range(length)
+        )
+        conv = f"list_transform(range(1, {out_len} + 1), t -> ({conv_terms}) + {bias!r})"
+        blocks.append(f"""
+    SELECT sid AS unique_id, {ki} AS k,
+           CASE WHEN {out_len} < 1 THEN 0.0 ELSE
+             list_sum(list_transform(__conv, c -> CASE WHEN c > 0 THEN 1.0 ELSE 0.0 END))
+               / {out_len} END AS ppv,
+           CASE WHEN {out_len} < 1 THEN 0.0 ELSE ROUND(list_max(__conv), 2) END AS mx
+    FROM (SELECT sid, v, xp, {conv} AS __conv
+          FROM (SELECT sid, v, {xp} AS xp FROM ser))""")
+    prelude = """
+WITH daily_cents AS (
+    SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+           date_trunc('day', l_shipdate) AS ds,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+    FROM lineitem GROUP BY 1, 2
+),
+monthly AS (
+    SELECT unique_id, date_trunc('month', ds) AS ds,
+           CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+    FROM daily_cents GROUP BY 1, 2
+),
+ser AS (
+    SELECT unique_id AS sid, list(y ORDER BY ds) AS v FROM monthly GROUP BY 1
+)"""
+    return prelude + " UNION ALL ".join(blocks)
+
+
+@register("rocket_features", _rocket_oracle(50))
 def q_rocket(spark, sf_dir):
     from polars_ts_spark.operators import rocket
-    return rocket.rocket_features(_monthly_panel(spark, sf_dir), n_kernels=50)
+    wide = rocket.rocket_features(_monthly_panel_exact(spark, sf_dir), n_kernels=50)
+    # unpivot to (id, kernel, ppv, max): a long shape both engines can
+    # sort-and-hash; max rounded 2dp (conv sums are ~1e5-scale floats)
+    stack = ", ".join(
+        f"{ki}, rocket_{2 * ki}, rocket_{2 * ki + 1}" for ki in range(50)
+    )
+    return wide.selectExpr(
+        "unique_id", f"stack(50, {stack}) AS (k, ppv, mx)"
+    ).withColumn("mx", F.round("mx", 2))
 
 
-@register("minirocket_features")
+# MiniRocket: fixed C(9,3) +2/-1 patterns, per-series median bias, PPV
+# count ratio. The median-threshold comparison cannot flip on a bias
+# ulp (no conv value lies strictly between the two middle order
+# statistics), so PPV is exact on both engines.
+def _minirocket_oracle(dilations: tuple[int, ...]) -> str:
+    from polars_ts_spark.operators.rocket import _minirocket_patterns
+
+    blocks = []
+    fi = 0
+    for d in dilations:
+        span = 8 * d
+        for pat in _minirocket_patterns():
+            conv_terms = " + ".join(
+                f"({'2.0' if i in pat else '-1.0'} * v[t + {i * d}])"
+                for i in range(9)
+            )
+            out_len = f"(len(v) - {span})"
+            blocks.append(f"""
+    SELECT sid AS unique_id, {fi} AS k,
+           CASE WHEN len(__conv) < 1 THEN 0.0 ELSE
+             list_sum(list_transform(__conv, c ->
+                 CASE WHEN c > __bias THEN 1.0 ELSE 0.0 END)) / len(__conv)
+           END AS ppv
+    FROM (
+        SELECT sid, __conv,
+               CASE WHEN len(__conv) % 2 = 1
+                    THEN list_sort(__conv)[(len(__conv) + 1) // 2]
+                    ELSE (list_sort(__conv)[len(__conv) // 2]
+                          + list_sort(__conv)[len(__conv) // 2 + 1]) / 2.0
+               END AS __bias
+        FROM (SELECT sid,
+                     list_transform(range(1, {out_len} + 1), t -> {conv_terms}) AS __conv
+              FROM ser)
+    )""")
+            fi += 1
+    prelude = """
+WITH daily_cents AS (
+    SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+           date_trunc('day', l_shipdate) AS ds,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+    FROM lineitem GROUP BY 1, 2
+),
+monthly AS (
+    SELECT unique_id, date_trunc('month', ds) AS ds,
+           CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+    FROM daily_cents GROUP BY 1, 2
+),
+ser AS (
+    SELECT unique_id AS sid, list(y ORDER BY ds) AS v FROM monthly GROUP BY 1
+)"""
+    return prelude + " UNION ALL ".join(blocks)
+
+
+@register("minirocket_features", _minirocket_oracle((1, 2)))
 def q_minirocket(spark, sf_dir):
     from polars_ts_spark.operators import rocket
-    return rocket.minirocket_features(_monthly_panel(spark, sf_dir), dilations=(1, 2))
+    wide = rocket.minirocket_features(_monthly_panel_exact(spark, sf_dir), dilations=(1, 2))
+    n = 168  # 84 patterns x 2 dilations
+    stack = ", ".join(f"{i}, minirocket_{i}" for i in range(n))
+    return wide.selectExpr("unique_id", f"stack({n}, {stack}) AS (k, ppv)")
 
 
 @register("synthetic_control")
