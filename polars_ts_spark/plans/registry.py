@@ -1129,7 +1129,7 @@ _SERD_CTE = """,
 def _pairwise_dp_oracle(col: str, *, padded: bool, r00: str, relem: str,
                         celem: str, step: str, post: str = "{D}",
                         qr_step: str = "qr", qc_step: str = "qc",
-                        deriv: bool = False) -> str:
+                        deriv: bool = False, pairs_cte: str | None = None) -> str:
     """Build the DuckDB oracle for one pairwise DP distance.
 
     Grid convention: padded metrics (dtw/wdtw/erp/lcss/edr/twe) run on an
@@ -1163,8 +1163,8 @@ def _pairwise_dp_oracle(col: str, *, padded: bool, r00: str, relem: str,
                  f"WHEN gi = 0 THEN row0[d + 2] "
                  f"WHEN d + 1 - gi = 0 THEN col0[gi + 1] "
                  f"ELSE {step} END)")
-    pairs = _PAIRS_CTE.format(serd=_SERD_CTE if deriv else "",
-                              src="serd" if deriv else "ser")
+    pairs = pairs_cte if pairs_cte is not None else _PAIRS_CTE.format(
+        serd=_SERD_CTE if deriv else "", src="serd" if deriv else "ser")
     return PANEL_CTE.replace("WITH", "WITH RECURSIVE", 1) + pairs + f""",
     bnd AS (
         SELECT id_1, id_2, a, b, n, m, 1 AS p,
@@ -2122,11 +2122,65 @@ def q_kshape(spark, sf_dir):
     return clustering.kshape(_monthly_panel(spark, sf_dir), k=3)
 
 
-@register("knn_classify_dtw")
+# knn over DTW is deterministic end-to-end (bit-exact distances over
+# the exact-cents panel, id tie-breaks): the oracle nests the DP
+# distance recursion as a CTE body, ranks test-train neighbors and
+# majority-votes exactly like clustering.knn_classify.
+_KNN_PAIRS_CTE = """,
+    daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM daily_cents GROUP BY 1, 2
+    ),
+    ser AS (
+        SELECT unique_id AS sid, list(CAST(y AS DOUBLE) ORDER BY ds) AS v,
+               CAST(COUNT(*) AS INT) AS len
+        FROM monthly GROUP BY 1
+    ),
+    pairs AS (
+        SELECT s1.sid AS id_1, s2.sid AS id_2, s1.v AS a, s2.v AS b,
+               s1.len AS n, s2.len AS m
+        FROM ser s1 JOIN ser s2
+          ON CAST(s1.sid AS INT) % 2 = 0 AND CAST(s2.sid AS INT) % 2 = 1
+    )"""
+
+_KNN_ORACLE = (
+    "WITH dist AS (\n"
+    + _pairwise_dp_oracle("dtw", **_DP_ORACLES["dtw"], pairs_cte=_KNN_PAIRS_CTE)
+    + """),
+topk AS (
+    SELECT id_1, id_2 FROM (
+        SELECT id_1, id_2,
+               ROW_NUMBER() OVER (PARTITION BY id_1 ORDER BY dtw ASC, id_2 ASC) AS r
+        FROM dist
+    ) WHERE r <= 3
+),
+votes AS (
+    SELECT t.id_1, CAST(s.s_nationkey AS VARCHAR) AS label,
+           COUNT(*) AS votes
+    FROM topk t JOIN supplier s ON CAST(s.s_suppkey AS VARCHAR) = t.id_2
+    GROUP BY 1, 2
+)
+SELECT id_1 AS unique_id, label AS label_pred FROM (
+    SELECT id_1, label,
+           ROW_NUMBER() OVER (PARTITION BY id_1 ORDER BY votes DESC, label ASC) AS r
+    FROM votes
+) WHERE r = 1
+"""
+)
+
+
+@register("knn_classify_dtw", _KNN_ORACLE)
 def q_knn_classify(spark, sf_dir):
     from polars_ts_spark.operators import clustering
     from polars_ts_spark.sources.datasets import load_table
-    panel = _monthly_panel(spark, sf_dir)
+    panel = _monthly_panel_exact(spark, sf_dir)
     sup = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("string").alias("unique_id"),
         F.col("s_nationkey").cast("string").alias("label"),
