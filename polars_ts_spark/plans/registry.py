@@ -3616,10 +3616,97 @@ def q_adapter_hf(spark, sf_dir):
     return spark.createDataFrame(rows, ["id", "n_points", "target_sum"])
 
 
-@register("fourier_decomposition")  # per-series OLS: rows-only
+# Fourier decomposition over an exact-cents daily panel: the centered
+# rolling-mean trend is EXACT on both engines (integer window sums, one
+# division), so only the per-series 4-column sin/cos OLS needs
+# bridging — the oracle solves the normal equations by Cramer's rule
+# while the kernel uses SVD lstsq; they agree to ~1e-11 on this
+# well-conditioned basis and 2dp rounding absorbs it.
+def _det_expr(m: list[list[str]]) -> str:
+    if len(m) == 1:
+        return m[0][0]
+    terms = []
+    for j in range(len(m)):
+        minor = [row[:j] + row[j + 1:] for row in m[1:]]
+        sign = "+" if j % 2 == 0 else "-"
+        terms.append(f"{sign} {m[0][j]} * ({_det_expr(minor)})")
+    return " ".join(terms)[2:]
+
+
+def _fourier_decomp_oracle(period: int = 7, n_harm: int = 2) -> str:
+    d = 2 * n_harm
+    feats = []
+    for k in range(1, n_harm + 1):
+        feats.append(f"sin((2.0 * pi() * {k} * t) / {period}.0)")
+        feats.append(f"cos((2.0 * pi() * {k} * t) / {period}.0)")
+    fcols = ", ".join(f"{e} AS f{i + 1}" for i, e in enumerate(feats))
+    sum_cols, A = [], [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i, d):
+            sum_cols.append(f"SUM(f{i + 1} * f{j + 1}) AS a{i + 1}{j + 1}")
+            A[i][j] = A[j][i] = f"a{min(i, j) + 1}{max(i, j) + 1}"
+        sum_cols.append(f"SUM(f{i + 1} * detr) AS b{i + 1}")
+    b = [f"b{i + 1}" for i in range(d)]
+    det = _det_expr(A)
+    wcols = []
+    for j in range(d):
+        Aj = [[(b[i] if c == j else A[i][c]) for c in range(d)] for i in range(d)]
+        wcols.append(f"({_det_expr(Aj)}) / ({det}) AS w{j + 1}")
+    seasonal = " + ".join(f"f.f{i + 1} * c.w{i + 1}" for i in range(d))
+    return f"""
+WITH panelc AS (
+    SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+           date_trunc('day', l_shipdate) AS ds,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS y
+    FROM lineitem GROUP BY 1, 2
+),
+tr AS (
+    SELECT unique_id, ds, y,
+           AVG(y) OVER (PARTITION BY unique_id ORDER BY ds
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+           ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS t
+    FROM panelc
+),
+feat AS (
+    SELECT unique_id, ds, y, trend, y - trend AS detr, {fcols} FROM tr
+),
+sums AS (
+    SELECT unique_id, {", ".join(sum_cols)} FROM feat GROUP BY 1
+),
+coefs AS (
+    SELECT unique_id, {", ".join(wcols)} FROM sums
+)
+SELECT f.unique_id, f.ds, f.y,
+       ROUND(f.trend, 2) AS trend,
+       ROUND({seasonal}, 2) AS seasonal,
+       ROUND(f.y - f.trend - ({seasonal}), 2) AS residual
+FROM feat f JOIN coefs c ON f.unique_id = c.unique_id
+"""
+
+
+def _daily_cents_panel(spark, sf_dir):
+    from polars_ts_spark.sources.datasets import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_suppkey").cast("string").alias("unique_id"),
+        F.date_trunc("day", F.col("l_shipdate")).alias("ds"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("double").alias("y")
+    )
+
+
+@register("fourier_decomposition", _fourier_decomp_oracle(7, 2))
 def q_fourier_decomp(spark, sf_dir):
-    return decomposition.fourier_decomposition(
-        supplier_daily_panel(spark, sf_dir), period=7, n_harmonics=2
+    out = decomposition.fourier_decomposition(
+        _daily_cents_panel(spark, sf_dir), period=7, n_harmonics=2
+    )
+    return out.select(
+        "unique_id", "ds", "y",
+        F.round("trend", 2).alias("trend"),
+        F.round("seasonal", 2).alias("seasonal"),
+        F.round("residual", 2).alias("residual"),
     )
 
 
