@@ -146,6 +146,39 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def resize_image(decoded: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Block-mean downsample of decoded tensors (the resize hop of an
+    image pipeline): non-overlapping (h/out_h, w/out_w) blocks averaged
+    per channel, accumulated in float64. Same [doc_id, width, height,
+    channels, pixels] schema so resize composes with extract_features.
+    Works on any decoder output — the stub's fake tensors here, real
+    codec output in production."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_px = []
+            for px, w, h, c in zip(
+                pdf["pixels"], pdf["width"], pdf["height"], pdf["channels"]
+            ):
+                w, h, c = int(w), int(h), int(c)
+                fy, fx = max(h // out_h, 1), max(w // out_w, 1)
+                a = np.asarray(px, dtype=np.float64).reshape(h, w, c)
+                a = a[: out_h * fy, : out_w * fx]
+                r = a.reshape(out_h, fy, out_w, fx, c).mean(axis=(1, 3))
+                out_px.append(r.ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": out_w,
+                    "height": out_h,
+                    "channels": pdf["channels"],
+                    "pixels": out_px,
+                }
+            )
+
+    return decoded.mapInPandas(kernel, DECODED_SCHEMA)
+
+
 def frame_sample(
     df: DataFrame, every_n_bytes: int = 64, id_col: str = "doc_id"
 ) -> DataFrame:

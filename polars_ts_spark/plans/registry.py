@@ -1703,6 +1703,81 @@ def _register_textops():
             "doc_id", F.posexplode("features").alias("pos", "feature")
         ).withColumn("feature", F.round("feature", 6))
 
+    # resize: the 4x4x3 md5-tiled fake tensor block-means to 2x2x3;
+    # source pixel (y,x,c) has flat index k=(y*4+x)*3+c and value
+    # byte[k % 16]/255, so each output cell is the mean of four known
+    # byte-derived values — rebuilt below with four pixel-table joins.
+    _RESIZE_ORACLE = """
+    WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    bytes AS (
+        SELECT doc_id, i.i,
+               16 * (strpos('0123456789abcdef', substring(hx, 2 * i.i + 1, 1)) - 1)
+                 + (strpos('0123456789abcdef', substring(hx, 2 * i.i + 2, 1)) - 1) AS b
+        FROM d, (SELECT UNNEST(generate_series(0, 15)) AS i) i
+    ),
+    pv AS (
+        SELECT doc_id, i,
+               CAST(CAST(b AS FLOAT) / CAST(255.0 AS FLOAT) AS DOUBLE) AS p
+        FROM bytes
+    ),
+    grid AS (
+        SELECT d.doc_id, y.v AS y, x.v AS x, c.v AS c
+        FROM d,
+             (SELECT UNNEST(generate_series(0, 1)) AS v) y,
+             (SELECT UNNEST(generate_series(0, 1)) AS v) x,
+             (SELECT UNNEST(generate_series(0, 2)) AS v) c
+    )
+    SELECT g.doc_id, (g.y * 2 + g.x) * 3 + g.c AS pos,
+           CAST(CAST((((p1.p + p2.p) + p3.p) + p4.p) / 4.0 AS FLOAT) AS DOUBLE) AS v
+    FROM grid g
+    JOIN pv p1 ON p1.doc_id = g.doc_id
+              AND p1.i = ((2 * g.y * 4 + 2 * g.x) * 3 + g.c) % 16
+    JOIN pv p2 ON p2.doc_id = g.doc_id
+              AND p2.i = ((2 * g.y * 4 + (2 * g.x + 1)) * 3 + g.c) % 16
+    JOIN pv p3 ON p3.doc_id = g.doc_id
+              AND p3.i = (((2 * g.y + 1) * 4 + 2 * g.x) * 3 + g.c) % 16
+    JOIN pv p4 ON p4.doc_id = g.doc_id
+              AND p4.i = (((2 * g.y + 1) * 4 + (2 * g.x + 1)) * 3 + g.c) % 16
+    """
+
+    # frame sampling: payload sliced into fixed 64-byte frames, one row
+    # per frame (fan-out). Frames are projected to md5 hex so both
+    # engines compare strings; the corpus is ASCII so DuckDB's VARCHAR
+    # substring slices the same bytes the binary kernel sees.
+    _FRAME_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+        FROM documents
+    )
+    SELECT doc_id, CAST(f.i AS INT) AS frame_idx,
+           md5(substring(text, f.i * 64 + 1, 64)) AS frame_md5
+    FROM d, (SELECT UNNEST(generate_series(0, 1023)) AS i) f
+    WHERE f.i * 64 < d.n
+    """
+
+    @register("frame_sample", _FRAME_ORACLE)
+    def q_frame_sample(spark, sf_dir):
+        from polars_ts_spark.operators import multimodal
+        payload = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+        frames = multimodal.frame_sample(payload, every_n_bytes=64)
+        return frames.select(
+            "doc_id", "frame_idx", F.md5("frame").alias("frame_md5")
+        )
+
+    @register("multimodal_resize", _RESIZE_ORACLE)
+    def q_multimodal_resize(spark, sf_dir):
+        from polars_ts_spark.operators import multimodal
+        payload = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+        resized = multimodal.resize_image(
+            multimodal.decode_image(payload), out_w=2, out_h=2
+        )
+        # pixels are float32 in the schema: widen to double WITHOUT
+        # rounding — the oracle applies the same float32 quantization,
+        # so the values match bit-for-bit
+        return resized.select(
+            "doc_id", F.posexplode("pixels").alias("pos", "v")
+        ).withColumn("v", F.col("v").cast("double"))
+
 
 _register_textops()
 

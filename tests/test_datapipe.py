@@ -181,3 +181,14 @@ def test_multimodal_plumbing(docs):
     frames = multimodal.frame_sample(payload, every_n_bytes=16)
     n_frames = frames.count()
     assert n_frames > 4  # fan-out happened
+    resized = multimodal.resize_image(decoded, out_w=2, out_h=2).collect()
+    assert all(r["width"] == 2 and r["height"] == 2 for r in resized)
+    rpx = {r["doc_id"]: r["pixels"] for r in resized}
+    assert all(len(p) == 2 * 2 * 3 for p in rpx.values())
+    assert rpx[0] == rpx[1]  # deterministic
+    # block mean of the first output cell equals the mean of the four
+    # top-left source pixels of channel 0
+    import numpy as np
+    src = np.asarray(px[0], dtype=np.float64).reshape(4, 4, 3)
+    expected = src[0:2, 0:2, 0].mean()
+    assert abs(rpx[0][0] - expected) < 1e-6
