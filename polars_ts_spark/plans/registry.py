@@ -2185,6 +2185,102 @@ def q_spectral(spark, sf_dir):
     return clustering.spectral_cluster(_monthly_panel(spark, sf_dir), k=3, method="sbd")
 
 
+@register("dbscan_cluster")  # rows-only: iterative density expansion
+def q_dbscan(spark, sf_dir):
+    from polars_ts_spark.operators import clustering
+    return clustering.dbscan_cluster(
+        _monthly_panel(spark, sf_dir), eps=60000.0, min_samples=3, method="dtw"
+    )
+
+
+@register("auto_cluster")  # rows-only: grid search over method x k
+def q_auto_cluster(spark, sf_dir):
+    from polars_ts_spark.operators import clustering
+    labels, _ = clustering.auto_cluster(
+        _monthly_panel(spark, sf_dir), methods=("kmedoids",),
+        distances=("dtw",), k_range=(2, 3),
+    )
+    return labels
+
+
+@register("cluster_quality_scores")  # rows-only: internal indices
+def q_cluster_scores(spark, sf_dir):
+    from polars_ts_spark.operators import clustering
+    ids, D = clustering.distance_matrix(_monthly_panel(spark, sf_dir), "dtw")
+    _, labels, _ = clustering.pam_kmedoids(D, 3, seed=42)
+    return spark.createDataFrame(
+        [(
+            float(clustering.silhouette_score(D, labels)),
+            float(clustering.davies_bouldin_score(D, labels)),
+            float(clustering.calinski_harabasz_score(D, labels)),
+        )],
+        "silhouette double, davies_bouldin double, calinski_harabasz double",
+    )
+
+
+@register("ukf_filter")  # rows-only: per-series unscented Kalman level
+def q_ukf(spark, sf_dir):
+    from polars_ts_spark.operators.kernel import for_each_series
+    from polars_ts_spark.operators.statespace import UnscentedKalmanFilter
+
+    def kern(pdf):
+        import numpy as np
+        import pandas as pd
+        y = pdf["y"].to_numpy(dtype=float)
+        ukf = UnscentedKalmanFilter(
+            f=lambda x: x, h=lambda x: x, Q=[[1e4]], R=[[1e6]],
+            x0=[y[0] if len(y) else 0.0], P0=[[1e8]],
+        )
+        xs, _ = ukf.filter(y)
+        return pd.DataFrame({
+            "unique_id": pdf["unique_id"], "ds": pdf["ds"],
+            "y": y, "ukf_level": np.asarray(xs, dtype=float)[:, 0],
+        })
+
+    return for_each_series(
+        _monthly_panel(spark, sf_dir), kern,
+        "unique_id string, ds timestamp, y double, ukf_level double",
+    )
+
+
+@register("particle_filter_level")  # rows-only: seeded bootstrap SMC
+def q_particle(spark, sf_dir):
+    from polars_ts_spark.operators.kernel import for_each_series
+    from polars_ts_spark.operators.statespace import ParticleFilter
+
+    def kern(pdf):
+        import numpy as np
+        import pandas as pd
+        y = pdf["y"].to_numpy(dtype=float)
+        y0 = y[0] if len(y) else 0.0
+        pf = ParticleFilter(
+            transition=lambda p, rng: p + rng.normal(0.0, 2e3, size=len(p)),
+            likelihood=lambda p, obs: np.exp(-0.5 * ((obs - p) / 2e4) ** 2),
+            n_particles=200, seed=42,
+        )
+        means = pf.filter(y, init=lambda n, rng: rng.normal(y0, 1e4, size=n))
+        return pd.DataFrame({
+            "unique_id": pdf["unique_id"], "ds": pdf["ds"],
+            "y": y, "pf_level": means,
+        })
+
+    return for_each_series(
+        _monthly_panel(spark, sf_dir), kern,
+        "unique_id string, ds timestamp, y double, pf_level double",
+    )
+
+
+@register("permutation_importance")  # rows-only: seeded column shuffles
+def q_perm_importance(spark, sf_dir):
+    from polars_ts_spark.functions.numutils import RidgeEstimator
+    from polars_ts_spark.operators import evaluation, features
+    panel = features.lag_features(supplier_daily_panel(spark, sf_dir), [1, 7])
+    pdf = evaluation.permutation_importance(
+        panel, ["y_lag_1", "y_lag_7"], "y", RidgeEstimator(), n_repeats=3
+    )
+    return spark.createDataFrame(pdf)
+
+
 @register("agglomerative_cluster")
 def q_agglo(spark, sf_dir):
     from polars_ts_spark.operators import clustering
@@ -2882,6 +2978,144 @@ def q_backtest(spark, sf_dir):
     _, summary = evaluation.backtest(panel, naive_fn, horizon=7, n_folds=2)
     sdf = spark.createDataFrame(summary)
     return sdf.select("metric", F.round("mean", 4).alias("mean"), F.round("std", 4).alias("std"))
+
+
+# expanding-window CV splits are pure index arithmetic on the distinct
+# timestamp axis — fold boundaries and slice row counts verify exactly.
+_CV_SPLITS_ORACLE = PANEL_CTE + """,
+    times AS (
+        SELECT ds, ROW_NUMBER() OVER (ORDER BY ds) AS rn,
+               COUNT(*) OVER () AS n
+        FROM (SELECT DISTINCT ds FROM panel)
+    ),
+    folds AS (
+        SELECT f.i AS fold, (c.n - 21) + f.i * 7 AS te, c.n AS n
+        FROM (SELECT UNNEST(generate_series(0, 2)) AS i) f,
+             (SELECT ANY_VALUE(n) AS n FROM times) c
+    )
+    SELECT b.fold,
+           b.train_end, b.test_start, b.test_end,
+           (SELECT COUNT(*) FROM panel WHERE ds <= b.train_end) AS train_rows,
+           (SELECT COUNT(*) FROM panel
+            WHERE ds >= b.test_start AND ds <= b.test_end) AS test_rows
+    FROM (
+        SELECT f.fold,
+               (SELECT ds FROM times WHERE rn = f.te) AS train_end,
+               (SELECT ds FROM times WHERE rn = f.te + 1) AS test_start,
+               (SELECT ds FROM times WHERE rn = f.te + 7) AS test_end
+        FROM folds f
+    ) b
+    """
+
+
+@register("cv_expanding_splits", _CV_SPLITS_ORACLE)
+def q_cv_splits(spark, sf_dir):
+    from polars_ts_spark.operators.cv import expanding_window_cv
+    panel = supplier_daily_panel(spark, sf_dir)
+    rows = []
+    for fold, (train, test) in enumerate(expanding_window_cv(panel, h=7, n_splits=3)):
+        tr = train.agg(F.count(F.lit(1)).alias("n"), F.max("ds").alias("mx")).collect()[0]
+        te = test.agg(
+            F.count(F.lit(1)).alias("n"), F.min("ds").alias("mn"), F.max("ds").alias("mx")
+        ).collect()[0]
+        rows.append((fold, tr["mx"], te["mn"], te["mx"], tr["n"], te["n"]))
+    return spark.createDataFrame(
+        rows, "fold int, train_end timestamp, test_start timestamp, "
+              "test_end timestamp, train_rows long, test_rows long"
+    )
+
+
+# compare_models = tagged per-model backtests; the oracle extends the
+# naive backtest CTE with a seasonal-naive prediction branch (y_hat at
+# step s = train-tail value at seasonal phase (s-1) % 7).
+_COMPARE_MODELS_ORACLE = PANEL_CTE + """,
+    times AS (
+        SELECT ds, ROW_NUMBER() OVER (ORDER BY ds) AS rn,
+               COUNT(*) OVER () AS cnt
+        FROM (SELECT DISTINCT ds FROM panel)
+    ),
+    cuts AS (
+        SELECT f.fold,
+               (SELECT ds FROM times WHERE rn = c.cnt - 7 - (1 - f.fold) * 7) AS cut,
+               (SELECT ds FROM times
+                WHERE rn = LEAST(c.cnt - 7 - (1 - f.fold) * 7 + 7, c.cnt)) AS test_end
+        FROM (SELECT UNNEST([0, 1]) AS fold) f,
+             (SELECT ANY_VALUE(cnt) AS cnt FROM times) c
+    ),
+    trainrows AS (
+        SELECT c.fold, p.unique_id, p.ds, p.y, c.cut, c.test_end
+        FROM panel p JOIN cuts c ON p.ds <= c.cut
+    ),
+    gf AS (
+        SELECT fold, unique_id,
+               max_by(y, ds) AS last_y, MAX(ds) AS last_ts,
+               list(y ORDER BY ds)[-7:] AS tail,
+               ANY_VALUE(cut) AS cut, ANY_VALUE(test_end) AS test_end
+        FROM trainrows GROUP BY 1, 2
+    ),
+    freqf AS (
+        SELECT fold, unique_id,
+               CAST(CASE WHEN COUNT(d) = 0 THEN 86400 ELSE MEDIAN(d) END AS BIGINT) AS freq_s
+        FROM (
+            SELECT fold, unique_id,
+                   epoch(ds) - epoch(LAG(ds) OVER
+                       (PARTITION BY fold, unique_id ORDER BY ds)) AS d
+            FROM trainrows
+        ) WHERE d IS NOT NULL OR TRUE
+        GROUP BY 1, 2
+    ),
+    preds AS (
+        SELECT g.fold, m.model, g.unique_id,
+               g.last_ts + INTERVAL '1 second' * (s.step * f.freq_s) AS ds,
+               CASE WHEN m.model = 'naive' THEN CAST(g.last_y AS DOUBLE)
+                    ELSE CAST(g.tail[((s.step - 1) % 7) + 1] AS DOUBLE)
+               END AS y_hat,
+               g.cut, g.test_end
+        FROM gf g
+        JOIN freqf f ON f.fold = g.fold AND f.unique_id = g.unique_id
+        CROSS JOIN (SELECT UNNEST(generate_series(1, 7)) AS step) s
+        CROSS JOIN (SELECT UNNEST(['naive', 'seasonal_naive']) AS model) m
+    ),
+    joined AS (
+        SELECT pr.fold, pr.model, CAST(p.y AS DOUBLE) AS y, pr.y_hat
+        FROM panel p
+        JOIN preds pr ON pr.unique_id = p.unique_id AND pr.ds = p.ds
+            AND p.ds > pr.cut AND p.ds <= pr.test_end
+    ),
+    fold_metrics AS (
+        SELECT fold, model, AVG(ABS(y - y_hat)) AS mae,
+               SQRT(AVG((y - y_hat) * (y - y_hat))) AS rmse
+        FROM joined GROUP BY 1, 2
+    )
+    SELECT model, metric, ROUND(AVG(v), 4) AS mean, ROUND(STDDEV_SAMP(v), 4) AS std
+    FROM (
+        SELECT fold, model, 'mae' AS metric, mae AS v FROM fold_metrics
+        UNION ALL
+        SELECT fold, model, 'rmse', rmse FROM fold_metrics
+    ) GROUP BY model, metric
+    """
+
+
+@register("compare_models", _COMPARE_MODELS_ORACLE)
+def q_compare_models(spark, sf_dir):
+    from polars_ts_spark.operators import evaluation
+
+    def naive_fn(train, h):
+        return baselines.naive_forecast(train, h=h)
+
+    def seasonal_fn(train, h):
+        return baselines.seasonal_naive_forecast(train, h=h, season_length=7)
+
+    panel = supplier_daily_panel(spark, sf_dir)
+    pdf = evaluation.compare_models(
+        panel, {"naive": naive_fn, "seasonal_naive": seasonal_fn},
+        horizon=7, n_folds=2,
+    )
+    sdf = spark.createDataFrame(pdf)
+    return sdf.select(
+        "model", "metric",
+        F.round("mean", 4).alias("mean"), F.round("std", 4).alias("std"),
+    )
 
 
 # ---------------------------------------------------------------------------
