@@ -2270,6 +2270,27 @@ def q_particle(spark, sf_dir):
     )
 
 
+@register("enkf_filter")  # rows-only: seeded ensemble Kalman filter
+def q_enkf(spark, sf_dir):
+    from polars_ts_spark.operators.bayesian import EnsembleKalmanFilter
+    from polars_ts_spark.operators.kernel import for_each_series
+
+    def kern(pdf):
+        import pandas as pd
+        y = pdf["y"].to_numpy(dtype=float)
+        enkf = EnsembleKalmanFilter(f=lambda x: x, q=1e6, r=1e8, n_ens=100, seed=42)
+        level = enkf.filter(y, x0=float(y[0]) if len(y) else 0.0)
+        return pd.DataFrame({
+            "unique_id": pdf["unique_id"], "ds": pdf["ds"],
+            "y": y, "enkf_level": level,
+        })
+
+    return for_each_series(
+        _monthly_panel(spark, sf_dir), kern,
+        "unique_id string, ds timestamp, y double, enkf_level double",
+    )
+
+
 @register("permutation_importance")  # rows-only: seeded column shuffles
 def q_perm_importance(spark, sf_dir):
     from polars_ts_spark.functions.numutils import RidgeEstimator
