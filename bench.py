@@ -88,18 +88,24 @@ def main():
     # of the full suite was >2x on a shared box
     RUNS = 2
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(RUNS):
+        for run in range(RUNS):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if run == 0:
+                cold[name] = round(dt, 3)
+            best = min(best, dt)
             # several operators cache intermediates (pairwise grouped
             # arrays, reconcile bottoms); drop them between queries so
             # accumulated blocks don't GC-pressure later measurements
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    # report BOTH the warm min-of-N headline and the first-run (cold)
+    # total, so the number stays comparable to single-run harnesses
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -108,6 +114,8 @@ def main():
         "sf": sf,
         "runs_per_query": RUNS,
         "agg": "min",
+        "cold_total": round(sum(cold.values()), 3),
+        "cold_queries": cold,
     }))
 
 

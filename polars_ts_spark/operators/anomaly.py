@@ -118,13 +118,26 @@ def isolation_forest_detect(
             .fillna(0.0, ["__d1", "__rz"])
         )
         feature_cols = [target_col, "__d1", "__rz"]
-    pdf = feats.select(id_col, time_col, *feature_cols).toPandas()
-    X = pdf[feature_cols].to_numpy(dtype=float)
+    # Subsample-capped fit: isolation forests train each tree on a
+    # 256-row subsample anyway (ref anomaly_forest.py:10-101), so
+    # collecting the full panel buys nothing. Count first (scalar),
+    # sample only what the fit needs, and score the ORIGINAL
+    # distributed frame — no createDataFrame round-trip.
+    FIT_CAP = 100_000
+    feat_only = feats.select(*feature_cols)
+    n = feat_only.count()
+    if n > FIT_CAP:
+        frac = min(1.0, 1.2 * FIT_CAP / n)
+        fit_pdf = feat_only.sample(fraction=frac, seed=seed).limit(FIT_CAP).toPandas()
+    else:
+        fit_pdf = feat_only.toPandas()
+    X = fit_pdf.to_numpy(dtype=float)
     forest = IsolationForest(n_trees=n_trees, seed=seed).fit(X)
     # broadcast the fitted trees; score inside a pandas UDF partition-wise
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(forest)
-    sdf = spark.createDataFrame(pdf)
+    extra = [c for c in feature_cols if c not in (id_col, time_col, target_col)]
+    sdf = feats.select(id_col, time_col, target_col, *extra)
 
     def score(batches):
         for b in batches:
@@ -135,9 +148,11 @@ def isolation_forest_detect(
             out["is_anomaly"] = s > threshold
             yield out
 
+    dtypes = dict(df.dtypes)
     schema = (
-        f"{id_col} string, {time_col} timestamp, {target_col} double, "
-        "anomaly_score double, is_anomaly boolean"
+        f"{id_col} {dtypes.get(id_col, 'string')}, "
+        f"{time_col} {dtypes.get(time_col, 'timestamp')}, "
+        f"{target_col} double, anomaly_score double, is_anomaly boolean"
     )
     return sdf.mapInPandas(score, schema)
 

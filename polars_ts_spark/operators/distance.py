@@ -133,13 +133,17 @@ def compute_pairwise_distance(
         if same
         else _grouped_arrays(df2, id_col, time_col, target_col, "id_2", "__v2")
     )
-    rows2 = g2s.collect()
-    rows1 = rows2 if same else g1s.collect()
-    total = sum(len(r[1]) for r in rows2) + (0 if same else sum(len(r[1]) for r in rows1))
+    # Size-gate BEFORE any driver materialization: the grouped-array
+    # element total equals the input row count (collect_list keeps every
+    # row), so one cheap count() on the un-grouped input decides the
+    # route — never "collect, then check whether collecting was safe".
+    total = df1.count() + (0 if same else df2.count())
     if total > _BC_ELEMS_CAP:
         return _pairwise_crossjoin(
             df1, df2, method, variant, id_col, time_col, target_col, id_dtype, **kwargs
         )
+    rows2 = g2s.collect()
+    rows1 = rows2 if same else g1s.collect()
     fn = _batch_kernel_fn(method, variant, kwargs)
     if not rows1 or not rows2:
         out = spark.createDataFrame([], f"id_1 string, id_2 string, {method} double")

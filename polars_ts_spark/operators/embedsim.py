@@ -110,8 +110,11 @@ def brute_force_topk(
     import pandas as pd
 
     spark = df.sparkSession
-    pdf = df.select(id_col, vec_col).dropna().toPandas()
-    n = len(pdf)
+    base = df.select(id_col, vec_col).dropna()
+    # Size-gate on a SCALAR before materializing anything on the driver:
+    # count() first, collect only when the corpus fits. The router must
+    # survive a corpus the exact path cannot.
+    n = base.count()
     id_dtype = dict(df.dtypes)[id_col]
     schema = f"vec_id {id_dtype}, neighbor_id {id_dtype}, cosine double, rank int"
     if n == 0:
@@ -120,6 +123,7 @@ def brute_force_topk(
         # the corpus no longer fits a driver collect + broadcast — route to
         # the bucketed ANN path (approximate, linear shuffle)
         return lsh_ann_topk(df, k=k, id_col=id_col, vec_col=vec_col, dim=dim)
+    pdf = base.toPandas()
     ids = pdf[id_col].to_numpy()
     M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     nrm = np.sqrt((M * M).sum(axis=1))
@@ -187,7 +191,18 @@ def cosine_dedup_pairs(
 ) -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup).
     Output [vec_id_1, vec_id_2, cosine], vec_id_1 < vec_id_2.
-    Same flat-column plan as brute_force_topk."""
+    Same flat-column plan as brute_force_topk.
+
+    Size-gated: the exact O(n²) cross join only runs when the corpus is
+    under MAX_BROADCAST_ROWS (checked via count(), a scalar — nothing is
+    materialized first). Above the cap it routes to the banded
+    hyperplane-LSH candidate path (`lsh_cosine_pairs`), which generates
+    candidates with a linear shuffle and verifies exact cosine only on
+    bucket collisions — the same exact-baseline-vs-LSH split as
+    brute_force_topk / lsh_ann_topk."""
+    if df.select(id_col, vec_col).dropna().count() > MAX_BROADCAST_ROWS:
+        return lsh_cosine_pairs(df, threshold=threshold, id_col=id_col,
+                                vec_col=vec_col, dim=dim)
     v = df.select(
         F.col(id_col),
         *[F.col(vec_col)[i].cast("double").alias(f"e{i}") for i in range(dim)],
@@ -391,6 +406,84 @@ def lsh_ann_topk(
         best.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_bands: int = 12,
+    bits_per_band: int = 4,
+    dim: int = DIM,
+    max_bucket: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine near-dup pairs via banded hyperplane LSH —
+    the scale path behind cosine_dedup_pairs. Output
+    [vec_id_1, vec_id_2, cosine], vec_id_1 < vec_id_2, deterministic.
+
+    Candidates = vectors colliding in >= 1 of ``n_bands`` sign-bit
+    bands; each bucket verifies exact cosine with one GEMM and emits
+    only pairs >= threshold; a groupBy dedups pairs found by multiple
+    bands. Shuffle volume is n_bands·n rows + surviving pairs — linear,
+    never the n² pair set. Skewed buckets are deterministically
+    re-split at ``max_bucket`` (same cap as lsh_ann_topk); near-dup
+    pairs split apart by the re-split are a recall (not correctness)
+    loss, matching the ANN contract."""
+    import pandas as pd
+
+    keys_udf = _band_keys_udf(n_bands, bits_per_band, dim)
+    exploded = (
+        df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .dropna()
+        .withColumn("__keys", keys_udf("v"))
+        .select(id_col, "v", F.posexplode("__keys").alias("band", "bkt"))
+    )
+    id_dtype = dict(df.dtypes)[id_col]
+    pair_schema = f"vec_id_1 {id_dtype}, vec_id_2 {id_dtype}, cosine double"
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        m = len(ids)
+        empty = pd.DataFrame({"vec_id_1": ids[:0], "vec_id_2": ids[:0],
+                              "cosine": np.array([], dtype=np.float64)})
+        if m < 2:
+            return empty
+        M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        n_splits = -(-m // max_bucket)
+        split_of = (ids.astype(np.int64) * 2654435761 % 2**31) % n_splits if n_splits > 1 \
+            else np.zeros(m, dtype=np.int64)
+        out1, out2, outc = [], [], []
+        for sp in range(n_splits):
+            sel = np.where(split_of == sp)[0]
+            if len(sel) < 2:
+                continue
+            ids_s, Ms = ids[sel], M[sel]
+            nrm = np.sqrt((Ms * Ms).sum(axis=1))
+            S = np.round((Ms @ Ms.T) / (nrm[:, None] * nrm[None, :]), 6)
+            iu, ju = np.triu_indices(len(sel), k=1)
+            keep = (S[iu, ju] >= threshold) & (ids_s[iu] != ids_s[ju])
+            iu, ju = iu[keep], ju[keep]
+            lo = np.minimum(ids_s[iu], ids_s[ju])
+            hi = np.maximum(ids_s[iu], ids_s[ju])
+            out1.append(lo)
+            out2.append(hi)
+            outc.append(S[iu, ju])
+        if not out1:
+            return empty
+        return pd.DataFrame({
+            "vec_id_1": np.concatenate(out1),
+            "vec_id_2": np.concatenate(out2),
+            "cosine": np.concatenate(outc),
+        })
+
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    cands = (
+        exploded.repartition(n_parts, "band", "bkt")
+        .groupBy("band", "bkt")
+        .applyInPandas(lambda key, pdf: bucket_pairs(pdf), schema=pair_schema)
+    )
+    return cands.groupBy("vec_id_1", "vec_id_2").agg(F.max("cosine").alias("cosine"))
 
 
 def lsh_topk(

@@ -146,13 +146,17 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def resize_image(decoded: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+def resize_image(decoded: DataFrame, out_w: int = 2, out_h: int = 2) -> DataFrame:
     """Block-mean downsample of decoded tensors (the resize hop of an
     image pipeline): non-overlapping (h/out_h, w/out_w) blocks averaged
     per channel, accumulated in float64. Same [doc_id, width, height,
     channels, pixels] schema so resize composes with extract_features.
     Works on any decoder output — the stub's fake tensors here, real
-    codec output in production."""
+    codec output in production.
+
+    Only DOWNSAMPLING is supported (block-mean cannot upsample): rows
+    with height < out_h or width < out_w raise a clear ValueError.
+    Defaults (2x2) fit the in-repo stub decoder's 4x4 output."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -161,6 +165,11 @@ def resize_image(decoded: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFram
                 pdf["pixels"], pdf["width"], pdf["height"], pdf["channels"]
             ):
                 w, h, c = int(w), int(h), int(c)
+                if h < out_h or w < out_w:
+                    raise ValueError(
+                        f"resize_image only downsamples: input {h}x{w} is "
+                        f"smaller than requested {out_h}x{out_w}"
+                    )
                 fy, fx = max(h // out_h, 1), max(w // out_w, 1)
                 a = np.asarray(px, dtype=np.float64).reshape(h, w, c)
                 a = a[: out_h * fy, : out_w * fx]

@@ -1743,15 +1743,19 @@ def _register_textops():
     # frame sampling: payload sliced into fixed 64-byte frames, one row
     # per frame (fan-out). Frames are projected to md5 hex so both
     # engines compare strings; the corpus is ASCII so DuckDB's VARCHAR
-    # substring slices the same bytes the binary kernel sees.
+    # substring slices the same bytes the binary kernel sees. The frame
+    # index series bound is derived FROM THE DATA (max ceil(n/64) over
+    # docs), so the oracle matches frame_sample at any document size —
+    # no silent cap.
     _FRAME_ORACLE = """
     WITH d AS (
         SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
         FROM documents
-    )
+    ),
+    bound AS (SELECT CAST(CEIL(MAX(n) / 64.0) AS BIGINT) AS m FROM d)
     SELECT doc_id, CAST(f.i AS INT) AS frame_idx,
            md5(substring(text, f.i * 64 + 1, 64)) AS frame_md5
-    FROM d, (SELECT UNNEST(generate_series(0, 1023)) AS i) f
+    FROM d, (SELECT UNNEST(generate_series(0, (SELECT m FROM bound))) AS i) f
     WHERE f.i * 64 < d.n
     """
 
@@ -3376,10 +3380,12 @@ def _rocket_oracle(n_kernels: int, seed: int = 42) -> str:
         span = (length - 1) * dilation
         n_eff = f"(len(v) + {2 * padding})"
         out_len = f"({n_eff} - {span})"
+        # repr(float(...)) not repr(np scalar): numpy>=2 reprs np.float64
+        # as 'np.float64(0.1)', which is invalid SQL
         conv_terms = " + ".join(
-            f"({w[i]!r} * xp[t + {i * dilation}])" for i in range(length)
+            f"({float(w[i])!r} * xp[t + {i * dilation}])" for i in range(length)
         )
-        conv = f"list_transform(range(1, {out_len} + 1), t -> ({conv_terms}) + {bias!r})"
+        conv = f"list_transform(range(1, {out_len} + 1), t -> ({conv_terms}) + {float(bias)!r})"
         blocks.append(f"""
     SELECT sid AS unique_id, {ki} AS k,
            CASE WHEN {out_len} < 1 THEN 0.0 ELSE

@@ -154,6 +154,68 @@ def test_lsh_ann_recall_on_corpus(spark):
     assert recall >= 0.8, f"top-1 recall {recall:.2f} < 0.8"
 
 
+def test_lsh_cosine_pairs_subset_of_exact(spark):
+    # the LSH near-dup scale path emits a SUBSET of the exact pairs with
+    # identical cosines (exact re-rank inside the buckets), and recovers
+    # the planted duplicates on the real corpus
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r["vec_id_1"], r["vec_id_2"]): r["cosine"]
+        for r in embedsim.cosine_dedup_pairs(emb, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["vec_id_1"], r["vec_id_2"]): r["cosine"]
+        for r in embedsim.lsh_cosine_pairs(emb, threshold=0.8).collect()
+    }
+    for pair, cos in lsh.items():
+        assert exact[pair] == cos
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.8, f"near-dup pair recall {recall:.2f} < 0.8"
+
+
+def test_minhash_pair_recall_vs_exact_jaccard(spark):
+    # MinHash-LSH must recover most truly-similar pairs found by the
+    # exact n-gram Jaccard baseline on the real documents corpus
+    docs_df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in textops.ngram_jaccard_pairs(docs_df, n=3, threshold=0.8).collect()
+    }
+    approx = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in textops.minhash_lsh_pairs(docs_df, threshold=0.5).collect()
+    }
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"pair recall {recall:.2f} < 0.8 ({len(exact)} true pairs)"
+
+
+def test_brute_force_routing_checks_size_before_collect(vecs, monkeypatch):
+    # the router must decide on a SCALAR (count) — if the corpus is over
+    # the cap, toPandas must never run. We poison toPandas to prove it.
+    from pyspark.sql import DataFrame as SDF
+
+    sentinel = vecs.limit(0)
+    monkeypatch.setattr(embedsim, "MAX_BROADCAST_ROWS", 2)
+    monkeypatch.setattr(embedsim, "lsh_ann_topk",
+                        lambda df, **kw: sentinel)
+    monkeypatch.setattr(SDF, "toPandas",
+                        lambda self: (_ for _ in ()).throw(
+                            AssertionError("collected oversized corpus")))
+    out = embedsim.brute_force_topk(vecs, k=1, dim=4)
+    assert out is sentinel
+
+
+def test_cosine_dedup_routes_oversized_to_lsh(vecs, monkeypatch):
+    sentinel = vecs.limit(0)
+    monkeypatch.setattr(embedsim, "MAX_BROADCAST_ROWS", 2)
+    monkeypatch.setattr(embedsim, "lsh_cosine_pairs",
+                        lambda df, **kw: sentinel)
+    out = embedsim.cosine_dedup_pairs(vecs, threshold=0.9, dim=4)
+    assert out is sentinel
+
+
 def test_lsh_ann_dup_ids_and_empty(spark):
     emb = spark.createDataFrame(
         [(1, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0])],

@@ -161,6 +161,27 @@ def test_pairwise_int_id_dtype_preserved(spark):
     assert dict(out.dtypes)["id_1"] == "bigint"
 
 
+def test_pairwise_routing_checks_size_before_collect(two_series, monkeypatch):
+    """Oversized inputs must route to the cross-join fallback via a
+    SCALAR size check (count) — never collect first. Poisoning collect
+    proves the guard runs before any driver materialization; the
+    fallback must also produce the same answer."""
+    from pyspark.sql import DataFrame as SDF
+
+    from polars_ts_spark.operators import distance as dmod
+
+    monkeypatch.setattr(dmod, "_BC_ELEMS_CAP", 1)
+    monkeypatch.setattr(
+        SDF, "collect",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("collected before the size gate")),
+    )
+    out = compute_pairwise_distance(two_series, method="dtw")
+    monkeypatch.undo()
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["dtw"] == 1.0
+
+
 def test_pairwise_two_frames_no_dedup_when_disjoint(spark, two_series):
     df2 = two_series.withColumn("unique_id", F_concat_c(two_series))
     out = compute_pairwise_distance(two_series, df2, method="dtw")
