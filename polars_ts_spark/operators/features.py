@@ -250,10 +250,87 @@ def target_encode(
 # package is not in the container; fixed-date holiday tables are built
 # on the driver (deterministic) and broadcast-joined.
 
-_FIXED_HOLIDAYS = {
-    "US": ((1, 1), (7, 4), (12, 25), (12, 31)),
-    "DE": ((1, 1), (5, 1), (10, 3), (12, 25), (12, 26)),
+def _easter(year: int):
+    """Gregorian Easter Sunday (Anonymous/Meeus computus — public
+    algorithm; replaces the `holidays` package the reference uses at
+    features/advanced.py:57-113, absent from this container)."""
+    import datetime as _dt
+
+    a = year % 19
+    b, c = divmod(year, 100)
+    d, e = divmod(b, 4)
+    g = (8 * b + 13) // 25
+    h = (19 * a + b - d - g + 15) % 30
+    i, k = divmod(c, 4)
+    l = (32 + 2 * e + 2 * i - h - k) % 7  # noqa: E741
+    m = (a + 11 * h + 19 * l) // 433
+    month = (h + l - 7 * m + 90) // 25
+    day = (h + l - 7 * m + 33 * month + 19) % 32
+    return _dt.date(year, month, day)
+
+
+def _nth_weekday(year: int, month: int, weekday: int, n: int):
+    """n-th `weekday` (Mon=0) of `month`; n=-1 means the last one."""
+    import calendar as _cal
+    import datetime as _dt
+
+    if n > 0:
+        first = _dt.date(year, month, 1)
+        off = (weekday - first.weekday()) % 7
+        return first + _dt.timedelta(days=off + 7 * (n - 1))
+    last = _dt.date(year, month, _cal.monthrange(year, month)[1])
+    return last - _dt.timedelta(days=(last.weekday() - weekday) % 7)
+
+
+# Rule grammar: ("fixed", m, d) | ("nth", m, weekday Mon=0, n or -1)
+# | ("easter", day_offset). Major public holidays per country — a
+# vendored generated table, not the full `holidays` pkg, but covering
+# the moving holidays (nth-weekday, Easter cycle) that fixed-date
+# tables get wrong.
+_HOLIDAY_RULES = {
+    "US": (
+        ("fixed", 1, 1), ("nth", 1, 0, 3), ("nth", 2, 0, 3),
+        ("nth", 5, 0, -1), ("fixed", 6, 19), ("fixed", 7, 4),
+        ("nth", 9, 0, 1), ("nth", 10, 0, 2), ("fixed", 11, 11),
+        ("nth", 11, 3, 4), ("fixed", 12, 25),
+    ),
+    "DE": (
+        ("fixed", 1, 1), ("easter", -2), ("easter", 1), ("fixed", 5, 1),
+        ("easter", 39), ("easter", 50), ("fixed", 10, 3),
+        ("fixed", 12, 25), ("fixed", 12, 26),
+    ),
+    "GB": (
+        ("fixed", 1, 1), ("easter", -2), ("easter", 1),
+        ("nth", 5, 0, 1), ("nth", 5, 0, -1), ("nth", 8, 0, -1),
+        ("fixed", 12, 25), ("fixed", 12, 26),
+    ),
+    "FR": (
+        ("fixed", 1, 1), ("easter", 1), ("fixed", 5, 1), ("fixed", 5, 8),
+        ("easter", 39), ("easter", 50),
+        ("fixed", 7, 14), ("fixed", 8, 15), ("fixed", 11, 1),
+        ("fixed", 11, 11), ("fixed", 12, 25),
+    ),
 }
+
+
+def holiday_calendar(country: str, years) -> list:
+    """Materialize the rule table for a span of years -> sorted dates."""
+    import datetime as _dt
+
+    if country not in _HOLIDAY_RULES:
+        raise ValueError(
+            f"unknown country {country!r}; available: {sorted(_HOLIDAY_RULES)}"
+        )
+    out = set()
+    for y in years:
+        for rule in _HOLIDAY_RULES[country]:
+            if rule[0] == "fixed":
+                out.add(_dt.date(y, rule[1], rule[2]))
+            elif rule[0] == "nth":
+                out.add(_nth_weekday(y, rule[1], rule[2], rule[3]))
+            else:
+                out.add(_easter(y) + _dt.timedelta(days=rule[1]))
+    return sorted(out)
 
 
 def holiday_features(
@@ -263,19 +340,15 @@ def holiday_features(
     time_col: str = TIME,
 ) -> DataFrame:
     """``is_holiday`` (+ ``days_to_holiday`` / ``days_since_holiday``):
-    holiday calendar built on the driver for the panel's year span,
-    broadcast-joined on the date — no shuffle of the fact table."""
-    import datetime as _dt
-
+    country rule-based holiday calendar (fixed dates, nth-weekday
+    rules, Easter-cycle offsets) built on the driver for the panel's
+    year span, broadcast-joined on the date — no shuffle of the fact
+    table."""
     require_columns(df, time_col)
     yr = df.select(
         F.min(F.year(time_col)).alias("lo"), F.max(F.year(time_col)).alias("hi")
     ).collect()[0]
-    days = [
-        _dt.date(y, m, d)
-        for y in range(int(yr["lo"]) - 1, int(yr["hi"]) + 2)
-        for (m, d) in _FIXED_HOLIDAYS[country]
-    ]
+    days = holiday_calendar(country, range(int(yr["lo"]) - 1, int(yr["hi"]) + 2))
     spark = df.sparkSession
     hol = spark.createDataFrame([(d,) for d in days], ["__hday"])
     out = df.withColumn("__date", F.to_date(time_col))

@@ -75,8 +75,8 @@ _FAKE_W, _FAKE_H, _FAKE_C = 4, 4, 3
 
 def _fake_decode(payload: bytes) -> np.ndarray:
     """STUB decoder: deterministic pseudo-pixels from md5(payload).
-    Replace with a real codec (PIL.Image.open etc.) in production —
-    the signature (bytes -> HxWxC float32 array) is the contract."""
+    The signature (bytes -> HxWxC float32 array) is the decoder
+    contract; see _pil_decode for the real-codec implementation."""
     h = hashlib.md5(payload).digest()
     seed = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
     n = _FAKE_W * _FAKE_H * _FAKE_C
@@ -84,23 +84,69 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return np.tile(seed, reps)[:n].reshape(_FAKE_H, _FAKE_W, _FAKE_C) / 255.0
 
 
-def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Decode binary payloads to fixed-shape float tensors via
-    mapInPandas (Arrow-batched; bytes never row-pickled).
-    Output [doc_id, width, height, channels, pixels]."""
+def _pil_decode(payload: bytes) -> np.ndarray:
+    """Real-codec decoder (PIL): bytes -> HxWxC float32 in [0, 1].
+    Grayscale is widened to one channel, palettes converted to RGB."""
+    import io
+
+    from PIL import Image  # noqa: PLC0415 - optional dependency
+
+    img = Image.open(io.BytesIO(payload))
+    if img.mode in ("P", "CMYK", "YCbCr"):
+        img = img.convert("RGB")
+    a = np.asarray(img, dtype=np.float32) / 255.0
+    if a.ndim == 2:
+        a = a[:, :, None]
+    return a
+
+
+def _resolve_decoder(decoder):
+    """decoder: 'stub' | 'pil' | 'auto' | callable(bytes)->ndarray.
+    'auto' picks PIL when importable, else the deterministic stub."""
+    if callable(decoder):
+        return decoder
+    if decoder == "stub":
+        return _fake_decode
+    if decoder == "pil":
+        return _pil_decode
+    if decoder == "auto":
+        try:
+            import PIL  # noqa: F401, PLC0415
+
+            return _pil_decode
+        except ImportError:
+            return _fake_decode
+    raise ValueError(f"unknown decoder {decoder!r}")
+
+
+def decode_image(df: DataFrame, id_col: str = "doc_id", decoder="stub") -> DataFrame:
+    """Decode binary payloads to float tensors via mapInPandas
+    (Arrow-batched; bytes never row-pickled).
+    Output [doc_id, width, height, channels, pixels].
+
+    ``decoder``: 'stub' (deterministic md5 pseudo-pixels, the default —
+    reproducible without codecs), 'pil' (real codec, import-guarded),
+    'auto', or any callable matching the bytes -> HxWxC float32
+    contract. Real decodes are variable-shape; the per-row
+    width/height/channels metadata carries the shape downstream."""
+    decode = _resolve_decoder(decoder)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
+            ws, hs, cs, pxs = [], [], [], []
+            for p in pdf["payload"]:
+                a = decode(bytes(p))
+                hs.append(a.shape[0])
+                ws.append(a.shape[1])
+                cs.append(a.shape[2])
+                pxs.append(a.ravel().tolist())
+            yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
-                "width": _FAKE_W,
-                "height": _FAKE_H,
-                "channels": _FAKE_C,
-                "pixels": [
-                    _fake_decode(bytes(p)).ravel().tolist() for p in pdf["payload"]
-                ],
-            }
-            yield pd.DataFrame(out)
+                "width": ws,
+                "height": hs,
+                "channels": cs,
+                "pixels": pxs,
+            })
 
     return df.mapInPandas(kernel, DECODED_SCHEMA)
 

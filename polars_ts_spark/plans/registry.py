@@ -3885,17 +3885,66 @@ def q_enbpi(spark, sf_dir):
     return m.predict_interval(panel, h=7)
 
 
+# US holiday rules in pure SQL: fixed dates + nth-weekday windows
+# (e.g. Thanksgiving = 4th Thursday of November = Thursday with
+# day-of-month in 22..28). dayofweek() in DuckDB: 0=Sun..6=Sat.
+_US_HOLIDAY_PRED = """(
+       strftime(ds, '%m-%d') IN ('01-01', '06-19', '07-04', '11-11', '12-25')
+    OR (month(ds) = 1  AND dayofweek(ds) = 1 AND day(ds) BETWEEN 15 AND 21)
+    OR (month(ds) = 2  AND dayofweek(ds) = 1 AND day(ds) BETWEEN 15 AND 21)
+    OR (month(ds) = 5  AND dayofweek(ds) = 1 AND day(ds) >= 25)
+    OR (month(ds) = 9  AND dayofweek(ds) = 1 AND day(ds) <= 7)
+    OR (month(ds) = 10 AND dayofweek(ds) = 1 AND day(ds) BETWEEN 8 AND 14)
+    OR (month(ds) = 11 AND dayofweek(ds) = 4 AND day(ds) BETWEEN 22 AND 28)
+)"""
+
+
 @register(
     "holiday_features",
-    PANEL_CTE + """
+    PANEL_CTE + f"""
     SELECT unique_id, ds, y,
-           (strftime(ds, '%m-%d') IN ('01-01', '07-04', '12-25', '12-31')) AS is_holiday
+           {_US_HOLIDAY_PRED} AS is_holiday
     FROM panel
     """,
 )
 def q_holidays(spark, sf_dir):
     return features.holiday_features(
         supplier_daily_panel(spark, sf_dir), "US", distance=False
+    )
+
+
+def _de_holiday_pred() -> str:
+    """DE holidays: fixed dates + Easter-cycle offsets. Easter Sundays
+    are deterministic computus output (data-independent), embedded as
+    literals for 1990-2035 — same literal-constant technique as the
+    ROCKET kernel oracle."""
+    import datetime as _dt
+
+    from polars_ts_spark.operators.features import _easter
+
+    dates = []
+    for y in range(1990, 2036):
+        e = _easter(y)
+        for off in (-2, 1, 39, 50):
+            dates.append((e + _dt.timedelta(days=off)).isoformat())
+    lits = ", ".join(f"DATE '{d}'" for d in dates)
+    return f"""(
+       strftime(ds, '%m-%d') IN ('01-01', '05-01', '10-03', '12-25', '12-26')
+    OR CAST(ds AS DATE) IN ({lits})
+)"""
+
+
+@register(
+    "holiday_features_de",
+    PANEL_CTE + f"""
+    SELECT unique_id, ds, y,
+           {_de_holiday_pred()} AS is_holiday
+    FROM panel
+    """,
+)
+def q_holidays_de(spark, sf_dir):
+    return features.holiday_features(
+        supplier_daily_panel(spark, sf_dir), "DE", distance=False
     )
 
 

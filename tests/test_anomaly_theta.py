@@ -119,5 +119,27 @@ def test_holiday_features(spark):
     df = spark.createDataFrame(pd.DataFrame({"unique_id": "a", "ds": ts, "y": 1.0}))
     out = features.holiday_features(df, "US").toPandas().sort_values("ds").reset_index(drop=True)
     assert list(out["is_holiday"]) == [True, False, True, True]
-    assert out["days_to_holiday"].iloc[1] == 1     # Jul 3 -> Jul 4
-    assert out["days_since_holiday"].iloc[1] == 184  # Jul 3 <- Jan 1 (leap year)
+    assert out["days_to_holiday"].iloc[1] == 1      # Jul 3 -> Jul 4
+    assert out["days_since_holiday"].iloc[1] == 14  # Jul 3 <- Juneteenth
+
+
+def test_holiday_calendar_rules():
+    import datetime as dt
+
+    # computus: known Easter Sundays
+    assert features._easter(2024) == dt.date(2024, 3, 31)
+    assert features._easter(2025) == dt.date(2025, 4, 20)
+    assert features._easter(1997) == dt.date(1997, 3, 30)
+    us24 = set(features.holiday_calendar("US", [2024]))
+    assert dt.date(2024, 11, 28) in us24   # Thanksgiving: 4th Thu Nov
+    assert dt.date(2024, 5, 27) in us24    # Memorial Day: last Mon May
+    assert dt.date(2024, 1, 15) in us24    # MLK: 3rd Mon Jan
+    de24 = set(features.holiday_calendar("DE", [2024]))
+    assert dt.date(2024, 3, 29) in de24    # Good Friday
+    assert dt.date(2024, 4, 1) in de24     # Easter Monday
+    assert dt.date(2024, 5, 9) in de24     # Ascension
+    gb25 = set(features.holiday_calendar("GB", [2025]))
+    assert dt.date(2025, 5, 5) in gb25     # early May bank holiday
+    assert dt.date(2025, 8, 25) in gb25    # summer bank holiday
+    with pytest.raises(ValueError):
+        features.holiday_calendar("XX", [2024])

@@ -254,3 +254,57 @@ def test_multimodal_plumbing(docs):
     src = np.asarray(px[0], dtype=np.float64).reshape(4, 4, 3)
     expected = src[0:2, 0:2, 0].mean()
     assert abs(rpx[0][0] - expected) < 1e-6
+
+
+def test_decode_image_custom_decoder_contract(docs):
+    # the decoder contract (bytes -> HxWxC float32) must work for any
+    # real codec, including variable-shape outputs; per-row metadata
+    # carries the shape downstream
+    import numpy as np
+
+    def codec(payload: bytes) -> np.ndarray:
+        h = 2 + len(payload) % 3  # variable height per doc
+        return np.zeros((h, 3, 1), dtype=np.float32)
+
+    payload = multimodal.attach_binary_payload(docs)
+    rows = multimodal.decode_image(payload, decoder=codec).collect()
+    for r in rows:
+        assert r["width"] == 3 and r["channels"] == 1
+        assert len(r["pixels"]) == r["height"] * r["width"] * r["channels"]
+
+
+def test_decode_image_pil_guarded(docs):
+    # 'auto' must fall back to the stub when PIL is absent; when PIL
+    # exists, the real path must satisfy the same contract
+    payload = multimodal.attach_binary_payload(docs)
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        rows = multimodal.decode_image(payload, decoder="auto").collect()
+        assert all(len(r["pixels"]) == 4 * 4 * 3 for r in rows)  # stub shape
+        with pytest.raises(Exception):
+            multimodal.decode_image(payload, decoder="pil").collect()
+    else:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((5, 7, 3), dtype=np.uint8)).save(buf, "PNG")
+        img_payload = docs.sparkSession.createDataFrame(
+            [(0, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+        )
+        r = multimodal.decode_image(img_payload, decoder="pil").first()
+        assert (r["height"], r["width"], r["channels"]) == (5, 7, 3)
+
+
+def test_resize_upsample_rejected(docs):
+    payload = multimodal.attach_binary_payload(docs)
+    decoded = multimodal.decode_image(payload)
+    with pytest.raises(Exception, match="only downsamples|ValueError|PythonException"):
+        multimodal.resize_image(decoded, out_w=8, out_h=8).collect()
