@@ -250,17 +250,28 @@ def vision_embeddings(
     )
 
 
-def deterministic_embed_hook(dim: int = 64):
-    """Deterministic stand-in for a vision model: mean/std pooling of
-    pixels through a fixed md5-seeded random projection. Keeps the
-    embedding pipeline testable end-to-end without torch."""
+def embed_weight(i: int, j: int, d_in: int) -> float:
+    """Deterministic projection weight in [-1, 1]/sqrt(d_in), derived
+    from md5 — the same no-RNG construction as the LSH hyperplanes
+    (embedsim._plane_value), so an exact SQL oracle can embed the
+    weights as literals."""
     import hashlib
+
+    h = int(hashlib.md5(f"visw_{i}_{j}".encode()).hexdigest()[:8], 16)
+    return ((h % 2000001) / 1000000.0 - 1.0) / float(np.sqrt(d_in))
+
+
+def deterministic_embed_hook(dim: int = 64):
+    """Deterministic stand-in for a vision model: row-centered pixels
+    through a fixed md5-derived projection (no RNG — reproducible in
+    SQL). Keeps the embedding pipeline testable end-to-end without
+    torch."""
 
     def hook(P: np.ndarray) -> np.ndarray:
         d_in = P.shape[1]
-        seed = int(hashlib.md5(f"vis_{d_in}_{dim}".encode()).hexdigest()[:8], 16)
-        rng = np.random.default_rng(seed)
-        W = rng.standard_normal((d_in, dim)) / np.sqrt(d_in)
+        W = np.array(
+            [[embed_weight(i, j, d_in) for j in range(dim)] for i in range(d_in)]
+        )
         return (P - P.mean(axis=1, keepdims=True)) @ W
 
     return hook

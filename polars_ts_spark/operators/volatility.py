@@ -98,6 +98,41 @@ def garch_fit(
     return for_each_series(df, kern, schema, id_col=id_col, time_col=time_col)
 
 
+def garch_variance_path(
+    df: DataFrame,
+    omega: float,
+    alpha: float,
+    beta: float,
+    id_col: str = ID,
+    time_col: str = TIME,
+    target_col: str = TARGET,
+) -> DataFrame:
+    """In-sample conditional-variance recursion with FIXED GARCH(1,1)
+    params: sigma²_t = (omega + alpha·r²_{t-1}) + beta·sigma²_{t-1},
+    r = y - mean(y), sigma²_0 = Var_pop(r). This is the deterministic
+    kernel that garch_fit evaluates inside the MLE objective and
+    garch_forecast extends forward (volatility.py:25-174 in the
+    reference) — exposed separately because, unlike the Nelder-Mead
+    fit, it has an exact recursive-CTE SQL oracle.
+    Output [id, ds, sigma2]."""
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        y = pdf[target_col].to_numpy(dtype=float)
+        r = y - y.mean()
+        mu2 = r.mean()
+        var0 = float(((r - mu2) * (r - mu2)).mean()) or 1e-8
+        n = len(r)
+        sig2 = np.full(n, var0)
+        for t in range(1, n):
+            sig2[t] = (omega + alpha * (r[t - 1] * r[t - 1])) + beta * sig2[t - 1]
+        return pd.DataFrame({
+            id_col: pdf[id_col], time_col: pdf[time_col], "sigma2": sig2,
+        })
+
+    schema = f"{id_col} string, {time_col} timestamp, sigma2 double"
+    return for_each_series(df, kern, schema, id_col=id_col, time_col=time_col)
+
+
 def garch_forecast(
     df: DataFrame,
     h: int = 7,

@@ -1915,6 +1915,61 @@ def q_kalman_forecast(spark, sf_dir):
     return out.select("unique_id", "ds", F.round("y_hat", 4).alias("y_hat"))
 
 
+def _garch_variance_oracle(omega: float, alpha: float, beta: float) -> str:
+    """GARCH(1,1) conditional-variance recursion with literal params as
+    a RECURSIVE CTE on the exact-cents monthly panel: r = y - AVG(y),
+    sigma²_1 = AVG((r - AVG(r))²), then
+    sigma²_t = (omega + alpha·r²_{t-1}) + beta·sigma²_{t-1} — the same
+    float op order as garch_variance_path (and the recursion inside
+    the garch_fit MLE objective)."""
+    return f"""
+WITH RECURSIVE daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM daily_cents GROUP BY 1, 2
+    ),
+    mu AS (SELECT unique_id, AVG(y) AS mu FROM monthly GROUP BY 1),
+    demeaned AS (
+        SELECT m.unique_id, m.ds, m.y - u.mu AS r,
+               ROW_NUMBER() OVER (PARTITION BY m.unique_id ORDER BY m.ds) AS rn
+        FROM monthly m JOIN mu u USING (unique_id)
+    ),
+    v0 AS (
+        SELECT d.unique_id,
+               CASE WHEN AVG((d.r - u2.mu2) * (d.r - u2.mu2)) = 0
+                    THEN 1e-8 ELSE AVG((d.r - u2.mu2) * (d.r - u2.mu2)) END AS var0
+        FROM demeaned d JOIN (
+            SELECT unique_id, AVG(r) AS mu2 FROM demeaned GROUP BY 1
+        ) u2 USING (unique_id)
+        GROUP BY d.unique_id
+    ),
+    rec AS (
+        SELECT unique_id, 1 AS t, CAST(var0 AS DOUBLE) AS s2 FROM v0
+        UNION ALL
+        SELECT r.unique_id, r.t + 1 AS t,
+               (({omega!r} + {alpha!r} * (o.r * o.r)) + {beta!r} * r.s2) AS s2
+        FROM rec r JOIN demeaned o
+          ON o.unique_id = r.unique_id AND o.rn = r.t
+    )
+    SELECT r.unique_id, o.ds, r.s2 AS sigma2
+    FROM rec r JOIN demeaned o ON o.unique_id = r.unique_id AND o.rn = r.t
+"""
+
+
+@register("garch_variance", _garch_variance_oracle(4e7, 0.1, 0.8))
+def q_garch_variance(spark, sf_dir):
+    from polars_ts_spark.operators import volatility
+    return volatility.garch_variance_path(
+        _monthly_panel_exact(spark, sf_dir), omega=4e7, alpha=0.1, beta=0.8
+    )
+
+
 @register("garch_fit")
 def q_garch_fit(spark, sf_dir):
     from polars_ts_spark.operators import volatility
@@ -2222,7 +2277,80 @@ def q_cluster_scores(spark, sf_dir):
     )
 
 
-@register("ukf_filter")  # rows-only: per-series unscented Kalman level
+def _ukf_local_level_oracle(q: float, r: float) -> str:
+    """Scalar (1-state, identity f/h) UKF as a RECURSIVE CTE. With
+    n=1 the sigma construction collapses to scalars: S = sqrt(P+1e-12)
+    (the 1x1 Cholesky), points (x, x+gS, x-gS), and every weighted sum
+    follows numpy's float op order in UnscentedKalmanFilter.filter —
+    sigma weights (lam, gamma, Wm, Wc) are Python-computed literals so
+    both engines share the exact constants. Input is the exact-cents
+    monthly panel (bit-identical across engines)."""
+    import numpy as np
+
+    alpha, beta_w, kappa, n_dim = 1e-3, 2.0, 0.0, 1
+    lam = alpha * alpha * (n_dim + kappa) - n_dim
+    g = float(np.sqrt(n_dim + lam))
+    wm1 = float(1.0 / (2 * (n_dim + lam)))
+    wm0 = float(lam / (n_dim + lam))
+    wc0 = float(lam / (n_dim + lam) + (1 - alpha * alpha + beta_w))
+    return f"""
+WITH RECURSIVE daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM daily_cents GROUP BY 1, 2
+    ),
+    ordered AS (
+        SELECT unique_id, ds, CAST(y AS DOUBLE) AS y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn
+        FROM monthly
+    ),
+    rec AS (
+        SELECT unique_id, 0 AS t, y AS x, CAST(1e8 AS DOUBLE) AS P
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT unique_id, t,
+               xp + K * (y - xp) AS x,
+               Ppred - ((K * Sy) * K) AS P
+        FROM (
+          SELECT unique_id, t, y, xp, Ppred, Sy, ssum * (1.0 / Sy) AS K
+          FROM (
+            SELECT unique_id, t, y, xp, ssum,
+                   {q!r} + ssum AS Ppred, {r!r} + ssum AS Sy
+            FROM (
+              SELECT unique_id, t, y, xp,
+                     (({wc0!r} * ((x0s - xp) * (x0s - xp))
+                       + {wm1!r} * ((p1 - xp) * (p1 - xp)))
+                       + {wm1!r} * ((p2 - xp) * (p2 - xp))) AS ssum,
+                     x0s, p1, p2
+              FROM (
+                SELECT unique_id, t, y, x0s, p1, p2,
+                       (({wm0!r} * x0s + {wm1!r} * p1) + {wm1!r} * p2) AS xp
+                FROM (
+                  SELECT r.unique_id, r.t + 1 AS t, o.y AS y,
+                         r.x AS x0s,
+                         r.x + {g!r} * sqrt(r.P + 1e-12) AS p1,
+                         r.x - {g!r} * sqrt(r.P + 1e-12) AS p2
+                  FROM rec r JOIN ordered o
+                    ON o.unique_id = r.unique_id AND o.rn = r.t + 1
+                )
+              )
+            )
+          )
+        )
+    )
+    SELECT r.unique_id, o.ds, o.y, r.x AS ukf_level
+    FROM rec r JOIN ordered o ON o.unique_id = r.unique_id AND o.rn = r.t
+    WHERE r.t >= 1
+"""
+
+
+@register("ukf_filter", _ukf_local_level_oracle(1e4, 1e6))
 def q_ukf(spark, sf_dir):
     from polars_ts_spark.operators.kernel import for_each_series
     from polars_ts_spark.operators.statespace import UnscentedKalmanFilter
@@ -2242,7 +2370,7 @@ def q_ukf(spark, sf_dir):
         })
 
     return for_each_series(
-        _monthly_panel(spark, sf_dir), kern,
+        _monthly_panel_exact(spark, sf_dir), kern,
         "unique_id string, ds timestamp, y double, ukf_level double",
     )
 
@@ -3630,11 +3758,54 @@ def q_scalogram(spark, sf_dir):
     return imaging.series_to_image(_monthly_panel(spark, sf_dir), "scalogram", n_scales=16)
 
 
-@register("vision_embeddings")  # stubbed model, real plumbing: rows-only
+def _vision_embed_oracle(dim: int) -> str:
+    """Vision-embedding stub oracle: rebuild the md5 pseudo-pixels
+    (same CTE as the multimodal oracles), center per image, project
+    through the md5-derived weight matrix embedded as 48*dim literal
+    rows, quantize to float32 like the kernel, round to 6 dp. The
+    projection sum order is free because the float32 quantization
+    absorbs sub-ulp double differences."""
+    from polars_ts_spark.operators.imaging import embed_weight
+
+    d_in = 48  # stub decode: 4x4x3
+    vals = ", ".join(
+        f"({i}, {j}, {embed_weight(i, j, d_in)!r})"
+        for i in range(d_in) for j in range(dim)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    bytes AS (
+        SELECT doc_id, i.i,
+               16 * (strpos('0123456789abcdef', substring(hx, 2 * i.i + 1, 1)) - 1)
+                 + (strpos('0123456789abcdef', substring(hx, 2 * i.i + 2, 1)) - 1) AS b
+        FROM d, (SELECT UNNEST(generate_series(0, 15)) AS i) i
+    ),
+    px AS (
+        SELECT b.doc_id, j.j AS i,
+               CAST(CAST(b.b AS FLOAT) / CAST(255.0 AS FLOAT) AS DOUBLE) AS p
+        FROM (SELECT UNNEST(generate_series(0, 47)) AS j) j
+        JOIN bytes b ON b.i = j.j % 16
+    ),
+    centered AS (
+        SELECT doc_id, i, p - AVG(p) OVER (PARTITION BY doc_id) AS c
+        FROM px
+    ),
+    w(i, j, wv) AS (VALUES {vals})
+    SELECT c.doc_id, CAST(w.j AS INT) AS pos,
+           ROUND(CAST(CAST(SUM(c.c * w.wv) AS FLOAT) AS DOUBLE), 6) AS v
+    FROM centered c JOIN w ON w.i = c.i
+    GROUP BY c.doc_id, w.j
+    """
+
+
+@register("vision_embeddings", _vision_embed_oracle(32))
 def q_vision_embeddings(spark, sf_dir):
     from polars_ts_spark.operators import imaging, multimodal
     decoded = multimodal.decode_image(multimodal.attach_binary_payload(_docs(spark, sf_dir)))
-    return imaging.vision_embeddings(decoded, imaging.deterministic_embed_hook(32), dim=32)
+    emb = imaging.vision_embeddings(decoded, imaging.deterministic_embed_hook(32), dim=32)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.round(F.col("v").cast("double"), 6))
 
 
 _RQA_ORACLE = _MONTHLY_CTE + """,
