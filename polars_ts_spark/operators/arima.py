@@ -1,19 +1,22 @@
 """ARIMA family (SURVEY §2.12) — hand-rolled numpy (no statsmodels in
-the container): AR via exact OLS, ARMA via conditional-sum-of-squares
-+ Nelder-Mead, ARIMA by differencing, seasonal SARIMA(p,d,q)(P,D,Q,s)
-by multiplicative-polynomial expansion over the seasonally+regularly
-differenced series, auto_arima by AIC grid over both regular and
-seasonal orders.
+the container): exact Gaussian MLE via the Kalman filter (Harvey
+state-space form, concentrated sigma^2, stationarity/invertibility
+enforced through the Monahan partial-autocorrelation transform) with a
+CSS fit supplying starting values; seasonal SARIMA(p,d,q)(P,D,Q,s) by
+multiplicative-polynomial expansion over the seasonally+regularly
+differenced series; auto_arima picks d by repeated KPSS tests and D by
+the Wang–Hyndman seasonal-strength heuristic, then an AIC grid.
 
 Reference parity:
 - arima_fit / arima_forecast -> polars_ts/models/arima.py:95-182
-  (statsmodels SARIMAX per group, incl. seasonal_order; ours is a CSS
-  SARMA core: phi(B)·Phi(B^s) expanded to one lag polynomial, same for
-  theta(B)·Theta(B^s), then the standard CSS recursion)
+  (statsmodels SARIMAX per group, incl. seasonal_order; ours is the
+  same estimator family — exact state-space MLE — so coefficients
+  agree within optimizer tolerance; `method="css"` keeps the fast
+  conditional-sum-of-squares path)
 - auto_arima                 -> polars_ts/models/arima.py:22-87
-  (statsforecast AutoARIMA; ours picks d by unit-root heuristic, D by
-  seasonal-autocorrelation heuristic, then an AIC grid over
-  (p,q)×(P,Q))
+  (statsforecast AutoARIMA: KPSS ndiffs + seasonal-strength nsdiffs +
+  AIC search; ours screens the grid with CSS and MLE-refits the
+  winner)
 
 Spark mapping: per-series `applyInPandas` (SURVEY §3.3 pattern); fits
 are embarrassingly parallel across series. Fitted parameters return as
@@ -102,16 +105,306 @@ def arma_forecast_series(
     return out
 
 
-def arima_forecast_series(y: np.ndarray, p: int, d: int, q: int, h: int) -> np.ndarray:
-    """Difference d times -> ARMA forecast -> integrate back."""
+# ---------------------------------------------------------------------------
+# exact MLE via the Kalman filter (statsmodels-SARIMAX estimator family)
+
+
+def _pacf_to_ar(pacs: np.ndarray) -> np.ndarray:
+    """Durbin–Levinson: partial autocorrelations in (-1,1) -> stationary
+    AR coefficients (Monahan 1984 transform, as statsmodels
+    enforce_stationarity)."""
+    pacs = np.asarray(pacs, float)
+    phi = np.zeros(len(pacs))
+    for j in range(len(pacs)):
+        new = phi.copy()
+        new[j] = pacs[j]
+        for i in range(j):
+            new[i] = phi[i] - pacs[j] * phi[j - 1 - i]
+        phi = new
+    return phi
+
+
+def _ar_to_pacf(phi: np.ndarray) -> np.ndarray:
+    """Inverse Durbin–Levinson; clips so the inverse exists even for
+    slightly non-stationary inputs (CSS starting values)."""
+    phi = np.asarray(phi, float).copy()
+    p = len(phi)
+    pacs = np.zeros(p)
+    for j in range(p - 1, -1, -1):
+        a = float(np.clip(phi[j], -0.998, 0.998))
+        pacs[j] = a
+        if j > 0:
+            old = phi[:j].copy()
+            denom = max(1.0 - a * a, 1e-8)
+            for i in range(j):
+                phi[i] = (old[i] + a * old[j - 1 - i]) / denom
+    return pacs
+
+
+def _uncon_to_pacf(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, float)
+    return x / np.sqrt(1.0 + x * x)
+
+
+def _pacf_to_uncon(r: np.ndarray) -> np.ndarray:
+    r = np.clip(np.asarray(r, float), -0.998, 0.998)
+    return r / np.sqrt(1.0 - r * r)
+
+
+def _stationary_cov(T: np.ndarray, RRt: np.ndarray) -> np.ndarray:
+    """Solve P = T P T' + RRt (discrete Lyapunov) by the vec trick;
+    state dims here are tiny (m <= ~15)."""
+    m = T.shape[0]
+    A = np.eye(m * m) - np.kron(T, T)
+    vec = np.linalg.solve(A, RRt.reshape(-1))
+    P = vec.reshape(m, m)
+    return (P + P.T) / 2.0
+
+
+def _ar_stationary_gamma(phi: np.ndarray) -> np.ndarray:
+    """Stationary autocovariances gamma_0..gamma_p of an AR(p) with
+    unit innovation variance, by solving the Yule–Walker system
+    directly ((p+1)x(p+1), no Kronecker product)."""
+    p = len(phi)
+    A = np.zeros((p + 1, p + 1))
+    b = np.zeros(p + 1)
+    b[0] = 1.0
+    for k in range(p + 1):
+        A[k, k] += 1.0
+        for i in range(1, p + 1):
+            A[k, abs(k - i)] -= phi[i - 1]
+    return np.linalg.solve(A, b)
+
+
+def _ar_exact_loglik(y: np.ndarray, phi: np.ndarray,
+                     X: np.ndarray | None = None) -> float:
+    """Exact concentrated loglik for a pure AR(p) on a (de-meaned)
+    series — fully vectorized (no time loop): conditional residual
+    sum-of-squares plus the stationary Gaussian term for the first p
+    observations. ``X`` optionally supplies the precomputed lag matrix
+    (columns y_{t-1}..y_{t-p} for t=p..n-1)."""
+    n = len(y)
+    p = len(phi)
+    if p == 0:
+        s2 = float(y @ y) / n
+        return -0.5 * n * (np.log(2 * np.pi) + np.log(max(s2, 1e-300)) + 1.0)
+    if n <= p + 1:
+        return -1e12
+    if p == 1:
+        ph = float(phi[0])
+        om = 1.0 - ph * ph
+        if om <= 1e-12:
+            return -1e12
+        e = y[1:] - ph * y[:-1]
+        Q = y[0] * y[0] * om + float(e @ e)
+        s2 = Q / n
+        if s2 <= 0:
+            return -1e12
+        return -0.5 * (n * np.log(2 * np.pi) + n * np.log(s2) - np.log(om) + n)
+    try:
+        gam = _ar_stationary_gamma(phi)
+        idx = np.abs(np.arange(p)[:, None] - np.arange(p)[None, :])
+        Sig = gam[idx]
+        Sinv = np.linalg.inv(Sig)
+        sign, logdet = np.linalg.slogdet(Sig)
+    except np.linalg.LinAlgError:
+        return -1e12
+    if sign <= 0:
+        return -1e12
+    head = y[:p][::-1]  # state ordering (y_p, ..., y_1); Sig is Toeplitz
+    if X is None:
+        X = np.column_stack([y[p - 1 - i: n - 1 - i] for i in range(p)])
+    e = y[p:] - X @ phi
+    Q = float(head @ Sinv @ head) + float(e @ e)
+    s2 = Q / n
+    if s2 <= 0:
+        return -1e12
+    return -0.5 * (n * np.log(2 * np.pi) + n * np.log(s2) + logdet + n)
+
+
+def _arma_kf_loglik(y: np.ndarray, phi: np.ndarray, theta: np.ndarray) -> float:
+    """Exact concentrated loglik of an ARMA(p,q) on a (de-meaned)
+    series via the Kalman filter in Harvey form; the covariance
+    recursion is frozen once it reaches steady state, which it does in
+    a handful of steps, so the tail of the loop is scalar work."""
+    p, q = len(phi), len(theta)
+    if q == 0:
+        return _ar_exact_loglik(y, phi)
+    n = len(y)
+    m = max(p, q + 1)
+    T = np.zeros((m, m))
+    T[:p, 0] = phi
+    for i in range(m - 1):
+        T[i, i + 1] = 1.0
+    R = np.zeros(m)
+    R[0] = 1.0
+    R[1: q + 1] = theta
+    RRt = np.outer(R, R)
+    try:
+        P = _stationary_cov(T, RRt)
+    except np.linalg.LinAlgError:
+        return -1e12
+    a = np.zeros(m)
+    sumlogF = 0.0
+    S = 0.0
+    steady = False
+    K = np.zeros(m)
+    F = 1.0
+    for t in range(n):
+        v = y[t] - a[0]
+        if not steady:
+            F = P[0, 0]
+            if not np.isfinite(F) or F <= 0:
+                return -1e12
+            K = (T @ P[:, 0]) / F
+            TP = T @ P
+            Pn = TP @ T.T - np.outer(K, K) * F + RRt
+            if np.max(np.abs(Pn - P)) < 1e-12:
+                steady = True
+            P = Pn
+        sumlogF += np.log(F)
+        S += v * v / F
+        a = T @ a + K * v
+    s2 = S / n
+    if s2 <= 0:
+        return -1e12
+    return -0.5 * (n * np.log(2 * np.pi) + n * np.log(s2) + sumlogF + n)
+
+
+def _kf_state_forecast(y: np.ndarray, phi: np.ndarray, theta: np.ndarray,
+                       h: int) -> np.ndarray:
+    """Exact MMSE h-step forecast of a (de-meaned) ARMA: run the filter
+    to the end, then iterate the transition on the predicted state."""
+    p, q = len(phi), len(theta)
+    m = max(p, q + 1, 1)
+    T = np.zeros((m, m))
+    T[:p, 0] = phi
+    for i in range(m - 1):
+        T[i, i + 1] = 1.0
+    R = np.zeros(m)
+    R[0] = 1.0
+    R[1: q + 1] = theta
+    RRt = np.outer(R, R)
+    try:
+        P = _stationary_cov(T, RRt)
+    except np.linalg.LinAlgError:
+        P = np.eye(m)
+    a = np.zeros(m)
+    steady = False
+    K = np.zeros(m)
+    for t in range(len(y)):
+        v = y[t] - a[0]
+        if not steady:
+            F = P[0, 0]
+            if not np.isfinite(F) or F <= 0:
+                break
+            K = (T @ P[:, 0]) / F
+            TP = T @ P
+            Pn = TP @ T.T - np.outer(K, K) * F + RRt
+            if np.max(np.abs(Pn - P)) < 1e-12:
+                steady = True
+            P = Pn
+        a = T @ a + K * v
+    out = np.empty(h)
+    for s_ in range(h):
+        out[s_] = a[0]
+        a = T @ a
+    return out
+
+
+def arma_fit_mle(y: np.ndarray, p: int, q: int, P: int = 0, Q: int = 0,
+                 s: int = 0, with_mean: bool = True, max_iter: int = 200):
+    """Exact Gaussian MLE of a (multiplicative-seasonal) ARMA on a
+    stationary series. Optimizes over unconstrained Monahan-transformed
+    parameters (each polynomial factor kept stationary/invertible),
+    sigma^2 concentrated out; CSS supplies starting values. Returns
+    (mu, phi, theta, Phi, Theta, sigma2, loglik, aic) — the
+    statsmodels-SARIMAX estimator family (ref models/arima.py:95-182).
+    """
+    y = np.asarray(y, float)
+    n = len(y)
+    if s <= 1:
+        P = Q = 0
+    mu0 = float(y.mean()) if with_mean else 0.0
+    # CSS start values
+    try:
+        if P or Q:
+            c0, phi0, theta0, Phi0, Theta0, *_ = sarma_fit_series(y, p, q, P, Q, s)
+        else:
+            c0, phi0, theta0, *_ = arma_fit_series(y, p, q)
+            Phi0 = np.empty(0)
+            Theta0 = np.empty(0)
+    except np.linalg.LinAlgError:
+        phi0 = np.zeros(p); theta0 = np.zeros(q)
+        Phi0 = np.zeros(P); Theta0 = np.zeros(Q)
+    x0 = np.concatenate([
+        [mu0] if with_mean else [],
+        _pacf_to_uncon(_ar_to_pacf(phi0)),
+        _pacf_to_uncon(_ar_to_pacf(-np.asarray(theta0, float))),
+        _pacf_to_uncon(_ar_to_pacf(Phi0)),
+        _pacf_to_uncon(_ar_to_pacf(-np.asarray(Theta0, float))),
+    ])
+
+    def unpack(params):
+        i = 0
+        mu = params[0] if with_mean else 0.0
+        i += 1 if with_mean else 0
+        phi = _pacf_to_ar(_uncon_to_pacf(params[i:i + p])); i += p
+        theta = -_pacf_to_ar(_uncon_to_pacf(params[i:i + q])); i += q
+        Phi = _pacf_to_ar(_uncon_to_pacf(params[i:i + P])); i += P
+        Theta = -_pacf_to_ar(_uncon_to_pacf(params[i:i + Q]))
+        return mu, phi, theta, Phi, Theta
+
+    pure_ar = q == 0 and Q == 0 and P == 0
+    if pure_ar and p > 0:
+        # precompute the raw lag matrix once; the de-meaned residual is
+        # e = (y_t - mu) - sum phi_i (y_{t-i} - mu), expressible from
+        # the raw lags without rebuilding X per objective evaluation
+        X_raw = np.column_stack([y[p - 1 - i: n - 1 - i] for i in range(p)])
+
+        def obj(params):
+            mu, phi, *_ = unpack(params)
+            return -_ar_exact_loglik(y - mu, phi, X=X_raw - mu)
+    else:
+        def obj(params):
+            mu, phi, theta, Phi, Theta = unpack(params)
+            phi_full = _expand_seasonal(phi, Phi, s) if (P and s) else phi
+            theta_full = -_expand_seasonal(-theta, -Theta, s) if (Q and s) else theta
+            return -_arma_kf_loglik(y - mu, phi_full, theta_full)
+
+    if len(x0) == 0:
+        mu, phi, theta, Phi, Theta = 0.0, np.empty(0), np.empty(0), np.empty(0), np.empty(0)
+        ll = _ar_exact_loglik(y, np.empty(0))
+    else:
+        best, negll = nelder_mead(obj, x0, max_iter=max_iter)
+        mu, phi, theta, Phi, Theta = unpack(best)
+        ll = -negll
+    k = p + q + P + Q + (1 if with_mean else 0) + 1  # + sigma2
+    phi_full = _expand_seasonal(phi, Phi, s) if (P and s) else phi
+    theta_full = -_expand_seasonal(-theta, -Theta, s) if (Q and s) else theta
+    # recover concentrated sigma2 from the residual recursion
+    e = _css_resid(y - mu, phi_full, theta_full, 0.0)
+    sigma2 = float((e ** 2).mean())
+    aic = 2 * k - 2 * ll
+    return mu, phi, theta, Phi, Theta, sigma2, float(ll), float(aic)
+
+
+def arima_forecast_series(y: np.ndarray, p: int, d: int, q: int, h: int,
+                          method: str = "mle") -> np.ndarray:
+    """Difference d times -> ARMA fit (exact MLE by default, CSS with
+    ``method="css"``) -> forecast -> integrate back."""
     y = np.asarray(y, float)
     heads = []
     w = y
     for _ in range(d):
         heads.append(w[-1])  # last value at this integration level
         w = np.diff(w)
-    c, phi, theta, _, _ = arma_fit_series(w, p, q)
-    fc = arma_forecast_series(w, c, phi, theta, h)
+    if method == "css":
+        c, phi, theta, _, _ = arma_fit_series(w, p, q)
+        fc = arma_forecast_series(w, c, phi, theta, h)
+    else:
+        mu, phi, theta, *_ = arma_fit_mle(y=w, p=p, q=q)
+        fc = mu + _kf_state_forecast(w - mu, phi, theta, h)
     for head in reversed(heads):
         fc = head + np.cumsum(fc)
     return fc
@@ -186,9 +479,11 @@ def sarima_forecast_series(
     order: tuple[int, int, int],
     seasonal_order: tuple[int, int, int, int],
     h: int,
+    method: str = "mle",
 ) -> np.ndarray:
     """Seasonal-difference D times at lag s, regular-difference d times,
-    CSS-fit the SARMA, forecast, integrate back in reverse order."""
+    fit the SARMA (exact MLE by default, ``method="css"`` for the fast
+    conditional path), forecast, integrate back in reverse order."""
     p, d, q = order
     P, D, Q, s = seasonal_order
     y = np.asarray(y, float)
@@ -201,10 +496,16 @@ def sarima_forecast_series(
     for _ in range(d):
         heads.append(w[-1])
         w = np.diff(w)
-    c, phi, theta, Phi, Theta, _, _ = sarma_fit_series(w, p, q, P, Q, s)
-    phi_full = _expand_seasonal(phi, Phi, s) if (P and s) else phi
-    theta_full = -_expand_seasonal(-theta, -Theta, s) if (Q and s) else theta
-    fc = arma_forecast_series(w, c, phi_full, theta_full, h)
+    if method == "css":
+        c, phi, theta, Phi, Theta, _, _ = sarma_fit_series(w, p, q, P, Q, s)
+        phi_full = _expand_seasonal(phi, Phi, s) if (P and s) else phi
+        theta_full = -_expand_seasonal(-theta, -Theta, s) if (Q and s) else theta
+        fc = arma_forecast_series(w, c, phi_full, theta_full, h)
+    else:
+        mu, phi, theta, Phi, Theta, *_ = arma_fit_mle(w, p, q, P, Q, s)
+        phi_full = _expand_seasonal(phi, Phi, s) if (P and s) else phi
+        theta_full = -_expand_seasonal(-theta, -Theta, s) if (Q and s) else theta
+        fc = mu + _kf_state_forecast(w - mu, phi_full, theta_full, h)
     for head in reversed(heads):
         fc = head + np.cumsum(fc)
     for tail in reversed(seas_tails):
@@ -237,23 +538,78 @@ def _lag1_autocorr(y: np.ndarray) -> float:
     return float((d[1:] * d[:-1]).sum() / denom)
 
 
+def kpss_stat(y: np.ndarray) -> float:
+    """KPSS level-stationarity statistic (Bartlett-window long-run
+    variance, lags = floor(4·(n/100)^0.25), the statsmodels 'legacy'
+    bandwidth). Compare to the 5% critical value 0.463."""
+    y = np.asarray(y, float)
+    n = len(y)
+    if n < 8:
+        return 0.0
+    e = y - y.mean()
+    s = np.cumsum(e)
+    gamma0 = float(e @ e) / n
+    if gamma0 <= 0:
+        return 0.0
+    lags = int(4 * (n / 100.0) ** 0.25)
+    lrv = gamma0
+    for k in range(1, min(lags, n - 1) + 1):
+        w = 1.0 - k / (lags + 1.0)
+        lrv += 2.0 * w * float(e[k:] @ e[:-k]) / n
+    if lrv <= 0:
+        return 0.0
+    return float(s @ s) / (n * n * lrv)
+
+
+_KPSS_CRIT_5PCT = 0.463
+
+
+def seasonal_strength_stat(y: np.ndarray, s: int) -> float:
+    """Wang–Hyndman–Smith seasonal strength via classical MA
+    decomposition: max(0, 1 - var(remainder)/var(detrended)). The
+    pmdarima 'seas' nsdiffs heuristic differences when >= 0.64."""
+    y = np.asarray(y, float)
+    n = len(y)
+    if s < 2 or n < 2 * s + 1:
+        return 0.0
+    # centered moving average of window s (split ends for even s)
+    if s % 2 == 0:
+        kern = np.concatenate([[0.5], np.ones(s - 1), [0.5]]) / s
+    else:
+        kern = np.ones(s) / s
+    trend = np.convolve(y, kern, mode="valid")
+    half = (len(y) - len(trend)) // 2
+    det = y[half: half + len(trend)] - trend
+    idx = (np.arange(half, half + len(trend))) % s
+    seas_means = np.zeros(s)
+    for j in range(s):
+        vals = det[idx == j]
+        if len(vals):
+            seas_means[j] = vals.mean()
+    rem = det - seas_means[idx]
+    v_det = float(np.var(det))
+    if v_det <= 0:
+        return 0.0
+    return max(0.0, 1.0 - float(np.var(rem)) / v_det)
+
+
 def auto_arima_series(y: np.ndarray, max_p: int = 3, max_d: int = 1, max_q: int = 1,
                       s: int = 0, max_P: int = 1, max_D: int = 1, max_Q: int = 1):
-    """Differencing orders chosen first by heuristics (D while the
-    seasonal autocorrelation is strong, then d while the lag-1
-    autocorrelation is ~1 — AICs are NOT comparable across different
-    differencing orders), then AIC grid over (p,q)×(P,Q); the standard
-    auto-ARIMA structure (arima.py:22-87 semantics). Returns
-    ((p,d,q), (P,D,Q,s))."""
+    """Differencing orders chosen first by tests (D while the seasonal
+    strength exceeds the 0.64 heuristic threshold, then d while KPSS
+    rejects level-stationarity at 5% — AICs are NOT comparable across
+    different differencing orders), then AIC grid over (p,q)×(P,Q); the
+    statsforecast AutoARIMA structure (arima.py:22-87 semantics).
+    Returns ((p,d,q), (P,D,Q,s))."""
     y = np.asarray(y, float)
     w = y
     D = 0
     if s > 1:
-        while D < max_D and len(w) > 3 * s and _seasonal_autocorr(w, s) > 0.9:
+        while D < max_D and len(w) > 3 * s and seasonal_strength_stat(w, s) >= 0.64:
             w, _ = _seasonal_diff(w, s)
             D += 1
     d = 0
-    while d < max_d and len(w) > 10 and _lag1_autocorr(w) > 0.95:
+    while d < max_d and len(w) > 10 and kpss_stat(w) > _KPSS_CRIT_5PCT:
         w = np.diff(w)
         d += 1
     seas_grid = (
@@ -283,9 +639,12 @@ def arima_forecast(
     id_col: str = ID,
     time_col: str = TIME,
     target_col: str = TARGET,
+    method: str = "mle",
 ) -> DataFrame:
     """Per-series SARIMA(p,d,q)(P,D,Q,s) forecast -> [id, ds, y_hat]
-    (ref models/arima.py:95-182 exposes the same two order tuples)."""
+    (ref models/arima.py:95-182 exposes the same two order tuples;
+    ``method="mle"`` is the statsmodels-parity exact state-space MLE,
+    ``"css"`` the fast conditional fit)."""
     p, d, q = order
     P, D, Q, s = seasonal_order
     min_n = p + d + q + 5 + (P + D + Q) * max(s, 1)
@@ -298,9 +657,9 @@ def arima_forecast(
         if len(y) < min_n:
             fc = np.full(h, y[-1] if len(y) else np.nan)
         elif P or D or Q:
-            fc = sarima_forecast_series(y, order, seasonal_order, h)
+            fc = sarima_forecast_series(y, order, seasonal_order, h, method=method)
         else:
-            fc = arima_forecast_series(y, p, d, q, h)
+            fc = arima_forecast_series(y, p, d, q, h, method=method)
         fut = [ts.iloc[-1] + (i + 1) * freq for i in range(h)]
         return pd.DataFrame({id_col: pdf[id_col].iloc[0], time_col: fut, "y_hat": fc})
 
@@ -321,10 +680,12 @@ def auto_arima(
     id_col: str = ID,
     time_col: str = TIME,
     target_col: str = TARGET,
+    method: str = "mle",
 ) -> DataFrame:
     """Per-series AIC-selected (S)ARIMA forecast ->
     [id, ds, y_hat, p, d, q, P, D, Q]. ``season_length`` <= 1 keeps the
-    non-seasonal grid."""
+    non-seasonal grid. The grid is screened with the fast CSS fit; the
+    winning order is refit by exact MLE (``method``)."""
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(time_col)
@@ -338,9 +699,9 @@ def auto_arima(
                 y, max_p, max_d, max_q, season_length, max_P, max_D, max_Q
             )
         if any(seas[:3]):
-            fc = sarima_forecast_series(y, order, seas, h)
+            fc = sarima_forecast_series(y, order, seas, h, method=method)
         else:
-            fc = arima_forecast_series(y, *order, h)
+            fc = arima_forecast_series(y, *order, h, method=method)
         fut = [ts.iloc[-1] + (i + 1) * freq for i in range(h)]
         return pd.DataFrame({
             id_col: pdf[id_col].iloc[0], time_col: fut, "y_hat": fc,
