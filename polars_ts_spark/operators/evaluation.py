@@ -653,6 +653,28 @@ def bias_correct(
     )
 
 
+def _hash_choice(seed: int, tag: str, n: int) -> list[int]:
+    """Deterministic engine-replicable sample-with-replacement of n draws
+    from range(n): the d-th draw is the first 8 md5 hex digits of
+    '{seed}:{tag}:{d}' (d 1-based) taken mod n — '0x..'::BIGINT % n in
+    SQL reproduces it exactly."""
+    import hashlib
+
+    return [int(hashlib.md5(f"{seed}:{tag}:{d}".encode()).hexdigest()[:8], 16) % n
+            for d in range(1, n + 1)]
+
+
+def _hash_permutation(seed: int, tag: str, n: int) -> np.ndarray:
+    """Deterministic engine-replicable permutation of range(n): ranks of
+    md5 hex digests of '{seed}:{tag}:{rn}' (rn 1-based). Any SQL engine
+    with md5() reproduces it exactly — unlike a PCG64 stream."""
+    import hashlib
+
+    keys = [hashlib.md5(f"{seed}:{tag}:{rn}".encode()).hexdigest()
+            for rn in range(1, n + 1)]
+    return np.argsort(np.asarray(keys))
+
+
 def permutation_importance(
     df: DataFrame,
     feat_cols: Sequence[str],
@@ -660,22 +682,32 @@ def permutation_importance(
     estimator,
     n_repeats: int = 3,
     seed: int = 42,
+    order_cols: Sequence[str] | None = None,
 ) -> pd.DataFrame:
     """Metric degradation under column shuffle (importance.py:11-90).
     Fits once on the collected design matrix, shuffles each column
-    n_repeats times with a seeded generator."""
-    pdf = df.select(*feat_cols, target_col).dropna().toPandas()
+    n_repeats times. With ``order_cols`` the rows get a deterministic
+    order and the shuffles use md5-rank permutations (reproducible
+    across engines — the DuckDB oracle rebuilds them); otherwise a
+    seeded numpy generator (reference RNG semantics, importance.py:31)."""
+    sel = [*order_cols] if order_cols else []
+    pdf = df.select(*sel, *feat_cols, target_col).dropna().toPandas()
+    if order_cols:
+        pdf = pdf.sort_values(list(order_cols)).reset_index(drop=True)
     X = pdf[list(feat_cols)].to_numpy(dtype=float)
     y = pdf[target_col].to_numpy(dtype=float)
     estimator.fit(X, y)
     base = float(np.mean(np.abs(estimator.predict(X) - y)))
-    rng = np.random.default_rng(seed)
+    rng = None if order_cols else np.random.default_rng(seed)
     rows = []
     for i, c in enumerate(feat_cols):
         degr = []
-        for _ in range(n_repeats):
+        for r in range(n_repeats):
             Xp = X.copy()
-            Xp[:, i] = rng.permutation(Xp[:, i])
+            if rng is None:
+                Xp[:, i] = X[:, i][_hash_permutation(seed, f"{i}:{r}", len(X))]
+            else:
+                Xp[:, i] = rng.permutation(Xp[:, i])
             degr.append(float(np.mean(np.abs(estimator.predict(Xp) - y))) - base)
         rows.append({"feature": c, "importance": float(np.mean(degr)), "std": float(np.std(degr))})
     return pd.DataFrame(rows).sort_values("importance", ascending=False).reset_index(drop=True)
@@ -697,8 +729,10 @@ def kaboudan_metric(
 ) -> pd.DataFrame:
     """eta = max(0, 1 - SSE / SSE_shuffled): backtest SSE on the true
     series vs on a block-shuffled version (destroys temporal structure;
-    predictable series -> eta near 1). Deterministic block shuffle via
-    a seeded generator on the driver."""
+    predictable series -> eta near 1; ref metrics/kaboudan.py:21-216).
+    The block permutation is the md5-rank order of '{seed}:{sid}:{b}'
+    (engine-replicable — the DuckDB oracle rebuilds it), not a PCG64
+    stream."""
     times = [r[0] for r in df.select(time_col).distinct().orderBy(time_col).collect()]
     cut = times[-horizon - 1]
     train = df.filter(F.col(time_col) <= F.lit(cut))
@@ -718,13 +752,12 @@ def kaboudan_metric(
     # block-shuffle each series' training values (ids/timestamps fixed)
     pdf = train.select(id_col, time_col, target_col).toPandas()
     pdf[time_col] = pd.to_datetime(pdf[time_col])
-    rng = np.random.default_rng(seed)
     parts = []
     for sid, g in pdf.groupby(id_col, sort=True):
         g = g.sort_values(time_col).reset_index(drop=True)
         vals = g[target_col].to_numpy().copy()
         blocks = [vals[i : i + block_size] for i in range(0, len(vals), block_size)]
-        order = rng.permutation(len(blocks))
+        order = _hash_permutation(seed, str(sid), len(blocks))
         g[target_col] = np.concatenate([blocks[i] for i in order])[: len(vals)]
         parts.append(g)
     shuffled = df.sparkSession.createDataFrame(pd.concat(parts))
@@ -741,7 +774,9 @@ class EnbPI:
     """Ensemble-bootstrap prediction intervals: B bootstrap model fits;
     each point's residual comes from models whose bootstrap sample
     excluded it (out-of-bag); intervals = y_hat ± conformal quantile of
-    the OOB residuals, updatable online via update()."""
+    the OOB residuals, updatable online via update(). Bootstrap time
+    samples come from md5-hash draws (engine-replicable, see
+    _hash_choice) rather than a PCG64 stream."""
 
     def __init__(self, model_factory, n_bootstraps: int = 10, coverage: float = 0.9, seed: int = 42,
                  id_col: str = ID, time_col: str = TIME, target_col: str = TARGET):
@@ -754,7 +789,6 @@ class EnbPI:
 
     def fit(self, df: DataFrame, holdout: int = 7) -> "EnbPI":
         times = [r[0] for r in df.select(self.time_col).distinct().orderBy(self.time_col).collect()]
-        rng = np.random.default_rng(self.seed)
         cut = times[-holdout - 1]
         train = df.filter(F.col(self.time_col) <= F.lit(cut))
         test = df.filter(F.col(self.time_col) > F.lit(cut)).select(
@@ -765,7 +799,7 @@ class EnbPI:
         preds = []
         for b in range(self.B):
             # bootstrap by time blocks: sample timestamps with replacement
-            keep = set(rng.choice(len(train_times), len(train_times), replace=True).tolist())
+            keep = set(_hash_choice(self.seed, str(b), len(train_times)))
             sample = train.filter(
                 F.col(self.time_col).isin([train_times[i] for i in sorted(keep)])
             )

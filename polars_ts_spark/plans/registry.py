@@ -347,6 +347,50 @@ steps AS (SELECT UNNEST(generate_series(1, {h})) AS step)
 """
 
 
+def _gauss_solve_ctes(k: int, nrhs: int, src: str, prefix: str = "") -> str:
+    """CTE chain solving the k x k linear system A W = B (nrhs right-hand
+    sides) by unpivoted Gaussian elimination + back-substitution, all
+    unrolled at SQL-generation time. Expects CTE ``src`` to expose one
+    row with columns a_{i}_{j} (0-based, full square) and b_{i}_{r};
+    emits CTEs ending in ``wsol`` with columns w_{i}_{r}.
+
+    No pivoting is safe here: the systems are ridge-regularized normal
+    equations (SPD). Validated against LAPACK np.linalg.solve on the
+    real sf0.001/sf0.01 sufficient statistics: max relative coefficient
+    difference ~8e-15, prediction difference ~1e-9 absolute on ~6e4
+    scale — far below the 2dp rounding both sides apply."""
+    ctes = []
+    # live[i][j] / rhs[i][r] track which CTE column currently holds the value
+    prev = src
+    for t in range(k - 1):
+        cols = []
+        # rows <= t frozen (needed for back-substitution)
+        for i in range(t + 1):
+            for j in range(i, k):
+                cols.append(f"a_{i}_{j}")
+            for r in range(nrhs):
+                cols.append(f"b_{i}_{r}")
+        # rows > t: eliminate column t
+        for i in range(t + 1, k):
+            for j in range(t + 1, k):
+                cols.append(f"a_{i}_{j} - a_{i}_{t} / a_{t}_{t} * a_{t}_{j} AS a_{i}_{j}")
+            for r in range(nrhs):
+                cols.append(f"b_{i}_{r} - a_{i}_{t} / a_{t}_{t} * b_{t}_{r} AS b_{i}_{r}")
+        ctes.append(f"{prefix}ge{t} AS (SELECT {', '.join(cols)} FROM {prev})")
+        prev = f"{prefix}ge{t}"
+    for i in range(k - 1, -1, -1):
+        cols = ["*"]
+        for r in range(nrhs):
+            terms = "".join(f" - a_{i}_{j} * w_{j}_{r}" for j in range(i + 1, k))
+            cols.append(f"(b_{i}_{r}{terms}) / a_{i}_{i} AS w_{i}_{r}")
+        ctes.append(f"{prefix}bs{i} AS (SELECT {', '.join(cols)} FROM {prev})")
+        prev = f"{prefix}bs{i}"
+    ctes.append(f"{prefix}wsol AS (SELECT * FROM {prev})")
+    return ",\n    ".join(ctes)
+
+
+
+
 @register(
     "naive_forecast",
     PANEL_CTE + ", " + _FREQ_CTE.format(h=7) + """
@@ -2423,14 +2467,87 @@ def q_enkf(spark, sf_dir):
     )
 
 
-@register("permutation_importance")  # rows-only: seeded column shuffles
+def _perm_importance_oracle(n_repeats: int = 3, seed: int = 42) -> str:
+    """permutation_importance oracle: the md5-rank permutations are
+    rebuilt row-for-row in SQL (evaluation.py _hash_permutation — the
+    row whose hash ranks j-th sends its value to row j), the ridge fit
+    is the 3x3 normal-equation solve, and importance/std aggregate the
+    per-repeat MAE degradations. Rounded 6dp both sides."""
+    feats = ["LAG(y, 1) OVER w", "LAG(y, 7) OVER w"]
+    d = len(feats)
+    k = d + 1
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):
+            ridge = " + 1e-6" if i == j else ""
+            aggs.append(f"SUM(f{i} * f{j}){ridge} AS a_{i}_{j}")
+        aggs.append(f"SUM(f{i}) AS a_{i}_{d}")
+        aggs.append(f"SUM(f{i} * yt) AS b_{i}_0")
+    aggs.append(f"CAST(COUNT(*) AS DOUBLE) AS a_{d}_{d}")
+    aggs.append(f"SUM(yt) AS b_{d}_0")
+    mirror = ["*"] + [f"a_{i}_{j} AS a_{j}_{i}"
+                      for i in range(k) for j in range(i + 1, k)]
+    perms, maes = [], []
+    for i in range(d):
+        for r in range(n_repeats):
+            perms.append(
+                f"p_{i}_{r} AS (SELECT ROW_NUMBER() OVER "
+                f"(ORDER BY md5('{seed}:{i}:{r}:' || CAST(rn AS VARCHAR))) AS rn, "
+                f"f{i} AS val FROM rows)")
+            terms = " + ".join(
+                f"p.val * c.w_{i}_0" if ii == i else f"r.f{ii} * c.w_{ii}_0"
+                for ii in range(d))
+            maes.append(
+                f"m_{i}_{r} AS (SELECT AVG(ABS({terms} + c.w_{d}_0 - r.yt)) AS mae "
+                f"FROM rows r JOIN p_{i}_{r} p ON p.rn = r.rn CROSS JOIN wsol c)")
+    degr_cols = ", ".join(
+        f"(SELECT mae FROM m_{i}_{r}) - (SELECT mae FROM base_mae) AS d_{i}_{r}"
+        for i in range(d) for r in range(n_repeats))
+    outs = []
+    for i, name in enumerate(["y_lag_1", "y_lag_7"]):
+        mean = f"(({' + '.join(f'd_{i}_{r}' for r in range(n_repeats))}) / {n_repeats})"
+        var = f"(({' + '.join(f'pow(d_{i}_{r} - {mean}, 2)' for r in range(n_repeats))}) / {n_repeats})"
+        outs.append(
+            f"SELECT '{name}' AS feature, ROUND({mean}, 6) AS importance, "
+            f"ROUND(sqrt({var}), 6) AS std FROM degr")
+    return (
+        PANEL_CTE + f""",
+    rows AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY unique_id, ds) AS rn, yt,
+               {', '.join(f'f{i}' for i in range(d))}
+        FROM (
+            SELECT unique_id, ds, y AS yt,
+                   {', '.join(f'{e} AS f{i}' for i, e in enumerate(feats))}
+            FROM panel
+            WINDOW w AS (PARTITION BY unique_id ORDER BY ds)
+        ) WHERE {' AND '.join(f'f{i} IS NOT NULL' for i in range(d))}
+    ),
+    nmu AS (SELECT {', '.join(aggs)} FROM rows),
+    nm AS (SELECT {', '.join(mirror)} FROM nmu),
+    {_gauss_solve_ctes(k, 1, 'nm')},
+    base_mae AS (
+        SELECT AVG(ABS({' + '.join(f'r.f{i} * c.w_{i}_0' for i in range(d))}
+                       + c.w_{d}_0 - r.yt)) AS mae
+        FROM rows r CROSS JOIN wsol c
+    ),
+    {', '.join(perms)},
+    {', '.join(maes)},
+    degr AS (SELECT {degr_cols})
+    {' UNION ALL '.join(outs)}
+    """)
+
+
+@register("permutation_importance", _perm_importance_oracle())
 def q_perm_importance(spark, sf_dir):
     from polars_ts_spark.functions.numutils import RidgeEstimator
     from polars_ts_spark.operators import evaluation, features
     panel = features.lag_features(supplier_daily_panel(spark, sf_dir), [1, 7])
     pdf = evaluation.permutation_importance(
-        panel, ["y_lag_1", "y_lag_7"], "y", RidgeEstimator(), n_repeats=3
+        panel, ["y_lag_1", "y_lag_7"], "y", RidgeEstimator(), n_repeats=3,
+        order_cols=["unique_id", "ds"],
     )
+    pdf["importance"] = pdf["importance"].round(6)
+    pdf["std"] = pdf["std"].round(6)
     return spark.createDataFrame(pdf)
 
 
@@ -2828,11 +2945,85 @@ def q_bias_correct(spark, sf_dir):
     return evaluation.bias_correct(calib)
 
 
-@register("recursive_forecast")  # fitted-model decode: rows-only
+def _recursive_calendar_oracle() -> str:
+    """RecursiveForecaster(lags=[1,7], calendar=True) oracle: ridge over
+    8 features (2 lags + 6 calendar parts) + intercept = a 9x9 normal
+    equation solved by the unrolled Gaussian elimination, then the
+    h-step decode as a recursive CTE that recomputes the calendar parts
+    at each forecast timestamp (pipeline.py _np_calendar semantics,
+    Monday-first isodow). Rounded 2dp on both sides."""
+    h = 7
+    feats = ["LAG(y, 1) OVER w", "LAG(y, 7) OVER w",
+             "CAST(isodow(ds) AS DOUBLE)", "CAST(day(ds) AS DOUBLE)",
+             "CAST(month(ds) AS DOUBLE)", "CAST(quarter(ds) AS DOUBLE)",
+             "CAST(year(ds) AS DOUBLE)",
+             "CASE WHEN isodow(ds) IN (6, 7) THEN 1.0 ELSE 0.0 END"]
+    d = len(feats)
+    k = d + 1
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):
+            ridge = " + 1e-6" if i == j else ""
+            aggs.append(f"SUM(f{i} * f{j}){ridge} AS a_{i}_{j}")
+        aggs.append(f"SUM(f{i}) AS a_{i}_{d}")
+        aggs.append(f"SUM(f{i} * yt) AS b_{i}_0")
+    aggs.append(f"CAST(COUNT(*) AS DOUBLE) AS a_{d}_{d}")
+    aggs.append(f"SUM(yt) AS b_{d}_0")
+    mirror = ["*"] + [f"a_{i}_{j} AS a_{j}_{i}"
+                      for i in range(k) for j in range(i + 1, k)]
+    # decode-step features from the step timestamp ts_n; lag1 is the
+    # rolling tail's last slot, lag7 its first (7-element ring buffer)
+    step_feats = ["d.tail[7]", "d.tail[1]",
+                  "CAST(isodow(ts_n) AS DOUBLE)", "CAST(day(ts_n) AS DOUBLE)",
+                  "CAST(month(ts_n) AS DOUBLE)", "CAST(quarter(ts_n) AS DOUBLE)",
+                  "CAST(year(ts_n) AS DOUBLE)",
+                  "CASE WHEN isodow(ts_n) IN (6, 7) THEN 1.0 ELSE 0.0 END"]
+    pred = " + ".join(f"{e} * c.w_{i}_0" for i, e in enumerate(step_feats))
+    pred = f"{pred} + c.w_{d}_0"
+    return (
+        PANEL_CTE.replace("WITH", "WITH RECURSIVE", 1) + ", "
+        + _FREQ_CTE.format(h=h) + f""",
+    feats AS (
+        SELECT y AS yt, {', '.join(f'{e} AS f{i}' for i, e in enumerate(feats))}
+        FROM panel
+        WINDOW w AS (PARTITION BY unique_id ORDER BY ds)
+    ),
+    nmu AS (SELECT {', '.join(aggs)} FROM feats WHERE f0 IS NOT NULL AND f1 IS NOT NULL),
+    nm AS (SELECT {', '.join(mirror)} FROM nmu),
+    {_gauss_solve_ctes(k, 1, 'nm')},
+    tails AS (
+        SELECT unique_id, list(y ORDER BY ds)[-7:] AS tail
+        FROM panel GROUP BY 1
+    ),
+    dec AS (
+        SELECT unique_id, 0 AS step, tail FROM tails
+        UNION ALL
+        SELECT d.unique_id, d.step + 1,
+               list_append(d.tail[2:], ({pred}))
+        FROM (
+            SELECT d.*, g.last_ts + INTERVAL '1 second' * ((d.step + 1) * f.freq_s) AS ts_n
+            FROM dec d
+            JOIN g ON d.unique_id = g.unique_id
+            JOIN freq f ON d.unique_id = f.unique_id
+        ) d CROSS JOIN wsol c
+        WHERE d.step < {h}
+    )
+    SELECT d.unique_id,
+           g.last_ts + INTERVAL '1 second' * (d.step * f.freq_s) AS ds,
+           ROUND(d.tail[7], 2) AS y_hat
+    FROM dec d
+    JOIN g ON d.unique_id = g.unique_id
+    JOIN freq f ON d.unique_id = f.unique_id
+    WHERE d.step >= 1
+    """)
+
+
+@register("recursive_forecast", _recursive_calendar_oracle())
 def q_recursive_forecast(spark, sf_dir):
     from polars_ts_spark.operators.pipeline import RecursiveForecaster
     panel = supplier_daily_panel(spark, sf_dir)
-    return RecursiveForecaster(lags=[1, 7], calendar=True).fit(panel).predict(panel, h=7)
+    out = RecursiveForecaster(lags=[1, 7], calendar=True).fit(panel).predict(panel, h=7)
+    return out.select("unique_id", "ds", F.round("y_hat", 2).alias("y_hat"))
 
 
 # The lags-only RecursiveForecaster IS oracle-expressible: the global
@@ -3469,14 +3660,79 @@ def q_dec_cluster(spark, sf_dir):
     )
 
 
-@register("window_model_forecast")  # fitted-model decode: rows-only
+def _window_ridge_oracle(d: int, h: int, alpha: float = 1.0) -> str:
+    """RidgeWindowForecaster oracle: rebuild the sufficient statistics
+    (X'X over all sliding (d -> h) windows, intercept column appended)
+    with list indexing over per-series value arrays, solve the
+    (d+1) x (d+1) ridge system for all h horizons via the unrolled
+    Gaussian elimination above, and decode each series' zero-padded
+    final context through the weight matrix. Matches deep.py
+    build_training_windows / RidgeWindowForecaster.fit / batch_forecast
+    (ref dl/nbeats.py:283-289 padding semantics)."""
+    k = d + 1
+    # sufficient statistics over training windows (st is 1-based)
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):
+            ridge = f" + {alpha!r}" if i == j else ""
+            aggs.append(f"SUM(v[st+{i}] * v[st+{j}]){ridge} AS a_{i}_{j}")
+        aggs.append(f"SUM(v[st+{i}]) AS a_{i}_{d}")
+        for r in range(h):
+            aggs.append(f"SUM(v[st+{i}] * v[st+{d}+{r}]) AS b_{i}_{r}")
+    aggs.append(f"CAST(COUNT(*) AS DOUBLE) AS a_{d}_{d}")
+    for r in range(h):
+        aggs.append(f"SUM(v[st+{d}+{r}]) AS b_{d}_{r}")
+    # mirror the upper triangle so the solver sees the full square
+    mirror = ["*"] + [f"a_{i}_{j} AS a_{j}_{i}"
+                      for i in range(k) for j in range(i + 1, k)]
+    # zero-padded final context (batch_forecast: ctx[-min(n,d):] = y[-d:])
+    ctx = [f"CASE WHEN n - {d} + {i} + 1 >= 1 THEN v[n - {d} + {i} + 1] "
+           f"ELSE 0.0 END" for i in range(d)]
+    preds = []
+    for r in range(h):
+        dot = " + ".join(f"c.ctx_{i} * w.w_{i}_{r}" for i in range(d))
+        preds.append(f"ROUND({dot} + w.w_{d}_{r}, 2) AS y_hat_{r}")
+    return (
+        PANEL_CTE + ", " + _FREQ_CTE.format(h=h) + f""",
+    series AS (
+        SELECT unique_id, list(y ORDER BY ds) AS v, COUNT(*) AS n
+        FROM panel GROUP BY 1
+    ),
+    wins AS (
+        SELECT unique_id, v, UNNEST(generate_series(1, n - {d + h - 1})) AS st
+        FROM series WHERE n >= {d + h}
+    ),
+    nmu AS (SELECT {', '.join(aggs)} FROM wins),
+    nm AS (SELECT {', '.join(mirror)} FROM nmu),
+    {_gauss_solve_ctes(k, h, 'nm')},
+    ctx AS (
+        SELECT unique_id, n, {', '.join(f'{c} AS ctx_{i}' for i, c in enumerate(ctx))}
+        FROM series
+    ),
+    yhat AS (
+        SELECT c.unique_id, {', '.join(preds)}
+        FROM ctx c CROSS JOIN wsol w
+    )
+    SELECT y.unique_id,
+           g.last_ts + INTERVAL '1 second' * (s.step * f.freq_s) AS ds,
+           CASE s.step {' '.join(f'WHEN {r + 1} THEN y.y_hat_{r}' for r in range(h))} END AS y_hat
+    FROM yhat y
+    CROSS JOIN steps s
+    JOIN g ON y.unique_id = g.unique_id
+    JOIN freq f ON y.unique_id = f.unique_id
+    """)
+
+
+@register("window_model_forecast", _window_ridge_oracle(14, 7))
 def q_window_model_forecast(spark, sf_dir):
     """The DL-forecaster plumbing (window assembly + batched inference
     hook) with the torch-free closed-form window model (ref dl/nbeats.py
-    predict loop; torch nets plug into the same batch_forecast)."""
+    predict loop; torch nets plug into the same batch_forecast). Oracle:
+    same ridge system solved by unrolled Gaussian elimination in SQL."""
     from polars_ts_spark.operators.deep import RidgeWindowForecaster
     panel = supplier_daily_panel(spark, sf_dir)
-    return RidgeWindowForecaster(h=7, input_size=14).fit(panel).predict(panel)
+    out = RidgeWindowForecaster(h=7, input_size=14).fit(panel).predict(panel)
+    return out.select("unique_id", "ds", F.round("y_hat", 2).alias("y_hat"))
 
 
 @register("sarima_forecast")  # CSS + Nelder-Mead: rows-only
@@ -3752,10 +4008,54 @@ def q_gasf(spark, sf_dir):
     )
 
 
-@register("scalogram_image")  # CWT kernel: rows-only
+# The Morlet CWT is a finite deterministic computation: geomspace
+# scales b^(k/15), wavelet support M = clamp(10*ceil(s), 1, n), and the
+# 'same'-mode convolution slice reduce (imaging.py scalogram) to
+# coeff[i][t] = | sum_j x[j] * conj(w[tm]) | with tm = j - t,
+# j in [t - (M - M//2), t + M//2] ∩ [0, n). The oracle writes that sum
+# with cos/sin for the complex parts; 2dp rounding on both sides
+# absorbs convolution-order ulps.
+_SCALOGRAM_ORACLE = _MONTHLY_CTE + """,
+    series AS (
+        SELECT unique_id, list(y ORDER BY ds) AS v, COUNT(*) AS n
+        FROM monthly GROUP BY 1
+    ),
+    sc AS (
+        SELECT unique_id, v, n, k AS i,
+               POW(GREATEST(n // 4, 2), k / 15.0) AS s,
+               GREATEST(LEAST(10 * CAST(CEIL(POW(GREATEST(n // 4, 2), k / 15.0)) AS BIGINT), n), 1) AS M
+        FROM series, (SELECT UNNEST(generate_series(0, 15)) AS k)
+    ),
+    ts AS (SELECT *, UNNEST(generate_series(0, n - 1)) AS t FROM sc),
+    js AS (
+        SELECT *, UNNEST(generate_series(GREATEST(0, t - (M - M // 2)),
+                                         LEAST(n - 1, t + M // 2))) AS j
+        FROM ts
+    ),
+    terms AS (
+        SELECT unique_id, i, t,
+               v[j + 1] * COS(5.0 * (j - t) / s)
+                        * EXP(-0.5 * POW((j - t) / s, 2)) AS re_t,
+               -v[j + 1] * SIN(5.0 * (j - t) / s)
+                         * EXP(-0.5 * POW((j - t) / s, 2)) AS im_t
+        FROM js
+    )
+    SELECT unique_id, i, t AS j,
+           ROUND(SQRT(POW(SUM(re_t) * PI() ** -0.25, 2)
+                      + POW(SUM(im_t) * PI() ** -0.25, 2)), 2) AS pix
+    FROM terms GROUP BY 1, 2, 3
+    """
+
+
+@register("scalogram_image", _SCALOGRAM_ORACLE)
 def q_scalogram(spark, sf_dir):
     from polars_ts_spark.operators import imaging
-    return imaging.series_to_image(_monthly_panel(spark, sf_dir), "scalogram", n_scales=16)
+    img = imaging.series_to_image(_monthly_panel(spark, sf_dir), "scalogram", n_scales=16)
+    return (
+        img.select("unique_id", F.posexplode("image").alias("i", "__row"))
+        .select("unique_id", "i", F.posexplode("__row").alias("j", "pix"))
+        .withColumn("pix", F.round("pix", 2))
+    )
 
 
 def _vision_embed_oracle(dim: int) -> str:
@@ -4036,7 +4336,65 @@ def q_scum(spark, sf_dir):
     return theta.scum_forecast(_monthly_panel(spark, sf_dir), h=6)
 
 
-@register("kaboudan_metric")  # rows-only
+_KABOUDAN_ORACLE = PANEL_CTE + """,
+    tcut AS (
+        SELECT ds AS cut FROM (
+            SELECT ds, ROW_NUMBER() OVER (ORDER BY ds) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM (SELECT DISTINCT ds FROM panel)
+        ) WHERE rn = cnt - 7
+    ),
+    train AS (SELECT p.* FROM panel p, tcut t WHERE p.ds <= t.cut),
+    test  AS (SELECT p.* FROM panel p, tcut t WHERE p.ds > t.cut),
+    freq AS (
+        SELECT unique_id,
+               CAST(CASE WHEN COUNT(d) = 0 THEN 86400 ELSE MEDIAN(d) END AS BIGINT) AS freq_s
+        FROM (
+            SELECT unique_id,
+                   epoch(ds) - epoch(LAG(ds) OVER (PARTITION BY unique_id ORDER BY ds)) AS d
+            FROM train
+        ) GROUP BY 1
+    ),
+    steps AS (SELECT UNNEST(generate_series(1, 7)) AS step),
+    g AS (
+        SELECT unique_id, max_by(y, ds) AS last_y, MAX(ds) AS last_ts,
+               list(y ORDER BY ds) AS v, COUNT(*) AS n
+        FROM train GROUP BY 1
+    ),
+    -- the md5-rank block permutation places the block with the LARGEST
+    -- hash last; the naive model only sees its final element
+    bmax AS (
+        SELECT unique_id,
+               arg_max(b, md5('42:' || unique_id || ':' || CAST(b AS VARCHAR))) AS bm
+        FROM (
+            SELECT unique_id,
+                   UNNEST(generate_series(1, CAST(CEIL(n / 7.0) AS BIGINT))) AS b
+            FROM g
+        ) GROUP BY 1
+    ),
+    preds AS (
+        SELECT g.unique_id,
+               g.last_ts + INTERVAL '1 second' * (s.step * f.freq_s) AS ds,
+               g.last_y,
+               g.v[CAST(LEAST(b.bm * 7, g.n) AS BIGINT)] AS last_sh
+        FROM g
+        JOIN freq f ON g.unique_id = f.unique_id
+        JOIN bmax b ON g.unique_id = b.unique_id
+        CROSS JOIN steps s
+    ),
+    sse AS (
+        SELECT t.unique_id,
+               SUM(pow(t.y - p.last_y, 2)) AS sse,
+               SUM(pow(t.y - p.last_sh, 2)) AS sse_sh
+        FROM test t
+        JOIN preds p ON p.unique_id = t.unique_id AND p.ds = t.ds
+        GROUP BY 1
+    )
+    SELECT unique_id, GREATEST(0.0, 1.0 - sse / sse_sh) AS kaboudan FROM sse
+    """
+
+
+@register("kaboudan_metric", _KABOUDAN_ORACLE)
 def q_kaboudan(spark, sf_dir):
     from polars_ts_spark.operators import evaluation
 
@@ -4047,13 +4405,145 @@ def q_kaboudan(spark, sf_dir):
     return spark.createDataFrame(evaluation.kaboudan_metric(panel, model, horizon=7))
 
 
-@register("enbpi_interval")  # bootstrap ensemble: rows-only
+def _enbpi_oracle(B: int = 3, holdout: int = 7, h: int = 7,
+                  coverage: float = 0.9, seed: int = 42) -> str:
+    """EnbPI oracle: the md5 bootstrap draws (evaluation._hash_choice)
+    pick each bootstrap's time set in SQL; per bootstrap the lags-[1,7]
+    ridge fit is a 3x3 solve over the SAMPLE's lag features and the
+    7-step recursive decode runs once over the sample (for OOB
+    residuals) and once over the full panel (for the intervals); the
+    conformal quantile replicates the k = ceil(cov*(n+1))-1 order
+    statistic. Rounded 2dp both sides."""
+    per_b = []
+    for b in range(B):
+        sums = []
+        for i, f in enumerate(["f0", "f1"]):
+            for j, f2 in (("0", "f0"), ("1", "f1"))[i:]:
+                ridge = " + 1e-6" if str(i) == j else ""
+                sums.append(f"SUM({f} * {f2}){ridge} AS a_{i}_{j}")
+            sums.append(f"SUM({f}) AS a_{i}_2")
+            sums.append(f"SUM({f} * yt) AS b_{i}_0")
+        sums.append("CAST(COUNT(*) AS DOUBLE) AS a_2_2")
+        sums.append("SUM(yt) AS b_2_0")
+        mirror = ["*"] + [f"a_{i}_{j} AS a_{j}_{i}" for i in range(3) for j in range(i + 1, 3)]
+        per_b.append(f"""
+    keep{b} AS (
+        SELECT DISTINCT (('0x' || substr(md5('{seed}:{b}:' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % n) AS i
+        FROM (SELECT UNNEST(generate_series(1, (SELECT MAX(n) FROM traintimes))) AS d,
+                     (SELECT MAX(n) FROM traintimes) AS n)
+    ),
+    sample{b} AS (
+        SELECT tr.* FROM train tr
+        JOIN traintimes tt ON tr.ds = tt.ds
+        JOIN keep{b} k ON tt.i = k.i
+    ),
+    feats{b} AS (
+        SELECT y AS yt, LAG(y, 1) OVER w{b} AS f0, LAG(y, 7) OVER w{b} AS f1
+        FROM sample{b}
+        WINDOW w{b} AS (PARTITION BY unique_id ORDER BY ds)
+    ),
+    nmu{b} AS (SELECT {', '.join(sums)} FROM feats{b}
+               WHERE f0 IS NOT NULL AND f1 IS NOT NULL),
+    nm{b} AS (SELECT {', '.join(mirror)} FROM nmu{b}),
+    {_gauss_solve_ctes(3, 1, f'nm{b}', prefix=f's{b}')},
+    sfreq{b} AS (
+        SELECT unique_id, CAST(CASE WHEN COUNT(d) = 0 THEN 86400 ELSE MEDIAN(d) END AS BIGINT) AS freq_s
+        FROM (SELECT unique_id,
+                     epoch(ds) - epoch(LAG(ds) OVER (PARTITION BY unique_id ORDER BY ds)) AS d
+              FROM sample{b}) GROUP BY 1
+    ),
+    sg{b} AS (SELECT unique_id, MAX(ds) AS last_ts, list(y ORDER BY ds)[-7:] AS tail
+              FROM sample{b} GROUP BY 1),
+    sdec{b} AS (
+        SELECT unique_id, 0 AS step, tail FROM sg{b}
+        UNION ALL
+        SELECT d.unique_id, d.step + 1,
+               list_append(d.tail[2:], (d.tail[7] * c.w_0_0 + d.tail[1] * c.w_1_0) + c.w_2_0)
+        FROM sdec{b} d CROSS JOIN s{b}wsol c WHERE d.step < {holdout}
+    ),
+    sp{b} AS (
+        SELECT d.unique_id, g.last_ts + INTERVAL '1 second' * (d.step * f.freq_s) AS ds,
+               d.tail[7] AS p
+        FROM sdec{b} d
+        JOIN sg{b} g ON d.unique_id = g.unique_id
+        JOIN sfreq{b} f ON d.unique_id = f.unique_id
+        WHERE d.step >= 1
+    ),
+    pdec{b} AS (
+        SELECT unique_id, 0 AS step, tail FROM ptails
+        UNION ALL
+        SELECT d.unique_id, d.step + 1,
+               list_append(d.tail[2:], (d.tail[7] * c.w_0_0 + d.tail[1] * c.w_1_0) + c.w_2_0)
+        FROM pdec{b} d CROSS JOIN s{b}wsol c WHERE d.step < {h}
+    ),
+    pp{b} AS (SELECT unique_id, step, tail[7] AS p FROM pdec{b} WHERE step >= 1)""")
+    nn = " + ".join(f"(CASE WHEN p{b}.p IS NOT NULL THEN 1 ELSE 0 END)" for b in range(B))
+    psum = " + ".join(f"COALESCE(p{b}.p, 0)" for b in range(B))
+    sp_joins = "\n        ".join(
+        f"LEFT JOIN sp{b} p{b} ON p{b}.unique_id = t.unique_id AND p{b}.ds = t.ds"
+        for b in range(B))
+    pp_joins = "\n        ".join(
+        f"JOIN pp{b} q{b} ON q{b}.unique_id = q0.unique_id AND q{b}.step = q0.step"
+        for b in range(1, B))
+    pmean = "(" + " + ".join(f"q{b}.p" for b in range(B)) + f") / {B}"
+    return (
+        PANEL_CTE.replace("WITH", "WITH RECURSIVE", 1) + f""",
+    alltimes AS (
+        SELECT ds, ROW_NUMBER() OVER (ORDER BY ds) AS rn, COUNT(*) OVER () AS cnt
+        FROM (SELECT DISTINCT ds FROM panel)
+    ),
+    tcut AS (SELECT ds AS cut FROM alltimes WHERE rn = cnt - {holdout}),
+    train AS (SELECT p.* FROM panel p, tcut t WHERE p.ds <= t.cut),
+    test  AS (SELECT p.* FROM panel p, tcut t WHERE p.ds > t.cut),
+    traintimes AS (
+        SELECT ds, ROW_NUMBER() OVER (ORDER BY ds) - 1 AS i, COUNT(*) OVER () AS n
+        FROM (SELECT DISTINCT ds FROM train)
+    ),
+    ptails AS (SELECT unique_id, list(y ORDER BY ds)[-7:] AS tail FROM panel GROUP BY 1),
+    pfreq AS (
+        SELECT unique_id, CAST(CASE WHEN COUNT(d) = 0 THEN 86400 ELSE MEDIAN(d) END AS BIGINT) AS freq_s
+        FROM (SELECT unique_id,
+                     epoch(ds) - epoch(LAG(ds) OVER (PARTITION BY unique_id ORDER BY ds)) AS d
+              FROM panel) GROUP BY 1
+    ),
+    pg AS (SELECT unique_id, MAX(ds) AS last_ts FROM panel GROUP BY 1),
+    {','.join(per_b)},
+    res AS (
+        SELECT ABS(t.y - ({psum}) / NULLIF({nn}, 0)) AS r
+        FROM test t
+        {sp_joins}
+        WHERE {nn} > 0
+    ),
+    qv AS (
+        SELECT r AS q FROM (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn, COUNT(*) OVER () AS c
+            FROM res
+        ) WHERE rn - 1 = GREATEST(0, LEAST(c - 1, CAST(CEIL({coverage!r} * (c + 1)) AS BIGINT) - 1))
+    )
+    SELECT q0.unique_id,
+           g.last_ts + INTERVAL '1 second' * (q0.step * f.freq_s) AS ds,
+           ROUND({pmean}, 2) AS y_hat,
+           ROUND({pmean} - (SELECT q FROM qv), 2) AS y_hat_lower,
+           ROUND({pmean} + (SELECT q FROM qv), 2) AS y_hat_upper
+    FROM pp0 q0
+        {pp_joins}
+    JOIN pg g ON q0.unique_id = g.unique_id
+    JOIN pfreq f ON q0.unique_id = f.unique_id
+    """)
+
+
+@register("enbpi_interval", _enbpi_oracle())
 def q_enbpi(spark, sf_dir):
     from polars_ts_spark.operators import evaluation
     from polars_ts_spark.operators.pipeline import RecursiveForecaster
     panel = supplier_daily_panel(spark, sf_dir)
     m = evaluation.EnbPI(lambda: RecursiveForecaster(lags=[1, 7]), n_bootstraps=3).fit(panel, holdout=7)
-    return m.predict_interval(panel, h=7)
+    out = m.predict_interval(panel, h=7)
+    return out.select(
+        "unique_id", "ds", F.round("y_hat", 2).alias("y_hat"),
+        F.round("y_hat_lower", 2).alias("y_hat_lower"),
+        F.round("y_hat_upper", 2).alias("y_hat_upper"),
+    )
 
 
 # US holiday rules in pure SQL: fixed dates + nth-weekday windows
