@@ -40,7 +40,10 @@ def synthetic_control_weights(
     X = np.asarray(donors_pre, float)  # (T_pre, n_donors)
     n = X.shape[1]
     w = np.full(n, 1.0 / n)
-    L = np.linalg.norm(X, 2) ** 2 or 1.0
+    # Frobenius bound on the Lipschitz constant (>= spectral-norm^2,
+    # so 1/L is still a descent step); unlike an SVD it is a plain
+    # sum of squares, which the DuckDB oracle recomputes exactly
+    L = float((X ** 2).sum()) or 1.0
     lr = lr or 1.0 / L
     for _ in range(n_iter):
         grad = X.T @ (X @ w - y)

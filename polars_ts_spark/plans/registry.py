@@ -3872,14 +3872,105 @@ def q_minirocket(spark, sf_dir):
     return wide.selectExpr("unique_id", f"stack({n}, {stack}) AS (k, ppv)")
 
 
-@register("synthetic_control")
+def _synth_control_oracle(n_donors: int = 10, n_iter: int = 2000) -> str:
+    """synthetic_control oracle: the projected-gradient iteration
+    (causal.py synthetic_control_weights — Frobenius-bound step, exact
+    simplex projection) replayed as a recursive CTE over the donor
+    weight list. Projection: sort desc, cumulative sums, rho = last
+    index with u_j*j > cumsum_j - 1, theta = (cumsum_rho - 1)/rho.
+    The iteration map is non-expansive (step <= 1/L, Euclidean
+    projection), so engine ulp differences in the panel damp instead of
+    compounding; 2dp rounding on both sides."""
+    n1 = n_donors + 1
+    idx = "[" + ", ".join(str(k) for k in range(1, n_donors + 1)) + "]"
+    return """
+WITH RECURSIVE daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM daily_cents GROUP BY 1, 2
+    )""" + f""",
+    ids11 AS (
+        SELECT unique_id, ROW_NUMBER() OVER (ORDER BY unique_id) AS ridx
+        FROM (SELECT DISTINCT unique_id FROM monthly)
+        QUALIFY ridx <= {n1}
+    ),
+    sub AS (SELECT m.ds, m.y, i.ridx FROM monthly m JOIN ids11 i ON m.unique_id = i.unique_id),
+    fullts AS (SELECT ds FROM sub GROUP BY ds HAVING COUNT(*) = {n1}),
+    alltimes AS (
+        SELECT ds, ROW_NUMBER() OVER (ORDER BY ds) AS rn, COUNT(*) OVER () AS cnt
+        FROM (SELECT DISTINCT ds FROM sub)
+    ),
+    cutt AS (SELECT ds AS cut FROM alltimes WHERE rn - 1 = CAST(FLOOR(cnt * 0.7) AS BIGINT)),
+    drows AS (
+        SELECT s.ds, list(s.y ORDER BY s.ridx) AS xr
+        FROM sub s JOIN fullts f ON s.ds = f.ds
+        WHERE s.ridx > 1 GROUP BY s.ds
+    ),
+    trows AS (
+        SELECT s.ds, s.y
+        FROM sub s JOIN fullts f ON s.ds = f.ds
+        WHERE s.ridx = 1
+    ),
+    const AS (
+        SELECT (SELECT list(xr ORDER BY ds) FROM drows, cutt WHERE ds < cut) AS XL,
+               (SELECT list(y ORDER BY ds) FROM trows, cutt WHERE ds < cut) AS YL,
+               1.0 / (SELECT SUM(yy) FROM (
+                   SELECT UNNEST(xr) ** 2 AS yy FROM drows, cutt WHERE ds < cut)) AS lr,
+               {idx} AS ii
+    ),
+    itr AS (
+        SELECT 0 AS it, list_transform({idx}, k -> 1.0 / {n_donors}) AS w
+        UNION ALL
+        SELECT it + 1, list_transform(v, x -> GREATEST(x - theta, 0.0)) AS w
+        FROM (
+            SELECT i.it,
+                   list_transform(c.XL, xr ->
+                       list_sum(list_transform(c.ii, k -> xr[k] * i.w[k]))) AS xw,
+                   list_transform(xw, (p, t) -> p - c.YL[t]) AS rvec,
+                   list_transform(c.ii, k ->
+                       list_sum(list_transform(rvec, (r, t) -> c.XL[t][k] * r))) AS grad,
+                   list_transform(c.ii, k -> i.w[k] - c.lr * grad[k]) AS v,
+                   list_sort(v, 'DESC') AS u,
+                   list_transform(c.ii, j -> list_sum(list_slice(u, 1, j)) - 1.0) AS css,
+                   list_max(list_transform(c.ii, j ->
+                       CASE WHEN u[j] * j > css[j] THEN j ELSE 0 END)) AS rho,
+                   css[rho] / rho AS theta
+            FROM itr i, const c WHERE i.it < {n_iter}
+        )
+    ),
+    fin AS (SELECT w FROM itr WHERE it = {n_iter})
+    SELECT d.ds,
+           FLOOR(t.y * 100 + 0.5) / 100 AS actual,
+           FLOOR(list_sum(list_transform(c.ii, k -> d.xr[k] * f.w[k])) * 100 + 0.5) / 100 AS counterfactual,
+           FLOOR((t.y - list_sum(list_transform(c.ii, k -> d.xr[k] * f.w[k]))) * 100 + 0.5) / 100 AS effect,
+           CASE WHEN d.ds < ct.cut THEN 'pre' ELSE 'post' END AS period
+    FROM drows d
+    JOIN trows t ON d.ds = t.ds
+    CROSS JOIN fin f CROSS JOIN const c CROSS JOIN cutt ct
+    """
+
+
+@register("synthetic_control", _synth_control_oracle(n_donors=5))
 def q_synth_control(spark, sf_dir):
+    import numpy as np
     from polars_ts_spark.operators import causal
-    panel = _monthly_panel(spark, sf_dir)
-    ids = sorted(r[0] for r in panel.select("unique_id").distinct().collect())
+    panel = _monthly_panel_exact(spark, sf_dir)
+    ids = sorted(r[0] for r in panel.select("unique_id").distinct().collect())[:6]
+    panel = panel.filter(F.col("unique_id").isin(ids))
     times = sorted(r[0] for r in panel.select("ds").distinct().collect())
     cut = times[int(len(times) * 0.7)]
     out = causal.synthetic_control(panel, ids[0], cut)
+    for c in ("actual", "counterfactual", "effect"):
+        # floor(100x+0.5)/100: same double ops as the oracle's FLOOR
+        # expression, so half-cent values can't round apart (pandas
+        # half-even vs DuckDB shortest-repr half-away would)
+        out[c] = np.floor(out[c] * 100 + 0.5) / 100
     return spark.createDataFrame(out)
 
 
