@@ -85,6 +85,21 @@ def test_torch_ports_guarded(spark):
     except ImportError:
         has_torch = False
     if has_torch:  # pragma: no cover - container has no torch
+        import numpy as np
+        import torch as _t
+
+        _t.manual_seed(0)
+        # planted linear trend: a trained N-BEATS (trend stack) must
+        # beat the naive last-value forecast (VERDICT r3 #6 criterion)
+        trend = make_panel(spark, {"T": [float(i) for i in range(80)]})
+        nbt = deep.NBEATSForecaster(h=4, input_size=16, n_stacks=1,
+                                    stack_types=["trend"], max_epochs=200)
+        nbt.fit(trend)
+        preds = np.array([r["y_hat"] for r in
+                          nbt.predict(trend).orderBy("ds").collect()])
+        truth = np.array([80.0, 81.0, 82.0, 83.0])
+        naive_mae = np.abs(truth - 79.0).mean()
+        assert np.abs(preds - truth).mean() < naive_mae
         nb.fit(df)
         assert nb.predict(df).count() == 2
     else:
