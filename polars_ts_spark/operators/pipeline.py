@@ -481,10 +481,22 @@ class QuantileRegressor:
 
     def _fit_quantile(self, X: np.ndarray, y: np.ndarray, q: float) -> np.ndarray:
         X1 = np.column_stack([X, np.ones(len(X))])
-        w = np.linalg.lstsq(X1, y, rcond=None)[0]
+        # normal-equation start rather than lstsq's SVD: identical for
+        # full-rank designs, and an engine-replicable solve — the IRLS
+        # weight map is discontinuous near r = 0, so the DuckDB oracle
+        # must start from the same point to stay on the same trajectory
+        w = np.linalg.solve(X1.T @ X1, X1.T @ y)
         for _ in range(self.n_irls):
             r = y - X1 @ w
-            wt = np.where(r >= 0, q, 1 - q) / np.maximum(np.abs(r), 1e-6)
+            # grid-quantized weights (floor(1000r+0.5)/1000, floor 1e-3):
+            # the raw 1/max(|r|,1e-6) map is discontinuous at r = 0, so
+            # engine ulp differences in r flip tail weights by (1-q)/q
+            # and the trajectories diverge chaotically; on the grid the
+            # weight is locally constant in r, so sub-grid float noise
+            # cannot move it. Statistically this is epsilon-smoothing at
+            # 1e-3 on a 1e4-scale target — negligible.
+            rc = np.floor(r * 1000 + 0.5) / 1000
+            wt = np.where(rc >= 0, q, 1 - q) / np.maximum(np.abs(rc), 1e-3)
             A = X1.T @ (wt[:, None] * X1)
             w = np.linalg.solve(A + 1e-8 * np.eye(X1.shape[1]), X1.T @ (wt * y))
         return w

@@ -3165,14 +3165,172 @@ def q_direct_forecast_linear(spark, sf_dir):
     return out.select("unique_id", "ds", F.round("y_hat", 2).alias("y_hat"))
 
 
-@register("direct_forecast")  # rows-only
+def _direct_calendar_oracle(h: int = 7) -> str:
+    """DirectForecaster(lags=[1,7], calendar=True) oracle: h independent
+    9x9 ridge solves (one per horizon step, target led by step-1 rows),
+    each applied to the final-history lags with the calendar parts of
+    that step's forecast timestamp (pipeline.py DirectForecaster).
+    Rounded 2dp both sides."""
+    cal_tr = ["CAST(isodow(ds) AS DOUBLE)", "CAST(day(ds) AS DOUBLE)",
+              "CAST(month(ds) AS DOUBLE)", "CAST(quarter(ds) AS DOUBLE)",
+              "CAST(year(ds) AS DOUBLE)",
+              "CASE WHEN isodow(ds) IN (6, 7) THEN 1.0 ELSE 0.0 END"]
+    d = 8
+    k = d + 1
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):
+            ridge = " + 1e-6" if i == j else ""
+            aggs.append(f"SUM(f{i} * f{j}){ridge} AS a_{i}_{j}")
+        aggs.append(f"SUM(f{i}) AS a_{i}_{d}")
+        aggs.append(f"SUM(f{i} * tgt) AS b_{i}_0")
+    aggs.append(f"CAST(COUNT(*) AS DOUBLE) AS a_{d}_{d}")
+    aggs.append(f"SUM(tgt) AS b_{d}_0")
+    mirror = ["*"] + [f"a_{i}_{j} AS a_{j}_{i}" for i in range(k) for j in range(i + 1, k)]
+    chains, picks = [], []
+    for s in range(1, h + 1):
+        chains.append(
+            f"nmu{s} AS (SELECT {', '.join(aggs)} FROM train WHERE s = {s}),\n"
+            f"    nm{s} AS (SELECT {', '.join(mirror)} FROM nmu{s}),\n"
+            f"    {_gauss_solve_ctes(k, 1, f'nm{s}', prefix=f'd{s}')}"
+        )
+        cal_step = ["CAST(isodow(ts_n) AS DOUBLE)", "CAST(day(ts_n) AS DOUBLE)",
+                    "CAST(month(ts_n) AS DOUBLE)", "CAST(quarter(ts_n) AS DOUBLE)",
+                    "CAST(year(ts_n) AS DOUBLE)",
+                    "CASE WHEN isodow(ts_n) IN (6, 7) THEN 1.0 ELSE 0.0 END"]
+        dot = " + ".join(
+            ["t.tail[7] * c.w_0_0", "t.tail[1] * c.w_1_0"]
+            + [f"{e} * c.w_{i + 2}_0" for i, e in enumerate(cal_step)])
+        picks.append(f"""
+    SELECT t.unique_id, ts_n AS ds, ROUND({dot} + c.w_{d}_0, 2) AS y_hat
+    FROM (
+        SELECT tl.unique_id, tl.tail,
+               g.last_ts + INTERVAL '1 second' * ({s} * f.freq_s) AS ts_n
+        FROM tails tl
+        JOIN g ON tl.unique_id = g.unique_id
+        JOIN freq f ON tl.unique_id = f.unique_id
+    ) t CROSS JOIN d{s}wsol c""")
+    return (
+        PANEL_CTE + ", " + _FREQ_CTE.format(h=h) + f""",
+    ordered AS (
+        SELECT unique_id, ds, y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn
+        FROM panel
+    ),
+    feats AS (
+        SELECT unique_id, rn,
+               LAG(y, 1) OVER w AS f0, LAG(y, 7) OVER w AS f1,
+               {', '.join(f'{e} AS f{i + 2}' for i, e in enumerate(cal_tr))}
+        FROM ordered
+        WINDOW w AS (PARTITION BY unique_id ORDER BY ds)
+    ),
+    train AS (
+        SELECT s.step AS s, f.*, t.y AS tgt
+        FROM feats f
+        CROSS JOIN steps s
+        JOIN ordered t ON t.unique_id = f.unique_id AND t.rn = f.rn + s.step - 1
+        WHERE f.f0 IS NOT NULL AND f.f1 IS NOT NULL
+    ),
+    tails AS (SELECT unique_id, list(y ORDER BY ds)[-7:] AS tail FROM panel GROUP BY 1),
+    {','.join(chains)}
+    {' UNION ALL '.join(picks)}
+    """)
+
+
+@register("direct_forecast", _direct_calendar_oracle())
 def q_direct_forecast(spark, sf_dir):
     from polars_ts_spark.operators.pipeline import DirectForecaster
     panel = supplier_daily_panel(spark, sf_dir)
-    return DirectForecaster(lags=[1, 7]).fit(panel, h=7).predict(panel)
+    out = DirectForecaster(lags=[1, 7], calendar=True).fit(panel, h=7).predict(panel)
+    return out.select("unique_id", "ds", F.round("y_hat", 2).alias("y_hat"))
 
 
-@register("recursive_forecast_covariates")  # fitted-model decode: rows-only
+def _recursive_cov_oracle(h: int = 7) -> str:
+    """RecursiveForecaster with covariates, as an oracle: 6x6 ridge over
+    [dow_sin, y_lag_1, y_lag_7, n_items_lag_1, n_items_lag_7] +
+    intercept; during decode the past-covariate lags stay frozen at
+    their last known values (multistep.py:225-243 buffer semantics) and
+    the future covariate resolves by exact-timestamp lookup — present
+    exactly when the decode timestamp lands on one of the future
+    frame's daily keys (a whole number of days past last_ts, within h
+    days), else 0. Rounded 2dp both sides."""
+    c7 = repr(2 * 3.141592653589793 / 7)
+    d = 5
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):
+            ridge = " + 1e-6" if i == j else ""
+            aggs.append(f"SUM(f{i} * f{j}){ridge} AS a_{i}_{j}")
+        aggs.append(f"SUM(f{i}) AS a_{i}_{d}")
+        aggs.append(f"SUM(f{i} * yt) AS b_{i}_0")
+    aggs.append(f"CAST(COUNT(*) AS DOUBLE) AS a_{d}_{d}")
+    aggs.append(f"SUM(yt) AS b_{d}_0")
+    mirror = ["*"] + [f"a_{i}_{j} AS a_{j}_{i}" for i in range(d + 1) for j in range(i + 1, d + 1)]
+    nn = " AND ".join(f"f{i} IS NOT NULL" for i in range(d))
+    return f"""
+WITH RECURSIVE panel AS (
+    SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+           date_trunc('day', l_shipdate) AS ds,
+           SUM(l_extendedprice) AS y,
+           CAST(COUNT(*) AS DOUBLE) AS n_items,
+           SIN((dayofweek(date_trunc('day', l_shipdate)) + 1) * {c7}) AS dow_sin
+    FROM lineitem
+    GROUP BY 1, 2
+),
+    freq AS (
+        SELECT unique_id, CAST(CASE WHEN COUNT(dd) = 0 THEN 86400 ELSE MEDIAN(dd) END AS BIGINT) AS freq_s
+        FROM (SELECT unique_id,
+                     epoch(ds) - epoch(LAG(ds) OVER (PARTITION BY unique_id ORDER BY ds)) AS dd
+              FROM panel) GROUP BY 1
+    ),
+    g AS (SELECT unique_id, MAX(ds) AS last_ts FROM panel GROUP BY 1),
+    feats AS (
+        SELECT y AS yt, dow_sin AS f0,
+               LAG(y, 1) OVER w AS f1, LAG(y, 7) OVER w AS f2,
+               LAG(n_items, 1) OVER w AS f3, LAG(n_items, 7) OVER w AS f4
+        FROM panel
+        WINDOW w AS (PARTITION BY unique_id ORDER BY ds)
+    ),
+    nmu AS (SELECT {', '.join(aggs)} FROM feats WHERE {nn}),
+    nm AS (SELECT {', '.join(mirror)} FROM nmu),
+    {_gauss_solve_ctes(d + 1, 1, 'nm')},
+    tails AS (
+        SELECT unique_id, list(y ORDER BY ds)[-7:] AS tail,
+               list(n_items ORDER BY ds)[-1] AS nl1,
+               list(n_items ORDER BY ds)[-7] AS nl7
+        FROM panel GROUP BY 1
+    ),
+    dec AS (
+        SELECT unique_id, 0 AS step, tail, nl1, nl7 FROM tails
+        UNION ALL
+        SELECT d2.unique_id, d2.step + 1,
+               list_append(d2.tail[2:],
+                   (CASE WHEN (epoch(d2.ts_n) - epoch(d2.last_ts)) % 86400 = 0
+                              AND (epoch(d2.ts_n) - epoch(d2.last_ts)) BETWEEN 86400 AND {h * 86400}
+                         THEN SIN((dayofweek(d2.ts_n) + 1) * {c7}) ELSE 0.0 END) * c.w_0_0
+                   + d2.tail[7] * c.w_1_0 + d2.tail[1] * c.w_2_0
+                   + d2.nl1 * c.w_3_0 + d2.nl7 * c.w_4_0 + c.w_5_0),
+               d2.nl1, d2.nl7
+        FROM (
+            SELECT d3.*, f.freq_s, g.last_ts,
+                   g.last_ts + INTERVAL '1 second' * ((d3.step + 1) * f.freq_s) AS ts_n
+            FROM dec d3
+            JOIN g ON d3.unique_id = g.unique_id
+            JOIN freq f ON d3.unique_id = f.unique_id
+        ) d2 CROSS JOIN wsol c
+        WHERE d2.step < {h}
+    )
+    SELECT d.unique_id,
+           g.last_ts + INTERVAL '1 second' * (d.step * f.freq_s) AS ds,
+           ROUND(d.tail[7], 2) AS y_hat
+    FROM dec d
+    JOIN g ON d.unique_id = g.unique_id
+    JOIN freq f ON d.unique_id = f.unique_id
+    WHERE d.step >= 1
+    """
+
+
+@register("recursive_forecast_covariates", _recursive_cov_oracle())  # fitted-model decode
 def q_recursive_forecast_covariates(spark, sf_dir):
     """Past covariate (order count) + future covariate (day-of-week
     sine, known over the horizon via future_df) through the recursive
@@ -3207,32 +3365,325 @@ def q_recursive_forecast_covariates(spark, sf_dir):
         )
         .withColumn("dow_sin", F.sin(F.dayofweek("ds") * F.lit(2 * 3.141592653589793 / 7)))
     )
-    return m.predict(panel, h=7, future_df=future)
+    out = m.predict(panel, h=7, future_df=future)
+    return out.select("unique_id", "ds", F.round("y_hat", 2).alias("y_hat"))
 
 
-@register("global_forecast")  # rows-only
+def _global_forecast_oracle(h: int = 7) -> str:
+    """GlobalForecaster oracle: the pooled ridge adds the ordinal id
+    code (rank of unique_id) as a feature — a 4x4 solve; the decode is
+    the same per-series recursive CTE with the series' constant code.
+    Feature order [lag1, lag7, id_code, intercept] (pipeline.py:411-466:
+    feat_cols reorders __id_code last before the intercept)."""
+    aggs = []
+    feats = ["f0", "f1", "f2"]
+    for i, f in enumerate(feats):
+        for j in range(i, 3):
+            ridge = " + 1e-6" if i == j else ""
+            aggs.append(f"SUM({f} * f{j}){ridge} AS a_{i}_{j}")
+        aggs.append(f"SUM({f}) AS a_{i}_3")
+        aggs.append(f"SUM({f} * yt) AS b_{i}_0")
+    aggs.append("CAST(COUNT(*) AS DOUBLE) AS a_3_3")
+    aggs.append("SUM(yt) AS b_3_0")
+    mirror = ["*"] + [f"a_{i}_{j} AS a_{j}_{i}" for i in range(4) for j in range(i + 1, 4)]
+    return (
+        PANEL_CTE.replace("WITH", "WITH RECURSIVE", 1) + ", "
+        + _FREQ_CTE.format(h=h) + f""",
+    codes AS (
+        SELECT unique_id, CAST(ROW_NUMBER() OVER (ORDER BY unique_id) - 1 AS DOUBLE) AS code
+        FROM (SELECT DISTINCT unique_id FROM panel)
+    ),
+    feats AS (
+        SELECT p.y AS yt,
+               LAG(p.y, 1) OVER w AS f0, LAG(p.y, 7) OVER w AS f1,
+               c.code AS f2
+        FROM panel p JOIN codes c ON p.unique_id = c.unique_id
+        WINDOW w AS (PARTITION BY p.unique_id ORDER BY p.ds)
+    ),
+    nmu AS (SELECT {', '.join(aggs)} FROM feats WHERE f0 IS NOT NULL AND f1 IS NOT NULL),
+    nm AS (SELECT {', '.join(mirror)} FROM nmu),
+    {_gauss_solve_ctes(4, 1, 'nm')},
+    tails AS (
+        SELECT p.unique_id, list(p.y ORDER BY p.ds)[-7:] AS tail, MAX(c.code) AS code
+        FROM panel p JOIN codes c ON p.unique_id = c.unique_id GROUP BY 1
+    ),
+    dec AS (
+        SELECT unique_id, 0 AS step, tail, code FROM tails
+        UNION ALL
+        SELECT d.unique_id, d.step + 1,
+               list_append(d.tail[2:],
+                   (d.tail[7] * c.w_0_0 + d.tail[1] * c.w_1_0
+                    + d.code * c.w_2_0) + c.w_3_0),
+               d.code
+        FROM dec d CROSS JOIN wsol c WHERE d.step < {h}
+    )
+    SELECT d.unique_id,
+           g.last_ts + INTERVAL '1 second' * (d.step * f.freq_s) AS ds,
+           ROUND(d.tail[7], 2) AS y_hat
+    FROM dec d
+    JOIN g ON d.unique_id = g.unique_id
+    JOIN freq f ON d.unique_id = f.unique_id
+    WHERE d.step >= 1
+    """)
+
+
+@register("global_forecast", _global_forecast_oracle())
 def q_global_forecast(spark, sf_dir):
     from polars_ts_spark.operators.pipeline import GlobalForecaster
     panel = supplier_daily_panel(spark, sf_dir)
-    return GlobalForecaster(lags=[1, 7]).fit(panel).predict(panel, h=7)
+    out = GlobalForecaster(lags=[1, 7]).fit(panel).predict(panel, h=7)
+    return out.select("unique_id", "ds", F.round("y_hat", 2).alias("y_hat"))
 
 
-@register("forecast_pipeline_log")  # rows-only
+def _pipeline_log_oracle(h: int = 7) -> str:
+    """ForecastPipeline(log) oracle: everything happens on the log1p
+    scale — features [lag1, lag7, trailing-7 mean of the shifted
+    target], a 4x4 ridge solve, recursive decode whose rolling feature
+    is the running mean of the 7-tail — and expm1 maps back at the end
+    (pipeline.py:387-409)."""
+    aggs = []
+    for i in range(3):
+        for j in range(i, 3):
+            ridge = " + 1e-6" if i == j else ""
+            aggs.append(f"SUM(f{i} * f{j}){ridge} AS a_{i}_{j}")
+        aggs.append(f"SUM(f{i}) AS a_{i}_3")
+        aggs.append(f"SUM(f{i} * yt) AS b_{i}_0")
+    aggs.append("CAST(COUNT(*) AS DOUBLE) AS a_3_3")
+    aggs.append("SUM(yt) AS b_3_0")
+    mirror = ["*"] + [f"a_{i}_{j} AS a_{j}_{i}" for i in range(4) for j in range(i + 1, 4)]
+    return (
+        PANEL_CTE.replace("WITH", "WITH RECURSIVE", 1) + ", "
+        + _FREQ_CTE.format(h=h) + f""",
+    logp AS (SELECT unique_id, ds, LN(1 + y) AS yl FROM panel),
+    feats AS (
+        SELECT yl AS yt,
+               LAG(yl, 1) OVER w AS f0, LAG(yl, 7) OVER w AS f1,
+               AVG(yl) OVER (PARTITION BY unique_id ORDER BY ds
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS f2
+        FROM logp
+        WINDOW w AS (PARTITION BY unique_id ORDER BY ds)
+    ),
+    nmu AS (SELECT {', '.join(aggs)} FROM feats WHERE f0 IS NOT NULL AND f1 IS NOT NULL),
+    nm AS (SELECT {', '.join(mirror)} FROM nmu),
+    {_gauss_solve_ctes(4, 1, 'nm')},
+    tails AS (SELECT unique_id, list(yl ORDER BY ds)[-7:] AS tail FROM logp GROUP BY 1),
+    dec AS (
+        SELECT unique_id, 0 AS step, tail FROM tails
+        UNION ALL
+        SELECT d.unique_id, d.step + 1,
+               list_append(d.tail[2:],
+                   (d.tail[7] * c.w_0_0 + d.tail[1] * c.w_1_0
+                    + (list_sum(d.tail) / 7.0) * c.w_2_0) + c.w_3_0)
+        FROM dec d CROSS JOIN wsol c WHERE d.step < {h}
+    )
+    SELECT d.unique_id,
+           g.last_ts + INTERVAL '1 second' * (d.step * f.freq_s) AS ds,
+           ROUND(EXP(d.tail[7]) - 1, 2) AS y_hat
+    FROM dec d
+    JOIN g ON d.unique_id = g.unique_id
+    JOIN freq f ON d.unique_id = f.unique_id
+    WHERE d.step >= 1
+    """)
+
+
+@register("forecast_pipeline_log", _pipeline_log_oracle())
 def q_forecast_pipeline(spark, sf_dir):
     from polars_ts_spark.operators.pipeline import ForecastPipeline
     panel = supplier_daily_panel(spark, sf_dir)
     m = ForecastPipeline(lags=[1, 7], rolling_windows=[7], target_transform="log").fit(panel)
-    return m.predict(panel, h=7)
+    out = m.predict(panel, h=7)
+    return out.select("unique_id", "ds", F.round("y_hat", 2).alias("y_hat"))
 
 
-@register("quantile_regression")  # rows-only
+def _quantile_reg_oracle(quantiles=(0.1, 0.5, 0.9), n_irls: int = 10,
+                         h: int = 7) -> str:
+    """QuantileRegressor oracle: the IRLS is replayed solve-by-solve —
+    an unweighted 3x3 normal-equation start (the lstsq init; full-rank,
+    so identical to machine precision), then n_irls reweighted solves
+    with wt = (q or 1-q)/max(|r|, 1e-6) and the 1e-8 diagonal damping
+    (pipeline.py _fit_quantile). Decode feeds the median back. 2dp."""
+    med = min(quantiles, key=lambda q: abs(q - 0.5))
+    chains = []
+    for qi, q in enumerate(quantiles):
+        base_aggs = ("SUM(f0 * f0) AS a_0_0, SUM(f0 * f1) AS a_0_1, SUM(f0) AS a_0_2, "
+                     "SUM(f1 * f1) AS a_1_1, SUM(f1) AS a_1_2, CAST(COUNT(*) AS DOUBLE) AS a_2_2, "
+                     "SUM(f0 * yt) AS b_0_0, SUM(f1 * yt) AS b_1_0, SUM(yt) AS b_2_0")
+        mirror = ["*"] + [f"a_{i}_{j} AS a_{j}_{i}" for i in range(3) for j in range(i + 1, 3)]
+        chains.append(
+            f"q{qi}i0nmu AS (SELECT {base_aggs} FROM rows),\n"
+            f"    q{qi}i0nm AS (SELECT {', '.join(mirror)} FROM q{qi}i0nmu),\n"
+            f"    {_gauss_solve_ctes(3, 1, f'q{qi}i0nm', prefix=f'q{qi}i0')}")
+        for t in range(1, n_irls + 1):
+            prev = f"q{qi}i{t - 1}wsol"
+            w_aggs = (
+                "SUM(f0 * (wt * f0)) + 1e-8 AS a_0_0, SUM(f0 * (wt * f1)) AS a_0_1, "
+                "SUM(f0 * wt) AS a_0_2, SUM(f1 * (wt * f1)) + 1e-8 AS a_1_1, "
+                "SUM(f1 * wt) AS a_1_2, SUM(wt) + 1e-8 AS a_2_2, "
+                "SUM(f0 * (wt * yt)) AS b_0_0, SUM(f1 * (wt * yt)) AS b_1_0, "
+                "SUM(wt * yt) AS b_2_0")
+            chains.append(
+                f"q{qi}i{t}rows AS (SELECT f0, f1, yt, "
+                f"FLOOR((yt - (f0 * c.w_0_0 + f1 * c.w_1_0 + c.w_2_0)) * 1000 + 0.5) / 1000 AS rc, "
+                f"(CASE WHEN rc >= 0 THEN {q!r} ELSE {1 - q!r} END) "
+                f"/ GREATEST(ABS(rc), 1e-3) AS wt "
+                f"FROM rows CROSS JOIN {prev} c),\n"
+                f"    q{qi}i{t}nmu AS (SELECT {w_aggs} FROM q{qi}i{t}rows),\n"
+                f"    q{qi}i{t}nm AS (SELECT {', '.join(mirror)} FROM q{qi}i{t}nmu),\n"
+                f"    {_gauss_solve_ctes(3, 1, f'q{qi}i{t}nm', prefix=f'q{qi}i{t}')}")
+    finals = {q: f"q{qi}i{n_irls}wsol" for qi, q in enumerate(quantiles)}
+    med_w = finals[med]
+    # each recursion step carries the PRE-append predictions that
+    # produced it: the pre-step tail's first slot is dropped by the
+    # ring-buffer append, so they cannot be recovered afterwards
+    qcarry = ",\n               ".join(
+        f"(d.tail[7] * {finals[q]}.w_0_0 + d.tail[1] * {finals[q]}.w_1_0) "
+        f"+ {finals[q]}.w_2_0 AS p{qi}"
+        for qi, q in enumerate(quantiles))
+    qinit = ", ".join(f"CAST(NULL AS DOUBLE) AS p{qi}" for qi in range(len(quantiles)))
+    qouts = ", ".join(f'ROUND(d.p{qi}, 2) AS "q_{q}"' for qi, q in enumerate(quantiles))
+    qjoins = " ".join(f"CROSS JOIN {finals[q]}" for q in quantiles)
+    exact_panel = """
+WITH RECURSIVE panel AS (
+    SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+           date_trunc('day', l_shipdate) AS ds,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS y
+    FROM lineitem GROUP BY 1, 2
+)"""
+    return (
+        exact_panel + ", "
+        + _FREQ_CTE.format(h=h) + f""",
+    rows AS (
+        SELECT y AS yt, LAG(y, 1) OVER w AS f0, LAG(y, 7) OVER w AS f1
+        FROM panel
+        WINDOW w AS (PARTITION BY unique_id ORDER BY ds)
+        QUALIFY f0 IS NOT NULL AND f1 IS NOT NULL
+    ),
+    {','.join(chains)},
+    tails AS (SELECT unique_id, list(y ORDER BY ds)[-7:] AS tail FROM panel GROUP BY 1),
+    dec AS (
+        SELECT unique_id, 0 AS step, tail, {qinit} FROM tails
+        UNION ALL
+        SELECT d.unique_id, d.step + 1,
+               list_append(d.tail[2:],
+                   (d.tail[7] * c.w_0_0 + d.tail[1] * c.w_1_0) + c.w_2_0),
+               {qcarry}
+        FROM dec d CROSS JOIN {med_w} c {qjoins} WHERE d.step < {h}
+    )
+    SELECT d.unique_id,
+           g.last_ts + INTERVAL '1 second' * (d.step * f.freq_s) AS ds,
+           {qouts}
+    FROM dec d
+    JOIN g ON d.unique_id = g.unique_id
+    JOIN freq f ON d.unique_id = f.unique_id
+    WHERE d.step >= 1
+    """)
+
+
+@register("quantile_regression", _quantile_reg_oracle())
 def q_quantile_regression(spark, sf_dir):
     from polars_ts_spark.operators.pipeline import QuantileRegressor
-    panel = supplier_daily_panel(spark, sf_dir)
-    return QuantileRegressor(quantiles=(0.1, 0.5, 0.9), lags=(1, 7)).fit(panel).predict(panel, h=7)
+    from polars_ts_spark.sources.datasets import load_table
+    # exact-cents panel: the IRLS weight map is discontinuous at r = 0,
+    # so the engines must see bit-identical inputs for the oracle's
+    # replayed trajectory to stay on track
+    li = load_table(spark, sf_dir, "lineitem")
+    panel = li.groupBy(
+        F.col("l_suppkey").cast("string").alias("unique_id"),
+        F.date_trunc("day", F.col("l_shipdate")).alias("ds"),
+    ).agg((F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double")
+           / F.lit(100.0)).alias("y"))
+    out = QuantileRegressor(quantiles=(0.1, 0.5, 0.9), lags=(1, 7), n_irls=10).fit(panel).predict(panel, h=7)
+    return out.select(
+        "unique_id", "ds",
+        *[F.round(F.col(f"`q_{q}`"), 2).alias(f"q_{q}") for q in (0.1, 0.5, 0.9)],
+    )
 
 
-@register("stacking_forecast")  # rows-only
+def _stacking_oracle(h: int = 7) -> str:
+    """StackingForecaster oracle: ridge + naive base forecasts on the
+    holdout window (train-fit recursive decode, last-train-value naive),
+    meta weights from the 3x3 normal equations over (p_ridge, p_naive,
+    1) -> y on the joined test rows, then both bases refit on the full
+    panel and combined with the meta weights (evaluation.py
+    StackingForecaster). Rounded 2dp both sides."""
+
+    def ridge_chain(src: str, pre: str) -> str:
+        aggs = []
+        for i in range(2):
+            for j in range(i, 2):
+                ridge = " + 1e-6" if i == j else ""
+                aggs.append(f"SUM(f{i} * f{j}){ridge} AS a_{i}_{j}")
+            aggs.append(f"SUM(f{i}) AS a_{i}_2")
+            aggs.append(f"SUM(f{i} * yt) AS b_{i}_0")
+        aggs.append("CAST(COUNT(*) AS DOUBLE) AS a_2_2")
+        aggs.append("SUM(yt) AS b_2_0")
+        mirror = ["*"] + [f"a_{i}_{j} AS a_{j}_{i}" for i in range(3) for j in range(i + 1, 3)]
+        return f"""
+    {pre}feats AS (
+        SELECT y AS yt, LAG(y, 1) OVER w{pre} AS f0, LAG(y, 7) OVER w{pre} AS f1
+        FROM {src}
+        WINDOW w{pre} AS (PARTITION BY unique_id ORDER BY ds)
+    ),
+    {pre}nmu AS (SELECT {', '.join(aggs)} FROM {pre}feats
+                 WHERE f0 IS NOT NULL AND f1 IS NOT NULL),
+    {pre}nm AS (SELECT {', '.join(mirror)} FROM {pre}nmu),
+    {_gauss_solve_ctes(3, 1, f'{pre}nm', prefix=pre)},
+    {pre}freq AS (
+        SELECT unique_id, CAST(CASE WHEN COUNT(d) = 0 THEN 86400 ELSE MEDIAN(d) END AS BIGINT) AS freq_s
+        FROM (SELECT unique_id,
+                     epoch(ds) - epoch(LAG(ds) OVER (PARTITION BY unique_id ORDER BY ds)) AS d
+              FROM {src}) GROUP BY 1
+    ),
+    {pre}g AS (SELECT unique_id, MAX(ds) AS last_ts, max_by(y, ds) AS last_y,
+                      list(y ORDER BY ds)[-7:] AS tail
+               FROM {src} GROUP BY 1),
+    {pre}dec AS (
+        SELECT unique_id, 0 AS step, tail FROM {pre}g
+        UNION ALL
+        SELECT d.unique_id, d.step + 1,
+               list_append(d.tail[2:], (d.tail[7] * c.w_0_0 + d.tail[1] * c.w_1_0) + c.w_2_0)
+        FROM {pre}dec d CROSS JOIN {pre}wsol c WHERE d.step < {h}
+    ),
+    {pre}p AS (
+        SELECT d.unique_id,
+               g.last_ts + INTERVAL '1 second' * (d.step * f.freq_s) AS ds,
+               d.tail[7] AS p_r, g.last_y AS p_n
+        FROM {pre}dec d
+        JOIN {pre}g g ON d.unique_id = g.unique_id
+        JOIN {pre}freq f ON d.unique_id = f.unique_id
+        WHERE d.step >= 1
+    )"""
+
+    meta_aggs = (
+        "SUM(p_r * p_r) AS a_0_0, SUM(p_r * p_n) AS a_0_1, SUM(p_r) AS a_0_2, "
+        "SUM(p_n * p_n) AS a_1_1, SUM(p_n) AS a_1_2, CAST(COUNT(*) AS DOUBLE) AS a_2_2, "
+        "SUM(p_r * yt) AS b_0_0, SUM(p_n * yt) AS b_1_0, SUM(yt) AS b_2_0")
+    mirror3 = ["*"] + [f"a_{i}_{j} AS a_{j}_{i}" for i in range(3) for j in range(i + 1, 3)]
+    return (
+        PANEL_CTE.replace("WITH", "WITH RECURSIVE", 1) + f""",
+    alltimes AS (
+        SELECT ds, ROW_NUMBER() OVER (ORDER BY ds) AS rn, COUNT(*) OVER () AS cnt
+        FROM (SELECT DISTINCT ds FROM panel)
+    ),
+    tcut AS (SELECT ds AS cut FROM alltimes WHERE rn = cnt - {h}),
+    train AS (SELECT p.* FROM panel p, tcut t WHERE p.ds <= t.cut),
+    test  AS (SELECT p.* FROM panel p, tcut t WHERE p.ds > t.cut),
+    {ridge_chain('train', 'tr')},
+    mrows AS (
+        SELECT t.y AS yt, b.p_r, b.p_n
+        FROM test t JOIN trp b ON b.unique_id = t.unique_id AND b.ds = t.ds
+    ),
+    mtnmu AS (SELECT {meta_aggs} FROM mrows),
+    mtnm AS (SELECT {', '.join(mirror3)} FROM mtnmu),
+    {_gauss_solve_ctes(3, 1, 'mtnm', prefix='mt')},
+    {ridge_chain('panel', 'fl')}
+    SELECT b.unique_id, b.ds,
+           ROUND(b.p_r * m.w_0_0 + b.p_n * m.w_1_0 + m.w_2_0, 2) AS y_hat
+    FROM flp b CROSS JOIN mtwsol m
+    """)
+
+
+@register("stacking_forecast", _stacking_oracle())
 def q_stacking(spark, sf_dir):
     from polars_ts_spark.operators import evaluation
     from polars_ts_spark.operators.pipeline import RecursiveForecaster
@@ -3245,7 +3696,8 @@ def q_stacking(spark, sf_dir):
         return baselines.naive_forecast(train, h=h)
 
     m = evaluation.StackingForecaster({"ridge": ridge_fn, "naive": naive_fn}).fit(panel, holdout=7)
-    return m.predict(panel, h=7)
+    out = m.predict(panel, h=7)
+    return out.select("unique_id", "ds", F.round("y_hat", 2).alias("y_hat"))
 
 
 _BACKTEST_ORACLE = PANEL_CTE + """,
