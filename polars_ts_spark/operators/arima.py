@@ -389,6 +389,56 @@ def arma_fit_mle(y: np.ndarray, p: int, q: int, P: int = 0, Q: int = 0,
     return mu, phi, theta, Phi, Theta, sigma2, float(ll), float(aic)
 
 
+def _ar1_mle_golden(w: np.ndarray) -> tuple[float, float]:
+    """Exact MLE of an AR(1) with mean by golden-section search on the
+    concentrated profile likelihood — mu is profiled out in closed form
+    for each phi, so the search is 1-D, deterministic, and built from
+    six sufficient statistics accumulated in a FIXED sequential order.
+    Every operation here is engine-replicable (the DuckDB oracle
+    replays the identical fold and search), unlike Nelder-Mead whose
+    simplex comparisons flip on ulps. Returns (mu, phi)."""
+    w = np.asarray(w, float)
+    n = len(w)
+    w0 = float(w[0])
+    S1 = S0 = S11 = S00 = S01 = 0.0
+    for t in range(1, n):
+        a = float(w[t]); b = float(w[t - 1])
+        S1 += a; S0 += b; S11 += a * a; S00 += b * b; S01 += a * b
+    m = float(n - 1)
+
+    def g(ph: float) -> float:
+        om = 1.0 - ph * ph
+        am = 1.0 - ph
+        Su = S1 - ph * S0
+        Su2 = S11 - 2.0 * ph * S01 + ph * ph * S00
+        mu = (om * w0 + am * Su) / (om + m * am * am)
+        Q = om * (w0 - mu) * (w0 - mu) + (Su2 - 2.0 * am * mu * Su + m * am * am * mu * mu)
+        if Q <= 0:
+            Q = 1e-300
+        # comparison-grid quantization: np.log vs another engine's LN
+        # can differ in the last ulp, flipping late golden-section
+        # branches; on a 1e-3 grid both engines take identical branches
+        # (the forecast arithmetic never touches the log), costing only
+        # ~5e-4 of phi resolution
+        return np.floor((n * np.log(Q) - np.log(om)) * 1000.0 + 0.5)
+
+    lo, hi = -0.998, 0.998
+    invphi = (np.sqrt(5.0) - 1.0) / 2.0
+    for _ in range(80):
+        x1 = hi - invphi * (hi - lo)
+        x2 = lo + invphi * (hi - lo)
+        if g(x1) < g(x2):
+            hi = x2
+        else:
+            lo = x1
+    ph = hi - invphi * (hi - lo)
+    om = 1.0 - ph * ph
+    am = 1.0 - ph
+    Su = S1 - ph * S0
+    mu = (om * w0 + am * Su) / (om + m * am * am)
+    return float(mu), float(ph)
+
+
 def arima_forecast_series(y: np.ndarray, p: int, d: int, q: int, h: int,
                           method: str = "mle") -> np.ndarray:
     """Difference d times -> ARMA fit (exact MLE by default, CSS with
@@ -402,6 +452,17 @@ def arima_forecast_series(y: np.ndarray, p: int, d: int, q: int, h: int,
     if method == "css":
         c, phi, theta, _, _ = arma_fit_series(w, p, q)
         fc = arma_forecast_series(w, c, phi, theta, h)
+    elif p == 1 and q == 0:
+        # deterministic 1-D golden-section MLE + the AR(1) closed-form
+        # MMSE path mu + phi^k (w_n - mu): same estimator family as the
+        # Kalman route, but every float op is engine-replicable
+        mu, ph = _ar1_mle_golden(w)
+        wlast = float(w[-1])
+        fc = np.empty(h)
+        phj = 1.0
+        for k in range(h):
+            phj = phj * ph
+            fc[k] = mu + phj * (wlast - mu)
     else:
         mu, phi, theta, *_ = arma_fit_mle(y=w, p=p, q=q)
         fc = mu + _kf_state_forecast(w - mu, phi, theta, h)

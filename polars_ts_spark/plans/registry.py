@@ -4092,10 +4092,132 @@ def q_interactions(spark, sf_dir):
 # ARIMA / ROCKET / causal / imaging (per-series kernels: rows-only)
 
 
-@register("arima_forecast")
+def _arima_ar1_oracle(h: int = 7) -> str:
+    """ARIMA(1,1,0) exact-MLE oracle: replays arima._ar1_mle_golden
+    float-for-float — sufficient statistics as left folds over the
+    differenced exact-cents series (list_reduce == the kernel's
+    sequential loop), the profile likelihood g(phi) with mu profiled
+    out, 80 golden-section steps, then the AR(1) closed-form forecast
+    mu + phi^k (w_n - mu) integrated back through the difference."""
+    invphi = repr((5.0 ** 0.5 - 1.0) / 2.0)
+
+    def gexpr(x: str, tag: str) -> str:
+        return (
+            f"1.0 - {x} * {x} AS om{tag}, 1.0 - {x} AS am{tag}, "
+            f"S1 - {x} * S0 AS Su{tag}, "
+            f"S11 - 2.0 * {x} * S01 + {x} * {x} * S00 AS Su2{tag}, "
+            f"(om{tag} * w0 + am{tag} * Su{tag}) / (om{tag} + m * am{tag} * am{tag}) AS mu{tag}, "
+            f"om{tag} * (w0 - mu{tag}) * (w0 - mu{tag}) "
+            f"+ (Su2{tag} - 2.0 * am{tag} * mu{tag} * Su{tag} "
+            f"+ m * am{tag} * am{tag} * mu{tag} * mu{tag}) AS Q{tag}, "
+            f"FLOOR((nw * LN(CASE WHEN Q{tag} <= 0 THEN 1e-300 ELSE Q{tag} END) "
+            f"- LN(om{tag})) * 1000.0 + 0.5) AS g{tag}")
+
+    # forecast steps with iterative phi powers and left-assoc cumsum,
+    # mirroring the kernel's loops exactly
+    phjs = ["ph AS phj1"] + [f"phj{j - 1} * ph AS phj{j}" for j in range(2, h + 1)]
+    fws = [f"muf + phj{j} * (wlast - muf) AS fw{j}" for j in range(1, h + 1)]
+    yhats = []
+    for k in range(1, h + 1):
+        csum = " + ".join(f"fw{j}" for j in range(1, k + 1))
+        yhats.append(f"ylast + ({csum}) AS yh{k}")
+    return f"""
+WITH RECURSIVE panel AS (
+    SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+           date_trunc('day', l_shipdate) AS ds,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS y
+    FROM lineitem GROUP BY 1, 2
+),
+    freq AS (
+        SELECT unique_id, CAST(CASE WHEN COUNT(d) = 0 THEN 86400 ELSE MEDIAN(d) END AS BIGINT) AS freq_s
+        FROM (SELECT unique_id,
+                     epoch(ds) - epoch(LAG(ds) OVER (PARTITION BY unique_id ORDER BY ds)) AS d
+              FROM panel) GROUP BY 1
+    ),
+    g AS (SELECT unique_id, MAX(ds) AS last_ts, max_by(y, ds) AS last_y FROM panel GROUP BY 1),
+    steps AS (SELECT UNNEST(generate_series(1, {h})) AS step),
+    series AS (
+        SELECT unique_id, list(y ORDER BY ds) AS v, COUNT(*) AS n
+        FROM panel GROUP BY 1
+    ),
+    stats AS (
+        SELECT unique_id,
+               w[1] AS w0, w[len(w)] AS wlast, v[n] AS ylast,
+               CAST(len(w) AS DOUBLE) AS nw, CAST(len(w) - 1 AS DOUBLE) AS m,
+               list_reduce(list_transform(generate_series(2, len(w)), t -> w[t]), (x, y) -> x + y) AS S1,
+               list_reduce(list_transform(generate_series(2, len(w)), t -> w[t - 1]), (x, y) -> x + y) AS S0,
+               list_reduce(list_transform(generate_series(2, len(w)), t -> w[t] * w[t]), (x, y) -> x + y) AS S11,
+               list_reduce(list_transform(generate_series(2, len(w)), t -> w[t - 1] * w[t - 1]), (x, y) -> x + y) AS S00,
+               list_reduce(list_transform(generate_series(2, len(w)), t -> w[t] * w[t - 1]), (x, y) -> x + y) AS S01
+        FROM (SELECT unique_id, n, v,
+                     list_transform(generate_series(2, n), i -> v[i] - v[i - 1]) AS w
+              FROM series WHERE n >= 7)
+    ),
+    gold AS (
+        SELECT unique_id, 0 AS it, CAST(-0.998 AS DOUBLE) AS lo, CAST(0.998 AS DOUBLE) AS hi,
+               w0, wlast, ylast, nw, m, S1, S0, S11, S00, S01
+        FROM stats
+        UNION ALL
+        SELECT unique_id, it + 1,
+               CASE WHEN g1 < g2 THEN lo ELSE x1 END,
+               CASE WHEN g1 < g2 THEN x2 ELSE hi END,
+               w0, wlast, ylast, nw, m, S1, S0, S11, S00, S01
+        FROM (
+            SELECT *,
+                   hi - {invphi} * (hi - lo) AS x1,
+                   lo + {invphi} * (hi - lo) AS x2,
+                   {gexpr('x1', '1')},
+                   {gexpr('x2', '2')}
+            FROM gold WHERE it < 80
+        )
+    ),
+    fitted AS (
+        SELECT unique_id,
+               {', '.join(phjs)},
+               {', '.join(fws)},
+               {', '.join(yhats)}
+        FROM (
+            SELECT unique_id, wlast, ylast,
+                   hi - {invphi} * (hi - lo) AS ph,
+                   1.0 - ph * ph AS omf, 1.0 - ph AS amf,
+                   S1 - ph * S0 AS Suf,
+                   (omf * w0 + amf * Suf) / (omf + m * amf * amf) AS muf
+            FROM gold WHERE it = 80
+        )
+    ),
+    shorts AS (
+        SELECT unique_id FROM series WHERE n < 7
+    )
+    SELECT f.unique_id,
+           g.last_ts + INTERVAL '1 second' * (s.step * fr.freq_s) AS ds,
+           ROUND(CASE s.step {' '.join(f'WHEN {k} THEN f.yh{k}' for k in range(1, h + 1))} END, 2) AS y_hat
+    FROM fitted f
+    CROSS JOIN steps s
+    JOIN g ON f.unique_id = g.unique_id
+    JOIN freq fr ON f.unique_id = fr.unique_id
+    UNION ALL
+    SELECT sh.unique_id,
+           g.last_ts + INTERVAL '1 second' * (s.step * fr.freq_s) AS ds,
+           ROUND(g.last_y, 2) AS y_hat
+    FROM shorts sh
+    CROSS JOIN steps s
+    JOIN g ON sh.unique_id = g.unique_id
+    JOIN freq fr ON sh.unique_id = fr.unique_id
+    """
+
+
+@register("arima_forecast", _arima_ar1_oracle())
 def q_arima(spark, sf_dir):
     from polars_ts_spark.operators import arima
-    return arima.arima_forecast(supplier_daily_panel(spark, sf_dir), h=7, order=(1, 1, 0))
+    from polars_ts_spark.sources.datasets import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    panel = li.groupBy(
+        F.col("l_suppkey").cast("string").alias("unique_id"),
+        F.date_trunc("day", F.col("l_shipdate")).alias("ds"),
+    ).agg((F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double")
+           / F.lit(100.0)).alias("y"))
+    out = arima.arima_forecast(panel, h=7, order=(1, 1, 0))
+    return out.select("unique_id", "ds", F.round("y_hat", 2).alias("y_hat"))
 
 
 @register("auto_arima")
