@@ -71,6 +71,26 @@ def nelder_mead(
 # special functions (Numerical Recipes-style series/continued fractions)
 
 
+def hash_normals(seed: int, tag: str, n: int) -> np.ndarray:
+    """n standard-normal draws from md5 hashes via Box–Muller:
+    u = (first-8-hex-digits + 0.5) / 2^32 (strictly inside (0,1)),
+    z = sqrt(-2 ln u1) cos(2 pi u2). Engine-replicable — any SQL engine
+    with md5() rebuilds the identical stream, unlike a PCG64 generator;
+    downstream ulp differences (libm vs engine ln/cos) stay ulp-sized
+    as long as the consumer is branch-free."""
+    import hashlib
+    import math
+
+    out = np.empty(n)
+    for i in range(1, n + 1):
+        h1 = hashlib.md5(f"{seed}:{tag}:{i}:a".encode()).hexdigest()
+        h2 = hashlib.md5(f"{seed}:{tag}:{i}:b".encode()).hexdigest()
+        u1 = (int(h1[:8], 16) + 0.5) / 4294967296.0
+        u2 = (int(h2[:8], 16) + 0.5) / 4294967296.0
+        out[i - 1] = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+    return out
+
+
 def _lgamma(x: float) -> float:
     # Lanczos approximation
     g = 7

@@ -337,21 +337,37 @@ def bsts_forecast(
 
 class EnsembleKalmanFilter:
     """EnKF with perturbed observations; linear observation H=I on the
-    first state component."""
+    first state component. Perturbations come from md5 Box–Muller draws
+    (numutils.hash_normals) rather than a PCG64 stream: the update has
+    no branches, so the DuckDB oracle replaying the same draws tracks
+    the trajectory to within accumulated ulps."""
 
     def __init__(self, f, q: float = 0.01, r: float = 1.0, n_ens: int = 100, seed: int = 42):
         self.f, self.q, self.r, self.n_ens, self.seed = f, q, r, n_ens, seed
 
     def filter(self, y: np.ndarray, x0: float = 0.0) -> np.ndarray:
-        rng = np.random.default_rng(self.seed)
-        ens = x0 + rng.normal(0, 1, self.n_ens)
+        from polars_ts_spark.functions.numutils import hash_normals
+
+        sq, sr = np.sqrt(self.q), np.sqrt(self.r)
+        n = self.n_ens
+        ens = x0 + hash_normals(self.seed, "i", n)
         out = np.empty(len(y))
         for t, yt in enumerate(np.asarray(y, float)):
-            ens = np.array([self.f(x) for x in ens]) + rng.normal(0, np.sqrt(self.q), self.n_ens)
-            x_mean = ens.mean()
-            P = ens.var() + 1e-12
+            ens = (np.array([self.f(x) for x in ens])
+                   + sq * hash_normals(self.seed, f"p:{t}", n))
+            # sequential folds + sum-of-squares variance: the exact
+            # float recipe the DuckDB oracle's list_sum left folds
+            # reproduce (numpy's pairwise mean/var would not)
+            s1 = s2 = 0.0
+            for e in ens:
+                s1 += float(e)
+                s2 += float(e) * float(e)
+            P = (s2 - s1 * s1 / n) / n + 1e-12
             K = P / (P + self.r)
-            obs = yt + rng.normal(0, np.sqrt(self.r), self.n_ens)
+            obs = yt + sr * hash_normals(self.seed, f"o:{t}", n)
             ens = ens + K * (obs - ens)
-            out[t] = ens.mean()
+            s = 0.0
+            for e in ens:
+                s += float(e)
+            out[t] = s / n
         return out

@@ -164,9 +164,38 @@ class UnscentedKalmanFilter:
         return xs, P
 
 
+class _HashRng:
+    """Minimal Generator look-alike backed by md5 Box–Muller streams
+    (numutils.hash_normals): every draw is a pure function of
+    (seed, call-index), so a SQL oracle regenerates the identical
+    sequence. Only the surface the particle filter needs."""
+
+    def __init__(self, seed: int):
+        self.seed = seed
+        self._n = 0
+        self._u = 0
+
+    def normal(self, loc=0.0, scale=1.0, size=None):
+        from polars_ts_spark.functions.numutils import hash_normals
+
+        z = hash_normals(self.seed, f"n:{self._n}", int(size))
+        self._n += 1
+        return loc + scale * z
+
+    def random(self):
+        import hashlib
+
+        h = hashlib.md5(f"{self.seed}:u:{self._u}:a".encode()).hexdigest()
+        self._u += 1
+        return (int(h[:8], 16) + 0.5) / 4294967296.0
+
+
 class ParticleFilter:
     """Bootstrap SMC (particle_filter.py:149-360) with systematic
-    resampling; deterministic via an explicit seeded Generator."""
+    resampling; deterministic via md5-hash draw streams (_HashRng) and
+    sequential-fold reductions, both replayed verbatim by the DuckDB
+    oracle (the resampling index map is a pure comparison count over a
+    bit-identical cumulative weight vector)."""
 
     def __init__(self, transition, likelihood, n_particles=500, seed=42):
         self.transition = transition  # (particles, rng) -> particles
@@ -175,7 +204,7 @@ class ParticleFilter:
         self.seed = seed
 
     def filter(self, y: np.ndarray, init):
-        rng = np.random.default_rng(self.seed)
+        rng = _HashRng(self.seed)
         y = np.asarray(y, float)
         parts = init(self.n, rng)
         means = np.empty(len(y))
@@ -183,8 +212,14 @@ class ParticleFilter:
             parts = self.transition(parts, rng)
             w = self.likelihood(parts, y[t])
             w = np.maximum(w, 1e-300)
-            w = w / w.sum()
-            means[t] = float(np.sum(w * parts))
+            s = 0.0
+            for x in w:
+                s += float(x)
+            w = w / s
+            acc = 0.0
+            for i in range(self.n):
+                acc += float(w[i]) * float(parts[i])
+            means[t] = acc
             # systematic resampling
             positions = (rng.random() + np.arange(self.n)) / self.n
             cumw = np.cumsum(w)

@@ -2419,7 +2419,92 @@ def q_ukf(spark, sf_dir):
     )
 
 
-@register("particle_filter_level")  # rows-only: seeded bootstrap SMC
+def _particle_oracle(n_p: int = 200, seed: int = 42) -> str:
+    """Bootstrap-SMC oracle: replays the md5 draw streams (_HashRng
+    call-index tags — init 'n:0', transition at step t 'n:{t+1}',
+    resample offset 'u:{t}') and every fold of the filter. One filter
+    step spans FIVE recursion phases (transition / raw weights /
+    normalize / mean+cumsum / systematic resample) so each lambda only
+    captures state columns — captured aliases re-inline per element and
+    the hash stream would rebuild quadratically. The resample index is
+    the searchsorted-left comparison count over the bit-identical
+    cumulative weights."""
+
+    def z(tag: str, i: str) -> str:
+        u1 = (f"((('0x' || substr(md5('{seed}:' || {tag} || ':' || {i} || ':a'), 1, 8))::BIGINT"
+              f" + 0.5) / 4294967296.0)")
+        u2 = (f"((('0x' || substr(md5('{seed}:' || {tag} || ':' || {i} || ':b'), 1, 8))::BIGINT"
+              f" + 0.5) / 4294967296.0)")
+        return f"(SQRT(-2.0 * LN({u1})) * COS(2.0 * PI() * {u2}))"
+
+    uq = (f"((('0x' || substr(md5('{seed}:u:' || CAST(t AS VARCHAR) || ':a'), 1, 8))::BIGINT"
+          f" + 0.5) / 4294967296.0)")
+    return f"""
+WITH RECURSIVE daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM daily_cents GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT unique_id, list(y ORDER BY ds) AS v, list(ds ORDER BY ds) AS dss,
+               COUNT(*) AS n
+        FROM monthly GROUP BY 1
+    ),
+    flt AS (
+        SELECT unique_id, 0 AS ph, 0 AS t, v, n,
+               list_transform(generate_series(1, {n_p}),
+                              i -> v[1] + 10000.0 * {z("'n:0'", 'i')}) AS parts,
+               CAST(NULL AS DOUBLE[]) AS wraw,
+               CAST(NULL AS DOUBLE[]) AS wn,
+               CAST(NULL AS DOUBLE[]) AS cumw,
+               CAST([] AS DOUBLE[]) AS outs
+        FROM series
+        UNION ALL
+        SELECT unique_id, (ph + 1) % 5, CASE WHEN ph = 4 THEN t + 1 ELSE t END,
+               v, n,
+               CASE WHEN ph = 0 THEN
+                        list_transform(generate_series(1, {n_p}),
+                            i -> parts[i] + 2000.0 * {z("'n:' || CAST(t + 1 AS VARCHAR)", 'i')})
+                    WHEN ph = 4 THEN
+                        list_transform(generate_series(1, {n_p}),
+                            i -> parts[CAST(list_sum(list_transform(cumw,
+                                     c -> CASE WHEN c < ({uq} + CAST(i - 1 AS DOUBLE)) / {n_p}.0
+                                          THEN 1 ELSE 0 END)) + 1 AS BIGINT)])
+                    ELSE parts END,
+               CASE WHEN ph = 1 THEN
+                        list_transform(parts,
+                            p -> GREATEST(EXP(-0.5 * (((v[t + 1] - p) / 20000.0)
+                                                      * ((v[t + 1] - p) / 20000.0))), 1e-300))
+                    ELSE wraw END,
+               CASE WHEN ph = 2 THEN
+                        list_transform(wraw, x -> x / list_sum(wraw))
+                    ELSE wn END,
+               CASE WHEN ph = 3 THEN
+                        list_transform(generate_series(1, {n_p}),
+                                       j -> list_sum(list_slice(wn, 1, j)))
+                    ELSE cumw END,
+               CASE WHEN ph = 3 THEN
+                        list_append(outs, list_sum(list_transform(generate_series(1, {n_p}),
+                                                   i -> wn[i] * parts[i])))
+                    ELSE outs END
+        FROM flt
+        WHERE ph > 0 OR t < n
+    )
+    SELECT f.unique_id, s.dss[j] AS ds, s.v[j] AS y,
+           ROUND(f.outs[j], 2) AS pf_level
+    FROM (SELECT unique_id, n AS nn, outs FROM flt WHERE ph = 0 AND t = n) f
+    JOIN series s ON f.unique_id = s.unique_id
+    CROSS JOIN LATERAL UNNEST(generate_series(1, CAST(f.nn AS BIGINT))) AS u(j)
+    """
+
+
+@register("particle_filter_level", _particle_oracle())  # md5-draw bootstrap SMC
 def q_particle(spark, sf_dir):
     from polars_ts_spark.operators.kernel import for_each_series
     from polars_ts_spark.operators.statespace import ParticleFilter
@@ -2437,16 +2522,96 @@ def q_particle(spark, sf_dir):
         means = pf.filter(y, init=lambda n, rng: rng.normal(y0, 1e4, size=n))
         return pd.DataFrame({
             "unique_id": pdf["unique_id"], "ds": pdf["ds"],
-            "y": y, "pf_level": means,
+            "y": y, "pf_level": means.round(2),
         })
 
     return for_each_series(
-        _monthly_panel(spark, sf_dir), kern,
+        _monthly_panel_exact(spark, sf_dir), kern,
         "unique_id string, ds timestamp, y double, pf_level double",
     )
 
 
-@register("enkf_filter")  # rows-only: seeded ensemble Kalman filter
+def _enkf_oracle(n_ens: int = 100, q: float = 1e6, r: float = 1e8,
+                 seed: int = 42) -> str:
+    """EnKF oracle: the md5 Box-Muller perturbation streams
+    (numutils.hash_normals) are regenerated in SQL and the ensemble
+    recursion replayed over a list state. Each filter step is split
+    into TWO recursion phases (process+gain, then analysis) so the
+    update lambda only captures plain state columns — a captured alias
+    would be re-inlined per element and the hash-stream rebuilt
+    quadratically. Variance uses the sum-of-squares form with
+    left-fold sums, matching the kernel float-for-float; the update is
+    branch-free and K in (0,1) contracts, so libm-vs-DuckDB ulps in
+    ln/cos stay ulp-sized. 2dp rounding both sides."""
+    import math
+    sq = repr(math.sqrt(q))
+    sr = repr(math.sqrt(r))
+    N = n_ens
+
+    def z(tag: str, i: str) -> str:
+        u1 = (f"((('0x' || substr(md5('{seed}:' || {tag} || ':' || {i} || ':a'), 1, 8))::BIGINT"
+              f" + 0.5) / 4294967296.0)")
+        u2 = (f"((('0x' || substr(md5('{seed}:' || {tag} || ':' || {i} || ':b'), 1, 8))::BIGINT"
+              f" + 0.5) / 4294967296.0)")
+        return f"(SQRT(-2.0 * LN({u1})) * COS(2.0 * PI() * {u2}))"
+
+    return f"""
+WITH RECURSIVE daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM daily_cents GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT unique_id, list(y ORDER BY ds) AS v, list(ds ORDER BY ds) AS dss,
+               COUNT(*) AS n
+        FROM monthly GROUP BY 1
+    ),
+    flt AS (
+        SELECT unique_id, 0 AS ph, 0 AS t, v, n,
+               list_transform(generate_series(1, {N}),
+                              i -> v[1] + {z("'i'", 'i')}) AS ens,
+               CAST(NULL AS DOUBLE) AS kk, CAST(NULL AS DOUBLE) AS yt,
+               CAST([] AS DOUBLE[]) AS outs
+        FROM series
+        UNION ALL
+        SELECT unique_id, nph, nt, v, n, nens, nkk, nyt, nouts
+        FROM (
+            SELECT unique_id, v, n, outs, t, ph, kk, yt,
+                   CASE WHEN ph = 0 THEN 1 ELSE 0 END AS nph,
+                   CASE WHEN ph = 0 THEN t ELSE t + 1 END AS nt,
+                   CASE WHEN ph = 0
+                        THEN list_transform(generate_series(1, {N}),
+                             i -> ens[i] + {sq} * {z("'p:' || CAST(t AS VARCHAR)", 'i')})
+                        ELSE list_transform(generate_series(1, {N}),
+                             i -> ens[i] + kk * ((yt + {sr} * {z("'o:' || CAST(t AS VARCHAR)", 'i')}) - ens[i]))
+                   END AS nens,
+                   CASE WHEN ph = 0
+                        THEN ((list_sum(list_transform(nens, e -> e * e))
+                               - list_sum(nens) * list_sum(nens) / {N}.0) / {N}.0 + 1e-12)
+                   END AS pp,
+                   CASE WHEN ph = 0 THEN pp / (pp + {r!r}) END AS nkk,
+                   CASE WHEN ph = 0 THEN v[t + 1] END AS nyt,
+                   CASE WHEN ph = 0 THEN outs
+                        ELSE list_append(outs, list_sum(nens) / {N}.0) END AS nouts
+            FROM flt
+            WHERE ph = 1 OR t < n
+        )
+    )
+    SELECT f.unique_id, s.dss[j] AS ds, s.v[j] AS y,
+           ROUND(f.outs[j], 2) AS enkf_level
+    FROM (SELECT unique_id, n AS nn, outs FROM flt WHERE ph = 0 AND t = n) f
+    JOIN series s ON f.unique_id = s.unique_id
+    CROSS JOIN LATERAL UNNEST(generate_series(1, CAST(f.nn AS BIGINT))) AS u(j)
+    """
+
+
+@register("enkf_filter", _enkf_oracle())  # md5 Box-Muller ensemble Kalman filter
 def q_enkf(spark, sf_dir):
     from polars_ts_spark.operators.bayesian import EnsembleKalmanFilter
     from polars_ts_spark.operators.kernel import for_each_series
@@ -2458,11 +2623,11 @@ def q_enkf(spark, sf_dir):
         level = enkf.filter(y, x0=float(y[0]) if len(y) else 0.0)
         return pd.DataFrame({
             "unique_id": pdf["unique_id"], "ds": pdf["ds"],
-            "y": y, "enkf_level": level,
+            "y": y, "enkf_level": level.round(2),
         })
 
     return for_each_series(
-        _monthly_panel(spark, sf_dir), kern,
+        _monthly_panel_exact(spark, sf_dir), kern,
         "unique_id string, ds timestamp, y double, enkf_level double",
     )
 
