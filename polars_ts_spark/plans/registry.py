@@ -5443,10 +5443,102 @@ def q_holidays_de(spark, sf_dir):
 # Bayesian forecasting / multivariate distances / adapters
 
 
-@register("gp_forecast")  # rows-only
+def _gp_oracle(h: int = 6, noise: float = 1e-2) -> str:
+    """GP-regression oracle: the posterior mean/std need one SPD solve
+    (K + noise I) [alpha | X] = [y_c | K*] per series — run as a
+    Gauss-Jordan elimination over a list-of-lists matrix state in a
+    recursive CTE (n approx 84 monthly points, n+1+h columns). The RBF +
+    Periodic kernel entries are closed-form in |i-j|, so both engines
+    build bit-identical systems; Gauss-Jordan vs LAPACK Cholesky agree
+    to ~1e-10 on the predictions (same SPD-stability argument as the
+    ridge oracles) and 2dp rounding absorbs it.
+    mu_j = K*_j . alpha + mean; var_j = 1.5 - K*_j . X_j."""
+    # K(i,j) = exp(-.5 d^2/100) + .5 exp(-2 sin^2(pi d/7)); +noise on diag
+    kk = ("EXP(-0.5 * ((i - j) * (i - j)) / 100.0) "
+          "+ 0.5 * EXP(-2.0 * (SIN(PI() * ABS(CAST(i - j AS DOUBLE)) / 7.0)"
+          " * SIN(PI() * ABS(CAST(i - j AS DOUBLE)) / 7.0)) / 1.0)")
+    ks = ("EXP(-0.5 * (((i - (n + j2 - 1)) * (i - (n + j2 - 1)))) / 100.0) "
+          "+ 0.5 * EXP(-2.0 * (SIN(PI() * ABS(CAST(i - (n + j2 - 1) AS DOUBLE)) / 7.0)"
+          " * SIN(PI() * ABS(CAST(i - (n + j2 - 1) AS DOUBLE)) / 7.0)) / 1.0)")
+    return f"""
+WITH RECURSIVE daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM daily_cents GROUP BY 1, 2
+    ),
+    freq AS (
+        SELECT unique_id, CAST(CASE WHEN COUNT(d) = 0 THEN 86400 ELSE MEDIAN(d) END AS BIGINT) AS freq_s
+        FROM (SELECT unique_id,
+                     epoch(ds) - epoch(LAG(ds) OVER (PARTITION BY unique_id ORDER BY ds)) AS d
+              FROM monthly) GROUP BY 1
+    ),
+    g AS (SELECT unique_id, MAX(ds) AS last_ts FROM monthly GROUP BY 1),
+    steps AS (SELECT UNNEST(generate_series(1, {h})) AS step),
+    series AS (
+        SELECT unique_id, list(y ORDER BY ds) AS v, CAST(COUNT(*) AS BIGINT) AS n
+        FROM monthly GROUP BY 1
+    ),
+    init AS (
+        SELECT unique_id, n, v, list_sum(v) / n AS ym,
+               -- rows are 0-based in (i, j); columns: n kernel + 1 y + h K*
+               list_transform(generate_series(0, CAST(n - 1 AS BIGINT)), i ->
+                   list_transform(generate_series(0, CAST(n - 1 AS BIGINT)), j ->
+                       ({kk}) + CASE WHEN i = j THEN {noise!r} + 1e-10 ELSE 0.0 END)
+                   || [v[i + 1] - list_sum(v) / n]
+                   || list_transform(generate_series(1, {h}), j2 -> {ks})) AS mat
+        FROM series
+    ),
+    gj AS (
+        SELECT unique_id, n, ym, 1 AS k, mat FROM init
+        UNION ALL
+        SELECT unique_id, n, ym, k + 1,
+               list_transform(mat, (row, i) ->
+                   CASE WHEN i = k THEN row
+                        ELSE list_transform(row, (x, j) ->
+                                 x - (row[k] / mat[k][k]) * mat[k][j])
+                   END)
+        FROM gj WHERE k <= n
+    ),
+    sol AS (
+        -- X[i][r] = mat[i][n + r] / mat[i][i]
+        SELECT unique_id, n, ym, mat FROM gj WHERE k = n + 1
+    ),
+    pred AS (
+        SELECT s.unique_id, s.n, s.ym, st.step,
+               list_sum(list_transform(generate_series(1, CAST(s.n AS BIGINT)), i ->
+                   (EXP(-0.5 * (((i - 1) - (s.n + st.step - 1)) * ((i - 1) - (s.n + st.step - 1))) / 100.0)
+                    + 0.5 * EXP(-2.0 * (SIN(PI() * ABS(CAST((i - 1) - (s.n + st.step - 1) AS DOUBLE)) / 7.0)
+                                        * SIN(PI() * ABS(CAST((i - 1) - (s.n + st.step - 1) AS DOUBLE)) / 7.0)) / 1.0))
+                   * (s.mat[i][s.n + 1] / s.mat[i][i]))) AS dot_mu,
+               list_sum(list_transform(generate_series(1, CAST(s.n AS BIGINT)), i ->
+                   (EXP(-0.5 * (((i - 1) - (s.n + st.step - 1)) * ((i - 1) - (s.n + st.step - 1))) / 100.0)
+                    + 0.5 * EXP(-2.0 * (SIN(PI() * ABS(CAST((i - 1) - (s.n + st.step - 1) AS DOUBLE)) / 7.0)
+                                        * SIN(PI() * ABS(CAST((i - 1) - (s.n + st.step - 1) AS DOUBLE)) / 7.0)) / 1.0))
+                   * (s.mat[i][s.n + 1 + st.step] / s.mat[i][i]))) AS dot_var
+        FROM sol s CROSS JOIN steps st
+    )
+    SELECT p.unique_id,
+           g.last_ts + INTERVAL '1 second' * (p.step * f.freq_s) AS ds,
+           ROUND(p.dot_mu + p.ym, 2) AS y_hat,
+           ROUND(SQRT(GREATEST(1.5 - p.dot_var, 1e-12)), 4) AS y_std
+    FROM pred p
+    JOIN g ON p.unique_id = g.unique_id
+    JOIN freq f ON p.unique_id = f.unique_id
+    """
+
+
+@register("gp_forecast", _gp_oracle())
 def q_gp_forecast(spark, sf_dir):
     from polars_ts_spark.operators import bayesian
-    return bayesian.gp_forecast(_monthly_panel(spark, sf_dir), h=6)
+    out = bayesian.gp_forecast(_monthly_panel_exact(spark, sf_dir), h=6)
+    return out.select("unique_id", "ds", F.round("y_hat", 2).alias("y_hat"),
+                      F.round("y_std", 4).alias("y_std"))
 
 
 @register("mcmc_forecast")  # rows-only
