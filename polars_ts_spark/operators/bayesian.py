@@ -166,35 +166,69 @@ def mcmc_forecast_series(
     seed: int = 42,
 ):
     """Linear-trend + Gaussian-noise model; MH over (intercept, slope,
-    log_sigma). Returns (mean, lower, upper) forecast arrays (10/90)."""
+    log_sigma). Returns (mean, lower, upper) forecast arrays (10/90).
+
+    Engine-replicable randomness and arithmetic: proposals / accept
+    uniforms / observation noise come from md5 streams tagged by the
+    iteration index (numutils.hash_normals), the Gaussian RSS is
+    evaluated from six sequentially-folded sufficient statistics, so
+    the DuckDB oracle replays the chain draw-for-draw. The only
+    branch, the MH accept test, compares log(u) against an O(1)-spread
+    statistic — a cross-engine ulp flip needs a ~1e-12 coincidence."""
+    import hashlib
+    import math
+
+    from polars_ts_spark.functions.numutils import hash_normals
+
     y = np.asarray(y, float)
     n = len(y)
-    t = np.arange(n, dtype=float)
-    rng = np.random.default_rng(seed)
+    Sy = Sty = Syy = 0.0
+    for tt in range(n):
+        v = float(y[tt])
+        Sy += v
+        Sty += v * tt
+        Syy += v * v
+    St = float(n * (n - 1) // 2)
+    Stt = float((n - 1) * n * (2 * n - 1) // 6)
 
-    def loglik(th):
-        a, b, ls = th
-        sigma = np.exp(ls)
-        resid = y - (a + b * t)
-        return -0.5 * np.sum(resid ** 2) / sigma ** 2 - n * ls
+    def loglik(a, b, ls):
+        sigma = math.exp(ls)
+        rss = (Syy + a * a * n + b * b * Stt + 2.0 * a * b * St
+               - 2.0 * a * Sy - 2.0 * b * Sty)
+        return -0.5 * rss / (sigma * sigma) - n * ls
 
-    th = np.array([float(y.mean()), 0.0, float(np.log(y.std() or 1.0))])
-    ll = loglik(th)
-    scale = np.array([y.std() / 10 + 1e-6, y.std() / (10 * n) + 1e-9, 0.1])
+    std = math.sqrt(max((Syy - Sy * Sy / n) / n, 0.0)) or 1.0
+    a_, b_, ls_ = Sy / n, 0.0, math.log(std)
+    ll = loglik(a_, b_, ls_)
+    sc = (std / 10 + 1e-6, std / (10 * n) + 1e-9, 0.1)
     samples = []
-    for i in range(n_samples):
-        prop = th + rng.normal(0, 1, 3) * scale
-        ll_p = loglik(prop)
-        if np.log(rng.random()) < ll_p - ll:
-            th, ll = prop, ll_p
-        if i >= burn:
-            samples.append(th.copy())
-    S = np.asarray(samples)
-    t_new = n + np.arange(h, dtype=float)
-    draws = S[:, 0:1] + S[:, 1:2] * t_new[None, :] + np.exp(S[:, 2:3]) * rng.normal(
-        0, 1, (len(S), h)
-    )
-    return draws.mean(axis=0), np.quantile(draws, 0.1, axis=0), np.quantile(draws, 0.9, axis=0)
+    for i in range(1, n_samples + 1):
+        z = hash_normals(seed, f"n:{i}", 3)
+        pa, pb, pls = a_ + float(z[0]) * sc[0], b_ + float(z[1]) * sc[1], ls_ + float(z[2]) * sc[2]
+        ll_p = loglik(pa, pb, pls)
+        hu = hashlib.md5(f"{seed}:u:{i}:a".encode()).hexdigest()
+        u = (int(hu[:8], 16) + 0.5) / 4294967296.0
+        if math.log(u) < ll_p - ll:
+            a_, b_, ls_, ll = pa, pb, pls, ll_p
+        if i > burn:
+            ze = hash_normals(seed, f"e:{i}", h)
+            samples.append([a_ + b_ * (n + j) + math.exp(ls_) * float(ze[j])
+                            for j in range(h)])
+    draws = np.asarray(samples)
+    lo = np.empty(h)
+    hi = np.empty(h)
+    for j in range(h):
+        col = np.sort(draws[:, j])
+        m = len(col)
+        for q, out in ((0.1, lo), (0.9, hi)):
+            pos = q * (m - 1)
+            i0 = int(np.floor(pos))
+            gfr = pos - i0
+            d = col[min(i0 + 1, m - 1)] - col[i0]
+            # numpy _lerp switches form at t >= 0.5 — replicate exactly
+            out[j] = (col[min(i0 + 1, m - 1)] - d * (1.0 - gfr)) if gfr >= 0.5 \
+                else (col[i0] + d * gfr)
+    return draws.mean(axis=0), lo, hi
 
 
 def mcmc_forecast(
@@ -226,47 +260,68 @@ def mcmc_forecast(
 
 
 def bayesian_ets_series(y: np.ndarray, h: int, n_samples: int = 1000, seed: int = 42):
-    y = np.asarray(y, float)
-    rng = np.random.default_rng(seed)
+    """MH over Holt (alpha, beta) with md5-stream draws and plain-float
+    sequential recursions — the DuckDB oracle replays the chain (the
+    Holt SSE is a struct fold there) and the numpy-_lerp quantiles."""
+    import hashlib
+    import math
 
-    def sse(params):
-        a, b = params
-        if not (0 < a < 1 and 0 <= b < 1):
-            return np.inf
-        level, trend = y[0], 0.0
+    from polars_ts_spark.functions.numutils import hash_normals
+
+    y = np.asarray(y, float)
+
+    def holt(a: float, b: float):
+        level, trend = float(y[0]), 0.0
         s = 0.0
         for v in y[1:]:
+            v = float(v)
             pred = level + trend
-            s += (v - pred) ** 2
+            d = v - pred
+            s += d * d
             prev = level
             level = a * v + (1 - a) * pred
             trend = b * (level - prev) + (1 - b) * trend
-        return s
+        return level, trend, s
 
-    th = np.array([0.3, 0.1])
-    cur = sse(th)
+    def sse(a: float, b: float) -> float:
+        if not (0 < a < 1 and 0 <= b < 1):
+            return np.inf
+        return holt(a, b)[2]
+
+    ta, tb = 0.3, 0.1
+    cur = sse(ta, tb)
     n = len(y)
     samples = []
-    for i in range(n_samples):
-        prop = th + rng.normal(0, 0.05, 2)
-        s_p = sse(prop)
+    for i in range(1, n_samples + 1):
+        z = hash_normals(seed, f"n:{i}", 2)
+        pa, pb = ta + 0.05 * float(z[0]), tb + 0.05 * float(z[1])
+        s_p = sse(pa, pb)
+        hu = hashlib.md5(f"{seed}:u:{i}:a".encode()).hexdigest()
+        u = (int(hu[:8], 16) + 0.5) / 4294967296.0
         # Gaussian likelihood with sigma^2 profile: p ∝ sse^(-n/2)
-        if s_p < np.inf and np.log(rng.random()) < -0.5 * n * (np.log(s_p) - np.log(cur)):
-            th, cur = prop, s_p
-        if i >= n_samples // 3:
-            samples.append(th.copy())
-    S = np.asarray(samples)
+        if s_p < np.inf and math.log(u) < -0.5 * n * (math.log(s_p) - math.log(cur)):
+            ta, tb, cur = pa, pb, s_p
+        if i > n_samples // 3:
+            samples.append((ta, tb))
+    step = max(1, len(samples) // 100)
     fcs = []
-    for a, b in S[:: max(1, len(S) // 100)]:
-        level, trend = y[0], 0.0
-        for v in y[1:]:
-            pred = level + trend
-            prev = level
-            level = a * v + (1 - a) * pred
-            trend = b * (level - prev) + (1 - b) * trend
-        fcs.append(level + trend * np.arange(1, h + 1))
+    for a, b in samples[::step]:
+        level, trend, _ = holt(a, b)
+        fcs.append([level + trend * k for k in range(1, h + 1)])
     F_ = np.asarray(fcs)
-    return F_.mean(axis=0), np.quantile(F_, 0.1, axis=0), np.quantile(F_, 0.9, axis=0)
+    lo = np.empty(h)
+    hi = np.empty(h)
+    for j in range(h):
+        col = np.sort(F_[:, j])
+        m = len(col)
+        for q, out in ((0.1, lo), (0.9, hi)):
+            pos = q * (m - 1)
+            i0 = int(np.floor(pos))
+            gfr = pos - i0
+            i1 = min(i0 + 1, m - 1)
+            d = col[i1] - col[i0]
+            out[j] = (col[i1] - d * (1.0 - gfr)) if gfr >= 0.5 else (col[i0] + d * gfr)
+    return F_.mean(axis=0), lo, hi
 
 
 def bayesian_ets(

@@ -5541,22 +5541,375 @@ def q_gp_forecast(spark, sf_dir):
                       F.round("y_std", 4).alias("y_std"))
 
 
-@register("mcmc_forecast")  # rows-only
+def _mcmc_oracle(h: int = 6, n_samples: int = 800, burn: int = 500,
+                 seed: int = 42) -> str:
+    """Metropolis-Hastings oracle: the chain over (intercept, slope,
+    log_sigma) replays draw-for-draw — md5 Box-Muller proposals and
+    accept uniforms tagged by iteration, the Gaussian RSS evaluated
+    from the same six left-folded sufficient statistics, the kept
+    parameter trajectory carried as list state (kept iteration k maps
+    to absolute index burn+k, which re-tags the observation noise), and
+    numpy's branchy _lerp quantile replicated on the sorted draws."""
+
+    def z(tag: str, i: str) -> str:
+        u1 = (f"((('0x' || substr(md5('{seed}:' || {tag} || ':' || {i} || ':a'), 1, 8))::BIGINT"
+              f" + 0.5) / 4294967296.0)")
+        u2 = (f"((('0x' || substr(md5('{seed}:' || {tag} || ':' || {i} || ':b'), 1, 8))::BIGINT"
+              f" + 0.5) / 4294967296.0)")
+        return f"(SQRT(-2.0 * LN({u1})) * COS(2.0 * PI() * {u2}))"
+
+    uacc = (f"((('0x' || substr(md5('{seed}:u:' || CAST(i + 1 AS VARCHAR) || ':a'), 1, 8))::BIGINT"
+            f" + 0.5) / 4294967296.0)")
+    ll = ("(-0.5 * (Syy + {a} * {a} * n + {b} * {b} * Stt + 2.0 * {a} * {b} * St"
+          " - 2.0 * {a} * Sy - 2.0 * {b} * Sty) / (EXP({ls}) * EXP({ls})) - n * {ls})")
+    m = n_samples - burn
+    qexprs = []
+    for j in range(1, h + 1):
+        dj = (f"list_sort(list_transform(generate_series(1, {m}), k -> "
+              f"La[k] + Lb[k] * (n + {j} - 1) + EXP(Lls[k]) * "
+              + z(f"'e:' || CAST({burn} + k AS VARCHAR)", str(j)) + "))")
+        qexprs.append(f"{dj} AS s{j}, list_sum(s{j}) / {m}.0 AS mu{j}")
+        for q, nm in ((0.1, "lo"), (0.9, "hi")):
+            pos = q * (m - 1)
+            i0 = int(pos // 1)
+            g = repr(pos - i0)
+            i1 = min(i0 + 1, m - 1)
+            if pos - i0 >= 0.5:
+                qexprs.append(f"s{j}[{i1 + 1}] - (s{j}[{i1 + 1}] - s{j}[{i0 + 1}]) * (1.0 - {g}) AS {nm}{j}")
+            else:
+                qexprs.append(f"s{j}[{i0 + 1}] + (s{j}[{i1 + 1}] - s{j}[{i0 + 1}]) * {g} AS {nm}{j}")
+    outs = " UNION ALL ".join(
+        f"SELECT unique_id, {j} AS step, mu{j} AS y_hat, lo{j} AS y_hat_lower, hi{j} AS y_hat_upper FROM fin"
+        for j in range(1, h + 1))
+    return f"""
+WITH RECURSIVE daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM daily_cents GROUP BY 1, 2
+    ),
+    freq AS (
+        SELECT unique_id, CAST(CASE WHEN COUNT(d) = 0 THEN 86400 ELSE MEDIAN(d) END AS BIGINT) AS freq_s
+        FROM (SELECT unique_id,
+                     epoch(ds) - epoch(LAG(ds) OVER (PARTITION BY unique_id ORDER BY ds)) AS d
+              FROM monthly) GROUP BY 1
+    ),
+    g AS (SELECT unique_id, MAX(ds) AS last_ts FROM monthly GROUP BY 1),
+    stats AS (
+        SELECT unique_id,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               list_reduce(list(y ORDER BY ds), (x, y2) -> x + y2) AS Sy,
+               list_reduce(list_transform(list(y ORDER BY ds), (v, t) -> v * (t - 1)),
+                           (x, y2) -> x + y2) AS Sty,
+               list_reduce(list_transform(list(y ORDER BY ds), v -> v * v),
+                           (x, y2) -> x + y2) AS Syy
+        FROM monthly GROUP BY 1
+    ),
+    consts AS (
+        SELECT unique_id, n, Sy, Sty, Syy,
+               CAST(CAST(n AS BIGINT) * (CAST(n AS BIGINT) - 1) // 2 AS DOUBLE) AS St,
+               CAST((CAST(n AS BIGINT) - 1) * CAST(n AS BIGINT) * (2 * CAST(n AS BIGINT) - 1) // 6 AS DOUBLE) AS Stt,
+               COALESCE(NULLIF(SQRT(GREATEST((Syy - Sy * Sy / n) / n, 0.0)), 0.0), 1.0) AS sd
+        FROM stats
+    ),
+    chain AS (
+        SELECT unique_id, 0 AS i, n, Sy, Sty, Syy, St, Stt,
+               sd / 10 + 1e-6 AS sc1, sd / (10 * n) + 1e-9 AS sc2,
+               CAST(0.1 AS DOUBLE) AS sc3,
+               Sy / n AS a, CAST(0.0 AS DOUBLE) AS b, LN(sd) AS ls,
+               {ll.format(a='(Sy / n)', b='0.0', ls='LN(sd)')} AS llv,
+               CAST([] AS DOUBLE[]) AS La, CAST([] AS DOUBLE[]) AS Lb,
+               CAST([] AS DOUBLE[]) AS Lls
+        FROM consts
+        UNION ALL
+        SELECT unique_id, i + 1, n, Sy, Sty, Syy, St, Stt, sc1, sc2, sc3,
+               na, nb, nls, nll,
+               CASE WHEN i + 1 > {burn} THEN list_append(La, na) ELSE La END,
+               CASE WHEN i + 1 > {burn} THEN list_append(Lb, nb) ELSE Lb END,
+               CASE WHEN i + 1 > {burn} THEN list_append(Lls, nls) ELSE Lls END
+        FROM (
+            SELECT c.*,
+                   a + {z("'n:' || CAST(i + 1 AS VARCHAR)", '1')} * sc1 AS pa,
+                   b + {z("'n:' || CAST(i + 1 AS VARCHAR)", '2')} * sc2 AS pb,
+                   ls + {z("'n:' || CAST(i + 1 AS VARCHAR)", '3')} * sc3 AS pls,
+                   {ll.format(a='pa', b='pb', ls='pls')} AS llp,
+                   LN({uacc}) < llp - llv AS acc,
+                   CASE WHEN acc THEN pa ELSE a END AS na,
+                   CASE WHEN acc THEN pb ELSE b END AS nb,
+                   CASE WHEN acc THEN pls ELSE ls END AS nls,
+                   CASE WHEN acc THEN llp ELSE llv END AS nll
+            FROM chain c WHERE i < {n_samples}
+        )
+    ),
+    fin AS (
+        SELECT unique_id, n, {', '.join(qexprs)}
+        FROM chain WHERE i = {n_samples}
+    ),
+    un AS ({outs})
+    SELECT u.unique_id,
+           g.last_ts + INTERVAL '1 second' * (u.step * f.freq_s) AS ds,
+           ROUND(u.y_hat, 2) AS y_hat,
+           ROUND(u.y_hat_lower, 2) AS y_hat_lower,
+           ROUND(u.y_hat_upper, 2) AS y_hat_upper
+    FROM un u
+    JOIN g ON u.unique_id = g.unique_id
+    JOIN freq f ON u.unique_id = f.unique_id
+    """
+
+
+@register("mcmc_forecast", _mcmc_oracle())
 def q_mcmc_forecast(spark, sf_dir):
     from polars_ts_spark.operators import bayesian
-    return bayesian.mcmc_forecast(_monthly_panel(spark, sf_dir), h=6, n_samples=800)
+    out = bayesian.mcmc_forecast(_monthly_panel_exact(spark, sf_dir), h=6, n_samples=800)
+    return out.select(
+        "unique_id", "ds", F.round("y_hat", 2).alias("y_hat"),
+        F.round("y_hat_lower", 2).alias("y_hat_lower"),
+        F.round("y_hat_upper", 2).alias("y_hat_upper"),
+    )
 
 
-@register("bayesian_ets")  # rows-only
+def _bayes_ets_oracle(h: int = 6, n_samples: int = 500, seed: int = 42) -> str:
+    """Bayesian-ETS oracle: the MH chain over Holt (alpha, beta)
+    replayed with md5 draws; the Holt level/trend/SSE recursion runs as
+    a struct left fold (list_reduce) inside each proposal evaluation,
+    matching the kernel's sequential plain-float loop. Kept samples are
+    thinned with the same stride and re-decoded; quantiles replicate
+    numpy's branchy _lerp."""
+    burn_k = n_samples // 3
+    kept = n_samples - burn_k
+    step = max(1, kept // 100)
+    nsel = len(range(0, kept, step))
+
+    def z(tag: str, i: str) -> str:
+        u1 = (f"((('0x' || substr(md5('{seed}:' || {tag} || ':' || {i} || ':a'), 1, 8))::BIGINT"
+              f" + 0.5) / 4294967296.0)")
+        u2 = (f"((('0x' || substr(md5('{seed}:' || {tag} || ':' || {i} || ':b'), 1, 8))::BIGINT"
+              f" + 0.5) / 4294967296.0)")
+        return f"(SQRT(-2.0 * LN({u1})) * COS(2.0 * PI() * {u2}))"
+
+    uacc = (f"((('0x' || substr(md5('{seed}:u:' || CAST(i + 1 AS VARCHAR) || ':a'), 1, 8))::BIGINT"
+            f" + 0.5) / 4294967296.0)")
+
+    def holt(a: str, b: str) -> str:
+        # list accumulator [lv, tr, s, vv] — DuckDB list_reduce STRUCT
+        # accumulators rebind fields progressively during evaluation
+        # (later fields see already-updated earlier ones); list
+        # construction evaluates all elements against the old value
+        lst = ("[[v[1], CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), v[1]]]"
+               " || list_transform(v[2:], x2 ->"
+               " [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), x2])")
+        lam = (f"(acc, x) -> [{a} * x[4] + (1.0 - {a}) * (acc[1] + acc[2]), "
+               f"{b} * (({a} * x[4] + (1.0 - {a}) * (acc[1] + acc[2])) - acc[1])"
+               f" + (1.0 - {b}) * acc[2], "
+               f"acc[3] + (x[4] - (acc[1] + acc[2])) * (x[4] - (acc[1] + acc[2])), "
+               f"x[4]]")
+        return f"list_reduce({lst}, {lam})"
+
+    qouts = []
+    for q, nm in ((0.1, "y_hat_lower"), (0.9, "y_hat_upper")):
+        pos = q * (nsel - 1)
+        i0 = int(pos // 1)
+        g = repr(pos - i0)
+        i1 = min(i0 + 1, nsel - 1)
+        if pos - i0 >= 0.5:
+            qouts.append(f"ROUND(srt[{i1 + 1}] - (srt[{i1 + 1}] - srt[{i0 + 1}]) * (1.0 - {g}), 2) AS {nm}")
+        else:
+            qouts.append(f"ROUND(srt[{i0 + 1}] + (srt[{i1 + 1}] - srt[{i0 + 1}]) * {g}, 2) AS {nm}")
+    return f"""
+WITH RECURSIVE daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM daily_cents GROUP BY 1, 2
+    ),
+    freq AS (
+        SELECT unique_id, CAST(CASE WHEN COUNT(d) = 0 THEN 86400 ELSE MEDIAN(d) END AS BIGINT) AS freq_s
+        FROM (SELECT unique_id,
+                     epoch(ds) - epoch(LAG(ds) OVER (PARTITION BY unique_id ORDER BY ds)) AS d
+              FROM monthly) GROUP BY 1
+    ),
+    g AS (SELECT unique_id, MAX(ds) AS last_ts FROM monthly GROUP BY 1),
+    series AS (
+        SELECT unique_id, list(y ORDER BY ds) AS v, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM monthly GROUP BY 1
+    ),
+    chain AS (
+        SELECT unique_id, 0 AS i, v, n,
+               CAST(0.3 AS DOUBLE) AS a, CAST(0.1 AS DOUBLE) AS b,
+               ({holt('CAST(0.3 AS DOUBLE)', 'CAST(0.1 AS DOUBLE)')})[3] AS cur,
+               CAST([] AS DOUBLE[]) AS La, CAST([] AS DOUBLE[]) AS Lb
+        FROM series
+        UNION ALL
+        SELECT unique_id, i + 1, v, n, na, nb, ncur,
+               CASE WHEN i + 1 > {burn_k} THEN list_append(La, na) ELSE La END,
+               CASE WHEN i + 1 > {burn_k} THEN list_append(Lb, nb) ELSE Lb END
+        FROM (
+            SELECT c.*,
+                   a + 0.05 * {z("'n:' || CAST(i + 1 AS VARCHAR)", '1')} AS pa,
+                   b + 0.05 * {z("'n:' || CAST(i + 1 AS VARCHAR)", '2')} AS pb,
+                   CASE WHEN pa > 0 AND pa < 1 AND pb >= 0 AND pb < 1
+                        THEN ({holt('pa', 'pb')})[3] END AS sp,
+                   sp IS NOT NULL AND LN({uacc}) < -0.5 * n * (LN(sp) - LN(cur)) AS ok,
+                   CASE WHEN ok THEN pa ELSE a END AS na,
+                   CASE WHEN ok THEN pb ELSE b END AS nb,
+                   CASE WHEN ok THEN sp ELSE cur END AS ncur
+            FROM chain c WHERE i < {n_samples}
+        )
+    ),
+    sel AS (
+        SELECT unique_id, v, La, Lb, UNNEST(generate_series(1, {nsel})) AS kk
+        FROM chain WHERE i = {n_samples}
+    ),
+    dec AS (
+        SELECT unique_id, kk,
+               ({holt(f'La[1 + {step} * (kk - 1)]', f'Lb[1 + {step} * (kk - 1)]')}) AS ht
+        FROM sel
+    ),
+    horiz AS (SELECT UNNEST(generate_series(1, {h})) AS step),
+    fj AS (
+        SELECT d.unique_id, hz.step,
+               SUM(d.ht[1] + d.ht[2] * hz.step) / COUNT(*) AS mu,
+               list_sort(list(d.ht[1] + d.ht[2] * hz.step)) AS srt
+        FROM dec d CROSS JOIN horiz hz
+        GROUP BY 1, 2
+    )
+    SELECT f.unique_id,
+           g.last_ts + INTERVAL '1 second' * (f.step * fr.freq_s) AS ds,
+           ROUND(f.mu, 2) AS y_hat,
+           {', '.join(qouts)}
+    FROM fj f
+    JOIN g ON f.unique_id = g.unique_id
+    JOIN freq fr ON f.unique_id = fr.unique_id
+    """
+
+
+@register("bayesian_ets", _bayes_ets_oracle())
 def q_bayesian_ets(spark, sf_dir):
     from polars_ts_spark.operators import bayesian
-    return bayesian.bayesian_ets(_monthly_panel(spark, sf_dir), h=6, n_samples=500)
+    out = bayesian.bayesian_ets(_monthly_panel_exact(spark, sf_dir), h=6, n_samples=500)
+    return out.select(
+        "unique_id", "ds", F.round("y_hat", 2).alias("y_hat"),
+        F.round("y_hat_lower", 2).alias("y_hat_lower"),
+        F.round("y_hat_upper", 2).alias("y_hat_upper"),
+    )
 
 
-@register("bsts_forecast")  # rows-only
+_BSTS_ORACLE = """
+WITH RECURSIVE panel AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS y
+        FROM lineitem GROUP BY 1, 2
+    ),
+    freq AS (
+        SELECT unique_id, CAST(CASE WHEN COUNT(d) = 0 THEN 86400 ELSE MEDIAN(d) END AS BIGINT) AS freq_s
+        FROM (SELECT unique_id,
+                     epoch(ds) - epoch(LAG(ds) OVER (PARTITION BY unique_id ORDER BY ds)) AS d
+              FROM panel) GROUP BY 1
+    ),
+    g AS (SELECT unique_id, MAX(ds) AS last_ts, COUNT(*) AS n FROM panel GROUP BY 1),
+    steps AS (SELECT UNNEST(generate_series(1, 7)) AS step),
+    ordered AS (
+        SELECT unique_id, ds, y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+               (ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) - 1) % 7 AS phase,
+               AVG(y) OVER (PARTITION BY unique_id ORDER BY ds
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend0
+        FROM panel
+    ),
+    seas_raw AS (
+        SELECT unique_id, phase, AVG(y - trend0) AS s
+        FROM ordered GROUP BY 1, 2
+    ),
+    seas AS (
+        SELECT unique_id, phase,
+               s - AVG(s) OVER (PARTITION BY unique_id) AS s
+        FROM seas_raw
+    ),
+    deseason AS (
+        SELECT o.unique_id, o.rn, o.y - s.s AS y
+        FROM ordered o JOIN seas s ON o.unique_id = s.unique_id AND o.phase = s.phase
+    ),
+    rvar AS (
+        SELECT unique_id, GREATEST(VAR_POP(d), 0.000001) AS rr FROM (
+            SELECT unique_id, y - LAG(y) OVER (PARTITION BY unique_id ORDER BY rn) AS d
+            FROM deseason
+        ) WHERE d IS NOT NULL GROUP BY 1
+    ),
+    -- local-trend Kalman filter (q_level=0.1, q_trend=0.01), identical
+    -- float-op order to KalmanFilter.filter (same template as the
+    -- causal_impact oracle), partitioned per series
+    rec AS (
+        SELECT v.unique_id, 0 AS t,
+               CAST(0.0 AS DOUBLE) AS x1, CAST(0.0 AS DOUBLE) AS x2,
+               CAST(1000000.0 AS DOUBLE) AS p11, CAST(0.0 AS DOUBLE) AS p12,
+               CAST(0.0 AS DOUBLE) AS p21, CAST(1000000.0 AS DOUBLE) AS p22,
+               v.rr AS rr
+        FROM rvar v
+        UNION ALL
+        SELECT unique_id, t,
+               x1p + k1 * (y - x1p) AS x1,
+               x2p + k2 * (y - x1p) AS x2,
+               (1.0 - k1) * p11p AS p11,
+               (1.0 - k1) * p12p AS p12,
+               (-k2 * p11p) + p21p AS p21,
+               (-k2 * p12p) + p22p AS p22,
+               rr
+        FROM (
+            SELECT unique_id, t, y, rr, x1p, x2p, p11p, p12p, p21p, p22p,
+                   p11p * (1.0 / (p11p + rr)) AS k1,
+                   p21p * (1.0 / (p11p + rr)) AS k2
+            FROM (
+                SELECT r.unique_id, r.t + 1 AS t, o.y AS y, r.rr AS rr,
+                       r.x1 + r.x2 AS x1p, r.x2 AS x2p,
+                       ((r.p11 + r.p21) + (r.p12 + r.p22)) + 0.1 AS p11p,
+                       (r.p12 + r.p22) + 0.0 AS p12p,
+                       (r.p21 + r.p22) + 0.0 AS p21p,
+                       r.p22 + 0.01 AS p22p
+                FROM rec r
+                JOIN deseason o ON o.unique_id = r.unique_id AND o.rn = r.t + 1
+            )
+        )
+    ),
+    fin AS (
+        SELECT r.unique_id, r.x1, r.x2
+        FROM rec r JOIN g ON r.unique_id = g.unique_id AND r.t = g.n
+    )
+    SELECT f.unique_id,
+           g.last_ts + INTERVAL '1 second' * (st.step * fr.freq_s) AS ds,
+           ROUND((f.x1 + st.step * f.x2)
+                 + se.s, 2) AS y_hat
+    FROM fin f
+    CROSS JOIN steps st
+    JOIN g ON f.unique_id = g.unique_id
+    JOIN freq fr ON f.unique_id = fr.unique_id
+    JOIN seas se ON se.unique_id = f.unique_id
+               AND se.phase = (g.n + st.step - 1) % 7
+    """
+
+
+@register("bsts_forecast", _BSTS_ORACLE)
 def q_bsts(spark, sf_dir):
     from polars_ts_spark.operators import bayesian
-    return bayesian.bsts_forecast(supplier_daily_panel(spark, sf_dir), h=7, season_length=7)
+    from polars_ts_spark.sources.datasets import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    panel = li.groupBy(
+        F.col("l_suppkey").cast("string").alias("unique_id"),
+        F.date_trunc("day", F.col("l_shipdate")).alias("ds"),
+    ).agg((F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double")
+           / F.lit(100.0)).alias("y"))
+    out = bayesian.bsts_forecast(panel, h=7, season_length=7)
+    return out.select("unique_id", "ds", F.round("y_hat", 2).alias("y_hat"))
 
 
 # (pairwise_dtw_multi / pairwise_msm_multi are registered above with
