@@ -218,30 +218,35 @@ def agglomerative_labels(D: np.ndarray, k: int, linkage: str = "average") -> np.
 
 
 def dbscan_labels(D: np.ndarray, eps: float, min_samples: int = 3) -> np.ndarray:
-    """DBSCAN on a precomputed matrix (density.py:31-156); noise = -1."""
+    """Canonical DBSCAN on a precomputed matrix (density.py:31-156);
+    noise = -1. Clusters are the connected components of the core-core
+    eps-graph, numbered by each component's minimal point index (which
+    is exactly the classic scan numbering); border points attach to the
+    MINIMUM-label core neighbor instead of whichever expansion reached
+    them first, so the labeling is scan-order-free and the DuckDB
+    oracle can rebuild it as min-label propagation."""
     n = len(D)
+    adj = D <= eps
+    core = adj.sum(axis=1) >= min_samples
     labels = np.full(n, -1, dtype=int)
-    visited = np.zeros(n, dtype=bool)
-    cid = 0
-    for p in range(n):
-        if visited[p]:
-            continue
-        visited[p] = True
-        neigh = list(np.flatnonzero(D[p] <= eps))
-        if len(neigh) < min_samples:
-            continue
-        labels[p] = cid
-        queue = [q for q in neigh if q != p]
-        while queue:
-            q = queue.pop()
-            if not visited[q]:
-                visited[q] = True
-                qn = list(np.flatnonzero(D[q] <= eps))
-                if len(qn) >= min_samples:
-                    queue.extend(x for x in qn if not visited[x])
-            if labels[q] == -1:
-                labels[q] = cid
-        cid += 1
+    comp = np.where(core, np.arange(n), n)
+    changed = True
+    while changed:
+        changed = False
+        for i in np.flatnonzero(core):
+            nb = [comp[j] for j in np.flatnonzero(adj[i]) if core[j]]
+            m = min(nb) if nb else comp[i]
+            if m < comp[i]:
+                comp[i] = m
+                changed = True
+    roots = sorted({int(comp[i]) for i in np.flatnonzero(core)})
+    rank = {r: k for k, r in enumerate(roots)}
+    for i in np.flatnonzero(core):
+        labels[i] = rank[int(comp[i])]
+    for i in np.flatnonzero(~core):
+        nb = [labels[j] for j in np.flatnonzero(adj[i]) if core[j]]
+        if nb:
+            labels[i] = min(nb)
     return labels
 
 

@@ -2270,10 +2270,233 @@ def q_regime(spark, sf_dir):
 # distance matrix; seeded LCG init -> deterministic, rows-only checks)
 
 
-@register("kmedoids_dtw")
+def _kmedoids_core(k: int = 3, seed: int = 42, max_iter: int = 100) -> str:
+    """PAM k-medoids oracle core: DTW distances from the bit-exact DP
+    recursion, the 64-bit LCG init replayed in HUGEINT modular
+    arithmetic (partial Fisher-Yates on a list), then the FastPAM1
+    greedy best-swap loop as a two-phase recursion (assignment stats /
+    swap selection) over the distance matrix carried as list state.
+    Only the ARGMIN decisions must agree across engines: swap deltas
+    differ by summation-order ulps but the argmin gaps are O(1e3), the
+    zeroed already-medoid candidates are exact 0.0 on both sides, and
+    list_indexof(min) reproduces numpy's first-flat-index tie rule."""
+    assert k == 3, "oracle is generated for the registered k=3"
+    A, C, M64 = 6364136223846793005, 1442695040888963407, 1 << 64
+    base = _pairwise_dp_oracle("dtw", **_DP_ORACLES["dtw"])
+    cut = base.rindex("SELECT id_1, id_2,")
+    head, tail = base[:cut], base[cut:]
+    dist_sel = tail.strip().replace("AS dtw", "AS dd", 1)
+    # dm built from the state's meds (list column): cheap per-element
+    dm = lambda i, m: f"mat[{i} + 1][meds[{m}] + 1]"
+    near_case = (f"CASE WHEN {dm('i', 1)} <= {dm('i', 2)} AND {dm('i', 1)} <= {dm('i', 3)} THEN 0 "
+                 f"WHEN {dm('i', 2)} <= {dm('i', 3)} THEN 1 ELSE 2 END")
+    d1 = f"LEAST({dm('i', 1)}, {dm('i', 2)}, {dm('i', 3)})"
+    # d2 = middle value: sum - min - max
+    d2 = (f"(({dm('i', 1)} + {dm('i', 2)} + {dm('i', 3)}) - {d1} "
+          f"- GREATEST({dm('i', 1)}, {dm('i', 2)}, {dm('i', 3)}))")
+    return head.rstrip() + f""",
+    dists AS ({dist_sel}),
+    idx AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS ix FROM ser),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+    fullpairs AS (
+        SELECT i1.ix AS i, i2.ix AS j, d.dd
+        FROM dists d JOIN idx i1 ON i1.sid = d.id_1 JOIN idx i2 ON i2.sid = d.id_2
+        UNION ALL
+        SELECT i2.ix, i1.ix, d.dd
+        FROM dists d JOIN idx i1 ON i1.sid = d.id_1 JOIN idx i2 ON i2.sid = d.id_2
+        UNION ALL
+        SELECT ix, ix, CAST(0.0 AS DOUBLE) FROM idx
+    ),
+    matl AS (
+        SELECT list(row ORDER BY i) AS mat FROM (
+            SELECT i, list(dd ORDER BY j) AS row FROM fullpairs GROUP BY i
+        )
+    ),
+    -- 64-bit LCG draws (kmedoids.rs family): state_{{t+1}} = (A s + C) mod 2^64,
+    -- output state >> 33; three draws seed the partial Fisher-Yates
+    lcg AS (
+        SELECT s1, s2, s3,
+               CAST(s1 // 8589934592 AS BIGINT) AS r1,
+               CAST(s2 // 8589934592 AS BIGINT) AS r2,
+               CAST(s3 // 8589934592 AS BIGINT) AS r3
+        FROM (
+            SELECT s1, s2, ({A}::HUGEINT * s2 + {C}) % {M64}::HUGEINT AS s3
+            FROM (
+                SELECT s1, ({A}::HUGEINT * s1 + {C}) % {M64}::HUGEINT AS s2
+                FROM (SELECT ({A}::HUGEINT * {seed} + {C}) % {M64}::HUGEINT AS s1)
+            )
+        )
+    ),
+    fy AS (
+        SELECT l2.perm3[1] AS m1, l2.perm3[2] AS m2, l2.perm3[3] AS m3 FROM (
+            SELECT list_transform(perm2, (x, p) -> CASE WHEN p - 1 = 2 THEN perm2[CAST(2 + r3 % (n - 2) AS BIGINT) + 1]
+                                                        WHEN p - 1 = CAST(2 + r3 % (n - 2) AS BIGINT) THEN perm2[3]
+                                                        ELSE x END) AS perm3
+            FROM (
+                SELECT r3, n, list_transform(perm1, (x, p) -> CASE WHEN p - 1 = 1 THEN perm1[CAST(1 + r2 % (n - 1) AS BIGINT) + 1]
+                                                                  WHEN p - 1 = CAST(1 + r2 % (n - 1) AS BIGINT) THEN perm1[2]
+                                                                  ELSE x END) AS perm2
+                FROM (
+                    SELECT r2, r3, n, list_transform(perm0, (x, p) -> CASE WHEN p - 1 = 0 THEN perm0[CAST(r1 % n AS BIGINT) + 1]
+                                                                          WHEN p - 1 = CAST(r1 % n AS BIGINT) THEN perm0[1]
+                                                                          ELSE x END) AS perm1
+                    FROM (
+                        SELECT r1, r2, r3, n,
+                               list_transform(generate_series(1, n), p -> p - 1) AS perm0
+                        FROM lcg, nn
+                    )
+                )
+            )
+        ) l2
+    ),
+    pam AS (
+        SELECT 0 AS it, 0 AS ph, FALSE AS done,
+               [f.m1, f.m2, f.m3] AS meds,
+               CAST(NULL AS DOUBLE[]) AS d1l, CAST(NULL AS DOUBLE[]) AS d2l,
+               CAST(NULL AS BIGINT[]) AS nearl,
+               n, mat
+        FROM fy f, nn, matl
+        UNION ALL
+        SELECT CASE WHEN ph = 1 THEN it + 1 ELSE it END,
+               (ph + 1) % 2, ndone, nmeds, nd1l, nd2l, nnearl, n, mat
+        FROM (
+            SELECT it, ph, n, mat, meds, done,
+                   CASE WHEN ph = 0 THEN
+                        list_transform(generate_series(0, n - 1), i -> {d1})
+                        ELSE d1l END AS nd1l,
+                   CASE WHEN ph = 0 THEN
+                        list_transform(generate_series(0, n - 1), i -> {d2})
+                        ELSE d2l END AS nd2l,
+                   CASE WHEN ph = 0 THEN
+                        list_transform(generate_series(0, n - 1), i -> CAST({near_case} AS BIGINT))
+                        ELSE nearl END AS nnearl,
+                   CASE WHEN ph = 1 THEN
+                        list_transform(generate_series(0, 3 * CAST(n AS BIGINT) - 1), f2 ->
+                            CASE WHEN (f2 % n) = meds[1] OR (f2 % n) = meds[2] OR (f2 % n) = meds[3]
+                                 THEN CAST(0.0 AS DOUBLE)
+                                 ELSE list_sum(list_transform(generate_series(0, n - 1), i ->
+                                     CASE WHEN nearl[i + 1] = f2 // n
+                                          THEN LEAST(mat[(f2 % n) + 1][i + 1], d2l[i + 1]) - d1l[i + 1]
+                                          ELSE LEAST(mat[(f2 % n) + 1][i + 1] - d1l[i + 1], 0.0)
+                                     END))
+                            END)
+                        END AS deltas,
+                   CASE WHEN ph = 1 THEN list_min(deltas) END AS bestv,
+                   CASE WHEN ph = 1 THEN CAST(list_indexof(deltas, bestv) - 1 AS BIGINT) END AS bi,
+                   CASE WHEN ph = 1 AND NOT done AND bestv < -1e-12
+                        THEN list_transform(meds, (mm, p) ->
+                                 CASE WHEN p - 1 = bi // n THEN bi % n ELSE mm END)
+                        ELSE meds END AS nmeds,
+                   CASE WHEN ph = 1 THEN (done OR bestv >= -1e-12) ELSE done END AS ndone
+            FROM pam
+            WHERE (NOT done AND it < {max_iter}) OR ph = 1
+        )
+    ),
+    finst AS (
+        SELECT meds, n, mat FROM pam
+        WHERE ph = 0 AND (done OR it = {max_iter})
+        ORDER BY it LIMIT 1
+    ),
+    labels AS (
+        SELECT x.ix AS i, x.sid,
+               CAST(({near_case.replace('i', 'x.ix')}) AS INT) AS cluster
+        FROM idx x, finst
+    )""".replace("mat[x.ix + 1][meds[", "finst.mat[x.ix + 1][finst.meds[")
+
+
+def _kmedoids_oracle(k: int = 3, seed: int = 42, max_iter: int = 100) -> str:
+    """PAM labels as [unique_id, cluster] — see _kmedoids_core."""
+    return _kmedoids_core(k, seed, max_iter) + """
+    SELECT sid AS unique_id, cluster FROM labels
+    """
+
+
+def _cluster_scores_oracle(k: int = 3, seed: int = 42) -> str:
+    """Internal cluster-quality indices over the replayed PAM labels:
+    silhouette (per-point nearest-other-cluster mean), medoid-based
+    Davies-Bouldin, and the medoid CH analogue — all plain aggregations
+    over the bit-exact distance matrix once the labels are fixed.
+    Rounded 6dp both sides (subset means differ by summation ulps)."""
+    return _kmedoids_core(k, seed) + """,
+    lp AS (SELECT f.i, f.j, f.dd, li.cluster AS ci, lj.cluster AS cj
+           FROM fullpairs f
+           JOIN labels li ON li.i = f.i JOIN labels lj ON lj.i = f.j),
+    sil_a AS (
+        SELECT i, AVG(dd) AS a FROM lp WHERE ci = cj AND i <> j GROUP BY i
+    ),
+    sil_b AS (
+        SELECT i, MIN(m) AS b FROM (
+            SELECT i, cj, AVG(dd) AS m FROM lp WHERE ci <> cj GROUP BY i, cj
+        ) GROUP BY i
+    ),
+    sil AS (
+        SELECT AVG(CASE WHEN GREATEST(COALESCE(a.a, 0.0), b.b) > 0
+                        THEN (b.b - COALESCE(a.a, 0.0)) / GREATEST(COALESCE(a.a, 0.0), b.b)
+                        ELSE 0.0 END) AS s
+        FROM labels l
+        LEFT JOIN sil_a a ON a.i = l.i
+        JOIN sil_b b ON b.i = l.i
+    ),
+    meds2 AS (
+        SELECT ci AS c, i AS mi FROM (
+            SELECT ci, i, SUM(dd) AS rs,
+                   ROW_NUMBER() OVER (PARTITION BY ci ORDER BY SUM(dd), i) AS rn
+            FROM lp WHERE ci = cj GROUP BY ci, i
+        ) WHERE rn = 1
+    ),
+    spread AS (
+        SELECT m.c, AVG(f.dd) AS sp
+        FROM meds2 m
+        JOIN labels l ON l.cluster = m.c
+        JOIN fullpairs f ON f.i = m.mi AND f.j = l.i
+        GROUP BY m.c
+    ),
+    db AS (
+        SELECT AVG(worst) AS v FROM (
+            SELECT si.c, MAX((si.sp + sj.sp)
+                             / (CASE WHEN f.dd = 0 THEN 1e-12 ELSE f.dd END)) AS worst
+            FROM spread si
+            JOIN spread sj ON si.c <> sj.c
+            JOIN meds2 mi2 ON mi2.c = si.c
+            JOIN meds2 mj2 ON mj2.c = sj.c
+            JOIN fullpairs f ON f.i = mi2.mi AND f.j = mj2.mi
+            GROUP BY si.c
+        )
+    ),
+    gmed AS (
+        SELECT i AS gm FROM (
+            SELECT i, ROW_NUMBER() OVER (ORDER BY SUM(dd), i) AS rn
+            FROM fullpairs GROUP BY i
+        ) WHERE rn = 1
+    ),
+    ch_parts AS (
+        SELECT m.c,
+               (SELECT SUM(f.dd * f.dd) FROM fullpairs f
+                JOIN labels l ON l.i = f.j AND l.cluster = m.c
+                WHERE f.i = m.mi) AS within_c,
+               (SELECT COUNT(*) FROM labels l WHERE l.cluster = m.c)
+                   * (SELECT POW(f.dd, 2) FROM fullpairs f, gmed g
+                      WHERE f.i = g.gm AND f.j = m.mi) AS between_c
+        FROM meds2 m
+    ),
+    ch AS (
+        SELECT CASE WHEN SUM(within_c) = 0 THEN 1e308
+                    ELSE (SUM(between_c) / ((SELECT COUNT(*) FROM meds2) - 1))
+                         / (SUM(within_c) / ((SELECT COUNT(*) FROM labels)
+                                             - (SELECT COUNT(*) FROM meds2)))
+               END AS v
+        FROM ch_parts
+    )
+    SELECT ROUND((SELECT s FROM sil), 6) AS silhouette,
+           ROUND((SELECT v FROM db), 6) AS davies_bouldin,
+           ROUND((SELECT v FROM ch), 6) AS calinski_harabasz
+    """
+
+
+@register("kmedoids_dtw", _kmedoids_oracle())
 def q_kmedoids(spark, sf_dir):
     from polars_ts_spark.operators import clustering
-    return clustering.kmedoids(_monthly_panel(spark, sf_dir), k=3, method="dtw")
+    return clustering.kmedoids(_monthly_panel_exact(spark, sf_dir), k=3, method="dtw")
 
 
 @register("clara_cluster")
@@ -2288,11 +2511,64 @@ def q_spectral(spark, sf_dir):
     return clustering.spectral_cluster(_monthly_panel(spark, sf_dir), k=3, method="sbd")
 
 
-@register("dbscan_cluster")  # rows-only: iterative density expansion
+def _dbscan_oracle(eps: float, min_samples: int) -> str:
+    """Canonical-DBSCAN oracle: the bit-exact DTW distances come from
+    the same anti-diagonal DP recursion as the pairwise_dtw oracle;
+    clusters are connected components of the core-core eps-graph
+    (min-label propagation, numbered by minimal member index — the
+    classic scan numbering) and border points take the minimum-label
+    core neighbor (clustering.py dbscan_labels)."""
+    base = _pairwise_dp_oracle("dtw", **_DP_ORACLES["dtw"])
+    cut = base.rindex("SELECT id_1, id_2,")
+    head, tail = base[:cut], base[cut:]
+    dist_sel = tail.strip().replace("AS dtw", "AS dd", 1)
+    return head.rstrip() + f""",
+    dists AS ({dist_sel}),
+    idx AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS ix FROM ser),
+    adj AS (
+        SELECT i1.ix AS i, i2.ix AS j
+        FROM dists dd JOIN idx i1 ON i1.sid = dd.id_1
+                      JOIN idx i2 ON i2.sid = dd.id_2
+        WHERE dd.dd <= {eps!r}
+        UNION ALL
+        SELECT i2.ix, i1.ix
+        FROM dists dd JOIN idx i1 ON i1.sid = dd.id_1
+                      JOIN idx i2 ON i2.sid = dd.id_2
+        WHERE dd.dd <= {eps!r}
+        UNION ALL
+        SELECT ix, ix FROM idx
+    ),
+    core AS (SELECT i FROM adj GROUP BY i HAVING COUNT(*) >= {min_samples}),
+    cadj AS (SELECT a.i, a.j FROM adj a
+             JOIN core c1 ON a.i = c1.i JOIN core c2 ON a.j = c2.i),
+    prop AS (
+        SELECT i, i AS comp FROM core
+        UNION
+        SELECT a.j AS i, p.comp FROM prop p JOIN cadj a ON a.i = p.i
+    ),
+    comp AS (SELECT i, MIN(comp) AS root FROM prop GROUP BY i),
+    ranks AS (SELECT root, DENSE_RANK() OVER (ORDER BY root) - 1 AS lab
+              FROM (SELECT DISTINCT root FROM comp)),
+    corelab AS (SELECT c.i, r.lab FROM comp c JOIN ranks r ON c.root = r.root),
+    borderlab AS (
+        SELECT a.i, MIN(cl.lab) AS lab
+        FROM adj a JOIN corelab cl ON a.j = cl.i
+        WHERE a.i NOT IN (SELECT i FROM core)
+        GROUP BY a.i
+    )
+    SELECT x.sid AS unique_id,
+           CAST(COALESCE(cl.lab, bl.lab, -1) AS INT) AS cluster
+    FROM idx x
+    LEFT JOIN corelab cl ON cl.i = x.ix
+    LEFT JOIN borderlab bl ON bl.i = x.ix
+    """
+
+
+@register("dbscan_cluster", _dbscan_oracle(60000.0, 3))
 def q_dbscan(spark, sf_dir):
     from polars_ts_spark.operators import clustering
     return clustering.dbscan_cluster(
-        _monthly_panel(spark, sf_dir), eps=60000.0, min_samples=3, method="dtw"
+        _monthly_panel_exact(spark, sf_dir), eps=60000.0, min_samples=3, method="dtw"
     )
 
 
@@ -2306,16 +2582,16 @@ def q_auto_cluster(spark, sf_dir):
     return labels
 
 
-@register("cluster_quality_scores")  # rows-only: internal indices
+@register("cluster_quality_scores", _cluster_scores_oracle())
 def q_cluster_scores(spark, sf_dir):
     from polars_ts_spark.operators import clustering
-    ids, D = clustering.distance_matrix(_monthly_panel(spark, sf_dir), "dtw")
+    ids, D = clustering.distance_matrix(_monthly_panel_exact(spark, sf_dir), "dtw")
     _, labels, _ = clustering.pam_kmedoids(D, 3, seed=42)
     return spark.createDataFrame(
         [(
-            float(clustering.silhouette_score(D, labels)),
-            float(clustering.davies_bouldin_score(D, labels)),
-            float(clustering.calinski_harabasz_score(D, labels)),
+            round(float(clustering.silhouette_score(D, labels)), 6),
+            round(float(clustering.davies_bouldin_score(D, labels)), 6),
+            round(float(clustering.calinski_harabasz_score(D, labels)), 6),
         )],
         "silhouette double, davies_bouldin double, calinski_harabasz double",
     )
