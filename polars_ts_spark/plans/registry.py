@@ -2270,30 +2270,16 @@ def q_regime(spark, sf_dir):
 # distance matrix; seeded LCG init -> deterministic, rows-only checks)
 
 
-def _kmedoids_core(k: int = 3, seed: int = 42, max_iter: int = 100) -> str:
-    """PAM k-medoids oracle core: DTW distances from the bit-exact DP
-    recursion, the 64-bit LCG init replayed in HUGEINT modular
-    arithmetic (partial Fisher-Yates on a list), then the FastPAM1
-    greedy best-swap loop as a two-phase recursion (assignment stats /
-    swap selection) over the distance matrix carried as list state.
-    Only the ARGMIN decisions must agree across engines: swap deltas
-    differ by summation-order ulps but the argmin gaps are O(1e3), the
-    zeroed already-medoid candidates are exact 0.0 on both sides, and
-    list_indexof(min) reproduces numpy's first-flat-index tie rule."""
-    assert k == 3, "oracle is generated for the registered k=3"
+def _kmedoids_shared(seed: int = 42) -> str:
+    """Shared prelude for the PAM-replay oracles: bit-exact DTW
+    distances (same DP recursion as pairwise_dtw), 0-based index map,
+    full mirrored distance pairs, the matrix as list-of-lists, and the
+    first three 64-bit LCG draws in HUGEINT modular arithmetic."""
     A, C, M64 = 6364136223846793005, 1442695040888963407, 1 << 64
     base = _pairwise_dp_oracle("dtw", **_DP_ORACLES["dtw"])
     cut = base.rindex("SELECT id_1, id_2,")
     head, tail = base[:cut], base[cut:]
     dist_sel = tail.strip().replace("AS dtw", "AS dd", 1)
-    # dm built from the state's meds (list column): cheap per-element
-    dm = lambda i, m: f"mat[{i} + 1][meds[{m}] + 1]"
-    near_case = (f"CASE WHEN {dm('i', 1)} <= {dm('i', 2)} AND {dm('i', 1)} <= {dm('i', 3)} THEN 0 "
-                 f"WHEN {dm('i', 2)} <= {dm('i', 3)} THEN 1 ELSE 2 END")
-    d1 = f"LEAST({dm('i', 1)}, {dm('i', 2)}, {dm('i', 3)})"
-    # d2 = middle value: sum - min - max
-    d2 = (f"(({dm('i', 1)} + {dm('i', 2)} + {dm('i', 3)}) - {d1} "
-          f"- GREATEST({dm('i', 1)}, {dm('i', 2)}, {dm('i', 3)}))")
     return head.rstrip() + f""",
     dists AS ({dist_sel}),
     idx AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS ix FROM ser),
@@ -2313,7 +2299,7 @@ def _kmedoids_core(k: int = 3, seed: int = 42, max_iter: int = 100) -> str:
         )
     ),
     -- 64-bit LCG draws (kmedoids.rs family): state_{{t+1}} = (A s + C) mod 2^64,
-    -- output state >> 33; three draws seed the partial Fisher-Yates
+    -- output state >> 33; up to three draws seed the partial Fisher-Yates
     lcg AS (
         SELECT s1, s2, s3,
                CAST(s1 // 8589934592 AS BIGINT) AS r1,
@@ -2326,36 +2312,55 @@ def _kmedoids_core(k: int = 3, seed: int = 42, max_iter: int = 100) -> str:
                 FROM (SELECT ({A}::HUGEINT * {seed} + {C}) % {M64}::HUGEINT AS s1)
             )
         )
-    ),
-    fy AS (
-        SELECT l2.perm3[1] AS m1, l2.perm3[2] AS m2, l2.perm3[3] AS m3 FROM (
-            SELECT list_transform(perm2, (x, p) -> CASE WHEN p - 1 = 2 THEN perm2[CAST(2 + r3 % (n - 2) AS BIGINT) + 1]
-                                                        WHEN p - 1 = CAST(2 + r3 % (n - 2) AS BIGINT) THEN perm2[3]
-                                                        ELSE x END) AS perm3
-            FROM (
-                SELECT r3, n, list_transform(perm1, (x, p) -> CASE WHEN p - 1 = 1 THEN perm1[CAST(1 + r2 % (n - 1) AS BIGINT) + 1]
-                                                                  WHEN p - 1 = CAST(1 + r2 % (n - 1) AS BIGINT) THEN perm1[2]
-                                                                  ELSE x END) AS perm2
-                FROM (
-                    SELECT r2, r3, n, list_transform(perm0, (x, p) -> CASE WHEN p - 1 = 0 THEN perm0[CAST(r1 % n AS BIGINT) + 1]
-                                                                          WHEN p - 1 = CAST(r1 % n AS BIGINT) THEN perm0[1]
-                                                                          ELSE x END) AS perm1
-                    FROM (
-                        SELECT r1, r2, r3, n,
+    )"""
+
+
+def _pam_chain(k: int, pre: str = "", max_iter: int = 100) -> str:
+    """One PAM replay (FastPAM1 greedy best-swap as a two-phase
+    recursion over list state) with CTE names prefixed by ``pre``,
+    referencing the shared prelude. k in {2, 3}. Only the ARGMIN
+    decisions must agree across engines: swap deltas differ by
+    summation-order ulps but the argmin gaps are O(1e3), already-medoid
+    candidates are exact 0.0 on both sides, and list_indexof(min)
+    reproduces numpy's first-flat-index tie rule."""
+    assert k in (2, 3)
+    dm = lambda i, m: f"mat[{i} + 1][meds[{m}] + 1]"
+    if k == 3:
+        near_case = (f"CASE WHEN {dm('i', 1)} <= {dm('i', 2)} AND {dm('i', 1)} <= {dm('i', 3)} THEN 0 "
+                     f"WHEN {dm('i', 2)} <= {dm('i', 3)} THEN 1 ELSE 2 END")
+        d1 = f"LEAST({dm('i', 1)}, {dm('i', 2)}, {dm('i', 3)})"
+        d2 = (f"(({dm('i', 1)} + {dm('i', 2)} + {dm('i', 3)}) - {d1} "
+              f"- GREATEST({dm('i', 1)}, {dm('i', 2)}, {dm('i', 3)}))")
+        med_chk = "(f2 % n) = meds[1] OR (f2 % n) = meds[2] OR (f2 % n) = meds[3]"
+        minit = "[f.m1, f.m2, f.m3]"
+    else:
+        near_case = f"CASE WHEN {dm('i', 1)} <= {dm('i', 2)} THEN 0 ELSE 1 END"
+        d1 = f"LEAST({dm('i', 1)}, {dm('i', 2)})"
+        d2 = f"GREATEST({dm('i', 1)}, {dm('i', 2)})"
+        med_chk = "(f2 % n) = meds[1] OR (f2 % n) = meds[2]"
+        minit = "[f.m1, f.m2]"
+    # partial Fisher-Yates: k chained swaps driven by r1..rk
+    inner = f"""SELECT r1, r2, r3, n,
                                list_transform(generate_series(1, n), p -> p - 1) AS perm0
-                        FROM lcg, nn
-                    )
-                )
-            )
-        ) l2
-    ),
-    pam AS (
+                        FROM lcg, nn"""
+    for s in range(k):
+        r = f"r{s + 1}"
+        jj = f"CAST({s} + {r} % (n - {s}) AS BIGINT)" if s else f"CAST({r} % n AS BIGINT)"
+        inner = f"""SELECT r1, r2, r3, n,
+                list_transform(perm{s}, (x, p) -> CASE WHEN p - 1 = {s} THEN perm{s}[{jj} + 1]
+                                                      WHEN p - 1 = {jj} THEN perm{s}[{s} + 1]
+                                                      ELSE x END) AS perm{s + 1}
+            FROM ({inner})"""
+    fy_sel = ", ".join(f"perm{k}[{m + 1}] AS m{m + 1}" for m in range(k))
+    return f""",
+    {pre}fy AS (SELECT {fy_sel} FROM ({inner})),
+    {pre}pam AS (
         SELECT 0 AS it, 0 AS ph, FALSE AS done,
-               [f.m1, f.m2, f.m3] AS meds,
+               {minit} AS meds,
                CAST(NULL AS DOUBLE[]) AS d1l, CAST(NULL AS DOUBLE[]) AS d2l,
                CAST(NULL AS BIGINT[]) AS nearl,
                n, mat
-        FROM fy f, nn, matl
+        FROM {pre}fy f, nn, matl
         UNION ALL
         SELECT CASE WHEN ph = 1 THEN it + 1 ELSE it END,
                (ph + 1) % 2, ndone, nmeds, nd1l, nd2l, nnearl, n, mat
@@ -2371,8 +2376,8 @@ def _kmedoids_core(k: int = 3, seed: int = 42, max_iter: int = 100) -> str:
                         list_transform(generate_series(0, n - 1), i -> CAST({near_case} AS BIGINT))
                         ELSE nearl END AS nnearl,
                    CASE WHEN ph = 1 THEN
-                        list_transform(generate_series(0, 3 * CAST(n AS BIGINT) - 1), f2 ->
-                            CASE WHEN (f2 % n) = meds[1] OR (f2 % n) = meds[2] OR (f2 % n) = meds[3]
+                        list_transform(generate_series(0, {k} * CAST(n AS BIGINT) - 1), f2 ->
+                            CASE WHEN {med_chk}
                                  THEN CAST(0.0 AS DOUBLE)
                                  ELSE list_sum(list_transform(generate_series(0, n - 1), i ->
                                      CASE WHEN nearl[i + 1] = f2 // n
@@ -2388,24 +2393,53 @@ def _kmedoids_core(k: int = 3, seed: int = 42, max_iter: int = 100) -> str:
                                  CASE WHEN p - 1 = bi // n THEN bi % n ELSE mm END)
                         ELSE meds END AS nmeds,
                    CASE WHEN ph = 1 THEN (done OR bestv >= -1e-12) ELSE done END AS ndone
-            FROM pam
+            FROM {pre}pam
             WHERE (NOT done AND it < {max_iter}) OR ph = 1
         )
     ),
-    finst AS (
-        SELECT meds, n, mat FROM pam
+    {pre}finst AS (
+        SELECT meds, n, mat FROM {pre}pam
         WHERE ph = 0 AND (done OR it = {max_iter})
         ORDER BY it LIMIT 1
     ),
-    labels AS (
+    {pre}labels AS (
         SELECT x.ix AS i, x.sid,
                CAST(({near_case.replace('i', 'x.ix')}) AS INT) AS cluster
-        FROM idx x, finst
-    )""".replace("mat[x.ix + 1][meds[", "finst.mat[x.ix + 1][finst.meds[")
+        FROM idx x, {pre}finst
+    )""".replace("mat[x.ix + 1][meds[", f"{pre}finst.mat[x.ix + 1][{pre}finst.meds[")
+
+
+def _sil_chain(pre: str) -> str:
+    """Mean silhouette over ``{pre}labels`` (clustering.py
+    silhouette_score shape), CTEs prefixed."""
+    return f""",
+    {pre}lp AS (SELECT f.i, f.j, f.dd, li.cluster AS ci, lj.cluster AS cj
+           FROM fullpairs f
+           JOIN {pre}labels li ON li.i = f.i JOIN {pre}labels lj ON lj.i = f.j),
+    {pre}sila AS (
+        SELECT i, AVG(dd) AS a FROM {pre}lp WHERE ci = cj AND i <> j GROUP BY i
+    ),
+    {pre}silb AS (
+        SELECT i, MIN(m) AS b FROM (
+            SELECT i, cj, AVG(dd) AS m FROM {pre}lp WHERE ci <> cj GROUP BY i, cj
+        ) GROUP BY i
+    ),
+    {pre}sil AS (
+        SELECT AVG(CASE WHEN GREATEST(COALESCE(a.a, 0.0), b.b) > 0
+                        THEN (b.b - COALESCE(a.a, 0.0)) / GREATEST(COALESCE(a.a, 0.0), b.b)
+                        ELSE 0.0 END) AS s
+        FROM {pre}labels l
+        LEFT JOIN {pre}sila a ON a.i = l.i
+        JOIN {pre}silb b ON b.i = l.i
+    )"""
+
+
+def _kmedoids_core(k: int = 3, seed: int = 42, max_iter: int = 100) -> str:
+    return _kmedoids_shared(seed) + _pam_chain(k, "", max_iter)
 
 
 def _kmedoids_oracle(k: int = 3, seed: int = 42, max_iter: int = 100) -> str:
-    """PAM labels as [unique_id, cluster] — see _kmedoids_core."""
+    """PAM labels as [unique_id, cluster] — see _pam_chain."""
     return _kmedoids_core(k, seed, max_iter) + """
     SELECT sid AS unique_id, cluster FROM labels
     """
@@ -2417,26 +2451,7 @@ def _cluster_scores_oracle(k: int = 3, seed: int = 42) -> str:
     Davies-Bouldin, and the medoid CH analogue — all plain aggregations
     over the bit-exact distance matrix once the labels are fixed.
     Rounded 6dp both sides (subset means differ by summation ulps)."""
-    return _kmedoids_core(k, seed) + """,
-    lp AS (SELECT f.i, f.j, f.dd, li.cluster AS ci, lj.cluster AS cj
-           FROM fullpairs f
-           JOIN labels li ON li.i = f.i JOIN labels lj ON lj.i = f.j),
-    sil_a AS (
-        SELECT i, AVG(dd) AS a FROM lp WHERE ci = cj AND i <> j GROUP BY i
-    ),
-    sil_b AS (
-        SELECT i, MIN(m) AS b FROM (
-            SELECT i, cj, AVG(dd) AS m FROM lp WHERE ci <> cj GROUP BY i, cj
-        ) GROUP BY i
-    ),
-    sil AS (
-        SELECT AVG(CASE WHEN GREATEST(COALESCE(a.a, 0.0), b.b) > 0
-                        THEN (b.b - COALESCE(a.a, 0.0)) / GREATEST(COALESCE(a.a, 0.0), b.b)
-                        ELSE 0.0 END) AS s
-        FROM labels l
-        LEFT JOIN sil_a a ON a.i = l.i
-        JOIN sil_b b ON b.i = l.i
-    ),
+    return _kmedoids_core(k, seed) + _sil_chain("") + """,
     meds2 AS (
         SELECT ci AS c, i AS mi FROM (
             SELECT ci, i, SUM(dd) AS rs,
@@ -2491,6 +2506,21 @@ def _cluster_scores_oracle(k: int = 3, seed: int = 42) -> str:
            ROUND((SELECT v FROM db), 6) AS davies_bouldin,
            ROUND((SELECT v FROM ch), 6) AS calinski_harabasz
     """
+
+
+def _auto_cluster_oracle(seed: int = 42) -> str:
+    """auto_cluster(kmedoids, dtw, k in (2, 3), silhouette): both PAM
+    replays share one distance matrix and LCG stream (pam_kmedoids
+    reseeds per call, so k=2 uses the first two draws); the grid keeps
+    k=3 only on a STRICT silhouette improvement (auto.py:148-309)."""
+    return (_kmedoids_shared(seed)
+            + _pam_chain(2, "a2") + _pam_chain(3, "a3")
+            + _sil_chain("a2") + _sil_chain("a3") + """
+    SELECT l2.sid AS unique_id,
+           CASE WHEN (SELECT s FROM a3sil) > (SELECT s FROM a2sil)
+                THEN l3.cluster ELSE l2.cluster END AS cluster
+    FROM a2labels l2 JOIN a3labels l3 ON l2.i = l3.i
+    """)
 
 
 @register("kmedoids_dtw", _kmedoids_oracle())
@@ -2572,11 +2602,11 @@ def q_dbscan(spark, sf_dir):
     )
 
 
-@register("auto_cluster")  # rows-only: grid search over method x k
+@register("auto_cluster", _auto_cluster_oracle())
 def q_auto_cluster(spark, sf_dir):
     from polars_ts_spark.operators import clustering
     labels, _ = clustering.auto_cluster(
-        _monthly_panel(spark, sf_dir), methods=("kmedoids",),
+        _monthly_panel_exact(spark, sf_dir), methods=("kmedoids",),
         distances=("dtw",), k_range=(2, 3),
     )
     return labels
