@@ -3022,10 +3022,96 @@ def q_perm_importance(spark, sf_dir):
     return spark.createDataFrame(pdf)
 
 
-@register("agglomerative_cluster")
+def _agglo_oracle(k: int = 3) -> str:
+    """Average-linkage agglomerative oracle: the n-k greedy merges
+    replayed over list state (active roots in order, member lists, the
+    working matrix with an inf diagonal). Two phases per merge so the
+    row-major argmin (list_indexof on the flattened active submatrix —
+    numpy's first-flat tie rule) lands in state before the linkage
+    recompute lambdas use it; only these argmin decisions must agree
+    across engines, the recomputed average linkages differ by
+    summation ulps against O(1e3) gaps."""
+    return _kmedoids_shared() + f""",
+    agg AS (
+        SELECT 0 AS it, 0 AS ph,
+               list_transform(generate_series(1, n), p -> CAST(p - 1 AS BIGINT)) AS act,
+               list_transform(generate_series(1, n), p -> [CAST(p - 1 AS BIGINT)]) AS mem,
+               list_transform(mat, (row, r) -> list_transform(row, (x, c) ->
+                   CASE WHEN r = c THEN 1e308 ELSE x END)) AS dw,
+               CAST(NULL AS BIGINT) AS si, CAST(NULL AS BIGINT) AS sj,
+               n, mat
+        FROM matl, nn
+        UNION ALL
+        SELECT CASE WHEN ph = 1 THEN it + 1 ELSE it END, (ph + 1) % 2,
+               nact, nmem, ndw, nsi, nsj, n, mat
+        FROM (
+            SELECT it, ph, n, mat, act, mem, dw,
+                   CAST(len(act) AS BIGINT) AS m,
+                   CASE WHEN ph = 0 THEN
+                        list_transform(generate_series(0, m * m - 1), f2 ->
+                            dw[act[f2 // m + 1] + 1][act[f2 % m + 1] + 1])
+                   END AS sub,
+                   CASE WHEN ph = 0 THEN
+                        CAST(list_indexof(sub, list_min(sub)) - 1 AS BIGINT)
+                   END AS bi,
+                   CASE WHEN ph = 0 THEN act[bi // m + 1] ELSE si END AS nsi,
+                   CASE WHEN ph = 0 THEN act[bi % m + 1] ELSE sj END AS nsj,
+                   CASE WHEN ph = 1 THEN list_filter(act, x -> x <> sj) ELSE act END AS nact,
+                   CASE WHEN ph = 1 THEN
+                        list_transform(nact, root -> CASE
+                            WHEN root = si
+                            THEN mem[list_indexof(act, si)] || mem[list_indexof(act, sj)]
+                            ELSE mem[list_indexof(act, root)] END)
+                   ELSE mem END AS nmem,
+                   CASE WHEN ph = 1 THEN
+                        list_transform(dw, (row, r) -> CASE
+                            WHEN r - 1 = si THEN
+                                list_transform(row, (x, c) -> CASE
+                                    WHEN c - 1 <> si AND list_contains(nact, c - 1) THEN
+                                        list_sum(list_transform(nmem[list_indexof(nact, si)], a ->
+                                            list_sum(list_transform(nmem[list_indexof(nact, c - 1)], b ->
+                                                mat[a + 1][b + 1]))))
+                                        / (len(nmem[list_indexof(nact, si)])
+                                           * len(nmem[list_indexof(nact, c - 1)]))
+                                    ELSE x END)
+                            WHEN list_contains(nact, r - 1) AND r - 1 <> si THEN
+                                list_transform(row, (x, c) -> CASE
+                                    WHEN c - 1 = si THEN
+                                        list_sum(list_transform(nmem[list_indexof(nact, si)], a ->
+                                            list_sum(list_transform(nmem[list_indexof(nact, r - 1)], b ->
+                                                mat[a + 1][b + 1]))))
+                                        / (len(nmem[list_indexof(nact, si)])
+                                           * len(nmem[list_indexof(nact, r - 1)]))
+                                    ELSE x END)
+                            ELSE row END)
+                   ELSE dw END AS ndw
+            FROM agg
+            WHERE (ph = 0 AND len(act) > {k}) OR ph = 1
+        )
+    ),
+    aggfin AS (
+        SELECT act, mem FROM agg WHERE ph = 0 AND len(act) = {k}
+        ORDER BY it DESC LIMIT 1
+    ),
+    ranks AS (
+        SELECT root, ROW_NUMBER() OVER (ORDER BY root) - 1 AS cl
+        FROM (SELECT UNNEST(act) AS root FROM aggfin)
+    ),
+    memrows AS (
+        SELECT f.act[p] AS root, UNNEST(f.mem[p]) AS i
+        FROM aggfin f, LATERAL UNNEST(generate_series(1, {k})) AS u(p)
+    )
+    SELECT x.sid AS unique_id, CAST(r.cl AS INT) AS cluster
+    FROM memrows mr
+    JOIN ranks r ON r.root = mr.root
+    JOIN idx x ON x.ix = mr.i
+    """
+
+
+@register("agglomerative_cluster", _agglo_oracle())
 def q_agglo(spark, sf_dir):
     from polars_ts_spark.operators import clustering
-    return clustering.agglomerative_cluster(_monthly_panel(spark, sf_dir), k=3, method="dtw")
+    return clustering.agglomerative_cluster(_monthly_panel_exact(spark, sf_dir), k=3, method="dtw")
 
 
 @register("kshape_cluster")
@@ -3302,6 +3388,195 @@ def _node_panel(spark, sf_dir):
     return nat.unionByName(reg).unionByName(tot)
 
 
+def _mint_cov_oracle(w_ctes: str, h: int = 7) -> str:
+    """Covariance-weighted MinTrace oracle scaffold: ``w_ctes`` builds
+    a wrows(i, row) shrunk-covariance CTE; its inverse and the
+    (S' W⁻¹ S)⁻¹ inverse run as Gauss-Jordan recursions over augmented
+    list matrices, and P = S (S'W⁻¹S)⁻¹ S'W⁻¹ assembles through staged
+    list matmuls before the same projection tail as MinT-OLS.
+    Everything is indexed over the DATA-COVERED node list (sorted), so
+    W is PD and SVD-pinv vs Gauss-Jordan agree to machine precision;
+    2dp rounding both sides."""
+    gj = """
+    {pre}gj AS (
+        SELECT 1 AS k2, {src} AS m, nnode FROM {from_}
+        UNION ALL
+        SELECT k2 + 1,
+               list_transform(m, (row, i) -> CASE WHEN i = k2 THEN row
+                   ELSE list_transform(row, (x, j) ->
+                            x - (row[k2] / m[k2][k2]) * m[k2][j]) END),
+               nnode
+        FROM {pre}gj WHERE k2 <= {dim}
+    ),
+    {pre}inv AS (
+        SELECT list_transform(generate_series(1, {dim}), i ->
+                   list_transform(generate_series(1, {dim}), c ->
+                       m[i][{dim} + c] / m[i][i])) AS iv, nnode
+        FROM {pre}gj WHERE k2 = {dim} + 1
+    )"""
+    return _NODE_PANEL_CTE.replace("WITH", "WITH RECURSIVE", 1) + ", " \
+        + _FREQ_CTE.format(h=h) + _NAIVE_FC_CTE + f""",
+    nidx AS (
+        SELECT nm, ROW_NUMBER() OVER (ORDER BY nm) AS ix
+        FROM (SELECT DISTINCT unique_id AS nm FROM panel)
+    ),
+    bidx AS (
+        SELECT nm, ROW_NUMBER() OVER (ORDER BY nm) AS ix
+        FROM (SELECT DISTINCT unique_id AS nm FROM panel WHERE unique_id LIKE 'n\\_%' ESCAPE '\\')
+    ),
+    dims AS (SELECT (SELECT COUNT(*) FROM nidx) AS nnode,
+                    (SELECT COUNT(*) FROM bidx) AS nbot),
+    {w_ctes},
+    natreg AS (
+        SELECT 'n_' || CAST(n_nationkey AS VARCHAR) AS nnm,
+               'r_' || CAST(n_regionkey AS VARCHAR) AS rnm
+        FROM nation
+    ),
+    srows AS (
+        SELECT ni.ix AS i,
+               list(CASE WHEN ni.nm = b.nm OR ni.nm = m.rnm OR ni.nm = 'total'
+                         THEN 1.0 ELSE 0.0 END ORDER BY b.ix) AS row
+        FROM nidx ni CROSS JOIN bidx b
+        LEFT JOIN natreg m ON m.nnm = b.nm
+        GROUP BY ni.ix
+    ),
+    mats AS (
+        SELECT (SELECT list(row ORDER BY i) FROM wrows) AS W,
+               (SELECT list(row ORDER BY i) FROM srows) AS S,
+               d.nnode, d.nbot
+        FROM dims d
+    ),
+    wa AS (
+        SELECT list_transform(W, (row, i) ->
+                   row || list_transform(generate_series(1, CAST(nnode AS BIGINT)), c ->
+                       CASE WHEN c = i THEN 1.0 ELSE 0.0 END)) AS aug,
+               nnode, nbot, S
+        FROM mats
+    ),
+    {gj.format(pre='w', src='aug', from_='wa', dim='nnode')},
+    u1 AS (
+        -- U = W^-1 S  (nnode x nbot)
+        SELECT list_transform(generate_series(1, CAST(m2.nnode AS BIGINT)), i ->
+                   list_transform(generate_series(1, CAST(m2.nbot AS BIGINT)), c ->
+                       list_sum(list_transform(generate_series(1, CAST(m2.nnode AS BIGINT)), k3 ->
+                           wi.iv[i][k3] * m2.S[k3][c])))) AS U,
+               m2.S, m2.nnode, m2.nbot, wi.iv AS winv
+        FROM mats m2, winv wi
+    ),
+    ma AS (
+        -- M = S' U augmented with I  (nbot x 2 nbot)
+        SELECT list_transform(generate_series(1, CAST(nbot AS BIGINT)), r ->
+                   list_transform(generate_series(1, CAST(nbot AS BIGINT)), c ->
+                       list_sum(list_transform(generate_series(1, CAST(nnode AS BIGINT)), k3 ->
+                           S[k3][r] * U[k3][c])))
+                   || list_transform(generate_series(1, CAST(nbot AS BIGINT)), c ->
+                          CASE WHEN c = r THEN 1.0 ELSE 0.0 END)) AS aug,
+               nbot AS nnode, S, U, winv, nnode AS realn
+        FROM u1
+    ),
+    {gj.format(pre='m', src='aug', from_='ma', dim='nnode')},
+    pmatl AS (
+        -- P = S Minv S' Winv = V (S' Winv) with V = S Minv
+        SELECT list_transform(generate_series(1, CAST(m3.realn AS BIGINT)), i ->
+                   list_transform(generate_series(1, CAST(m3.realn AS BIGINT)), j ->
+                       list_sum(list_transform(generate_series(1, CAST(m3.nnode AS BIGINT)), r ->
+                           list_sum(list_transform(generate_series(1, CAST(m3.nnode AS BIGINT)), r2 ->
+                               m3.S[i][r2] * mi.iv[r2][r]))
+                           * list_sum(list_transform(generate_series(1, CAST(m3.realn AS BIGINT)), k3 ->
+                               m3.S[k3][r] * m3.winv[k3][j])))))) AS P
+        FROM ma m3, minv mi
+    ),
+    pmat AS (
+        SELECT ni.nm AS i_n, nj.nm AS j_n, p.P[ni.ix][nj.ix] AS w
+        FROM pmatl p CROSS JOIN nidx ni CROSS JOIN nidx nj
+    )
+    SELECT p.i_n AS unique_id, fc.ds, ROUND(SUM(p.w * fc.y_hat), 2) AS y_hat
+    FROM fc JOIN pmat p ON fc.unique_id = p.j_n
+    GROUP BY 1, 2
+    """
+
+
+def _permbu_oracle(shrink: float = 0.5) -> str:
+    """PERMBU: W from the lag-1 residual timestamp self-join,
+    halfway-shrunk to its diagonal (evaluation.py reconcile_permbu)."""
+    return _mint_cov_oracle(f"""resid AS (
+        SELECT unique_id, ds,
+               y - LAG(y) OVER (PARTITION BY unique_id ORDER BY ds) AS e
+        FROM panel QUALIFY e IS NOT NULL
+    ),
+    tt AS (SELECT GREATEST(COUNT(DISTINCT ds), 1) AS T FROM resid),
+    covp AS (
+        SELECT a.unique_id AS i_n, b.unique_id AS j_n, SUM(a.e * b.e) AS s
+        FROM resid a JOIN resid b ON a.ds = b.ds GROUP BY 1, 2
+    ),
+    wrows AS (
+        SELECT ni.ix AS i,
+               list(CASE WHEN ni.ix = nj.ix THEN COALESCE(c.s, 0.0) / t.T
+                         ELSE {1 - shrink!r} * (COALESCE(c.s, 0.0) / t.T) END
+                    ORDER BY nj.ix) AS row
+        FROM nidx ni CROSS JOIN nidx nj CROSS JOIN tt t
+        LEFT JOIN covp c ON c.i_n = ni.nm AND c.j_n = nj.nm
+        GROUP BY ni.ix
+    )""")
+
+
+def _mint_cv_oracle(n_folds: int = 5, shrink: float = 0.5) -> str:
+    """MinT-CV: the dense node x time value matrix (zeros for missing
+    cells), time folds, per-fold residuals = validation block minus the
+    train-split node means, W = mean of fold covariances — replicating
+    evaluation.py reconcile_mint_cv's Y-matrix arithmetic with plain
+    aggregations over a node x fold-time cross join."""
+    return _mint_cov_oracle(f"""tl AS (
+        SELECT ds, ROW_NUMBER() OVER (ORDER BY ds) - 1 AS tix,
+               COUNT(*) OVER () AS ntime
+        FROM (SELECT DISTINCT ds FROM panel)
+    ),
+    folds AS (
+        SELECT f AS fold,
+               f * (ntime // {n_folds}) AS vstart,
+               CASE WHEN f < {n_folds} - 1
+                    THEN (f + 1) * (ntime // {n_folds}) ELSE ntime END AS vend,
+               ntime
+        FROM (SELECT UNNEST(generate_series(0, {n_folds} - 1)) AS f,
+                     (SELECT MAX(ntime) FROM tl) AS ntime)
+    ),
+    yv AS (
+        SELECT ni.nm, t.tix, COALESCE(p.y, 0.0) AS y
+        FROM nidx ni CROSS JOIN tl t
+        LEFT JOIN panel p ON p.unique_id = ni.nm AND p.ds = t.ds
+    ),
+    fmeans AS (
+        SELECT f.fold, y.nm, SUM(y.y) / (f.ntime - (f.vend - f.vstart)) AS mu
+        FROM folds f JOIN yv y ON y.tix < f.vstart OR y.tix >= f.vend
+        GROUP BY 1, 2, f.ntime, f.vend, f.vstart
+    ),
+    fresid AS (
+        SELECT f.fold, y.nm, y.tix, y.y - m.mu AS e,
+               f.vend - f.vstart AS width
+        FROM folds f
+        JOIN yv y ON y.tix >= f.vstart AND y.tix < f.vend
+        JOIN fmeans m ON m.fold = f.fold AND m.nm = y.nm
+    ),
+    fcov AS (
+        SELECT a.fold, a.nm AS i_n, b.nm AS j_n,
+               SUM(a.e * b.e) / MAX(a.width) AS s
+        FROM fresid a JOIN fresid b ON a.fold = b.fold AND a.tix = b.tix
+        GROUP BY 1, 2, 3
+    ),
+    covs AS (
+        SELECT i_n, j_n, SUM(s) / {n_folds} AS w0 FROM fcov GROUP BY 1, 2
+    ),
+    wrows AS (
+        SELECT ni.ix AS i,
+               list(CASE WHEN ni.ix = nj.ix THEN COALESCE(c.w0, 0.0)
+                         ELSE {1 - shrink!r} * COALESCE(c.w0, 0.0) END
+                    ORDER BY nj.ix) AS row
+        FROM nidx ni CROSS JOIN nidx nj
+        LEFT JOIN covs c ON c.i_n = ni.nm AND c.j_n = nj.nm
+        GROUP BY ni.ix
+    )""")
+
+
 def _register_mint():
     oracle = _mint_oracle()
 
@@ -3314,10 +3589,18 @@ def _register_mint():
         out = evaluation.reconcile_ols(fc, h)
         return out.select("unique_id", "ds", F.round("y_hat", 6).alias("y_hat"))
 
-    @register("reconcile_permbu")  # covariance-weighted: rows-only
+    @register("reconcile_permbu", _permbu_oracle())  # covariance-weighted MinTrace
     def q_reconcile_permbu(spark, sf_dir):
         from polars_ts_spark.operators import evaluation
         panel = _node_panel(spark, sf_dir).cache()
+        # restrict the hierarchy to DATA-COVERED nations: dataless dim
+        # nodes would zero out whole covariance rows, making W singular
+        # (pinv then silently drops directions — ill-conditioned and
+        # engine-dependent); over observed nodes the shrunk W is PD and
+        # pinv == inv to machine precision, which the oracle's
+        # Gauss-Jordan reproduces
+        present = {r[0] for r in panel.select("unique_id").distinct().collect()}
+        h = {c: p for c, p in _dim_hierarchy().items() if c in present}
         fc = baselines.naive_forecast(panel, h=7)
         w = Window.partitionBy("unique_id").orderBy("ds")
         residuals = (
@@ -3325,14 +3608,18 @@ def _register_mint():
             .where(F.col("residual").isNotNull())
             .select("unique_id", "ds", "residual")
         )
-        return evaluation.reconcile_permbu(fc, _dim_hierarchy(), residuals)
+        out = evaluation.reconcile_permbu(fc, h, residuals)
+        return out.select("unique_id", "ds", F.round("y_hat", 2).alias("y_hat"))
 
-    @register("reconcile_mint_cv")  # CV covariance: rows-only
+    @register("reconcile_mint_cv", _mint_cv_oracle())  # CV covariance MinTrace
     def q_reconcile_mint_cv(spark, sf_dir):
         from polars_ts_spark.operators import evaluation
         panel = _node_panel(spark, sf_dir)
+        present = {r[0] for r in panel.select("unique_id").distinct().collect()}
+        h = {c: p for c, p in _dim_hierarchy().items() if c in present}
         fc = baselines.naive_forecast(panel, h=7)
-        return evaluation.reconcile_mint_cv(fc, _dim_hierarchy(), panel, n_folds=5)
+        out = evaluation.reconcile_mint_cv(fc, h, panel, n_folds=5)
+        return out.select("unique_id", "ds", F.round("y_hat", 2).alias("y_hat"))
 
 
 _register_mint()
