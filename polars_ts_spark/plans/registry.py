@@ -2270,16 +2270,17 @@ def q_regime(spark, sf_dir):
 # distance matrix; seeded LCG init -> deterministic, rows-only checks)
 
 
-def _kmedoids_shared(seed: int = 42) -> str:
-    """Shared prelude for the PAM-replay oracles: bit-exact DTW
-    distances (same DP recursion as pairwise_dtw), 0-based index map,
-    full mirrored distance pairs, the matrix as list-of-lists, and the
-    first three 64-bit LCG draws in HUGEINT modular arithmetic."""
+def _kmedoids_shared(seed: int = 42, metric: str = "dtw") -> str:
+    """Shared prelude for the PAM-replay oracles: bit-exact pairwise
+    distances (same DP recursion as the pairwise_{metric} oracle),
+    0-based index map, full mirrored distance pairs, the matrix as
+    list-of-lists, and the first three 64-bit LCG draws in HUGEINT
+    modular arithmetic."""
     A, C, M64 = 6364136223846793005, 1442695040888963407, 1 << 64
-    base = _pairwise_dp_oracle("dtw", **_DP_ORACLES["dtw"])
+    base = _pairwise_dp_oracle(metric, **_DP_ORACLES[metric])
     cut = base.rindex("SELECT id_1, id_2,")
     head, tail = base[:cut], base[cut:]
-    dist_sel = tail.strip().replace("AS dtw", "AS dd", 1)
+    dist_sel = tail.strip().replace(f"AS {metric}", "AS dd", 1)
     return head.rstrip() + f""",
     dists AS ({dist_sel}),
     idx AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS ix FROM ser),
@@ -2315,7 +2316,9 @@ def _kmedoids_shared(seed: int = 42) -> str:
     )"""
 
 
-def _pam_chain(k: int, pre: str = "", max_iter: int = 100) -> str:
+def _pam_chain(k: int, pre: str = "", max_iter: int = 100,
+               mat_cte: str = "matl", lcg_cte: str = "lcg",
+               nn_cte: str = "nn") -> str:
     """One PAM replay (FastPAM1 greedy best-swap as a two-phase
     recursion over list state) with CTE names prefixed by ``pre``,
     referencing the shared prelude. k in {2, 3}. Only the ARGMIN
@@ -2342,7 +2345,7 @@ def _pam_chain(k: int, pre: str = "", max_iter: int = 100) -> str:
     # partial Fisher-Yates: k chained swaps driven by r1..rk
     inner = f"""SELECT r1, r2, r3, n,
                                list_transform(generate_series(1, n), p -> p - 1) AS perm0
-                        FROM lcg, nn"""
+                        FROM {lcg_cte}, {nn_cte}"""
     for s in range(k):
         r = f"r{s + 1}"
         jj = f"CAST({s} + {r} % (n - {s}) AS BIGINT)" if s else f"CAST({r} % n AS BIGINT)"
@@ -2360,7 +2363,7 @@ def _pam_chain(k: int, pre: str = "", max_iter: int = 100) -> str:
                CAST(NULL AS DOUBLE[]) AS d1l, CAST(NULL AS DOUBLE[]) AS d2l,
                CAST(NULL AS BIGINT[]) AS nearl,
                n, mat
-        FROM {pre}fy f, nn, matl
+        FROM {pre}fy f, {nn_cte}, {mat_cte}
         UNION ALL
         SELECT CASE WHEN ph = 1 THEN it + 1 ELSE it END,
                (ph + 1) % 2, ndone, nmeds, nd1l, nd2l, nnearl, n, mat
@@ -2529,10 +2532,114 @@ def q_kmedoids(spark, sf_dir):
     return clustering.kmedoids(_monthly_panel_exact(spark, sf_dir), k=3, method="dtw")
 
 
-@register("clara_cluster")
+def _clara_oracle(n_samples: int = 5, seed: int = 42) -> str:
+    """CLARA oracle: the outer LCG stream draws five size-min(n,46)
+    samples (partial Fisher-Yates replayed as a recursion over swap
+    index), each sample's sub-matrix gets its own PAM chain seeded
+    42+s, candidate medoids map back to global indices, full-data costs
+    fold through strict-less selection (first sample wins ties), and
+    the winner's first-min assignment labels every point. Distances
+    are the bit-exact MSM DP recursion."""
+    A, C, M64 = 6364136223846793005, 1442695040888963407, 1 << 64
+    per_s = []
+    costs = []
+    for s in range(n_samples):
+        sd = seed + s
+        lcg = f""",
+    s{s}lcg AS (
+        SELECT CAST(s1 // 8589934592 AS BIGINT) AS r1,
+               CAST(s2 // 8589934592 AS BIGINT) AS r2,
+               CAST(s3 // 8589934592 AS BIGINT) AS r3
+        FROM (
+            SELECT s1, s2, ({A}::HUGEINT * s2 + {C}) % {M64}::HUGEINT AS s3
+            FROM (
+                SELECT s1, ({A}::HUGEINT * s1 + {C}) % {M64}::HUGEINT AS s2
+                FROM (SELECT ({A}::HUGEINT * {sd} + {C}) % {M64}::HUGEINT AS s1)
+            )
+        )
+    )"""
+        per_s.append(lcg + f""",
+    s{s}samp AS (
+        SELECT list_sort(perm[1:CAST(ss AS BIGINT)]) AS gidx
+        FROM sampr WHERE s = {s} AND i = ss
+    ),
+    s{s}matl AS (
+        SELECT list_transform(generate_series(1, len(p.gidx)), a ->
+                   list_transform(generate_series(1, len(p.gidx)), b ->
+                       m.mat[p.gidx[a] + 1][p.gidx[b] + 1])) AS mat
+        FROM s{s}samp p, matl m
+    ),
+    s{s}nn AS (SELECT CAST(len(gidx) AS BIGINT) AS n FROM s{s}samp)"""
+        + _pam_chain(3, f"s{s}", mat_cte=f"s{s}matl",
+                     lcg_cte=f"s{s}lcg", nn_cte=f"s{s}nn") + f""",
+    s{s}med AS (
+        SELECT [p.gidx[f.meds[1] + 1], p.gidx[f.meds[2] + 1], p.gidx[f.meds[3] + 1]] AS gmed
+        FROM s{s}finst f, s{s}samp p
+    ),
+    s{s}cost AS (
+        SELECT list_sum(list_transform(generate_series(1, CAST(nn.n AS BIGINT)), i2 ->
+                   LEAST(m.mat[i2][d.gmed[1] + 1], m.mat[i2][d.gmed[2] + 1],
+                         m.mat[i2][d.gmed[3] + 1]))) AS cost,
+               d.gmed
+        FROM s{s}med d, matl m, nn
+    )""")
+        costs.append(f"s{s}cost")
+    sel = f"SELECT cost, gmed FROM {costs[0]}"
+    for s in range(1, n_samples):
+        sel = f"""SELECT CASE WHEN c.cost < b.cost THEN c.cost ELSE b.cost END AS cost,
+               CASE WHEN c.cost < b.cost THEN c.gmed ELSE b.gmed END AS gmed
+        FROM ({sel}) b, {costs[s]} c"""
+    lab = ("CASE WHEN m.mat[x.ix + 1][bb.gmed[1] + 1] <= m.mat[x.ix + 1][bb.gmed[2] + 1] "
+           "AND m.mat[x.ix + 1][bb.gmed[1] + 1] <= m.mat[x.ix + 1][bb.gmed[3] + 1] THEN 0 "
+           "WHEN m.mat[x.ix + 1][bb.gmed[2] + 1] <= m.mat[x.ix + 1][bb.gmed[3] + 1] THEN 1 "
+           "ELSE 2 END")
+    return _kmedoids_shared(seed, metric="msm") + f""",
+    ssz AS (SELECT LEAST(n, 46) AS ss FROM nn),
+    draws AS (
+        SELECT 1 AS d,
+               ({A}::HUGEINT * {seed} + {C}) % {M64}::HUGEINT AS st,
+               CAST((({A}::HUGEINT * {seed} + {C}) % {M64}::HUGEINT) // 8589934592 AS BIGINT) AS r
+        UNION ALL
+        SELECT d + 1,
+               ({A}::HUGEINT * st + {C}) % {M64}::HUGEINT,
+               CAST((({A}::HUGEINT * st + {C}) % {M64}::HUGEINT) // 8589934592 AS BIGINT)
+        FROM draws, ssz WHERE d < {n_samples} * ss
+    ),
+    drl AS (SELECT list(r ORDER BY d) AS rl FROM draws),
+    sampr AS (
+        SELECT 0 AS s, 0 AS i,
+               list_transform(generate_series(1, n), p -> CAST(p - 1 AS BIGINT)) AS perm,
+               n, ss
+        FROM nn, ssz
+        UNION ALL
+        SELECT CASE WHEN i < ss THEN s ELSE s + 1 END,
+               CASE WHEN i < ss THEN i + 1 ELSE 0 END,
+               CASE WHEN i < ss THEN
+                   list_transform(perm, (x, p) ->
+                       CASE WHEN p - 1 = i
+                                THEN perm[CAST(i + jv % (n - i) AS BIGINT) + 1]
+                            WHEN p - 1 = CAST(i + jv % (n - i) AS BIGINT)
+                                THEN perm[i + 1]
+                            ELSE x END)
+               ELSE list_transform(generate_series(1, CAST(n AS BIGINT)), p -> CAST(p - 1 AS BIGINT)) END,
+               n, ss
+        FROM (
+            SELECT sr.*, d.rl[sr.s * sr.ss + sr.i + 1] AS jv
+            FROM sampr sr, drl d
+            WHERE (sr.i < sr.ss AND sr.s < {n_samples})
+               OR (sr.i = sr.ss AND sr.s < {n_samples} - 1)
+        )
+    ){''.join(per_s)},
+    bestm AS ({sel})
+    SELECT x.sid AS unique_id, CAST(({lab}) AS INT) AS cluster
+    FROM idx x, bestm bb, matl m
+    """
+
+
+@register("clara_cluster", _clara_oracle())
 def q_clara(spark, sf_dir):
     from polars_ts_spark.operators import clustering
-    return clustering.clara_cluster(_monthly_panel(spark, sf_dir), k=3, method="msm")
+    return clustering.clara_cluster(_monthly_panel_exact(spark, sf_dir), k=3, method="msm")
 
 
 @register("spectral_cluster")
