@@ -2598,19 +2598,25 @@ def _clara_oracle(n_samples: int = 5, seed: int = 42) -> str:
     draws AS (
         SELECT 1 AS d,
                ({A}::HUGEINT * {seed} + {C}) % {M64}::HUGEINT AS st,
-               CAST((({A}::HUGEINT * {seed} + {C}) % {M64}::HUGEINT) // 8589934592 AS BIGINT) AS r
+               CAST((({A}::HUGEINT * {seed} + {C}) % {M64}::HUGEINT) // 8589934592 AS BIGINT) AS r,
+               ss
+        FROM ssz
         UNION ALL
         SELECT d + 1,
                ({A}::HUGEINT * st + {C}) % {M64}::HUGEINT,
-               CAST((({A}::HUGEINT * st + {C}) % {M64}::HUGEINT) // 8589934592 AS BIGINT)
-        FROM draws, ssz WHERE d < {n_samples} * ss
+               CAST((({A}::HUGEINT * st + {C}) % {M64}::HUGEINT) // 8589934592 AS BIGINT),
+               ss
+        FROM draws WHERE d < {n_samples} * ss
     ),
     drl AS (SELECT list(r ORDER BY d) AS rl FROM draws),
     sampr AS (
+        -- the draw list rides in the recursion state: a join against
+        -- drl inside the recursive arm would re-evaluate the whole
+        -- distance-matrix dependency chain once per iteration
         SELECT 0 AS s, 0 AS i,
                list_transform(generate_series(1, n), p -> CAST(p - 1 AS BIGINT)) AS perm,
-               n, ss
-        FROM nn, ssz
+               n, ss, d.rl AS rl
+        FROM nn, ssz, drl d
         UNION ALL
         SELECT CASE WHEN i < ss THEN s ELSE s + 1 END,
                CASE WHEN i < ss THEN i + 1 ELSE 0 END,
@@ -2622,10 +2628,10 @@ def _clara_oracle(n_samples: int = 5, seed: int = 42) -> str:
                                 THEN perm[i + 1]
                             ELSE x END)
                ELSE list_transform(generate_series(1, CAST(n AS BIGINT)), p -> CAST(p - 1 AS BIGINT)) END,
-               n, ss
+               n, ss, rl
         FROM (
-            SELECT sr.*, d.rl[sr.s * sr.ss + sr.i + 1] AS jv
-            FROM sampr sr, drl d
+            SELECT sr.*, sr.rl[sr.s * sr.ss + sr.i + 1] AS jv
+            FROM sampr sr
             WHERE (sr.i < sr.ss AND sr.s < {n_samples})
                OR (sr.i = sr.ss AND sr.s < {n_samples} - 1)
         )
