@@ -163,19 +163,38 @@ def bayesian_var_forecast(
         if len(Y) <= 1 + k * p + 2:
             mean = lo = hi = np.full((h, k), np.nan)
         else:
+            from polars_ts_spark.functions.numutils import hash_normals
+
             B, A_inv, Sigma = bayesian_var_fit_arrays(Y, p, lam)
             mean = var_forecast_arrays(Y, B, p, h)
-            rng = np.random.default_rng(seed)
-            # draw vec(B) ~ N(vec(B_post), Sigma (x) A_inv), propagate
+            # draw vec(B) ~ N(vec(B_post), Sigma (x) A_inv), propagate;
+            # draws come from md5 Box-Muller streams tagged by draw
+            # index (engine-replicable — the DuckDB oracle regenerates
+            # them), and the quantiles replicate numpy's branchy _lerp
             Lc = np.linalg.cholesky(A_inv + 1e-12 * np.eye(len(A_inv)))
             Sc = np.linalg.cholesky(Sigma + 1e-12 * np.eye(k))
             sims = np.empty((n_draws, h, k))
-            for s in range(n_draws):
-                Bd = B + Lc @ rng.standard_normal(B.shape) @ Sc.T
-                sims[s] = var_forecast_arrays(Y, Bd, p, h)
-                sims[s] += rng.standard_normal((h, k)) @ Sc.T  # obs noise
-            lo = np.quantile(sims, alpha, axis=0)
-            hi = np.quantile(sims, 1.0 - alpha, axis=0)
+            d = B.shape[0]
+            for s in range(1, n_draws + 1):
+                Z = hash_normals(seed, f"b:{s}", d * k).reshape(d, k)
+                Bd = B + Lc @ Z @ Sc.T
+                sims[s - 1] = var_forecast_arrays(Y, Bd, p, h)
+                E = hash_normals(seed, f"e:{s}", h * k).reshape(h, k)
+                sims[s - 1] += E @ Sc.T  # obs noise
+            lo = np.empty((h, k))
+            hi = np.empty((h, k))
+            for t in range(h):
+                for c in range(k):
+                    col = np.sort(sims[:, t, c])
+                    m = len(col)
+                    for q, out in ((alpha, lo), (1.0 - alpha, hi)):
+                        pos = q * (m - 1)
+                        i0 = int(np.floor(pos))
+                        gfr = pos - i0
+                        i1 = min(i0 + 1, m - 1)
+                        dd = col[i1] - col[i0]
+                        out[t, c] = (col[i1] - dd * (1.0 - gfr)) if gfr >= 0.5 \
+                            else (col[i0] + dd * gfr)
         d = {id_col: [sid] * h, "step": list(range(1, h + 1))}
         for i, c in enumerate(value_cols):
             d[f"{c}_hat"] = mean[:, i]

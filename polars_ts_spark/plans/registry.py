@@ -6884,11 +6884,195 @@ def q_hdbscan(spark, sf_dir):
     )
 
 
-@register("bayesian_var")  # posterior sampling: rows-only
+def _bayes_var_oracle(h: int = 7, n_draws: int = 100, lam: float = 0.2,
+                      coverage: float = 0.8, seed: int = 42) -> str:
+    """Bayesian-VAR(1) oracle (k=2): the conjugate posterior mean is a
+    Cramer 3x3 solve over Minnesota-prior-augmented normal equations,
+    A^-1 comes from the adjugate, both Choleskys are the closed 3x3/2x2
+    forms, the md5 Box-Muller draw streams regenerate vec(B) and
+    observation noise per draw, the 7-step propagation unrolls through
+    lateral aliases, and numpy's branchy _lerp quantile is written out
+    per branch over the sorted 100 draws. Every step is smooth (no
+    discrete branches besides quantile sorting of generically distinct
+    draws), so engine ulps damp into the 2dp rounding."""
+    P2 = repr((1 / lam) ** 2)
+    alpha = (1.0 - coverage) / 2.0
+
+    def z(tag: str, i: int) -> str:
+        u1 = (f"((('0x' || substr(md5('{seed}:' || {tag} || ':{i}:a'), 1, 8))::BIGINT"
+              f" + 0.5) / 4294967296.0)")
+        u2 = (f"((('0x' || substr(md5('{seed}:' || {tag} || ':{i}:b'), 1, 8))::BIGINT"
+              f" + 0.5) / 4294967296.0)")
+        return f"(SQRT(-2.0 * LN({u1})) * COS(2.0 * PI() * {u2}))"
+
+    # mean path + per-draw path: 7 unrolled VAR(1) steps
+    def steps(pre: str, b: str) -> str:
+        cols = []
+        prevy, prevz = "ylast", "y2last"
+        for t in range(1, h + 1):
+            cols.append(f"{b}00 + {b}10 * {prevy} + {b}20 * {prevz} AS {pre}{t}y")
+            cols.append(f"{b}01 + {b}11 * {prevy} + {b}21 * {prevz} AS {pre}{t}z")
+            prevy, prevz = f"{pre}{t}y", f"{pre}{t}z"
+        return ",\n               ".join(cols)
+
+    qconst = {}
+    for q, nm in ((alpha, "lo"), (1.0 - alpha, "hi")):
+        pos = q * (n_draws - 1)
+        i0 = int(pos // 1)
+        qconst[nm] = (i0, repr(pos - i0), min(i0 + 1, n_draws - 1), pos - i0 >= 0.5)
+
+    def lerp(col: str, nm: str) -> str:
+        i0, g, i1, hi_branch = qconst[nm]
+        if hi_branch:
+            return f"{col}[{i1 + 1}] - ({col}[{i1 + 1}] - {col}[{i0 + 1}]) * (1.0 - {g})"
+        return f"{col}[{i0 + 1}] + ({col}[{i1 + 1}] - {col}[{i0 + 1}]) * {g}"
+
+    etag = "'e:' || CAST(s AS VARCHAR)"
+    btag = "'b:' || CAST(s AS VARCHAR)"
+    obs = []
+    obs_sep = ",\n           "
+    for t in range(1, h + 1):
+        obs.append(f"s{t}y + ({z(etag, 2 * t - 1)} * sc11) AS o{t}y")
+        obs.append(f"s{t}z + ({z(etag, 2 * t - 1)} * sc21 "
+                   f"+ {z(etag, 2 * t)} * sc22) AS o{t}z")
+    outs = " UNION ALL ".join(
+        f"SELECT unique_id, s, {t} AS step, o{t}y AS vy, o{t}z AS vz FROM sims"
+        for t in range(1, h + 1))
+    mouts = " UNION ALL ".join(
+        f"SELECT unique_id, {t} AS step, m{t}y AS my, m{t}z AS mz FROM meanp"
+        for t in range(1, h + 1))
+    return f"""
+WITH panel AS (
+    SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+           date_trunc('day', l_shipdate) AS ds,
+           SUM(l_extendedprice) AS y, SUM(l_quantity) AS y2
+    FROM lineitem GROUP BY 1, 2
+),
+lagrows AS (
+    SELECT unique_id, y, y2,
+           LAG(y) OVER w AS ly, LAG(y2) OVER w AS lz
+    FROM panel WINDOW w AS (PARTITION BY unique_id ORDER BY ds)
+    QUALIFY ly IS NOT NULL
+),
+fit AS (
+    SELECT unique_id,
+           CAST(COUNT(*) AS DOUBLE) + 1e-4 AS a11, SUM(ly) AS a12, SUM(lz) AS a13,
+           SUM(ly * ly) + {P2} AS a22, SUM(ly * lz) AS a23,
+           SUM(lz * lz) + {P2} AS a33,
+           SUM(y) AS by1, SUM(ly * y) + {P2} * 1.0 AS by2, SUM(lz * y) AS by3,
+           SUM(y2) AS bz1, SUM(ly * y2) AS bz2, SUM(lz * y2) + {P2} * 1.0 AS bz3,
+           CAST(COUNT(*) AS DOUBLE) AS cnt
+    FROM lagrows GROUP BY 1
+),
+bsol AS (
+    SELECT f.*,
+           a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+               + a13 * (a12 * a23 - a22 * a13) AS det,
+           (by1 * (a22 * a33 - a23 * a23) - a12 * (by2 * a33 - a23 * by3)
+               + a13 * (by2 * a23 - a22 * by3)) / det AS b00,
+           (a11 * (by2 * a33 - by3 * a23) - by1 * (a12 * a33 - a23 * a13)
+               + a13 * (a12 * by3 - by2 * a13)) / det AS b10,
+           (a11 * (a22 * by3 - a23 * by2) - a12 * (a12 * by3 - by2 * a13)
+               + by1 * (a12 * a23 - a22 * a13)) / det AS b20,
+           (bz1 * (a22 * a33 - a23 * a23) - a12 * (bz2 * a33 - a23 * bz3)
+               + a13 * (bz2 * a23 - a22 * bz3)) / det AS b01,
+           (a11 * (bz2 * a33 - bz3 * a23) - bz1 * (a12 * a33 - a23 * a13)
+               + a13 * (a12 * bz3 - bz2 * a13)) / det AS b11,
+           (a11 * (a22 * bz3 - a23 * bz2) - a12 * (a12 * bz3 - bz2 * a13)
+               + bz1 * (a12 * a23 - a22 * a13)) / det AS b21,
+           (a22 * a33 - a23 * a23) / det + 1e-12 AS ai11,
+           -(a12 * a33 - a23 * a13) / det AS ai12,
+           (a12 * a23 - a22 * a13) / det AS ai13,
+           (a11 * a33 - a13 * a13) / det + 1e-12 AS ai22,
+           -(a11 * a23 - a12 * a13) / det AS ai23,
+           (a11 * a22 - a12 * a12) / det + 1e-12 AS ai33
+    FROM fit f
+),
+resid AS (
+    SELECT l.unique_id,
+           SUM((l.y - (b.b00 + b.b10 * l.ly + b.b20 * l.lz))
+               * (l.y - (b.b00 + b.b10 * l.ly + b.b20 * l.lz))) AS s11,
+           SUM((l.y - (b.b00 + b.b10 * l.ly + b.b20 * l.lz))
+               * (l.y2 - (b.b01 + b.b11 * l.ly + b.b21 * l.lz))) AS s12,
+           SUM((l.y2 - (b.b01 + b.b11 * l.ly + b.b21 * l.lz))
+               * (l.y2 - (b.b01 + b.b11 * l.ly + b.b21 * l.lz))) AS s22
+    FROM lagrows l JOIN bsol b ON l.unique_id = b.unique_id
+    GROUP BY 1
+),
+chols AS (
+    SELECT b.*,
+           r.s11 / GREATEST(b.cnt - 3, 1) + 1e-12 AS g11,
+           r.s12 / GREATEST(b.cnt - 3, 1) AS g12,
+           r.s22 / GREATEST(b.cnt - 3, 1) + 1e-12 AS g22,
+           SQRT(g11) AS sc11, g12 / SQRT(g11) AS sc21,
+           SQRT(g22 - (g12 / SQRT(g11)) * (g12 / SQRT(g11))) AS sc22,
+           SQRT(b.ai11) AS lc11,
+           b.ai12 / SQRT(b.ai11) AS lc21,
+           SQRT(b.ai22 - (b.ai12 / SQRT(b.ai11)) * (b.ai12 / SQRT(b.ai11))) AS lc22,
+           b.ai13 / SQRT(b.ai11) AS lc31,
+           (b.ai23 - lc31 * lc21) / lc22 AS lc32,
+           SQRT(b.ai33 - lc31 * lc31 - lc32 * lc32) AS lc33
+    FROM bsol b JOIN resid r ON b.unique_id = r.unique_id
+),
+tails AS (
+    SELECT unique_id, max_by(y, ds) AS ylast, max_by(y2, ds) AS y2last
+    FROM panel GROUP BY 1
+),
+meanp AS (
+    SELECT c.unique_id,
+           {steps('m', 'c.b')}
+    FROM chols c JOIN tails t ON c.unique_id = t.unique_id
+),
+draws2 AS (
+    SELECT c.unique_id, t.ylast, t.y2last, c.sc11, c.sc21, c.sc22, dd.s,
+           {", ".join(f'{z(btag, i)} AS z{i}' for i in range(1, 7))},
+           c.lc11 * z1 AS w11, c.lc11 * z2 AS w12,
+           c.lc21 * z1 + c.lc22 * z3 AS w21, c.lc21 * z2 + c.lc22 * z4 AS w22,
+           c.lc31 * z1 + c.lc32 * z3 + c.lc33 * z5 AS w31,
+           c.lc31 * z2 + c.lc32 * z4 + c.lc33 * z6 AS w32,
+           c.b00 + (w11 * c.sc11) AS bd00,
+           c.b01 + (w11 * c.sc21 + w12 * c.sc22) AS bd01,
+           c.b10 + (w21 * c.sc11) AS bd10,
+           c.b11 + (w21 * c.sc21 + w22 * c.sc22) AS bd11,
+           c.b20 + (w31 * c.sc11) AS bd20,
+           c.b21 + (w31 * c.sc21 + w32 * c.sc22) AS bd21
+    FROM chols c JOIN tails t ON c.unique_id = t.unique_id
+    CROSS JOIN (SELECT UNNEST(generate_series(1, {n_draws})) AS s) dd
+),
+sims AS (
+    SELECT unique_id, s,
+           {steps('s', 'bd')},
+           {obs_sep.join(obs)}
+    FROM draws2
+),
+simrows AS ({outs}),
+quant AS (
+    SELECT unique_id, step,
+           list_sort(list(vy)) AS qy, list_sort(list(vz)) AS qz
+    FROM simrows GROUP BY 1, 2
+),
+meanrows AS ({mouts})
+SELECT m.unique_id, CAST(m.step AS INT) AS step,
+       ROUND(m.my, 2) AS y_hat,
+       ROUND({lerp('q.qy', 'lo')}, 2) AS y_lo,
+       ROUND({lerp('q.qy', 'hi')}, 2) AS y_hi,
+       ROUND(m.mz, 2) AS y2_hat,
+       ROUND({lerp('q.qz', 'lo')}, 2) AS y2_lo,
+       ROUND({lerp('q.qz', 'hi')}, 2) AS y2_hi
+FROM meanrows m JOIN quant q ON m.unique_id = q.unique_id AND m.step = q.step
+"""
+
+
+@register("bayesian_var", _bayes_var_oracle())
 def q_bayesian_var(spark, sf_dir):
     from polars_ts_spark.operators import var_model
-    return var_model.bayesian_var_forecast(
+    out = var_model.bayesian_var_forecast(
         _bivariate_panel(spark, sf_dir), ["y", "y2"], p=1, h=7, n_draws=100
+    )
+    return out.select(
+        "unique_id", "step",
+        *[F.round(F.col(f"`{c}`"), 2).alias(c)
+          for c in ("y_hat", "y_lo", "y_hi", "y2_hat", "y2_lo", "y2_hi")],
     )
 
 
