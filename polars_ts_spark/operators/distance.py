@@ -133,17 +133,28 @@ def compute_pairwise_distance(
         if same
         else _grouped_arrays(df2, id_col, time_col, target_col, "id_2", "__v2")
     )
-    # Size-gate BEFORE any driver materialization: the grouped-array
-    # element total equals the input row count (collect_list keeps every
-    # row), so one cheap count() on the un-grouped input decides the
-    # route — never "collect, then check whether collecting was safe".
-    total = df1.count() + (0 if same else df2.count())
-    if total > _BC_ELEMS_CAP:
-        return _pairwise_crossjoin(
-            df1, df2, method, variant, id_col, time_col, target_col, id_dtype, **kwargs
-        )
-    rows2 = g2s.collect()
-    rows1 = rows2 if same else g1s.collect()
+    # Size-gate BEFORE any driver materialization, WITHOUT an extra
+    # input scan: persist the grouped frame the plan needs anyway, and
+    # let the sizing job (sum of array lengths == input row count) be
+    # the job that populates the cache — the subsequent collect() then
+    # reads the cached grouped arrays instead of re-scanning parquet.
+    # Never "collect, then check whether collecting was safe".
+    g1s = g1s.persist()
+    total = g1s.agg(F.sum(F.size("__v1"))).first()[0] or 0
+    if not same:
+        g2s = g2s.persist()
+        total += g2s.agg(F.sum(F.size("__v2"))).first()[0] or 0
+    try:
+        if total > _BC_ELEMS_CAP:
+            return _pairwise_crossjoin(
+                df1, df2, method, variant, id_col, time_col, target_col, id_dtype, **kwargs
+            )
+        rows2 = g2s.collect()
+        rows1 = rows2 if same else g1s.collect()
+    finally:
+        g1s.unpersist()
+        if not same:
+            g2s.unpersist()
     fn = _batch_kernel_fn(method, variant, kwargs)
     if not rows1 or not rows2:
         out = spark.createDataFrame([], f"id_1 string, id_2 string, {method} double")

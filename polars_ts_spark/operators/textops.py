@@ -237,6 +237,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """LSH candidate pairs + MinHash-estimated Jaccard.
     Output [doc_id_1, doc_id_2, minhash_jaccard] for candidates whose
@@ -245,8 +246,16 @@ def minhash_lsh_pairs(
 
     Scale: the only joins are per-band self equi-joins on the band
     key (md5 of the concatenated row values) — shuffle is linear in
-    corpus size; no all-pairs stage exists. Skewed buckets (giant
-    near-dup clusters) are real duplicates, which is the signal.
+    corpus size; no all-pairs stage exists. Skew cap: a bucket larger
+    than ``max_bucket`` (a giant near-dup cluster, or a degenerate
+    band key on short docs) would emit O(bucket²) pairs from one task
+    — at 1M identical docs that is 5·10¹¹ OUTPUT rows, unemittable by
+    any plan. Oversized buckets therefore emit the STAR pairs
+    (bucket-min id, member) instead: linear in the bucket, fully
+    deterministic, and a spanning structure of the bucket's pair
+    clique — downstream ``dedup_clusters`` connected components are
+    IDENTICAL; only the explicit pair list is thinned, and only inside
+    buckets that exceed the cap.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -260,8 +269,14 @@ def minhash_lsh_pairs(
     )
     cand = None
     for bi in range(bands):
-        a = with_bands.alias("a")
-        b = with_bands.alias("b")
+        wb = Window.partitionBy(f"band_{bi}")
+        bd = (
+            with_bands.select(id_col, f"band_{bi}")
+            .withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .withColumn("__bmin", F.min(id_col).over(wb))
+        )
+        small = bd.filter(F.col("__bsz") <= max_bucket)
+        a, b = small.alias("a"), small.alias("b")
         c = (
             a.join(b, F.col(f"a.band_{bi}") == F.col(f"b.band_{bi}"))
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -270,6 +285,11 @@ def minhash_lsh_pairs(
                 F.col(f"b.{id_col}").alias("doc_id_2"),
             )
         )
+        star = (
+            bd.filter((F.col("__bsz") > max_bucket) & (F.col(id_col) != F.col("__bmin")))
+            .select(F.col("__bmin").alias("doc_id_1"), F.col(id_col).alias("doc_id_2"))
+        )
+        c = c.unionByName(star)
         cand = c if cand is None else cand.unionByName(c)
     cand = cand.distinct()
     s1 = sig.withColumnsRenamed({id_col: "doc_id_1", **{f"mh_{i}": f"x_{i}" for i in range(num_hashes)}})
@@ -286,7 +306,8 @@ def minhash_lsh_pairs(
 
 
 def minhash_lsh_oracle(
-    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5, shingle_n: int = 3
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5, shingle_n: int = 3,
+    max_bucket: int = 4096,
 ) -> str:
     r = num_hashes // bands
     coeffs = _perm_coeffs(num_hashes)
@@ -301,9 +322,21 @@ def minhash_lsh_oracle(
         + f")) AS band_{bi}"
         for bi in range(bands)
     )
+    # mirrors the Spark skew cap: oversized buckets contribute star
+    # pairs (bucket-min, member) instead of the full clique
     cand_union = "\n    UNION\n    ".join(
-        f"SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2 "
-        f"FROM bands a JOIN bands b ON a.band_{bi} = b.band_{bi} AND a.doc_id < b.doc_id"
+        f"SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2\n"
+        f"    FROM (SELECT doc_id, band_{bi},"
+        f" COUNT(*) OVER (PARTITION BY band_{bi}) AS bsz FROM bands) a\n"
+        f"    JOIN (SELECT doc_id, band_{bi},"
+        f" COUNT(*) OVER (PARTITION BY band_{bi}) AS bsz FROM bands) b\n"
+        f"      ON a.band_{bi} = b.band_{bi} AND a.doc_id < b.doc_id\n"
+        f"    WHERE a.bsz <= {max_bucket}\n"
+        f"    UNION\n"
+        f"    SELECT bmin AS doc_id_1, doc_id AS doc_id_2 FROM (\n"
+        f"        SELECT doc_id, COUNT(*) OVER (PARTITION BY band_{bi}) AS bsz,\n"
+        f"               MIN(doc_id) OVER (PARTITION BY band_{bi}) AS bmin FROM bands)\n"
+        f"    WHERE bsz > {max_bucket} AND doc_id <> bmin"
         for bi in range(bands)
     )
     est = " + ".join(

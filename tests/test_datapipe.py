@@ -48,6 +48,28 @@ def test_minhash_lsh_finds_exact_dup(docs):
     assert pairs[(0, 1)] == 1.0  # identical signature -> all bands collide
 
 
+def test_minhash_giant_bucket_emits_star_not_clique(spark):
+    # 40 identical docs land in one bucket in every band; with
+    # max_bucket=10 the clique (780 pairs) must collapse to the 39
+    # star edges from the bucket-min — and the dedup component is
+    # unchanged (the star spans the clique)
+    docs = spark.createDataFrame(
+        [(i, "aaa bbb ccc ddd eee fff") for i in range(40)]
+        + [(100, "zzz yyy xxx www vvv uuu")],
+        ["doc_id", "text"],
+    )
+    pairs = textops.minhash_lsh_pairs(docs, threshold=0.9, max_bucket=10)
+    rows = pairs.collect()
+    assert len(rows) == 39
+    assert all(r["doc_id_1"] == 0 for r in rows)
+    labels = {r["doc_id"]: r["cluster_id"]
+              for r in textops.dedup_clusters(docs, pairs=pairs).collect()}
+    assert all(labels[i] == 0 for i in range(40))
+    assert labels[100] == 100
+    # uncapped, the same corpus yields the full clique
+    assert textops.minhash_lsh_pairs(docs, threshold=0.9).count() == 780
+
+
 def test_simhash_exact_dup_zero_hamming(docs):
     fps = {r["doc_id"]: r["simhash"] for r in textops.simhash_fingerprint(docs).collect()}
     assert fps[0] == fps[1]
