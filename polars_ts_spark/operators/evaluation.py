@@ -675,6 +675,42 @@ def _hash_permutation(seed: int, tag: str, n: int) -> np.ndarray:
     return np.argsort(np.asarray(keys))
 
 
+# Rows above which the estimator FIT runs on a deterministic md5-hash
+# sample instead of the full design matrix (mirrors isolation_forest's
+# subsample-fit contract, anomaly.py FIT_CAP): estimator fitting is the
+# one genuinely driver-side step, so its input must be bounded. Scoring
+# is always distributed. 100k rows x a few float64 columns ≈ MBs.
+PERM_FIT_CAP = 100_000
+
+
+def _global_row_index(df: DataFrame, order_cols: Sequence[str], out: str = "__rn"):
+    """1-based global row index equal to ROW_NUMBER() OVER (ORDER BY
+    order_cols) — scale-safe AND deterministic: within-group rank over
+    the leading-columns prefix (an ordinary distributed window) plus a
+    cumulative group offset computed on the per-group count frame (one
+    row per distinct prefix — the series axis, driver-small by the
+    SURVEY §1.4 contract) and broadcast-joined back. Never a
+    single-reducer global window over the rows, and no
+    repartitionByRange (whose sampled boundaries can differ between the
+    jobs that reuse the frame). Requires >= 2 order cols; (prefix,
+    last) should uniquely key rows."""
+    if len(order_cols) < 2:
+        raise ValueError("_global_row_index needs >= 2 order cols (prefix + within)")
+    *prefix, last = order_cols
+    w_in = Window.partitionBy(*prefix).orderBy(last)
+    within = df.withColumn("__wr", F.row_number().over(w_in))
+    grp = df.groupBy(*prefix).agg(F.count(F.lit(1)).alias("__gc"))
+    w_off = Window.orderBy(*prefix).rowsBetween(Window.unboundedPreceding, -1)
+    offs = grp.select(
+        *prefix, F.coalesce(F.sum("__gc").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        within.join(F.broadcast(offs), list(prefix))
+        .withColumn(out, (F.col("__off") + F.col("__wr")).cast("long"))
+        .drop("__wr", "__off")
+    )
+
+
 def permutation_importance(
     df: DataFrame,
     feat_cols: Sequence[str],
@@ -683,34 +719,119 @@ def permutation_importance(
     n_repeats: int = 3,
     seed: int = 42,
     order_cols: Sequence[str] | None = None,
+    fit_cap: int = PERM_FIT_CAP,
 ) -> pd.DataFrame:
     """Metric degradation under column shuffle (importance.py:11-90).
-    Fits once on the collected design matrix, shuffles each column
-    n_repeats times. With ``order_cols`` the rows get a deterministic
-    order and the shuffles use md5-rank permutations (reproducible
-    across engines — the DuckDB oracle rebuilds them); otherwise a
-    seeded numpy generator (reference RNG semantics, importance.py:31)."""
+    With ``order_cols`` the computation is fully DISTRIBUTED: the fit
+    uses at most ``fit_cap`` rows (deterministic md5 sample above the
+    cap; the full matrix below it, so driver-scale results are
+    unchanged), the md5-rank permutations are window orderings over the
+    global row index (reproducible across engines — the DuckDB oracle
+    rebuilds them), and every shuffle is scored by the broadcast fitted
+    model inside one mapInPandas pass — no unbounded driver collect.
+    Without ``order_cols``: reference RNG semantics (importance.py:31,
+    seeded numpy generator) on a ``fit_cap``-bounded collected sample."""
+    d = len(feat_cols)
     sel = [*order_cols] if order_cols else []
-    pdf = df.select(*sel, *feat_cols, target_col).dropna().toPandas()
-    if order_cols:
-        pdf = pdf.sort_values(list(order_cols)).reset_index(drop=True)
-    X = pdf[list(feat_cols)].to_numpy(dtype=float)
-    y = pdf[target_col].to_numpy(dtype=float)
-    estimator.fit(X, y)
-    base = float(np.mean(np.abs(estimator.predict(X) - y)))
-    rng = None if order_cols else np.random.default_rng(seed)
-    rows = []
-    for i, c in enumerate(feat_cols):
-        degr = []
-        for r in range(n_repeats):
-            Xp = X.copy()
-            if rng is None:
-                Xp[:, i] = X[:, i][_hash_permutation(seed, f"{i}:{r}", len(X))]
-            else:
+    base = df.select(*sel, *feat_cols, target_col).dropna()
+
+    if not order_cols:
+        # RNG path: permutation of an unordered frame is only defined
+        # on a materialized row order — bound it at fit_cap rows
+        n = base.count()
+        if n > fit_cap:
+            frac_key = F.abs(F.xxhash64(*feat_cols, F.lit(seed)))
+            base = base.withColumn("__s", frac_key % 1_000_003) \
+                       .orderBy("__s").limit(fit_cap).drop("__s")
+        pdf = base.toPandas()
+        X = pdf[list(feat_cols)].to_numpy(dtype=float)
+        y = pdf[target_col].to_numpy(dtype=float)
+        estimator.fit(X, y)
+        basem = float(np.mean(np.abs(estimator.predict(X) - y)))
+        rng = np.random.default_rng(seed)
+        rows = []
+        for i, c in enumerate(feat_cols):
+            degr = []
+            for _ in range(n_repeats):
+                Xp = X.copy()
                 Xp[:, i] = rng.permutation(Xp[:, i])
-            degr.append(float(np.mean(np.abs(estimator.predict(Xp) - y))) - base)
-        rows.append({"feature": c, "importance": float(np.mean(degr)), "std": float(np.std(degr))})
-    return pd.DataFrame(rows).sort_values("importance", ascending=False).reset_index(drop=True)
+                degr.append(float(np.mean(np.abs(estimator.predict(Xp) - y))) - basem)
+            rows.append({"feature": c, "importance": float(np.mean(degr)),
+                         "std": float(np.std(degr))})
+        return (pd.DataFrame(rows).sort_values("importance", ascending=False)
+                .reset_index(drop=True))
+
+    spark = df.sparkSession
+    ridx = _global_row_index(base, order_cols).persist()
+    n = ridx.count()  # populates the cache; sizing scalar
+    fit_src = ridx if n <= fit_cap else ridx.withColumn(
+        "__s", F.md5(F.concat_ws(":", F.lit(f"{seed}:fit"), F.col("__rn")))
+    ).orderBy("__s").limit(fit_cap).drop("__s")
+    fit_pdf = fit_src.select("__rn", *feat_cols, target_col).toPandas() \
+                     .sort_values("__rn").reset_index(drop=True)
+    estimator.fit(fit_pdf[list(feat_cols)].to_numpy(dtype=float),
+                  fit_pdf[target_col].to_numpy(dtype=float))
+    bce = spark.sparkContext.broadcast(estimator)
+
+    feats = list(feat_cols)
+
+    def score_base(batches):
+        for pdf in batches:
+            pred = bce.value.predict(pdf[feats].to_numpy(dtype=float))
+            err = np.abs(pred - pdf[target_col].to_numpy(dtype=float))
+            yield pd.DataFrame({"s": [float(err.sum())], "c": [len(err)]})
+
+    b = ridx.mapInPandas(score_base, "s double, c long") \
+            .agg((F.sum("s") / F.sum("c")).alias("mae")).first()
+    base_mae = float(b["mae"])
+
+    # one long frame: every row x (feature i, repeat r); the md5-rank
+    # destination is a window ORDER BY within the (i, r) partition —
+    # row q's value lands at row rank(md5('{seed}:{i}:{r}:{q}'))
+    ir = ", ".join(f"named_struct('i', {i}, 'r', {r})"
+                   for i in range(d) for r in range(n_repeats))
+    fv = F.array(*[F.col(c).cast("double") for c in feats])
+    long = (
+        ridx.select(F.col("__rn"), fv.alias("__fv"),
+                    F.explode(F.expr(f"array({ir})")).alias("__ir"))
+        .select("__rn", F.col("__ir.i").alias("__i"), F.col("__ir.r").alias("__r"),
+                F.element_at("__fv", F.col("__i") + 1).alias("__val"))
+        .withColumn("__key", F.md5(F.concat_ws(
+            ":", F.lit(str(seed)), F.col("__i"), F.col("__r"), F.col("__rn"))))
+    )
+    w_ir = Window.partitionBy("__i", "__r").orderBy("__key", "__rn")
+    perm = long.select("__i", "__r", "__val",
+                       F.row_number().over(w_ir).alias("__dest"))
+    joined = ridx.select("__rn", *feats, target_col).join(
+        perm, F.col("__rn") == F.col("__dest"))
+
+    def score_perm(batches):
+        for pdf in batches:
+            out_i, out_r, out_s, out_c = [], [], [], []
+            yv = pdf[target_col].to_numpy(dtype=float)
+            Xb = pdf[feats].to_numpy(dtype=float)
+            pv = pdf["__val"].to_numpy(dtype=float)
+            for (i, rr), gidx in pdf.groupby(["__i", "__r"]).indices.items():
+                Xp = Xb[gidx].copy()
+                Xp[:, int(i)] = pv[gidx]
+                err = np.abs(bce.value.predict(Xp) - yv[gidx])
+                out_i.append(int(i)); out_r.append(int(rr))
+                out_s.append(float(err.sum())); out_c.append(len(gidx))
+            yield pd.DataFrame({"i": out_i, "r": out_r, "s": out_s, "c": out_c})
+
+    maes = {
+        (rrow["i"], rrow["r"]): float(rrow["mae"])
+        for rrow in joined.mapInPandas(score_perm, "i int, r int, s double, c long")
+        .groupBy("i", "r").agg((F.sum("s") / F.sum("c")).alias("mae")).collect()
+    }
+    ridx.unpersist()
+    rows = []
+    for i, c in enumerate(feats):
+        degr = [maes[(i, r)] - base_mae for r in range(n_repeats)]
+        rows.append({"feature": c, "importance": float(np.mean(degr)),
+                     "std": float(np.std(degr))})
+    return (pd.DataFrame(rows).sort_values("importance", ascending=False)
+            .reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------
@@ -749,18 +870,33 @@ def kaboudan_metric(
         )
 
     sse = sse_of(train)
-    # block-shuffle each series' training values (ids/timestamps fixed)
-    pdf = train.select(id_col, time_col, target_col).toPandas()
-    pdf[time_col] = pd.to_datetime(pdf[time_col])
-    parts = []
-    for sid, g in pdf.groupby(id_col, sort=True):
-        g = g.sort_values(time_col).reset_index(drop=True)
-        vals = g[target_col].to_numpy().copy()
-        blocks = [vals[i : i + block_size] for i in range(0, len(vals), block_size)]
-        order = _hash_permutation(seed, str(sid), len(blocks))
-        g[target_col] = np.concatenate([blocks[i] for i in order])[: len(vals)]
-        parts.append(g)
-    shuffled = df.sparkSession.createDataFrame(pd.concat(parts))
+    # Block-shuffle each series' training values (ids/timestamps fixed)
+    # — fully DISTRIBUTED (no panel collect): ordering rows by
+    # (md5 block key, original row index) is exactly "concatenate the
+    # blocks in md5-rank slot order" (the same permutation
+    # _hash_permutation defines — argsort of hex strings ==
+    # lexicographic ORDER BY), and the positional re-attach of the
+    # fixed timestamps is a self-join on the per-series row index.
+    w_t = Window.partitionBy(id_col).orderBy(time_col)
+    rows = (
+        train.select(id_col, time_col, target_col)
+        .withColumn("__rn0", F.row_number().over(w_t) - 1)
+        .withColumn(
+            "__key",
+            F.md5(F.concat_ws(
+                ":", F.lit(str(seed)), F.col(id_col).cast("string"),
+                (F.floor(F.col("__rn0") / block_size) + 1).cast("string"))),
+        )
+    )
+    w_dest = Window.partitionBy(id_col).orderBy("__key", "__rn0")
+    src = rows.withColumn("__dest", F.row_number().over(w_dest) - 1).select(
+        F.col(id_col).alias("__sid"), F.col(target_col).alias("__val"), "__dest"
+    )
+    shuffled = (
+        rows.select(id_col, time_col, "__rn0")
+        .join(src, (F.col(id_col) == F.col("__sid")) & (F.col("__rn0") == F.col("__dest")))
+        .select(id_col, time_col, F.col("__val").alias(target_col))
+    )
     sse_sh = sse_of(shuffled)
     eta = (1.0 - sse / sse_sh).clip(lower=0.0)
     return pd.DataFrame({id_col: eta.index, "kaboudan": eta.to_numpy()})

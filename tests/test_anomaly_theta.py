@@ -99,6 +99,36 @@ def test_kaboudan_high_for_predictable(spark):
     assert out.loc["line", "kaboudan"] > out.loc["noise", "kaboudan"]
 
 
+def test_metrics_never_materialize_full_panel(spark, monkeypatch):
+    """Plan audit (VERDICT r4 #1): kaboudan_metric and
+    permutation_importance must not collect the training panel to the
+    driver — every toPandas/collect they trigger is bounded by the
+    series axis, the timestamp axis, or fit_cap, never the row count."""
+    from polars_ts_spark.functions.numutils import RidgeEstimator
+    from polars_ts_spark.operators import baselines, features
+
+    n_rows = 4 * 100
+    ts = pd.date_range("2024-01-01", periods=100, freq="D")
+    df = spark.createDataFrame(pd.concat([
+        pd.DataFrame({"unique_id": f"s{i}", "ds": ts,
+                      "y": np.sin(np.arange(100) / 7.0) * 10 + i})
+        for i in range(4)
+    ]))
+    sizes: list[int] = []
+    cls = type(df)  # Spark 4: the concrete classic DataFrame, not the ABC
+    real_tp, real_c = cls.toPandas, cls.collect
+    monkeypatch.setattr(cls, "toPandas",
+                        lambda self: (p := real_tp(self), sizes.append(len(p)))[0])
+    monkeypatch.setattr(cls, "collect",
+                        lambda self: (r := real_c(self), sizes.append(len(r)))[0])
+
+    E.kaboudan_metric(df, lambda tr, h: baselines.naive_forecast(tr, h=h), horizon=7)
+    feats = features.lag_features(df, [1, 7])
+    E.permutation_importance(feats, ["y_lag_1", "y_lag_7"], "y", RidgeEstimator(),
+                             order_cols=["unique_id", "ds"], fit_cap=50)
+    assert sizes and max(sizes) < n_rows // 2, sizes
+
+
 def test_enbpi_intervals_cover(spark):
     from polars_ts_spark.operators.pipeline import RecursiveForecaster
     ts = pd.date_range("2024-01-01", periods=100, freq="D")
