@@ -77,16 +77,25 @@ def hash_normals(seed: int, tag: str, n: int) -> np.ndarray:
     z = sqrt(-2 ln u1) cos(2 pi u2). Engine-replicable — any SQL engine
     with md5() rebuilds the identical stream, unlike a PCG64 generator;
     downstream ulp differences (libm vs engine ln/cos) stay ulp-sized
-    as long as the consumer is branch-free."""
+    as long as the consumer is branch-free.
+
+    The per-draw md5-of-counter stream definition is load-bearing (the
+    DuckDB oracles replay md5('{seed}:{tag}:{i}:a') draw-for-draw) and
+    the md5 calls dominate the cost, so full batching buys nothing; the
+    remaining overhead trims are hoisted method lookups, a pre-encoded
+    prefix, and raw-digest-prefix parsing (bit-identical to the
+    hexdigest path — first 4 digest bytes big-endian == first 8 hex
+    digits). Scalar math.* is kept deliberately: numpy's SIMD log/cos
+    differ from libm by ulps, which could flip quantized accept/reject
+    branches the oracles replay."""
     import hashlib
     import math
 
+    md5, fb, pre = hashlib.md5, int.from_bytes, f"{seed}:{tag}:".encode()
     out = np.empty(n)
     for i in range(1, n + 1):
-        h1 = hashlib.md5(f"{seed}:{tag}:{i}:a".encode()).hexdigest()
-        h2 = hashlib.md5(f"{seed}:{tag}:{i}:b".encode()).hexdigest()
-        u1 = (int(h1[:8], 16) + 0.5) / 4294967296.0
-        u2 = (int(h2[:8], 16) + 0.5) / 4294967296.0
+        u1 = (fb(md5(pre + b"%d:a" % i).digest()[:4], "big") + 0.5) / 4294967296.0
+        u2 = (fb(md5(pre + b"%d:b" % i).digest()[:4], "big") + 0.5) / 4294967296.0
         out[i - 1] = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
     return out
 

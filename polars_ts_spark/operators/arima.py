@@ -601,8 +601,10 @@ def _lag1_autocorr(y: np.ndarray) -> float:
 
 def kpss_stat(y: np.ndarray) -> float:
     """KPSS level-stationarity statistic (Bartlett-window long-run
-    variance, lags = floor(4·(n/100)^0.25), the statsmodels 'legacy'
-    bandwidth). Compare to the 5% critical value 0.463."""
+    variance, lags = floor(4·(n/100)^0.25) — the R/urca 'lshort' (l4)
+    bandwidth that pmdarima's ndiffs uses; statsmodels' legacy rule is
+    the longer ceil(12·(n/100)^0.25)). Compare to the 5% critical
+    value 0.463."""
     y = np.asarray(y, float)
     n = len(y)
     if n < 8:

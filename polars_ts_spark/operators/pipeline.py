@@ -480,23 +480,32 @@ class QuantileRegressor:
         self.id_col, self.time_col, self.target_col = id_col, time_col, target_col
 
     def _fit_quantile(self, X: np.ndarray, y: np.ndarray, q: float) -> np.ndarray:
+        import math
+
         X1 = np.column_stack([X, np.ones(len(X))])
         # normal-equation start rather than lstsq's SVD: identical for
         # full-rank designs, and an engine-replicable solve — the IRLS
         # weight map is discontinuous near r = 0, so the DuckDB oracle
-        # must start from the same point to stay on the same trajectory
-        w = np.linalg.solve(X1.T @ X1, X1.T @ y)
+        # must start from the same point to stay on the same trajectory.
+        # The 1e-8 ridge keeps rank-deficient designs (constant series
+        # make lag columns collinear with the intercept) solvable, like
+        # the in-loop solves already were.
+        w = np.linalg.solve(X1.T @ X1 + 1e-8 * np.eye(X1.shape[1]), X1.T @ y)
+        # Quantization grid RELATIVE to the data scale: s = the decade
+        # of mean |y| (power of 10, so engine-ulp differences in the
+        # mean cannot move it off a knife edge). The raw 1/max(|r|,eps)
+        # map is discontinuous at r = 0, so engine ulp differences in r
+        # flip tail weights by (1-q)/q and trajectories diverge
+        # chaotically; on the grid the weight is locally constant in r.
+        # Absolute 1e-3 was scale-dependent (targets below ~1e-2
+        # degenerated to a single weight); s·1e-3 is epsilon-smoothing
+        # at 0.1% of the target's magnitude at every scale.
+        m = float(np.mean(np.abs(y))) if len(y) else 0.0
+        s = 10.0 ** math.floor(math.log10(m)) if m > 0 else 1.0
         for _ in range(self.n_irls):
             r = y - X1 @ w
-            # grid-quantized weights (floor(1000r+0.5)/1000, floor 1e-3):
-            # the raw 1/max(|r|,1e-6) map is discontinuous at r = 0, so
-            # engine ulp differences in r flip tail weights by (1-q)/q
-            # and the trajectories diverge chaotically; on the grid the
-            # weight is locally constant in r, so sub-grid float noise
-            # cannot move it. Statistically this is epsilon-smoothing at
-            # 1e-3 on a 1e4-scale target — negligible.
-            rc = np.floor(r * 1000 + 0.5) / 1000
-            wt = np.where(rc >= 0, q, 1 - q) / np.maximum(np.abs(rc), 1e-3)
+            rc = np.floor(r / s * 1000 + 0.5) / 1000 * s
+            wt = np.where(rc >= 0, q, 1 - q) / np.maximum(np.abs(rc), 1e-3 * s)
             A = X1.T @ (wt[:, None] * X1)
             w = np.linalg.solve(A + 1e-8 * np.eye(X1.shape[1]), X1.T @ (wt * y))
         return w

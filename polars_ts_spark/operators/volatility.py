@@ -44,17 +44,107 @@ def _garch_neg_loglik(params: np.ndarray, r: np.ndarray, p: int, q: int) -> floa
     return float(0.5 * np.sum(np.log(2 * np.pi * sig2) + r * r / sig2))
 
 
+# ---------------------------------------------------------------------------
+# Deterministic GARCH(1,1) QMLE: variance-targeted 3-stage grid refine.
+# omega is profiled out by variance targeting (omega = var0·(1-a-b),
+# the standard QMLE reduction), leaving a 2-D (alpha, beta) search:
+# one coarse grid then two zoom grids (resolution 0.01/0.02 then
+# 0.002/0.004). All candidate evaluations are a fixed enumeration and
+# the argmin compares MILLI-QUANTIZED neg-logliks with (qnll, ai, bi)
+# tie-break — so the whole trajectory is exactly replayable as
+# recursive-CTE SQL (grid per candidate × time recursion), unlike the
+# previous Nelder-Mead whose simplex geometry amplifies engine ulps.
+
+def _seq_sum(arr) -> float:
+    """Left-fold sum (== SQL list_reduce((x, y) -> x + y) order)."""
+    s = 0.0
+    for v in arr:
+        s += float(v)
+    return s
+
+
+_GRID_A0 = [0.02, 0.05, 0.10, 0.15, 0.20, 0.30]
+_GRID_B0 = [0.00, 0.20, 0.40, 0.50, 0.60, 0.70, 0.80, 0.90, 0.95]
+_SUM_CAP = 0.97  # alpha + beta stationarity margin
+
+
+def _garch11_nll(r2: list, var0: float, a: float, b: float):
+    """Sequential-fold negative loglik of GARCH(1,1) under variance
+    targeting; returns (nll, last_sig2). Float op order is the
+    contract: ((om + a·r²) + b·s2), then 0.5·(ln(2π·s2) + r²/s2),
+    left-accumulated — the SQL oracle replays the identical sequence."""
+    import math
+
+    om = var0 * (1.0 - a - b)
+    s2 = var0
+    nll = 0.5 * (math.log(2.0 * math.pi * var0) + r2[0] / var0)
+    for t in range(1, len(r2)):
+        s2 = (om + a * r2[t - 1]) + b * s2
+        nll += 0.5 * (math.log(2.0 * math.pi * s2) + r2[t] / s2)
+    return nll, s2
+
+
+def _garch11_grid_fit(r: np.ndarray, var0: float):
+    """3-stage grid QMLE. Returns (a, b, nll, last_sig2)."""
+    import math
+
+    r2 = (r * r).tolist()
+
+    def ev(a, b):
+        nll, s2l = _garch11_nll(r2, var0, a, b)
+        return math.floor(nll * 1000.0 + 0.5), nll, s2l
+
+    best = None
+    for ai, a in enumerate(_GRID_A0):
+        for bi, b in enumerate(_GRID_B0):
+            if a + b > _SUM_CAP:
+                continue
+            qv, nll, s2l = ev(a, b)
+            if best is None or (qv, ai, bi) < best[0]:
+                best = ((qv, ai, bi), a, b, nll, s2l)
+    for stp_a, stp_b in ((0.01, 0.02), (0.002, 0.004)):
+        a0, b0 = best[1], best[2]
+        best = None
+        for ai in range(-4, 5):
+            for bi in range(-4, 5):
+                a = a0 + ai * stp_a
+                b = b0 + bi * stp_b
+                if a < 0.0 or b < 0.0 or a + b > _SUM_CAP:
+                    continue
+                qv, nll, s2l = ev(a, b)
+                if best is None or (qv, ai, bi) < best[0]:
+                    best = ((qv, ai, bi), a, b, nll, s2l)
+    return best[1], best[2], best[3], best[4]
+
+
 def garch_fit_series(r: np.ndarray, p: int = 1, q: int = 1):
     """Fit GARCH(p,q) on (demeaned) returns. Returns (omega, alphas,
-    betas, loglik, sig2_last_block)."""
+    betas, loglik, sig2_last_block). p = q = 1 (the default and the
+    reference's common case, volatility.py:25-174) uses the
+    deterministic grid QMLE above (exact SQL oracle); higher orders
+    keep the Nelder-Mead MLE (rows-only correctness tier)."""
     r = np.asarray(r, float)
-    r = r - r.mean()
-    var = float(np.var(r)) or 1e-8
-    x0 = np.concatenate([[var * 0.1], np.full(q, 0.1), np.full(p, 0.8 / max(p, 1))])
-    best, fbest = nelder_mead(lambda th: _garch_neg_loglik(th, r, p, q), x0, max_iter=400)
-    omega = float(best[0])
-    alphas = best[1 : 1 + q]
-    betas = best[1 + q : 1 + q + p]
+    if p == 1 and q == 1:
+        # sequential left-fold mean/variance (time order), NOT numpy's
+        # pairwise summation: the SQL oracle's list_reduce folds in the
+        # same order, so mu/var0 — the seeds of every downstream float —
+        # are bit-identical across engines
+        n = len(r)
+        mu = _seq_sum(r) / n
+        r = r - mu
+        mu2 = _seq_sum(r) / n
+        var = _seq_sum((r - mu2) * (r - mu2)) / n or 1e-8
+        a, b, nll, _ = _garch11_grid_fit(r, var)
+        omega = var * (1.0 - a - b)
+        alphas, betas, fbest = np.array([a]), np.array([b]), nll
+    else:
+        r = r - r.mean()
+        var = float(np.var(r)) or 1e-8
+        x0 = np.concatenate([[var * 0.1], np.full(q, 0.1), np.full(p, 0.8 / max(p, 1))])
+        best, fbest = nelder_mead(lambda th: _garch_neg_loglik(th, r, p, q), x0, max_iter=400)
+        omega = float(best[0])
+        alphas = best[1 : 1 + q]
+        betas = best[1 + q : 1 + q + p]
     # final variance path for forecasting
     n = len(r)
     sig2 = np.full(n, var)

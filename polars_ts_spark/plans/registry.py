@@ -8,6 +8,28 @@ Spark plan and the SQL.
 
 The shared panel derivation is FIXTURES.md F9: supplier daily revenue from
 lineitem.
+
+What an oracle here PROVES (ADVICE r4): the oracles fall into two
+classes, and the claim each supports differs.
+
+- INDEPENDENT REFERENCES — the SQL states the answer's definition
+  without mirroring the engine's algorithm (aggregations, window
+  features, resampling, exact dedup, metrics, closed-form
+  forecasts/statistics, LSH constructions whose output is a
+  deterministic function of the input). Agreement here is evidence of
+  correctness.
+- REPLICATION CHECKS — the SQL replays the engine's own iterative
+  trajectory step-for-step (recursive-CTE PAM/PELT/Kalman/IRLS/MCMC
+  replays, md5 draw streams, quantized objectives). Agreement here
+  proves cross-engine determinism and faithful translation of the
+  algorithm, NOT that the algorithm converges to the right answer —
+  that second claim is carried by the statistical unit tests
+  (planted-parameter/structure recovery in tests/), which are the
+  genuine correctness layer for these operators. Some production
+  numerics were chosen for replayability (md5 Box–Muller rather than
+  PCG64, sequential fold order, grid-quantized line-search objectives)
+  — deliberate, documented trades of the last float of accuracy for a
+  verifiable trajectory.
 """
 
 from __future__ import annotations
@@ -2014,16 +2036,156 @@ def q_garch_variance(spark, sf_dir):
     )
 
 
-@register("garch_fit")
+def _garch11_fit_ctes() -> str:
+    """Shared CTE chain replaying volatility._garch11_grid_fit
+    float-for-float on the exact-cents monthly panel: sequential
+    list_reduce mean/var (== the kernel's _seq_sum order), then three
+    candidate grids — each evaluated by ONE recursive CTE over time
+    carrying (s2, nll) per (series, candidate) — with the
+    milli-quantized (FLOOR(nll·1000+0.5), ai, bi) argmin between
+    stages. Ends at w3 = (unique_id, a, b, nll, s2, var0, n)."""
+    from polars_ts_spark.operators.volatility import _GRID_A0, _GRID_B0, _SUM_CAP
+
+    c1_rows = ", ".join(
+        f"({ai}, {bi}, CAST({a!r} AS DOUBLE), CAST({b!r} AS DOUBLE))"
+        for ai, a in enumerate(_GRID_A0)
+        for bi, b in enumerate(_GRID_B0)
+        if a + b <= _SUM_CAP
+    )
+    offs = ", ".join(f"({i})" for i in range(-4, 5))
+
+    def stage(tag: str, cands: str, per_series: bool) -> str:
+        join = "JOIN {c} c ON c.unique_id = v.unique_id".format(c=cands) if per_series \
+            else f"CROSS JOIN {cands} c"
+        s2n = "((e.var0 * (1.0 - e.a - e.b) + e.a * v.r2c) + e.b * e.s2)"
+        return f"""
+    e{tag} AS (
+        SELECT v.unique_id, c.ai, c.bi, c.a, c.b, 1 AS t, v.n, v.var0,
+               v.var0 AS s2,
+               0.5 * (LN(2 * PI() * v.var0) + v.r2c / v.var0) AS nll
+        FROM rvals v {join} WHERE v.rn = 1
+        UNION ALL
+        SELECT e.unique_id, e.ai, e.bi, e.a, e.b, e.t + 1, e.n, e.var0,
+               {s2n} AS s2,
+               e.nll + 0.5 * (LN(2 * PI() * {s2n}) + v.r2n / {s2n}) AS nll
+        FROM e{tag} e JOIN rvals v ON v.unique_id = e.unique_id AND v.rn = e.t
+        WHERE e.t < e.n
+    ),
+    w{tag} AS (
+        SELECT unique_id, a, b, nll, s2, var0, n FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY unique_id
+                ORDER BY FLOOR(nll * 1000.0 + 0.5), ai, bi) AS rk
+            FROM e{tag} WHERE t = n
+        ) WHERE rk = 1
+    )"""
+
+    def zoom(tag: str, src: str, sa: float, sb: float) -> str:
+        a = f"(w.a + o1.oi * CAST({sa!r} AS DOUBLE))"
+        b = f"(w.b + o2.oi * CAST({sb!r} AS DOUBLE))"
+        return f"""
+    c{tag} AS (
+        SELECT w.unique_id, o1.oi AS ai, o2.oi AS bi, {a} AS a, {b} AS b
+        FROM {src} w CROSS JOIN off o1 CROSS JOIN off o2
+        WHERE NOT ({a} < 0.0 OR {b} < 0.0
+                   OR {a} + {b} > CAST({_SUM_CAP!r} AS DOUBLE))
+    )"""
+
+    return f"""
+WITH RECURSIVE daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM daily_cents GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT unique_id, list(y ORDER BY ds) AS v, COUNT(*) AS n
+        FROM monthly GROUP BY 1
+    ),
+    st AS (SELECT unique_id, v, n, list_reduce(v, (x, y) -> x + y) / n AS mu FROM series),
+    st2 AS (SELECT unique_id, n, list_transform(v, e -> e - mu) AS r FROM st),
+    st3 AS (SELECT unique_id, n, r, list_reduce(r, (x, y) -> x + y) / n AS mu2 FROM st2),
+    st4 AS (
+        SELECT unique_id, n, r, CASE WHEN vv = 0 THEN 1e-8 ELSE vv END AS var0
+        FROM (SELECT unique_id, n, r,
+                     list_reduce(list_transform(r, e -> (e - mu2) * (e - mu2)),
+                                 (x, y) -> x + y) / n AS vv
+              FROM st3)
+    ),
+    rvals AS (
+        SELECT unique_id, n, var0, rn, r[rn] * r[rn] AS r2c,
+               CASE WHEN rn < n THEN r[rn + 1] * r[rn + 1] ELSE 0.0 END AS r2n
+        FROM (SELECT unique_id, n, var0, r,
+                     UNNEST(generate_series(1, n)) AS rn
+              FROM st4)
+    ),
+    c1(ai, bi, a, b) AS (VALUES {c1_rows}),
+    off(oi) AS (VALUES {offs}),
+    {stage('1', 'c1', False)},
+    {zoom('2', 'w1', 0.01, 0.02)},
+    {stage('2', 'c2', True)},
+    {zoom('3', 'w2', 0.002, 0.004)},
+    {stage('3', 'c3', True)}"""
+
+
+_GARCH_FIT_ORACLE = _garch11_fit_ctes() + """
+    SELECT w.unique_id, ROUND(w.var0 * (1.0 - w.a - w.b), 2) AS omega,
+           ROUND(w.a, 6) AS alpha, ROUND(w.b, 6) AS beta,
+           ROUND(-w.nll, 2) AS loglik
+    FROM w3 w WHERE w.n >= 6
+    UNION ALL
+    SELECT unique_id, 'NaN'::DOUBLE, 'NaN'::DOUBLE, 'NaN'::DOUBLE, 'NaN'::DOUBLE
+    FROM series WHERE n < 6
+"""
+
+
+@register("garch_fit", _GARCH_FIT_ORACLE)
 def q_garch_fit(spark, sf_dir):
     from polars_ts_spark.operators import volatility
-    return volatility.garch_fit(_monthly_panel(spark, sf_dir))
+    out = volatility.garch_fit(_monthly_panel_exact(spark, sf_dir))
+    return out.select(
+        "unique_id", F.round("omega", 2).alias("omega"),
+        F.round(F.element_at("alpha", 1), 6).alias("alpha"),
+        F.round(F.element_at("beta", 1), 6).alias("beta"),
+        F.round("loglik", 2).alias("loglik"),
+    )
 
 
-@register("garch_forecast")
+def _garch_forecast_steps(h: int) -> str:
+    cols = ["((om + a * rl2) + b * s2l) AS s1"]
+    for k in range(2, h + 1):
+        cols.append(f"((om + a * s{k - 1}) + b * s{k - 1}) AS s{k}")
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT unique_id, {k} AS step, ROUND(s{k}, 2) AS sigma2 FROM fc"
+        for k in range(1, h + 1)
+    )
+    return f""",
+    last AS (SELECT unique_id, r2c AS rl2 FROM rvals WHERE rn = n),
+    fitp AS (
+        SELECT w.unique_id, w.a, w.b, w.var0 * (1.0 - w.a - w.b) AS om,
+               w.s2 AS s2l, l.rl2
+        FROM w3 w JOIN last l USING (unique_id) WHERE w.n >= 6
+    ),
+    fc AS (SELECT unique_id, {', '.join(cols)} FROM fitp)
+    {sel}
+    UNION ALL
+    SELECT unique_id, UNNEST(generate_series(1, {h})) AS step, 'NaN'::DOUBLE
+    FROM series WHERE n < 6
+"""
+
+
+_GARCH_FORECAST_ORACLE = _garch11_fit_ctes() + _garch_forecast_steps(6)
+
+
+@register("garch_forecast", _GARCH_FORECAST_ORACLE)
 def q_garch_forecast(spark, sf_dir):
     from polars_ts_spark.operators import volatility
-    return volatility.garch_forecast(_monthly_panel(spark, sf_dir), h=6)
+    out = volatility.garch_forecast(_monthly_panel_exact(spark, sf_dir), h=6)
+    return out.select("unique_id", "step", F.round("sigma2", 2).alias("sigma2"))
 
 
 _VAR_ORACLE = """
@@ -4369,15 +4531,18 @@ def q_forecast_pipeline(spark, sf_dir):
 def _quantile_reg_oracle(quantiles=(0.1, 0.5, 0.9), n_irls: int = 10,
                          h: int = 7) -> str:
     """QuantileRegressor oracle: the IRLS is replayed solve-by-solve —
-    an unweighted 3x3 normal-equation start (the lstsq init; full-rank,
-    so identical to machine precision), then n_irls reweighted solves
-    with wt = (q or 1-q)/max(|r|, 1e-6) and the 1e-8 diagonal damping
-    (pipeline.py _fit_quantile). Decode feeds the median back. 2dp."""
+    a ridge-damped 3x3 normal-equation start, then n_irls reweighted
+    solves with the scale-relative quantized weight map (grid and floor
+    at s·1e-3 where s = decade of mean |y|) and the 1e-8 diagonal
+    damping (pipeline.py _fit_quantile). Decode feeds the median back.
+    2dp."""
     med = min(quantiles, key=lambda q: abs(q - 0.5))
-    chains = []
+    chains = ["qscale AS (SELECT CASE WHEN AVG(ABS(yt)) > 0 THEN "
+              "POWER(10, FLOOR(LOG10(AVG(ABS(yt))))) ELSE 1.0 END AS s FROM rows)"]
     for qi, q in enumerate(quantiles):
-        base_aggs = ("SUM(f0 * f0) AS a_0_0, SUM(f0 * f1) AS a_0_1, SUM(f0) AS a_0_2, "
-                     "SUM(f1 * f1) AS a_1_1, SUM(f1) AS a_1_2, CAST(COUNT(*) AS DOUBLE) AS a_2_2, "
+        base_aggs = ("SUM(f0 * f0) + 1e-8 AS a_0_0, SUM(f0 * f1) AS a_0_1, SUM(f0) AS a_0_2, "
+                     "SUM(f1 * f1) + 1e-8 AS a_1_1, SUM(f1) AS a_1_2, "
+                     "CAST(COUNT(*) AS DOUBLE) + 1e-8 AS a_2_2, "
                      "SUM(f0 * yt) AS b_0_0, SUM(f1 * yt) AS b_1_0, SUM(yt) AS b_2_0")
         mirror = ["*"] + [f"a_{i}_{j} AS a_{j}_{i}" for i in range(3) for j in range(i + 1, 3)]
         chains.append(
@@ -4394,10 +4559,11 @@ def _quantile_reg_oracle(quantiles=(0.1, 0.5, 0.9), n_irls: int = 10,
                 "SUM(wt * yt) AS b_2_0")
             chains.append(
                 f"q{qi}i{t}rows AS (SELECT f0, f1, yt, "
-                f"FLOOR((yt - (f0 * c.w_0_0 + f1 * c.w_1_0 + c.w_2_0)) * 1000 + 0.5) / 1000 AS rc, "
+                f"FLOOR((yt - (f0 * c.w_0_0 + f1 * c.w_1_0 + c.w_2_0)) / sc.s * 1000 + 0.5)"
+                f" / 1000 * sc.s AS rc, "
                 f"(CASE WHEN rc >= 0 THEN {q!r} ELSE {1 - q!r} END) "
-                f"/ GREATEST(ABS(rc), 1e-3) AS wt "
-                f"FROM rows CROSS JOIN {prev} c),\n"
+                f"/ GREATEST(ABS(rc), 1e-3 * sc.s) AS wt "
+                f"FROM rows CROSS JOIN {prev} c CROSS JOIN qscale sc),\n"
                 f"    q{qi}i{t}nmu AS (SELECT {w_aggs} FROM q{qi}i{t}rows),\n"
                 f"    q{qi}i{t}nm AS (SELECT {', '.join(mirror)} FROM q{qi}i{t}nmu),\n"
                 f"    {_gauss_solve_ctes(3, 1, f'q{qi}i{t}nm', prefix=f'q{qi}i{t}')}")

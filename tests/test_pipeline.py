@@ -122,6 +122,20 @@ def test_quantile_regressor_orders_quantiles(spark):
     assert ((out["q_0.1"] <= out["q_0.5"]) & (out["q_0.5"] <= out["q_0.9"])).all()
 
 
+def test_quantile_regressor_small_scale_targets(spark):
+    # scale-relative IRLS grid (ADVICE r4): at |y| ~ 1e-3 an absolute
+    # 1e-3 quantization floor collapsed every quantile to the mean fit;
+    # the decade-relative grid must keep the quantiles spread
+    rng = np.random.default_rng(1)
+    ts = pd.date_range("2024-01-01", periods=300, freq="D")
+    y = 1e-3 * (10 + rng.normal(0, 2, 300))
+    df = spark.createDataFrame(pd.DataFrame({"unique_id": "q", "ds": ts, "y": y}))
+    m = P.QuantileRegressor(quantiles=(0.1, 0.9), lags=(1, 2)).fit(df)
+    out = m.predict(df, h=4).toPandas()
+    spread = (out["q_0.9"] - out["q_0.1"]).to_numpy()
+    assert (spread > 1e-4).all()  # ~the 10-90 band of N(0, 2e-3)
+
+
 def test_backtest_and_compare(linear_panel):
     def naive(train, h):
         from polars_ts_spark.operators.baselines import naive_forecast
