@@ -657,12 +657,19 @@ def seasonal_strength_stat(y: np.ndarray, s: int) -> float:
 
 
 def auto_arima_series(y: np.ndarray, max_p: int = 3, max_d: int = 1, max_q: int = 1,
-                      s: int = 0, max_P: int = 1, max_D: int = 1, max_Q: int = 1):
+                      s: int = 0, max_P: int = 1, max_D: int = 1, max_Q: int = 1,
+                      max_fits: int = 94):
     """Differencing orders chosen first by tests (D while the seasonal
     strength exceeds the 0.64 heuristic threshold, then d while KPSS
     rejects level-stationarity at 5% — AICs are NOT comparable across
-    different differencing orders), then AIC grid over (p,q)×(P,Q); the
-    statsforecast AutoARIMA structure (arima.py:22-87 semantics).
+    different differencing orders), then the Hyndman–Khandakar STEPWISE
+    AIC search over (p,q)×(P,Q) — the statsforecast AutoARIMA
+    algorithm (ref models/arima.py:22-87 delegates to it; IJF 27(3)
+    2008 §3.2): four standard starting models, then greedy ±1 moves on
+    p, q, (p,q) jointly, P, Q, (P,Q) jointly, restarting from every
+    improvement until a local AIC minimum, capped at ``max_fits``
+    evaluations (statsforecast's own cap). Deterministic: fixed move
+    order, strict-improvement acceptance, memoized fits.
     Returns ((p,d,q), (P,D,Q,s))."""
     y = np.asarray(y, float)
     w = y
@@ -675,23 +682,57 @@ def auto_arima_series(y: np.ndarray, max_p: int = 3, max_d: int = 1, max_q: int 
     while d < max_d and len(w) > 10 and kpss_stat(w) > _KPSS_CRIT_5PCT:
         w = np.diff(w)
         d += 1
-    seas_grid = (
-        [(P, Q) for P in range(max_P + 1) for Q in range(max_Q + 1)]
-        if s > 1 and len(w) > 3 * s else [(0, 0)]
-    )
-    best = (np.inf, (0, d, 0), (0, D, 0, s))
-    for p in range(max_p + 1):
-        for q in range(max_q + 1):
-            for P, Q in seas_grid:
-                if p == 0 and q == 0 and P == 0 and Q == 0 and d == 0 and D == 0:
-                    continue
-                try:
-                    *_, aic = sarma_fit_series(w, p, q, P, Q, s)
-                except np.linalg.LinAlgError:
-                    continue
-                if aic < best[0]:
-                    best = (aic, (p, d, q), (P, D, Q, s))
-    return best[1], best[2]
+    seasonal = s > 1 and len(w) > 3 * s
+    maxs = (max_p, max_q, max_P if seasonal else 0, max_Q if seasonal else 0)
+    cache: dict[tuple, float] = {}
+
+    def aic_of(o):
+        if o in cache:
+            return cache[o]
+        if len(cache) >= max_fits:
+            return np.inf
+        p, q, P, Q = o
+        if p == 0 and q == 0 and P == 0 and Q == 0 and d == 0 and D == 0:
+            aic = np.inf  # no model at all
+        else:
+            try:
+                *_, aic = sarma_fit_series(w, p, q, P, Q, s)
+            except np.linalg.LinAlgError:
+                aic = np.inf
+        cache[o] = aic
+        return aic
+
+    raw_starts = ([(2, 2, 1, 1), (0, 0, 0, 0), (1, 0, 1, 0), (0, 1, 0, 1)]
+                  if seasonal else
+                  [(2, 2, 0, 0), (0, 0, 0, 0), (1, 0, 0, 0), (0, 1, 0, 0)])
+    starts = []
+    for o in raw_starts:
+        o = tuple(min(v, m) for v, m in zip(o, maxs))
+        if o not in starts:
+            starts.append(o)
+    cur = starts[0]
+    for o in starts[1:]:
+        if aic_of(o) < aic_of(cur):
+            cur = o
+    moves = [(1, 0, 0, 0), (-1, 0, 0, 0), (0, 1, 0, 0), (0, -1, 0, 0),
+             (1, 1, 0, 0), (-1, -1, 0, 0),
+             (0, 0, 1, 0), (0, 0, -1, 0), (0, 0, 0, 1), (0, 0, 0, -1),
+             (0, 0, 1, 1), (0, 0, -1, -1)]
+    improved = True
+    while improved and len(cache) < max_fits:
+        improved = False
+        for mv in moves:
+            cand = tuple(v + dv for v, dv in zip(cur, mv))
+            if any(v < 0 or v > m for v, m in zip(cand, maxs)):
+                continue
+            if aic_of(cand) < aic_of(cur):
+                cur = cand
+                improved = True
+                break  # restart the move sweep from the new incumbent
+    if not np.isfinite(aic_of(cur)):
+        return (0, d, 0), (0, D, 0, s)
+    p, q, P, Q = cur
+    return (p, d, q), (P, D, Q, s)
 
 
 def arima_forecast(

@@ -40,6 +40,24 @@ def test_auto_arima_prefers_ar_for_ar_process():
     assert p >= 1 and d == 0
 
 
+def test_auto_arima_stepwise_recovers_planted_orders():
+    # Hyndman–Khandakar stepwise (VERDICT r4 #8): the greedy ±1 walk
+    # must land on the planted structure from the standard starts
+    rng = np.random.default_rng(11)
+    n = 600
+    # MA(1): y_t = e_t + 0.8 e_{t-1} -> q >= 1, p small, d = 0
+    e = rng.normal(0, 1, n + 1)
+    y_ma = e[1:] + 0.8 * e[:-1]
+    (p, d, q), _ = arima.auto_arima_series(y_ma, max_p=3, max_d=1, max_q=2)
+    assert d == 0 and q >= 1 and p <= 1
+    # planted SARMA: seasonal AR at s=12 with a nonseasonal AR(1)
+    y = np.zeros(n)
+    for t in range(12, n):
+        y[t] = 0.4 * y[t - 1] + 0.5 * y[t - 12] + rng.normal(0, 1)
+    order, seas = arima.auto_arima_series(y, max_p=2, max_d=1, max_q=1, s=12)
+    assert order[0] >= 1 and (seas[0] >= 1 or seas[1] >= 1)  # seasonal structure found
+
+
 def test_sarima_recovers_seasonal_ar():
     # planted SAR(1)_7: y_t = 0.8 y_{t-7} + e
     rng = np.random.default_rng(2)
