@@ -157,34 +157,124 @@ class IDECClusterer(DECClusterer):
 
 
 class ContrastiveClusterer:
-    """Contrastive embedding + k-means (contrastive.py:25-224). The
-    augmentation-trained encoder requires torch; ``encode_hook`` plugs
-    any embedding and reuses the deterministic k-means."""
+    """Contrastive embedding + k-means (contrastive.py:25-224):
+    instance-level NT-Xent over two stochastically augmented views
+    (per-step jitter + per-series scaling) of each series, encoded by a
+    small 1-D CNN with a projection head; after training, the encoder
+    (without the head) embeds every series and the deterministic LCG
+    k-means clusters the embeddings. The torch encoder trains on the
+    driver over the n_series×len matrix (driver-small by the
+    SURVEY §2.16 contract — the panel itself never leaves Spark until
+    the per-series collect); ``encode_hook`` plugs any embedding and
+    skips torch entirely."""
 
     def __init__(self, n_clusters: int = 2, embedding_dim: int = 16,
-                 seed: int = 42, encode_hook=None,
+                 projection_dim: int = 8, n_filters: int = 16,
+                 max_epochs: int = 50, lr: float = 1e-3, batch_size: int = 32,
+                 temperature: float = 0.5, jitter_sigma: float = 0.1,
+                 scale_sigma: float = 0.1, seed: int = 42, encode_hook=None,
                  id_col: str = ID, time_col: str = TIME, target_col: str = TARGET):
         self.n_clusters = n_clusters
         self.embedding_dim = embedding_dim
+        self.projection_dim = projection_dim
+        self.n_filters = n_filters
+        self.max_epochs = max_epochs
+        self.lr = lr
+        self.batch_size = batch_size
+        self.temperature = temperature
+        self.jitter_sigma = jitter_sigma
+        self.scale_sigma = scale_sigma
         self.seed = seed
         self.encode_hook = encode_hook
         self.id_col, self.time_col, self.target_col = id_col, time_col, target_col
         self.labels_: DataFrame | None = None
+        self.embeddings_: np.ndarray | None = None
+
+    # -- torch pieces (built lazily; pragma: torch absent in CI) ----------
+
+    def _build_encoder(self):  # pragma: no cover - torch absent in CI
+        from polars_ts_spark.operators.deep import _torch
+
+        torch, nn = _torch()
+
+        f, e, pdim = self.n_filters, self.embedding_dim, self.projection_dim
+
+        class _Enc(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv = nn.Sequential(
+                    nn.Conv1d(1, f, 7, padding=3, bias=False), nn.BatchNorm1d(f),
+                    nn.ReLU(),
+                    nn.Conv1d(f, 2 * f, 5, padding=2, bias=False),
+                    nn.BatchNorm1d(2 * f), nn.ReLU(),
+                    nn.Conv1d(2 * f, 2 * f, 3, padding=1, bias=False),
+                    nn.BatchNorm1d(2 * f), nn.ReLU(),
+                    nn.AdaptiveAvgPool1d(1),
+                )
+                self.embed = nn.Linear(2 * f, e)
+                self.head = nn.Sequential(nn.Linear(e, e), nn.ReLU(),
+                                          nn.Linear(e, pdim))
+
+            def forward(self, x):
+                return self.embed(self.conv(x).squeeze(-1))
+
+            def project(self, x):
+                return self.head(self.forward(x))
+
+        return torch, _Enc()
+
+    @staticmethod
+    def _nt_xent(torch, p1, p2, temperature: float):
+        """NT-Xent (SimCLR): cosine-similarity logits over the 2B views,
+        each view's positive is its augmentation twin."""
+        import torch.nn.functional as TF
+
+        b = p1.shape[0]
+        z = TF.normalize(torch.cat([p1, p2], dim=0), dim=1)
+        logits = (z @ z.t()) / temperature
+        logits.fill_diagonal_(float("-inf"))
+        target = torch.cat([torch.arange(b, 2 * b), torch.arange(0, b)])
+        return TF.cross_entropy(logits, target)
+
+    def _train_encode(self, X: np.ndarray) -> np.ndarray:  # pragma: no cover
+        torch, enc = self._build_encoder()
+        torch.manual_seed(self.seed)
+        mu, sd = float(X.mean()), float(X.std()) or 1.0
+        Xt = torch.tensor((X - mu) / sd, dtype=torch.float32).unsqueeze(1)
+        opt = torch.optim.Adam(enc.parameters(), lr=self.lr)
+        gen = torch.Generator().manual_seed(self.seed)
+        n = Xt.shape[0]
+        enc.train()
+        for _ in range(self.max_epochs):
+            order = torch.randperm(n, generator=gen)
+            for i0 in range(0, n, self.batch_size):
+                batch = Xt[order[i0:i0 + self.batch_size]]
+                if batch.shape[0] < 2:
+                    continue  # NT-Xent needs >= 2 instances
+                views = []
+                for _v in range(2):
+                    v = batch + self.jitter_sigma * torch.randn(
+                        batch.shape, generator=gen)
+                    v = v * (1.0 + self.scale_sigma * torch.randn(
+                        (batch.shape[0], 1, 1), generator=gen))
+                    views.append(v)
+                loss = self._nt_xent(torch, enc.project(views[0]),
+                                     enc.project(views[1]), self.temperature)
+                opt.zero_grad()
+                loss.backward()
+                opt.step()
+        enc.eval()
+        with torch.no_grad():
+            return enc(Xt).numpy().astype(float)
 
     def fit(self, df: DataFrame) -> "ContrastiveClusterer":
         spark = df.sparkSession
         ids, X = _series_matrix(df, self.id_col, self.time_col, self.target_col)
         if self.encode_hook is not None:
             Z = np.asarray(self.encode_hook(X), dtype=float)
-        else:  # pragma: no cover - torch absent in CI
-            try:
-                import torch  # noqa: F401
-            except ImportError as e:
-                raise ImportError(
-                    "torch is required for the contrastive encoder; pass "
-                    "encode_hook= to use a custom embedding"
-                ) from e
-            raise NotImplementedError("wire the contrastive encoder here")
+        else:
+            Z = self._train_encode(X)  # raises a clear ImportError sans torch
+        self.embeddings_ = Z
         labels, _ = _lcg_kmeans(Z, self.n_clusters, self.seed)
         self.labels_ = spark.createDataFrame(
             pd.DataFrame({self.id_col: ids, "cluster": labels.astype("int32")})

@@ -57,6 +57,14 @@ def test_contrastive_hook_and_guard(spark):
     except ImportError:
         with pytest.raises(ImportError, match="torch"):
             dc.ContrastiveClusterer(n_clusters=2).fit(df)
+    else:  # pragma: no cover - torch absent in this container
+        # planted two-group panel: the NT-Xent-trained CNN embedding
+        # must separate the groups (labels agree within each group)
+        out2 = (dc.ContrastiveClusterer(n_clusters=2, max_epochs=10)
+                .fit_predict(df).toPandas().set_index("unique_id")["cluster"])
+        g1 = {out2[f"a{i}"] for i in range(3)}
+        g2 = {out2[f"b{i}"] for i in range(3)}
+        assert len(g1) == 1 and len(g2) == 1 and g1 != g2
 
 
 def test_cnn_classifiers_guarded(spark):
