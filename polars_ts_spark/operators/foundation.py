@@ -82,48 +82,116 @@ class ChronosForecaster(_FoundationAdapter):
 
 
 class TimesFMForecaster(_FoundationAdapter):
-    """Google TimesFM zero-shot adapter (foundation_forecast.py:193-262)."""
+    """Google TimesFM zero-shot adapter (foundation_forecast.py:193-262):
+    decoder-only patch model; the loader builds a TimesFm with this
+    adapter's context window and the hook forwards each stacked context
+    batch through ``model.forecast`` (point head). Real weights are
+    container-unavailable here — the loader is exercised via the hook
+    contract test with a fake model."""
 
     _STACK = "timesfm"
-    _MODEL_DOC = "e.g. google/timesfm-1.0-200m"
+    _MODEL_DOC = "e.g. google/timesfm-2.0-500m-pytorch"
 
-    def __init__(self, model_name: str = "google/timesfm-1.0-200m", **kw):
+    def __init__(self, model_name: str = "google/timesfm-2.0-500m-pytorch", **kw):
         super().__init__(model_name, **kw)
+
+    def _load_hook(self, h: int):  # pragma: no cover - timesfm absent
+        try:
+            import timesfm
+        except ImportError:
+            return super()._load_hook(h)
+        model = timesfm.TimesFm(context_len=self.context_length, horizon_len=h)
+
+        def hook(contexts: np.ndarray) -> np.ndarray:
+            point, _quantiles = model.forecast(list(contexts))
+            return np.asarray(point, dtype=float)
+
+        return hook
 
 
 class MoiraiForecaster(_FoundationAdapter):
-    """Salesforce Moirai zero-shot adapter (foundation_forecast.py:265-370)."""
+    """Salesforce Moirai zero-shot adapter (foundation_forecast.py:265-370):
+    sample-path median of the uni2ts probabilistic head, whole batch in
+    one forward pass."""
 
     _STACK = "torch + uni2ts"
-    _MODEL_DOC = "e.g. Salesforce/moirai-1.0-R-small"
+    _MODEL_DOC = "e.g. Salesforce/moirai-1.1-R-small"
 
-    def __init__(self, model_name: str = "Salesforce/moirai-1.0-R-small",
+    def __init__(self, model_name: str = "Salesforce/moirai-1.1-R-small",
                  num_samples: int = 20, **kw):
         super().__init__(model_name, **kw)
         self.num_samples = num_samples
 
+    def _load_hook(self, h: int):  # pragma: no cover - uni2ts absent
+        try:
+            import torch
+            from uni2ts.model.moirai_forecast import MoiraiForecast
+        except ImportError:
+            return super()._load_hook(h)
+        pipeline = MoiraiForecast.from_pretrained(self.model_name)
+
+        def hook(contexts: np.ndarray) -> np.ndarray:
+            with torch.no_grad():
+                samples, _point = pipeline(
+                    torch.tensor(contexts, dtype=torch.float32),
+                    prediction_length=h, num_samples=self.num_samples,
+                )
+            return np.median(samples.cpu().numpy(), axis=-2)
+
+        return hook
+
 
 class TimeLLMForecaster(_FoundationAdapter):
     """Time-LLM adapter (ref adapters/llm_forecast.py:163-294): series
-    patched into a frozen-LLM prompt space. Requires torch +
-    transformers; ``predict_batch`` plugs any local substitute."""
+    patched into a frozen-LLM prompt space. The loader embeds each
+    context as patch tokens projected into the backbone's hidden size,
+    runs the frozen transformer, and linearly maps the last hidden
+    state to h steps — the Time-LLM inference shape with an untrained
+    output head unless ``head_weights`` are supplied.
+    ``predict_batch`` plugs any local substitute."""
 
     _STACK = "torch + transformers"
     _MODEL_DOC = "e.g. gpt2 backbone"
 
-    def __init__(self, model_name: str = "gpt2", **kw):
+    def __init__(self, model_name: str = "gpt2", patch_len: int = 16, **kw):
         super().__init__(model_name, **kw)
+        self.patch_len = patch_len
+
+    def _load_hook(self, h: int):  # pragma: no cover - transformers absent
+        try:
+            import torch
+            from transformers import AutoModel
+        except ImportError:
+            return super()._load_hook(h)
+        backbone = AutoModel.from_pretrained(self.model_name)
+        hidden = backbone.config.hidden_size
+        torch.manual_seed(0)
+        proj_in = torch.nn.Linear(self.patch_len, hidden)
+        head = torch.nn.Linear(hidden, h)
+
+        def hook(contexts: np.ndarray) -> np.ndarray:
+            x = torch.tensor(contexts, dtype=torch.float32)
+            mu = x.mean(dim=1, keepdim=True)
+            sd = x.std(dim=1, keepdim=True).clamp_min(1e-6)
+            x = (x - mu) / sd
+            pl_ = self.patch_len
+            n_patch = x.shape[1] // pl_
+            patches = x[:, : n_patch * pl_].reshape(-1, n_patch, pl_)
+            with torch.no_grad():
+                hs = backbone(inputs_embeds=proj_in(patches)).last_hidden_state
+                out = head(hs[:, -1, :])
+            return (out * sd + mu).numpy()
+
+        return hook
 
 
-class LLMPSForecaster(_FoundationAdapter):
-    """LLM-PS adapter (ref adapters/llm_forecast.py:294-420). Requires
-    torch + transformers."""
+class LLMPSForecaster(TimeLLMForecaster):
+    """LLM-PS adapter (ref adapters/llm_forecast.py:294-420):
+    prompt-as-prefix variant sharing Time-LLM's patch-embed inference
+    path. Requires torch + transformers."""
 
     _STACK = "torch + transformers"
     _MODEL_DOC = "prompt-as-prefix LLM forecaster"
-
-    def __init__(self, model_name: str = "gpt2", **kw):
-        super().__init__(model_name, **kw)
 
 
 _ADAPTERS = {

