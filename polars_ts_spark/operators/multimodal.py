@@ -254,3 +254,118 @@ def frame_sample(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# decoded video frame sampling (real-codec path, import-guarded)
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixels", ArrayType(FloatType())),
+    ]
+)
+
+# the stub "container" format: raw concatenated 4x4x3 uint8 frames
+_STUB_FRAME_BYTES = _FAKE_W * _FAKE_H * _FAKE_C
+
+
+def _stub_video_decode(payload: bytes) -> Iterator[np.ndarray]:
+    """Deterministic fake video decoder: the payload is read as
+    concatenated raw 4x4x3 uint8 frames (trailing partial frame
+    zero-padded) — same tensor contract as the real path, no codecs."""
+    b = bytes(payload)
+    for off in range(0, len(b), _STUB_FRAME_BYTES):
+        chunk = b[off : off + _STUB_FRAME_BYTES]
+        if len(chunk) < _STUB_FRAME_BYTES:
+            chunk = chunk + b"\x00" * (_STUB_FRAME_BYTES - len(chunk))
+        a = np.frombuffer(chunk, dtype=np.uint8).astype(np.float32) / 255.0
+        yield a.reshape(_FAKE_H, _FAKE_W, _FAKE_C)
+
+
+def _av_video_decode(payload: bytes) -> Iterator[np.ndarray]:  # pragma: no cover
+    """Real-codec video decoder (PyAV/ffmpeg): bytes -> RGB frame
+    tensors in [0, 1]. Import-guarded — ffmpeg bindings are not in
+    this container; the tensor contract matches _stub_video_decode."""
+    import io
+
+    import av  # noqa: PLC0415 - optional dependency
+
+    with av.open(io.BytesIO(payload)) as container:
+        for frame in container.decode(video=0):
+            yield frame.to_ndarray(format="rgb24").astype(np.float32) / 255.0
+
+
+def _resolve_video_decoder(decoder):
+    """'stub' | 'av' | 'auto' | callable(bytes) -> iterator of HxWxC."""
+    if callable(decoder):
+        return decoder
+    if decoder == "stub":
+        return _stub_video_decode
+    if decoder == "av":
+        try:
+            import av  # noqa: F401, PLC0415
+        except ImportError as e:
+            raise ImportError(
+                "PyAV (ffmpeg bindings) is required for decoder='av'; use "
+                "decoder='stub' or pass a callable matching the "
+                "bytes -> iterator-of-HxWxC-float32 contract"
+            ) from e
+        return _av_video_decode
+    if decoder == "auto":
+        try:
+            import av  # noqa: F401, PLC0415
+
+            return _av_video_decode
+        except ImportError:
+            return _stub_video_decode
+    raise ValueError(f"unknown video decoder {decoder!r}")
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n_frames: int = 2,
+    max_frames: int | None = None,
+    id_col: str = "doc_id",
+    decoder="stub",
+) -> DataFrame:
+    """DECODED frame sampling: run the video decoder over each payload,
+    keep every ``every_n_frames``-th frame (0, n, 2n, ...; at most
+    ``max_frames`` of them), and emit one tensor row per kept frame —
+    [doc_id, frame_idx, width, height, channels, pixels], the same
+    tensor shape as decode_image so the rows compose with resize_image
+    and extract_features. The fan-out (rows out > rows in) and the
+    per-row shape metadata are the real video-pipeline contract;
+    ``decoder='av'`` is the import-guarded ffmpeg path, 'stub' the
+    deterministic raw-frame parser, and any callable can plug in."""
+    if every_n_frames < 1:
+        raise ValueError(f"every_n_frames must be >= 1, got {every_n_frames}")
+    decode = _resolve_video_decoder(decoder)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, cs, pxs = [], [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                kept = 0
+                for fi, a in enumerate(decode(bytes(p))):
+                    if fi % every_n_frames:
+                        continue
+                    if max_frames is not None and kept >= max_frames:
+                        break
+                    kept += 1
+                    ids.append(i)
+                    idxs.append(fi)
+                    hs.append(a.shape[0])
+                    ws.append(a.shape[1])
+                    cs.append(a.shape[2] if a.ndim == 3 else 1)
+                    pxs.append(a.ravel().tolist())
+            yield pd.DataFrame({
+                "doc_id": ids, "frame_idx": idxs, "width": ws,
+                "height": hs, "channels": cs, "pixels": pxs,
+            })
+
+    return df.mapInPandas(kernel, VIDEO_FRAME_SCHEMA)

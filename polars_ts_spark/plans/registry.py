@@ -1834,6 +1834,39 @@ def _register_textops():
             "doc_id", "frame_idx", F.md5("frame").alias("frame_md5")
         )
 
+    # decoded video-frame sampling: the stub container is raw
+    # concatenated 4x4x3 uint8 frames over the (ASCII) payload bytes,
+    # zero-padded at the tail; every 2nd frame kept. DuckDB rebuilds
+    # each kept frame's pixels from ord(substring(text, ...)) with the
+    # same float32 /255 quantization; the frame bound is data-derived.
+    _VIDEO_FRAME_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+        FROM documents
+    ),
+    bound AS (SELECT CAST(CEIL(MAX(n) / 48.0) AS BIGINT) AS m FROM d),
+    frames AS (
+        SELECT doc_id, text, n, f.i AS frame_idx
+        FROM d, (SELECT UNNEST(generate_series(0, (SELECT m FROM bound))) AS i) f
+        WHERE f.i * 48 < d.n AND f.i % 2 = 0
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, CAST(j.j AS INT) AS pos,
+           CASE WHEN frame_idx * 48 + j.j < n
+                THEN CAST(CAST(ord(substring(text, frame_idx * 48 + j.j + 1, 1))
+                               AS FLOAT) / CAST(255.0 AS FLOAT) AS DOUBLE)
+                ELSE 0.0 END AS v
+    FROM frames, (SELECT UNNEST(generate_series(0, 47)) AS j) j
+    """
+
+    @register("video_frame_tensors", _VIDEO_FRAME_ORACLE)
+    def q_video_frame_tensors(spark, sf_dir):
+        from polars_ts_spark.operators import multimodal
+        payload = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+        fr = multimodal.sample_video_frames(payload, every_n_frames=2)
+        return fr.select(
+            "doc_id", "frame_idx", F.posexplode("pixels").alias("pos", "v")
+        ).withColumn("v", F.col("v").cast("double"))
+
     @register("multimodal_resize", _RESIZE_ORACLE)
     def q_multimodal_resize(spark, sf_dir):
         from polars_ts_spark.operators import multimodal

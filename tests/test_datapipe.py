@@ -330,3 +330,26 @@ def test_resize_upsample_rejected(docs):
     decoded = multimodal.decode_image(payload)
     with pytest.raises(Exception, match="only downsamples|ValueError|PythonException"):
         multimodal.resize_image(decoded, out_w=8, out_h=8).collect()
+
+
+def test_sample_video_frames_stub_and_guard(docs):
+    payload = multimodal.attach_binary_payload(docs)
+    rows = multimodal.sample_video_frames(payload, every_n_frames=2).collect()
+    assert rows and all(r["frame_idx"] % 2 == 0 for r in rows)
+    assert all(len(r["pixels"]) == 4 * 4 * 3 for r in rows)
+    assert all((r["height"], r["width"], r["channels"]) == (4, 4, 3) for r in rows)
+    # frame tensors compose with the image feature hop
+    feats = multimodal.extract_features(
+        multimodal.sample_video_frames(payload, every_n_frames=2, max_frames=1)
+    ).collect()
+    assert feats and all(len(f["features"]) == 3 + 3 + 12 for f in feats)
+    # max_frames bounds fan-out per doc
+    capped = multimodal.sample_video_frames(payload, max_frames=1).collect()
+    assert len({r["doc_id"] for r in capped}) == len(capped)
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="PyAV"):
+            multimodal.sample_video_frames(payload, decoder="av").collect()
+    with pytest.raises(ValueError, match="every_n_frames"):
+        multimodal.sample_video_frames(payload, every_n_frames=0)
