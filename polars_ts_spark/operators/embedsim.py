@@ -410,8 +410,13 @@ def lsh_ann_topk(
                 out_c.extend(s[take])
         return pd.DataFrame({"vec_id": out_v, "neighbor_id": out_n, "cosine": out_c})
 
+    # explicit repartition: exempt from AQE coalescing, so the Python
+    # GEMM stage keeps full task parallelism (see kernel.py note); the
+    # following groupBy reuses the distribution — still ONE shuffle
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     cands = (
-        exploded.groupBy("band", "bkt")
+        exploded.repartition(n_parts, "band", "bkt")
+        .groupBy("band", "bkt")
         .applyInPandas(lambda key, pdf: bucket_topk(pdf), schema=cand_schema)
     )
     # dedup across bands, then rank the <= n_bands*k survivors per vector

@@ -267,31 +267,40 @@ def minhash_lsh_pairs(
     with_bands = sig.select(
         id_col, *[band_keys[bi].alias(f"band_{bi}") for bi in range(bands)]
     )
-    cand = None
-    for bi in range(bands):
-        wb = Window.partitionBy(f"band_{bi}")
-        bd = (
-            with_bands.select(id_col, f"band_{bi}")
-            .withColumn("__bsz", F.count(F.lit(1)).over(wb))
-            .withColumn("__bmin", F.min(id_col).over(wb))
+    # melt to (doc_id, band, key): ONE explode, ONE stats aggregate,
+    # ONE anti-join and ONE self-join on (band, key) replace the four
+    # per-band join stages — same pair set, a quarter of the stages.
+    # The oversized-bucket key set is TINY by construction
+    # (<= bands·n/max_bucket keys), so it broadcasts; the small-bucket
+    # filter is a broadcast anti-join and the candidate join keeps its
+    # plain equi-join plan shape.
+    bk = F.array(*[F.col(f"band_{bi}") for bi in range(bands)])
+    melted = with_bands.select(
+        id_col, F.posexplode(bk).alias("__band", "__key")
+    )
+    big = (
+        melted.groupBy("__band", "__key")
+        .agg(F.count(F.lit(1)).alias("__bsz"), F.min(id_col).alias("__bmin"))
+        .filter(F.col("__bsz") > max_bucket)
+    )
+    small = melted.join(F.broadcast(big.select("__band", "__key")),
+                        ["__band", "__key"], "left_anti")
+    a, b = small.alias("a"), small.alias("b")
+    pairs_small = (
+        a.join(b, (F.col("a.__band") == F.col("b.__band"))
+               & (F.col("a.__key") == F.col("b.__key")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_1"),
+            F.col(f"b.{id_col}").alias("doc_id_2"),
         )
-        small = bd.filter(F.col("__bsz") <= max_bucket)
-        a, b = small.alias("a"), small.alias("b")
-        c = (
-            a.join(b, F.col(f"a.band_{bi}") == F.col(f"b.band_{bi}"))
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("doc_id_1"),
-                F.col(f"b.{id_col}").alias("doc_id_2"),
-            )
-        )
-        star = (
-            bd.filter((F.col("__bsz") > max_bucket) & (F.col(id_col) != F.col("__bmin")))
-            .select(F.col("__bmin").alias("doc_id_1"), F.col(id_col).alias("doc_id_2"))
-        )
-        c = c.unionByName(star)
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.distinct()
+    )
+    star = (
+        melted.join(F.broadcast(big), ["__band", "__key"])
+        .filter(F.col(id_col) != F.col("__bmin"))
+        .select(F.col("__bmin").alias("doc_id_1"), F.col(id_col).alias("doc_id_2"))
+    )
+    cand = pairs_small.unionByName(star).distinct()
     s1 = sig.withColumnsRenamed({id_col: "doc_id_1", **{f"mh_{i}": f"x_{i}" for i in range(num_hashes)}})
     s2 = sig.withColumnsRenamed({id_col: "doc_id_2", **{f"mh_{i}": f"y_{i}" for i in range(num_hashes)}})
     est = sum(
