@@ -363,8 +363,12 @@ def lsh_ann_topk(
         "j -> named_struct('bkt', cast(bkt0 ^ shiftleft(1, j) as int), "
         "'is_member', 0)))"
     )
+    # ship the ORIGINAL float32 array through the probe-exploded
+    # shuffle (half the bytes of a double cast); float32 -> float64 is
+    # exact, so the in-kernel float64 GEMM sees identical values and
+    # the SQL oracle (embedding::DOUBLE[]) stays bit-equal
     exploded = (
-        df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        df.select(F.col(id_col), F.col(vec_col).alias("v"))
         .dropna()
         .withColumn("__keys", keys_udf("v"))
         .select(id_col, "v", F.posexplode("__keys").alias("band", "bkt0"))
