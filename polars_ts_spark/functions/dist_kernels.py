@@ -93,7 +93,14 @@ def _min3(a, b, c):
 
 
 def dtw_batch(A: np.ndarray, B: np.ndarray) -> np.ndarray:
-    """Standard DTW, |a-b| local cost (dtw.rs:12-29)."""
+    """Standard DTW, |a-b| local cost (dtw.rs:12-29). Routes to the
+    bit-identical C fast path (functions/native.py) when a toolchain
+    compiled it; this numpy engine is the always-available fallback."""
+    from polars_ts_spark.functions import native
+
+    nat = native.dtw_pairs(A, B)
+    if nat is not None:
+        return nat
     k, n = A.shape
     m = B.shape[1]
     row0 = np.full((k, m + 1), INF); row0[:, 0] = 0.0
@@ -189,11 +196,17 @@ def _msm_cost(x, y, z, c: float):
 
 
 def msm_batch(A: np.ndarray, B: np.ndarray, c: float = 1.0) -> np.ndarray:
-    """Move-Split-Merge (msm.rs:15-41); unpadded (n, m) grid."""
+    """Move-Split-Merge (msm.rs:15-41); unpadded (n, m) grid. Routes to
+    the bit-identical C fast path (functions/native.py) when built."""
+    from polars_ts_spark.functions import native
+
     k, n = A.shape
     m = B.shape[1]
     if n == 0 or m == 0:
         return np.zeros(k)
+    nat = native.msm_pairs(A, B, c)
+    if nat is not None:
+        return nat
     row0 = np.empty((k, m))
     row0[:, 0] = np.abs(A[:, 0] - B[:, 0])
     if m > 1:

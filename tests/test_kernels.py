@@ -161,3 +161,30 @@ def test_hampel(spark):
     # all-equal series: MAD=0 -> nothing flagged
     df2 = make_panel(spark, {"A": [1.0] * 7})
     assert not any(r["is_outlier"] for r in hampel_outliers(df2, window=5).collect())
+
+
+def test_native_dp_kernels_bit_identical_to_numpy(monkeypatch):
+    """The C fast path (functions/native.py) must agree BIT-FOR-BIT
+    with the numpy DP engine — same float op order — or the DuckDB
+    oracles would silently drift. Skips where no toolchain built it."""
+    import numpy as np
+
+    from polars_ts_spark.functions import dist_kernels as K
+    from polars_ts_spark.functions import native
+
+    if not native.available():
+        pytest.skip("no C toolchain; numpy path is the only path")
+    rng = np.random.default_rng(5)
+    cases = []
+    for n, m in [(84, 84), (31, 57), (1, 9), (9, 1), (2, 2)]:
+        A = rng.normal(0, 100, (23, n))
+        B = rng.normal(0, 100, (23, m))
+        cases.append((A, B, native.dtw_pairs(A, B),
+                      native.msm_pairs(A, B, 1.0), native.msm_pairs(A, B, 0.1)))
+    # force the pure-numpy bodies for the reference side
+    monkeypatch.setattr(native, "dtw_pairs", lambda *a: None)
+    monkeypatch.setattr(native, "msm_pairs", lambda *a: None)
+    for A, B, d_nat, m1_nat, m01_nat in cases:
+        assert np.array_equal(d_nat, K.dtw_batch(A, B))
+        assert np.array_equal(m1_nat, K.msm_batch(A, B, 1.0))
+        assert np.array_equal(m01_nat, K.msm_batch(A, B, 0.1))
