@@ -420,28 +420,29 @@ def simhash_pairs(
     block, so the union of 4 equi-joins is EXACT for max_hamming <= 3
     (it is a superset of candidates that we re-filter by true hamming).
     """
-    fp = simhash_fingerprint(df, text_col, id_col).cache()
+    fp = simhash_fingerprint(df, text_col, id_col)
     blocks = [(F.col("simhash") % F.lit(1 << 15 * (b + 1))) / F.lit(1 << 15 * b) for b in range(4)]
-    with_blocks = fp.select(
-        id_col,
-        "simhash",
-        *[F.floor(blocks[b]).cast("bigint").alias(f"blk_{b}") for b in range(4)],
+    # melt to (doc_id, simhash, block_idx, block_key): the 4 pigeonhole
+    # equi-joins collapse into ONE self-join on (block_idx, key) — one
+    # shuffle stage instead of four join stages + union
+    melted = fp.select(
+        id_col, "simhash",
+        F.posexplode(F.array(
+            *[F.floor(blocks[b]).cast("bigint") for b in range(4)]
+        )).alias("__blk", "__key"),
     )
-    cand = None
-    for b in range(4):
-        x = with_blocks.alias("a")
-        y = with_blocks.alias("b")
-        c = (
-            x.join(y, F.col(f"a.blk_{b}") == F.col(f"b.blk_{b}"))
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("doc_id_1"),
-                F.col(f"b.{id_col}").alias("doc_id_2"),
-                F.col("a.simhash").alias("fp1"),
-                F.col("b.simhash").alias("fp2"),
-            )
+    x, y = melted.alias("a"), melted.alias("b")
+    cand = (
+        x.join(y, (F.col("a.__blk") == F.col("b.__blk"))
+               & (F.col("a.__key") == F.col("b.__key")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_1"),
+            F.col(f"b.{id_col}").alias("doc_id_2"),
+            F.col("a.simhash").alias("fp1"),
+            F.col("b.simhash").alias("fp2"),
         )
-        cand = c if cand is None else cand.unionByName(c)
+    )
     ham = F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2")))
     return (
         cand.distinct()
