@@ -63,9 +63,28 @@ HEADLINE = [
 ]
 
 
+def _cpu_calibration() -> float:
+    """Fixed-size BLAS GEMM wall time: a machine-load probe. This box
+    is shared — back-to-back full-suite runs have varied >2x on
+    external load alone — so the bench reports the probe before and
+    after the suite, letting a reader normalize query times across
+    rounds instead of mistaking host contention for a code regression."""
+    import time as _t
+
+    import numpy as _np
+
+    x = _np.random.default_rng(0).normal(size=(2000, 2000))
+    t0 = _t.perf_counter()
+    for _ in range(3):
+        y = x @ x
+    _ = float(y.sum())
+    return round(_t.perf_counter() - t0, 3)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    calib_before = _cpu_calibration()
     spark = get_spark("polars-ts-spark-bench")
     qs = queries()
     names = [n for n in HEADLINE if n in qs] + [
@@ -152,6 +171,7 @@ def main():
         "cold_queries": cold,
         "quality": quality,
         "spread_3runs": spread,
+        "cpu_calibration_sec": {"before": calib_before, "after": _cpu_calibration()},
     }))
 
 
