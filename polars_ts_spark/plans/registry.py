@@ -5022,6 +5022,45 @@ def q_streaming_ets(spark, sf_dir):
     return streaming_ets_update(supplier_daily_panel(spark, sf_dir), method="holt")
 
 
+# local-level Kalman fold: x0 = y0, P0 = 1; P+=q; K=P/(P+r);
+# x+=K(y-x); P=(1-K)P — arithmetic only, no libm, so the recursive
+# CTE replay is bit-identical and parity with the incremental
+# partial_fit path is the tested law (state folds compose).
+_STREAMING_KALMAN_ORACLE = (
+    PANEL_CTE.replace("WITH", "WITH RECURSIVE", 1) + """,
+    ordered AS (
+        SELECT unique_id, y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+               COUNT(*) OVER (PARTITION BY unique_id) AS n
+        FROM panel
+    ),
+    rec AS (
+        SELECT unique_id, 1 AS t, CAST(y AS DOUBLE) AS x,
+               CAST(1.0 AS DOUBLE) AS p, n
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT r.unique_id, r.t + 1,
+               r.x + ((r.p + 0.01) / ((r.p + 0.01) + 1.0)) * (o.y - r.x),
+               (1.0 - ((r.p + 0.01) / ((r.p + 0.01) + 1.0))) * (r.p + 0.01),
+               r.n
+        FROM rec r JOIN ordered o
+          ON o.unique_id = r.unique_id AND o.rn = r.t + 1
+    )
+    SELECT unique_id, ROUND(x, 6) AS x, ROUND(p, 9) AS p,
+           CAST(n AS BIGINT) AS n_obs
+    FROM rec WHERE t = n
+    """
+)
+
+
+@register("streaming_kalman_state", _STREAMING_KALMAN_ORACLE)
+def q_streaming_kalman(spark, sf_dir):
+    from polars_ts_spark.streaming.structured import streaming_kalman_update
+    out = streaming_kalman_update(supplier_daily_panel(spark, sf_dir))
+    return out.select("unique_id", F.round("x", 6).alias("x"),
+                      F.round("p", 9).alias("p"), "n_obs")
+
+
 @register(
     "event_window_agg",
     EVENT_PANEL_CTE.replace("CASE WHEN value < 10 THEN NULL ELSE CAST(value AS DOUBLE) END",

@@ -130,6 +130,94 @@ def streaming_ets_update(
     )
 
 
+KALMAN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("unique_id", StringType()),
+        StructField("x", DoubleType()),
+        StructField("p", DoubleType()),
+        StructField("n_obs", LongType()),
+    ]
+)
+
+KALMAN_STATE_SCHEMA = StructType(
+    [
+        StructField("x", DoubleType()),
+        StructField("p", DoubleType()),
+        StructField("n_obs", LongType()),
+    ]
+)
+
+
+def streaming_kalman_update(
+    stream_df: DataFrame,
+    q: float = 0.01,
+    r: float = 1.0,
+    id_col: str = ID,
+    time_col: str = TIME,
+    target_col: str = TARGET,
+) -> DataFrame:
+    """Local-level Kalman state (x, P) per series under the same
+    dual-mode contract as ``streaming_ets_update``: in batch mode one
+    applyInPandas pass; under ``readStream`` the identical fold runs
+    in ``applyInPandasWithState`` with (x, P, n) in the state store —
+    so incremental micro-batches and a single batch pass produce the
+    SAME state (the StreamingKalmanFilter parity law,
+    streaming/kalman.py:1-158). Returns [unique_id, x, p, n_obs]."""
+
+    def _fold(x, P, n, ys):
+        for y in ys:
+            y = float(y)
+            if x is None:
+                x, P, n = y, 1.0, 1
+                continue
+            P = P + q
+            S = P + r
+            K = P / S
+            x = x + K * (y - x)
+            P = (1 - K) * P
+            n += 1
+        return x, P, n
+
+    if not stream_df.isStreaming:
+        def batch_kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(time_col)
+            x, P, n = _fold(None, 1.0, 0, pdf[target_col].astype(float))
+            return pd.DataFrame(
+                {"unique_id": [str(pdf[id_col].iloc[0])], "x": [x],
+                 "p": [P], "n_obs": [n]}
+            )
+
+        return stream_df.groupBy(F.col(id_col)).applyInPandas(
+            batch_kern, schema=KALMAN_OUTPUT_SCHEMA
+        )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            x, P, n = state.get
+        else:
+            x, P, n = None, 1.0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            x, P, n = _fold(x, P, n, pdf[target_col].astype(float))
+        state.update((float(x if x is not None else 0.0), float(P), int(n)))
+        yield pd.DataFrame(
+            {"unique_id": [key[0]], "x": [x], "p": [P], "n_obs": [n]}
+        )
+
+    return (
+        stream_df.groupBy(F.col(id_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=KALMAN_OUTPUT_SCHEMA,
+            stateStructType=KALMAN_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def watermarked_event_counts(
     stream_df: DataFrame,
     window: str = "1 hour",

@@ -161,3 +161,19 @@ def test_watermarked_stream_window_counts(spark):
         assert len(res) >= 20
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_kalman_update_matches_driver_class(spark):
+    """The distributed batch fold (streaming_kalman_update) must equal
+    the driver-dict StreamingKalmanFilter state exactly — the same
+    parity law the ETS path has."""
+    from polars_ts_spark.streaming.structured import streaming_kalman_update
+
+    pdf = _panel(50)
+    sdf = spark.createDataFrame(pdf)
+    out = streaming_kalman_update(sdf).toPandas().set_index("unique_id")
+    ref = StreamingKalmanFilter().fit(pdf)
+    for sid, (x, p) in ref.state.items():
+        assert out.loc[sid, "x"] == pytest.approx(x, abs=1e-12)
+        assert out.loc[sid, "p"] == pytest.approx(p, abs=1e-12)
+        assert out.loc[sid, "n_obs"] == 50
