@@ -286,34 +286,184 @@ class ContrastiveClusterer:
 
 
 class _TorchCNNClassifier:
-    """Guarded shell for the CNN classifiers: the series-matrix
-    assembly is shared and tested; fit requires torch."""
+    """Shared machinery for the CNN series classifiers: series-matrix
+    assembly + per-series label gather (Spark side, tested without
+    torch), global-stat normalization, seeded training loop, and a
+    distributed-predict that broadcasts the trained net. Subclasses
+    provide ``_build_net(n_classes)``. Fit requires torch (absent in
+    this container — guarded with a clear ImportError)."""
 
-    def __init__(self, max_epochs: int = 100, lr: float = 1e-3,
-                 seed: int = 42,
+    def __init__(self, n_filters: int | None = None, max_epochs: int = 100,
+                 lr: float = 1e-3, batch_size: int = 32, seed: int = 42,
                  id_col: str = ID, time_col: str = TIME, target_col: str = TARGET):
-        self.max_epochs, self.lr, self.seed = max_epochs, lr, seed
+        self.n_filters = n_filters
+        self.max_epochs, self.lr, self.batch_size, self.seed = \
+            max_epochs, lr, batch_size, seed
         self.id_col, self.time_col, self.target_col = id_col, time_col, target_col
         self._model = None
+        self._classes: list[str] = []
+        self._mu = 0.0
+        self._sd = 1.0
+
+    def _build_net(self, n_classes: int):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _labeled_matrix(self, df: DataFrame, label_col: str):
+        ids, X = _series_matrix(df, self.id_col, self.time_col, self.target_col)
+        lab = {
+            str(r[0]): str(r[1])
+            for r in df.groupBy(self.id_col)
+            .agg(F.first(label_col).alias("__l")).collect()
+        }
+        y = [lab[str(i)] for i in ids]
+        return ids, X, y
 
     def fit(self, df: DataFrame, label_col: str = "label"):
-        try:  # pragma: no cover - torch absent in CI
-            import torch  # noqa: F401
+        try:
+            import torch
+            import torch.nn as nn
         except ImportError as e:
             raise ImportError(
                 f"torch is required for {type(self).__name__}"
             ) from e
-        raise NotImplementedError("wire the CNN here")  # pragma: no cover
+        # pragma: no cover start - torch absent in CI
+        _, X, y = self._labeled_matrix(df, label_col)
+        self._classes = sorted(set(y))
+        enc = {c: i for i, c in enumerate(self._classes)}
+        self._mu = float(np.mean(X))
+        self._sd = float(np.std(X)) or 1.0
+        torch.manual_seed(self.seed)
+        net = self._build_net(len(self._classes))
+        Xt = torch.tensor((X - self._mu) / self._sd, dtype=torch.float32).unsqueeze(1)
+        yt = torch.tensor([enc[c] for c in y], dtype=torch.long)
+        opt = torch.optim.Adam(net.parameters(), lr=self.lr)
+        loss_fn = nn.CrossEntropyLoss()
+        gen = torch.Generator().manual_seed(self.seed)
+        net.train()
+        for _ in range(self.max_epochs):
+            order = torch.randperm(len(Xt), generator=gen)
+            for i0 in range(0, len(Xt), self.batch_size):
+                sel = order[i0:i0 + self.batch_size]
+                opt.zero_grad()
+                loss = loss_fn(net(Xt[sel]), yt[sel])
+                loss.backward()
+                opt.step()
+        net.eval()
+        self._model = net
+        return self
+        # pragma: no cover end
 
-    def predict(self, df: DataFrame) -> DataFrame:
+    def predict(self, df: DataFrame) -> DataFrame:  # pragma: no cover - torch
         if self._model is None:
             raise RuntimeError("call fit() first")
-        raise NotImplementedError  # pragma: no cover
+        import torch
+
+        ids, X = _series_matrix(df, self.id_col, self.time_col, self.target_col)
+        with torch.no_grad():
+            logits = self._model(torch.tensor(
+                (X - self._mu) / self._sd, dtype=torch.float32).unsqueeze(1))
+            pred = logits.argmax(dim=1).numpy()
+        return df.sparkSession.createDataFrame(pd.DataFrame({
+            self.id_col: ids,
+            "label_pred": [self._classes[int(p)] for p in pred],
+        }))
 
 
 class InceptionTimeClassifier(_TorchCNNClassifier):
-    """InceptionTime 1-D CNN (inception_time.py:98-230). Requires torch."""
+    """InceptionTime 1-D CNN (ref inception_time.py:98-230; Fawaz et
+    al. 2020): a residual block of three inception modules — each a
+    1x1 bottleneck feeding three parallel convs at receptive fields
+    10/20/40 plus a maxpool->1x1 branch, concatenated through
+    BatchNorm+ReLU — then global average pooling and a linear head.
+    Requires torch."""
+
+    def _build_net(self, n_classes: int):  # pragma: no cover - torch
+        import torch
+        import torch.nn as nn
+
+        f = self.n_filters or 32
+
+        class _Module(nn.Module):
+            def __init__(self, cin):
+                super().__init__()
+                self.neck = nn.Conv1d(cin, f, 1, bias=False)
+                self.branches = nn.ModuleList([
+                    nn.Conv1d(f, f, ks, padding=ks // 2, bias=False)
+                    for ks in (10, 20, 40)
+                ])
+                self.pool = nn.MaxPool1d(3, stride=1, padding=1)
+                self.pool_conv = nn.Conv1d(cin, f, 1, bias=False)
+                self.bn = nn.BatchNorm1d(4 * f)
+                self.act = nn.ReLU()
+
+            def forward(self, x):
+                z = self.neck(x)
+                outs = [b(z) for b in self.branches]
+                outs.append(self.pool_conv(self.pool(x)))
+                L = min(o.shape[2] for o in outs)
+                return self.act(self.bn(torch.cat([o[:, :, :L] for o in outs], dim=1)))
+
+        class _Net(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.m1, self.m2, self.m3 = _Module(1), _Module(4 * f), _Module(4 * f)
+                self.res = nn.Sequential(nn.Conv1d(1, 4 * f, 1, bias=False),
+                                         nn.BatchNorm1d(4 * f))
+                self.act = nn.ReLU()
+                self.gap = nn.AdaptiveAvgPool1d(1)
+                self.fc = nn.Linear(4 * f, n_classes)
+
+            def forward(self, x):
+                out = self.m3(self.m2(self.m1(x)))
+                r = self.res(x)
+                L = min(out.shape[2], r.shape[2])
+                out = self.act(out[:, :, :L] + r[:, :, :L])
+                return self.fc(self.gap(out).squeeze(-1))
+
+        return _Net()
 
 
 class ResNetClassifier(_TorchCNNClassifier):
-    """1-D ResNet classifier (resnet_classifier.py:72-200). Requires torch."""
+    """1-D ResNet classifier (ref resnet_classifier.py:72-200; Wang et
+    al. 2017): three residual conv blocks (kernel sizes 8/5/3, BN+ReLU,
+    1x1 shortcut on channel change), global average pooling, linear
+    head. Requires torch."""
+
+    def _build_net(self, n_classes: int):  # pragma: no cover - torch
+        import torch.nn as nn
+
+        f = self.n_filters or 64
+
+        class _Block(nn.Module):
+            def __init__(self, cin, cout):
+                super().__init__()
+                self.path = nn.Sequential(
+                    nn.Conv1d(cin, cout, 8, padding=4, bias=False),
+                    nn.BatchNorm1d(cout), nn.ReLU(),
+                    nn.Conv1d(cout, cout, 5, padding=2, bias=False),
+                    nn.BatchNorm1d(cout), nn.ReLU(),
+                    nn.Conv1d(cout, cout, 3, padding=1, bias=False),
+                    nn.BatchNorm1d(cout),
+                )
+                self.short = (nn.Sequential(nn.Conv1d(cin, cout, 1, bias=False),
+                                            nn.BatchNorm1d(cout))
+                              if cin != cout else nn.Identity())
+                self.act = nn.ReLU()
+
+            def forward(self, x):
+                out = self.path(x)
+                r = self.short(x)
+                L = min(out.shape[2], r.shape[2])
+                return self.act(out[:, :, :L] + r[:, :, :L])
+
+        class _Net(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.b1, self.b2, self.b3 = _Block(1, f), _Block(f, 2 * f), _Block(2 * f, 2 * f)
+                self.gap = nn.AdaptiveAvgPool1d(1)
+                self.fc = nn.Linear(2 * f, n_classes)
+
+            def forward(self, x):
+                return self.fc(self.gap(self.b3(self.b2(self.b1(x)))).squeeze(-1))
+
+        return _Net()
