@@ -115,3 +115,68 @@ def test_pairwise_streams_ids_only(spark):
                   "BroadcastNestedLoopJoin", "CartesianProduct")
     assert not any(j in plan for j in join_nodes), plan
     assert "mapInPandas" in plan or "MapInPandas" in plan
+
+
+def test_minhash_candidates_no_cartesian_and_broadcast_skew_stats(spark):
+    """The melted minhash candidate plan must stay an equi self-join on
+    (band, key) — no CartesianProduct — with the oversized-bucket stats
+    joined by BROADCAST (they are tiny by construction)."""
+    from polars_ts_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(textops.minhash_lsh_pairs(docs, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # skew-cap stats ride a broadcast
+
+
+def test_simhash_candidates_single_selfjoin(spark):
+    """Melted pigeonhole plan: one equi self-join, no cartesian, and no
+    per-block union of four separate join stages (the union would show
+    as 4+ shuffle joins)."""
+    from polars_ts_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(textops.simhash_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2
+
+
+def test_lsh_ann_no_cartesian(spark):
+    """Multi-probe ANN generates candidates through bucket grouping
+    only — the plan must never contain an all-pairs join."""
+    from polars_ts_spark.operators import embedsim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(embedsim.lsh_ann_topk(emb, k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kaboudan_shuffle_is_windows_plus_one_join(spark):
+    """The distributed block shuffle must be window exprs + ONE
+    positional self-join — not a driver materialization (asserted
+    elsewhere) and not a join explosion."""
+    import pandas as pd
+
+    from polars_ts_spark.operators import evaluation
+    from pyspark.sql import Window
+
+    panel = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_suppkey").cast("string").alias("unique_id"),
+        F.col("l_shipdate").alias("ds"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    w_t = Window.partitionBy("unique_id").orderBy("ds")
+    rows = (
+        panel.withColumn("__rn0", F.row_number().over(w_t) - 1)
+        .withColumn("__key", F.md5(F.concat_ws(
+            ":", F.lit("42"), F.col("unique_id"),
+            (F.floor(F.col("__rn0") / 7) + 1).cast("string"))))
+    )
+    w_dest = Window.partitionBy("unique_id").orderBy("__key", "__rn0")
+    src = rows.withColumn("__dest", F.row_number().over(w_dest) - 1).select(
+        F.col("unique_id").alias("__sid"), F.col("y").alias("__val"), "__dest")
+    shuffled = rows.select("unique_id", "ds", "__rn0").join(
+        src, (F.col("unique_id") == F.col("__sid")) & (F.col("__rn0") == F.col("__dest")))
+    plan = _plan(shuffled)
+    assert "CartesianProduct" not in plan
