@@ -269,7 +269,13 @@ def msm_batch(A: np.ndarray, B: np.ndarray, c: float = 1.0) -> np.ndarray:
 
 
 def erp_batch(A: np.ndarray, B: np.ndarray, g: float = 0.0) -> np.ndarray:
-    """Edit distance with Real Penalty, gap g (erp.rs:7-31)."""
+    """Edit distance with Real Penalty, gap g (erp.rs:7-31). Routes to
+    the bit-identical C fast path when built."""
+    from polars_ts_spark.functions import native
+
+    nat = native.erp_pairs(A, B, g)
+    if nat is not None:
+        return nat
     k, n = A.shape
     m = B.shape[1]
     row0 = np.concatenate([np.zeros((k, 1)), np.cumsum(np.abs(B - g), axis=1)], axis=1)
@@ -330,10 +336,15 @@ def edr_batch(A: np.ndarray, B: np.ndarray, epsilon: float = 0.1) -> np.ndarray:
 def twe_batch(A: np.ndarray, B: np.ndarray, nu: float = 0.001, lam: float = 1.0) -> np.ndarray:
     """Time Warp Edit distance (twe.rs:7-46), including the reference's
     nu·min(|i-j|, 2ν) match stiffness and 0-padding before element 0."""
+    from polars_ts_spark.functions import native
+
     k, n = A.shape
     m = B.shape[1]
     if n == 0 or m == 0:
         return np.zeros(k)
+    nat = native.twe_pairs(A, B, nu, lam)
+    if nat is not None:
+        return nat
     Ap = np.concatenate([np.zeros((k, 1)), A], axis=1)  # Ap[:, i] == a[i-2] at series pos i-1
     Bp = np.concatenate([np.zeros((k, 1)), B], axis=1)
     row0 = np.full((k, m + 1), INF); row0[:, 0] = 0.0

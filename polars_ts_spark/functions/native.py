@@ -73,6 +73,76 @@ static inline double msm_cost(double x, double y, double z, double c) {
     return c + dmin(dy, dz);
 }
 
+/* ERP, padded grid (dist_kernels.erp_batch op order):
+   match = diag + |a-b|; delete = up + |a-g|; insert = left + |b-g|;
+   cell = min(min(match, delete), insert); boundaries are sequential
+   cumsums of |.-g|. */
+void erp_pairs(const double *A, const double *B, double *out,
+               long k, long n, long m, double g, double *work) {
+    double *prev = work, *cur = work + (m + 1);
+    for (long p = 0; p < k; p++) {
+        const double *a = A + p * n, *b = B + p * m;
+        prev[0] = 0.0;
+        for (long j = 1; j <= m; j++) prev[j] = prev[j - 1] + fabs(b[j - 1] - g);
+        double colacc = 0.0;
+        for (long i = 1; i <= n; i++) {
+            const double ai = a[i - 1];
+            colacc += fabs(ai - g);
+            cur[0] = colacc;
+            for (long j = 1; j <= m; j++) {
+                const double bj = b[j - 1];
+                double dm = prev[j - 1] + fabs(ai - bj);
+                double dd = prev[j] + fabs(ai - g);
+                double di = cur[j - 1] + fabs(bj - g);
+                cur[j] = dmin(dmin(dm, dd), di);
+            }
+            double *tmp = prev; prev = cur; cur = tmp;
+        }
+        out[p] = prev[m];
+    }
+}
+
+/* TWE, padded grid (dist_kernels.twe_batch op order):
+   match  = ((diag + |a_i-b_j|) + |a_{i-1}-b_{j-1}|) + nu*min(|i-j|, 2nu)
+   delete = ((up + |a_i-a_{i-1}|) + nu) + lam
+   insert = ((left + |b_j-b_{j-1}|) + nu) + lam
+   with 0-padding before element 0 and sequential-cumsum boundaries of
+   ((|.-prev| + nu) + lam). */
+void twe_pairs(const double *A, const double *B, double *out,
+               long k, long n, long m, double nu, double lam, double *work) {
+    double *prev = work, *cur = work + (m + 1);
+    for (long p = 0; p < k; p++) {
+        const double *a = A + p * n, *b = B + p * m;
+        prev[0] = 0.0;
+        double s = 0.0;
+        for (long j = 1; j <= m; j++) {
+            double bp = j >= 2 ? b[j - 2] : 0.0;
+            s += (fabs(b[j - 1] - bp) + nu) + lam;
+            prev[j] = s;
+        }
+        double colacc = 0.0;
+        for (long i = 1; i <= n; i++) {
+            const double ai = a[i - 1];
+            const double ap = i >= 2 ? a[i - 2] : 0.0;
+            colacc += (fabs(ai - ap) + nu) + lam;
+            cur[0] = colacc;
+            const double daa = fabs(ai - ap);
+            for (long j = 1; j <= m; j++) {
+                const double bj = b[j - 1];
+                const double bp = j >= 2 ? b[j - 2] : 0.0;
+                long dij = i - j; if (dij < 0) dij = -dij;
+                double stiff = nu * dmin((double)dij, 2.0 * nu);
+                double dm = ((prev[j - 1] + fabs(ai - bj)) + fabs(ap - bp)) + stiff;
+                double dd = ((prev[j] + daa) + nu) + lam;
+                double di = ((cur[j - 1] + fabs(bj - bp)) + nu) + lam;
+                cur[j] = dmin(dmin(dm, dd), di);
+            }
+            double *tmp = prev; prev = cur; cur = tmp;
+        }
+        out[p] = prev[m];
+    }
+}
+
 void msm_pairs(const double *A, const double *B, double *out,
                long k, long n, long m, double c, double *work) {
     double *prev = work, *cur = work + m;
@@ -146,6 +216,11 @@ def _load():
                                   ctypes.c_long, dp]
         lib.msm_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
                                   ctypes.c_long, ctypes.c_double, dp]
+        lib.erp_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
+                                  ctypes.c_long, ctypes.c_double, dp]
+        lib.twe_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
+                                  ctypes.c_long, ctypes.c_double,
+                                  ctypes.c_double, dp]
         _lib = lib
     except Exception:
         _lib = None
@@ -176,6 +251,42 @@ def dtw_pairs(A: np.ndarray, B: np.ndarray) -> np.ndarray | None:
     dp = ctypes.POINTER(ctypes.c_double)
     lib.dtw_pairs(A.ctypes.data_as(dp), B.ctypes.data_as(dp),
                   out.ctypes.data_as(dp), k, n, m, work.ctypes.data_as(dp))
+    return out
+
+
+def erp_pairs(A: np.ndarray, B: np.ndarray, g: float) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    A, B = _prep(A, B)
+    k, n = A.shape
+    m = B.shape[1]
+    if n == 0 or m == 0:
+        return None
+    out = np.empty(k)
+    work = np.empty(2 * (m + 1))
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.erp_pairs(A.ctypes.data_as(dp), B.ctypes.data_as(dp),
+                  out.ctypes.data_as(dp), k, n, m, ctypes.c_double(g),
+                  work.ctypes.data_as(dp))
+    return out
+
+
+def twe_pairs(A: np.ndarray, B: np.ndarray, nu: float, lam: float) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    A, B = _prep(A, B)
+    k, n = A.shape
+    m = B.shape[1]
+    if n == 0 or m == 0:
+        return None
+    out = np.empty(k)
+    work = np.empty(2 * (m + 1))
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.twe_pairs(A.ctypes.data_as(dp), B.ctypes.data_as(dp),
+                  out.ctypes.data_as(dp), k, n, m, ctypes.c_double(nu),
+                  ctypes.c_double(lam), work.ctypes.data_as(dp))
     return out
 
 

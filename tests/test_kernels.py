@@ -180,11 +180,17 @@ def test_native_dp_kernels_bit_identical_to_numpy(monkeypatch):
         A = rng.normal(0, 100, (23, n))
         B = rng.normal(0, 100, (23, m))
         cases.append((A, B, native.dtw_pairs(A, B),
-                      native.msm_pairs(A, B, 1.0), native.msm_pairs(A, B, 0.1)))
+                      native.msm_pairs(A, B, 1.0), native.msm_pairs(A, B, 0.1),
+                      native.erp_pairs(A, B, 0.5),
+                      native.twe_pairs(A, B, 0.001, 1.0)))
     # force the pure-numpy bodies for the reference side
     monkeypatch.setattr(native, "dtw_pairs", lambda *a: None)
     monkeypatch.setattr(native, "msm_pairs", lambda *a: None)
-    for A, B, d_nat, m1_nat, m01_nat in cases:
+    monkeypatch.setattr(native, "erp_pairs", lambda *a: None)
+    monkeypatch.setattr(native, "twe_pairs", lambda *a: None)
+    for A, B, d_nat, m1_nat, m01_nat, e_nat, t_nat in cases:
         assert np.array_equal(d_nat, K.dtw_batch(A, B))
         assert np.array_equal(m1_nat, K.msm_batch(A, B, 1.0))
         assert np.array_equal(m01_nat, K.msm_batch(A, B, 0.1))
+        assert np.array_equal(e_nat, K.erp_batch(A, B, 0.5))
+        assert np.array_equal(t_nat, K.twe_batch(A, B, 0.001, 1.0))
