@@ -170,10 +170,15 @@ def ddtw_batch(A: np.ndarray, B: np.ndarray) -> np.ndarray:
 def wdtw_batch(A: np.ndarray, B: np.ndarray, g: float = 0.05) -> np.ndarray:
     """Squared diff × logistic weight 1/(1+exp(-g(|i-j| - max_len/2)))
     (wdtw.rs:7-41)."""
+    from polars_ts_spark.functions import native
+
     k, n = A.shape
     m = B.shape[1]
     max_len = max(n, m)
     weights = 1.0 / (1.0 + np.exp(-g * (np.arange(max_len) - max_len / 2.0)))
+    nat = native.wdtw_pairs(A, B, weights)
+    if nat is not None:
+        return nat
     row0 = np.full((k, m + 1), INF); row0[:, 0] = 0.0
     col0 = np.full((k, n + 1), INF); col0[:, 0] = 0.0
 
@@ -295,11 +300,17 @@ def erp_batch(A: np.ndarray, B: np.ndarray, g: float = 0.0) -> np.ndarray:
 
 
 def lcss_batch(A: np.ndarray, B: np.ndarray, epsilon: float = 1.0) -> np.ndarray:
-    """1 - LCSS_len/min(n,m); match if |a-b| <= eps (lcss.rs:7-33)."""
+    """1 - LCSS_len/min(n,m); match if |a-b| <= eps (lcss.rs:7-33).
+    Routes to the bit-identical C fast path when built."""
+    from polars_ts_spark.functions import native
+
     k, n = A.shape
     m = B.shape[1]
     if n == 0 or m == 0:
         return np.ones(k)
+    nat = native.lcss_len_pairs(A, B, epsilon)
+    if nat is not None:
+        return 1.0 - nat / min(n, m)
     row0 = np.zeros((k, m + 1))
     col0 = np.zeros((k, n + 1))
 
@@ -315,11 +326,17 @@ def lcss_batch(A: np.ndarray, B: np.ndarray, epsilon: float = 1.0) -> np.ndarray
 
 
 def edr_batch(A: np.ndarray, B: np.ndarray, epsilon: float = 0.1) -> np.ndarray:
-    """Edit Distance on Real sequences / max(n,m) (edr.rs:7-41)."""
+    """Edit Distance on Real sequences / max(n,m) (edr.rs:7-41).
+    Routes to the bit-identical C fast path when built."""
+    from polars_ts_spark.functions import native
+
     k, n = A.shape
     m = B.shape[1]
     if n == 0 or m == 0:
         return np.ones(k)
+    nat = native.edr_raw_pairs(A, B, epsilon)
+    if nat is not None:
+        return nat / max(n, m)
     row0 = np.broadcast_to(np.arange(m + 1, dtype=float), (k, m + 1)).copy()
     col0 = np.broadcast_to(np.arange(n + 1, dtype=float), (k, n + 1)).copy()
 
@@ -370,11 +387,17 @@ def twe_batch(A: np.ndarray, B: np.ndarray, nu: float = 0.001, lam: float = 1.0)
 
 
 def frechet_batch(A: np.ndarray, B: np.ndarray) -> np.ndarray:
-    """Discrete Fréchet: max-of-min DP on |a-b| (frechet.rs:7-33)."""
+    """Discrete Fréchet: max-of-min DP on |a-b| (frechet.rs:7-33).
+    Routes to the bit-identical C fast path when built."""
+    from polars_ts_spark.functions import native
+
     k, n = A.shape
     m = B.shape[1]
     if n == 0 or m == 0:
         return np.full(k, INF)
+    nat = native.frechet_pairs(A, B)
+    if nat is not None:
+        return nat
     row0 = np.maximum.accumulate(np.abs(A[:, 0:1] - B), axis=1)
     col0 = np.maximum.accumulate(np.abs(A - B[:, 0:1]), axis=1)
 

@@ -30,11 +30,16 @@ import numpy as np
 _C_SRC = r"""
 #include <math.h>
 
-/* np.minimum semantics: NaN in either operand propagates */
+/* np.minimum / np.maximum semantics: NaN in either operand propagates */
 static inline double dmin(double a, double b) {
     if (isnan(a)) return a;
     if (isnan(b)) return b;
     return a < b ? a : b;
+}
+static inline double dmax(double a, double b) {
+    if (isnan(a)) return a;
+    if (isnan(b)) return b;
+    return a > b ? a : b;
 }
 
 /* DTW, padded grid, cell = min(min(up,left),diag) + |a_i - b_j|
@@ -71,6 +76,105 @@ static inline double msm_cost(double x, double y, double z, double c) {
     if (between) return c;
     double dy = fabs(x - y), dz = fabs(x - z);
     return c + dmin(dy, dz);
+}
+
+/* LCSS raw length, padded grid (dist_kernels.lcss_batch op order):
+   cell = |a-b| <= eps ? diag + 1 : max(up, left); zero boundaries. */
+void lcss_pairs(const double *A, const double *B, double *out,
+                long k, long n, long m, double eps, double *work) {
+    double *prev = work, *cur = work + (m + 1);
+    for (long p = 0; p < k; p++) {
+        const double *a = A + p * n, *b = B + p * m;
+        for (long j = 0; j <= m; j++) prev[j] = 0.0;
+        for (long i = 1; i <= n; i++) {
+            cur[0] = 0.0;
+            const double ai = a[i - 1];
+            for (long j = 1; j <= m; j++) {
+                if (fabs(ai - b[j - 1]) <= eps) cur[j] = prev[j - 1] + 1.0;
+                else cur[j] = dmax(prev[j], cur[j - 1]);
+            }
+            double *tmp = prev; prev = cur; cur = tmp;
+        }
+        out[p] = prev[m];
+    }
+}
+
+/* EDR raw DP, padded grid (dist_kernels.edr_batch op order):
+   cell = min(min(diag + sub, up + 1), left + 1), sub = 0/1 on eps
+   match; arange boundaries. */
+void edr_pairs(const double *A, const double *B, double *out,
+               long k, long n, long m, double eps, double *work) {
+    double *prev = work, *cur = work + (m + 1);
+    for (long p = 0; p < k; p++) {
+        const double *a = A + p * n, *b = B + p * m;
+        for (long j = 0; j <= m; j++) prev[j] = (double)j;
+        for (long i = 1; i <= n; i++) {
+            cur[0] = (double)i;
+            const double ai = a[i - 1];
+            for (long j = 1; j <= m; j++) {
+                double sub = fabs(ai - b[j - 1]) <= eps ? 0.0 : 1.0;
+                cur[j] = dmin(dmin(prev[j - 1] + sub, prev[j] + 1.0),
+                              cur[j - 1] + 1.0);
+            }
+            double *tmp = prev; prev = cur; cur = tmp;
+        }
+        out[p] = prev[m];
+    }
+}
+
+/* WDTW, padded grid (dist_kernels.wdtw_batch op order):
+   cell = ((w[|i-j|] * d) * d) + min(min(up, left), diag); the logistic
+   weight table is PRECOMPUTED in numpy and passed in, so the exp()
+   values are identical to the numpy path's. */
+void wdtw_pairs(const double *A, const double *B, double *out,
+                long k, long n, long m, const double *weights, double *work) {
+    double *prev = work, *cur = work + (m + 1);
+    for (long p = 0; p < k; p++) {
+        const double *a = A + p * n, *b = B + p * m;
+        prev[0] = 0.0;
+        for (long j = 1; j <= m; j++) prev[j] = INFINITY;
+        for (long i = 1; i <= n; i++) {
+            cur[0] = INFINITY;
+            const double ai = a[i - 1];
+            for (long j = 1; j <= m; j++) {
+                long dij = i - j; if (dij < 0) dij = -dij;
+                double d = ai - b[j - 1];
+                cur[j] = ((weights[dij] * d) * d)
+                         + dmin(dmin(prev[j], cur[j - 1]), prev[j - 1]);
+            }
+            double *tmp = prev; prev = cur; cur = tmp;
+        }
+        out[p] = prev[m];
+    }
+}
+
+/* Discrete Frechet, unpadded grid (dist_kernels.frechet_batch order):
+   cell = max(min(min(diag, up), left), |a-b|); max-accumulate
+   boundaries. */
+void frechet_pairs(const double *A, const double *B, double *out,
+                   long k, long n, long m, double *work) {
+    double *prev = work, *cur = work + m;
+    for (long p = 0; p < k; p++) {
+        const double *a = A + p * n, *b = B + p * m;
+        double acc = fabs(a[0] - b[0]);
+        prev[0] = acc;
+        for (long j = 1; j < m; j++) {
+            acc = dmax(acc, fabs(a[0] - b[j]));
+            prev[j] = acc;
+        }
+        double colacc = prev[0];
+        for (long i = 1; i < n; i++) {
+            const double ai = a[i];
+            colacc = dmax(colacc, fabs(ai - b[0]));
+            cur[0] = colacc;
+            for (long j = 1; j < m; j++) {
+                double mn = dmin(dmin(prev[j - 1], prev[j]), cur[j - 1]);
+                cur[j] = dmax(mn, fabs(ai - b[j]));
+            }
+            double *tmp = prev; prev = cur; cur = tmp;
+        }
+        out[p] = prev[m - 1];
+    }
 }
 
 /* ERP, padded grid (dist_kernels.erp_batch op order):
@@ -218,6 +322,14 @@ def _load():
                                   ctypes.c_long, ctypes.c_double, dp]
         lib.erp_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
                                   ctypes.c_long, ctypes.c_double, dp]
+        lib.lcss_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
+                                   ctypes.c_long, ctypes.c_double, dp]
+        lib.edr_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
+                                  ctypes.c_long, ctypes.c_double, dp]
+        lib.wdtw_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
+                                   ctypes.c_long, dp, dp]
+        lib.frechet_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
+                                      ctypes.c_long, dp]
         lib.twe_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
                                   ctypes.c_long, ctypes.c_double,
                                   ctypes.c_double, dp]
@@ -251,6 +363,83 @@ def dtw_pairs(A: np.ndarray, B: np.ndarray) -> np.ndarray | None:
     dp = ctypes.POINTER(ctypes.c_double)
     lib.dtw_pairs(A.ctypes.data_as(dp), B.ctypes.data_as(dp),
                   out.ctypes.data_as(dp), k, n, m, work.ctypes.data_as(dp))
+    return out
+
+
+def lcss_len_pairs(A: np.ndarray, B: np.ndarray, eps: float) -> np.ndarray | None:
+    """Raw LCSS length (the caller applies 1 - len/min(n,m))."""
+    lib = _load()
+    if lib is None:
+        return None
+    A, B = _prep(A, B)
+    k, n = A.shape
+    m = B.shape[1]
+    if n == 0 or m == 0:
+        return None
+    out = np.empty(k)
+    work = np.empty(2 * (m + 1))
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.lcss_pairs(A.ctypes.data_as(dp), B.ctypes.data_as(dp),
+                   out.ctypes.data_as(dp), k, n, m, ctypes.c_double(eps),
+                   work.ctypes.data_as(dp))
+    return out
+
+
+def edr_raw_pairs(A: np.ndarray, B: np.ndarray, eps: float) -> np.ndarray | None:
+    """Raw EDR DP value (the caller divides by max(n,m))."""
+    lib = _load()
+    if lib is None:
+        return None
+    A, B = _prep(A, B)
+    k, n = A.shape
+    m = B.shape[1]
+    if n == 0 or m == 0:
+        return None
+    out = np.empty(k)
+    work = np.empty(2 * (m + 1))
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.edr_pairs(A.ctypes.data_as(dp), B.ctypes.data_as(dp),
+                  out.ctypes.data_as(dp), k, n, m, ctypes.c_double(eps),
+                  work.ctypes.data_as(dp))
+    return out
+
+
+def wdtw_pairs(A: np.ndarray, B: np.ndarray, weights: np.ndarray) -> np.ndarray | None:
+    """WDTW given the PRECOMPUTED numpy logistic weight table (so the
+    exp() values are bit-identical to the numpy path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    A, B = _prep(A, B)
+    w = np.ascontiguousarray(weights, dtype=np.float64)
+    k, n = A.shape
+    m = B.shape[1]
+    if n == 0 or m == 0 or len(w) < max(n, m):
+        return None
+    out = np.empty(k)
+    work = np.empty(2 * (m + 1))
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.wdtw_pairs(A.ctypes.data_as(dp), B.ctypes.data_as(dp),
+                   out.ctypes.data_as(dp), k, n, m, w.ctypes.data_as(dp),
+                   work.ctypes.data_as(dp))
+    return out
+
+
+def frechet_pairs(A: np.ndarray, B: np.ndarray) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    A, B = _prep(A, B)
+    k, n = A.shape
+    m = B.shape[1]
+    if n == 0 or m == 0:
+        return None
+    out = np.empty(k)
+    work = np.empty(2 * max(m, 1))
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.frechet_pairs(A.ctypes.data_as(dp), B.ctypes.data_as(dp),
+                      out.ctypes.data_as(dp), k, n, m,
+                      work.ctypes.data_as(dp))
     return out
 
 

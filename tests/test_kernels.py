@@ -179,18 +179,28 @@ def test_native_dp_kernels_bit_identical_to_numpy(monkeypatch):
     for n, m in [(84, 84), (31, 57), (1, 9), (9, 1), (2, 2)]:
         A = rng.normal(0, 100, (23, n))
         B = rng.normal(0, 100, (23, m))
+        ml = max(n, m)
+        wts = 1.0 / (1.0 + np.exp(-0.05 * (np.arange(ml) - ml / 2.0)))
         cases.append((A, B, native.dtw_pairs(A, B),
                       native.msm_pairs(A, B, 1.0), native.msm_pairs(A, B, 0.1),
                       native.erp_pairs(A, B, 0.5),
-                      native.twe_pairs(A, B, 0.001, 1.0)))
+                      native.twe_pairs(A, B, 0.001, 1.0),
+                      1.0 - native.lcss_len_pairs(A, B, 1.0) / min(n, m),
+                      native.edr_raw_pairs(A, B, 0.1) / max(n, m),
+                      native.wdtw_pairs(A, B, wts),
+                      native.frechet_pairs(A, B)))
     # force the pure-numpy bodies for the reference side
-    monkeypatch.setattr(native, "dtw_pairs", lambda *a: None)
-    monkeypatch.setattr(native, "msm_pairs", lambda *a: None)
-    monkeypatch.setattr(native, "erp_pairs", lambda *a: None)
-    monkeypatch.setattr(native, "twe_pairs", lambda *a: None)
-    for A, B, d_nat, m1_nat, m01_nat, e_nat, t_nat in cases:
+    for fn in ("dtw_pairs", "msm_pairs", "erp_pairs", "twe_pairs",
+               "lcss_len_pairs", "edr_raw_pairs", "wdtw_pairs",
+               "frechet_pairs"):
+        monkeypatch.setattr(native, fn, lambda *a: None)
+    for A, B, d_nat, m1_nat, m01_nat, e_nat, t_nat, l_nat, ed_nat, w_nat, f_nat in cases:
         assert np.array_equal(d_nat, K.dtw_batch(A, B))
         assert np.array_equal(m1_nat, K.msm_batch(A, B, 1.0))
         assert np.array_equal(m01_nat, K.msm_batch(A, B, 0.1))
         assert np.array_equal(e_nat, K.erp_batch(A, B, 0.5))
         assert np.array_equal(t_nat, K.twe_batch(A, B, 0.001, 1.0))
+        assert np.array_equal(l_nat, K.lcss_batch(A, B, 1.0))
+        assert np.array_equal(ed_nat, K.edr_batch(A, B, 0.1))
+        assert np.array_equal(w_nat, K.wdtw_batch(A, B, 0.05))
+        assert np.array_equal(f_nat, K.frechet_batch(A, B))
