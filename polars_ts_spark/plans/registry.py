@@ -2843,6 +2843,124 @@ def q_clara(spark, sf_dir):
     return clustering.clara_cluster(_monthly_panel_exact(spark, sf_dir), k=3, method="msm")
 
 
+def _clarans_oracle(seed: int = 42, num_local: int = 3, max_neighbor: int = 50) -> str:
+    """CLARANS replay (clustering.clarans, ref scalable.py:140-266) as
+    ONE linear state-machine recursion: each row is one algorithm step
+    — a Fisher-Yates init swap (phase 0, one LCG draw), or one
+    randomized swap attempt (phase 1, two draws: medoid slot + global
+    candidate; skip if already a medoid, accept on strict cost
+    improvement and reset the neighbor counter, else count toward
+    max_neighbor), or the restart/terminal transition (no draws).
+    The MSM matrix and the HUGEINT LCG state ride in the recursion
+    state (a join in the recursive arm would re-evaluate the whole
+    distance chain per step). Costs are list_sum row-min folds; accept
+    decisions share the PAM-replay robustness argument (gaps are many
+    orders above summation-order ulps)."""
+    A, C, M64 = 6364136223846793005, 1442695040888963407, 1 << 64
+
+    def nxt(s):
+        return f"({A}::HUGEINT * {s} + {C}) % {M64}::HUGEINT"
+
+    def draw(s):
+        return f"CAST({s} // 8589934592 AS BIGINT)"
+
+    def cost_of(meds):
+        return (
+            "list_sum(list_transform(generate_series(1, CAST(n AS BIGINT)), i2 -> "
+            f"LEAST(mat[i2][{meds}[1] + 1], mat[i2][{meds}[2] + 1], "
+            f"mat[i2][{meds}[3] + 1])))"
+        )
+
+    ident = ("list_transform(generate_series(1, CAST(n AS BIGINT)), "
+             "p -> CAST(p - 1 AS BIGINT))")
+    mn = max_neighbor
+    last = num_local - 1
+    lab = ("CASE WHEN m.mat[x.ix + 1][bb.gmed[1] + 1] <= m.mat[x.ix + 1][bb.gmed[2] + 1] "
+           "AND m.mat[x.ix + 1][bb.gmed[1] + 1] <= m.mat[x.ix + 1][bb.gmed[3] + 1] THEN 0 "
+           "WHEN m.mat[x.ix + 1][bb.gmed[2] + 1] <= m.mat[x.ix + 1][bb.gmed[3] + 1] THEN 1 "
+           "ELSE 2 END")
+    return _kmedoids_shared(seed, metric="msm") + f""",
+    cl AS (
+        SELECT 0 AS r, 0 AS phase, 0 AS i,
+               {ident} AS perm,
+               CAST(NULL AS BIGINT[]) AS meds,
+               CAST(0.0 AS DOUBLE) AS cost,
+               0 AS j,
+               CAST({seed} AS HUGEINT) AS st,
+               CAST('infinity' AS DOUBLE) AS best_cost,
+               CAST(NULL AS BIGINT[]) AS best_meds,
+               m.mat AS mat, CAST(nn.n AS BIGINT) AS n
+        FROM matl m, nn
+        UNION ALL
+        SELECT
+            CASE WHEN phase = 1 AND j >= {mn} AND r < {last} THEN r + 1 ELSE r END,
+            CASE WHEN phase = 0 AND i = 2 THEN 1
+                 WHEN phase = 1 AND j >= {mn} AND r < {last} THEN 0
+                 WHEN phase = 1 AND j >= {mn} THEN 2
+                 ELSE phase END,
+            CASE WHEN phase = 0 AND i < 2 THEN i + 1 ELSE 0 END,
+            CASE WHEN phase = 0 AND i < 2 THEN perm2 ELSE {ident} END,
+            CASE WHEN phase = 0 AND i = 2
+                     THEN [perm2[1], perm2[2], perm2[3]]
+                 WHEN phase = 1 AND j < {mn} AND NOT inmeds AND improve
+                     THEN trial
+                 ELSE meds END,
+            CASE WHEN phase = 0 AND i = 2 THEN cost0
+                 WHEN phase = 1 AND j < {mn} AND NOT inmeds AND improve THEN tc
+                 ELSE cost END,
+            CASE WHEN phase = 0 THEN 0
+                 WHEN phase = 1 AND j >= {mn} THEN 0
+                 WHEN NOT inmeds AND improve THEN 0
+                 ELSE j + 1 END,
+            CASE WHEN phase = 0 THEN st1
+                 WHEN phase = 1 AND j < {mn} THEN st2
+                 ELSE st END,
+            CASE WHEN phase = 1 AND j >= {mn} AND cost < best_cost
+                 THEN cost ELSE best_cost END,
+            CASE WHEN phase = 1 AND j >= {mn} AND cost < best_cost
+                 THEN meds ELSE best_meds END,
+            mat, n
+        FROM (
+            SELECT *, {cost_of('trial')} AS tc,
+                   ({cost_of('trial')}) < cost - 1e-12 AS improve
+            FROM (
+                SELECT *,
+                       list_contains(meds, cand) AS inmeds,
+                       list_transform(meds, (x, p) ->
+                           CASE WHEN p - 1 = mi THEN cand ELSE x END) AS trial,
+                       {cost_of('perm2')} AS cost0
+                FROM (
+                    SELECT *,
+                           list_transform(perm, (x, p) ->
+                               CASE WHEN p - 1 = i THEN perm[CAST(i + jd AS BIGINT) + 1]
+                                    WHEN p - 1 = CAST(i + jd AS BIGINT) THEN perm[i + 1]
+                                    ELSE x END) AS perm2
+                    FROM (
+                        SELECT *,
+                               {draw('st1')} % (n - i) AS jd,
+                               {draw('st1')} % 3 AS mi,
+                               {nxt('st1')} AS st2,
+                               CAST({nxt('st1')} // 8589934592 AS BIGINT) % n AS cand
+                        FROM (
+                            SELECT cl.*, {nxt('st')} AS st1 FROM cl WHERE phase < 2
+                        )
+                    )
+                )
+            )
+        )
+    ),
+    bestcl AS (SELECT best_meds AS gmed FROM cl WHERE phase = 2)
+    SELECT x.sid AS unique_id, CAST(({lab}) AS INT) AS cluster
+    FROM idx x, bestcl bb, matl m
+    """
+
+
+@register("clarans_cluster", _clarans_oracle())
+def q_clarans(spark, sf_dir):
+    from polars_ts_spark.operators import clustering
+    return clustering.clarans_cluster(_monthly_panel_exact(spark, sf_dir), k=3, method="msm")
+
+
 @register("spectral_cluster")
 def q_spectral(spark, sf_dir):
     from polars_ts_spark.operators import clustering
