@@ -6222,6 +6222,20 @@ def q_theta(spark, sf_dir):
     return out.select("unique_id", "ds", F.round("y_hat", 4).alias("y_hat"))
 
 
+@register("agent_scientist_forecast")  # rows-only: the full agent chain
+def q_agent_scientist(spark, sf_dir):
+    """Curate -> plan -> forecast -> report end-to-end on the supplier
+    panel; the query returns the chain's blended/selected predictions
+    (agents/scientist.py). Constituent operators (z-clip, SES/Holt/HW,
+    MAE scoring) are individually oracle-backed."""
+    from polars_ts_spark.agents import TimeSeriesScientist
+
+    panel = supplier_daily_panel(spark, sf_dir)
+    res = TimeSeriesScientist(horizon=7).run(panel)
+    return res.predictions.select(
+        "unique_id", "ds", F.round("y_hat", 4).alias("y_hat"))
+
+
 @register("scum_forecast")  # rows-only
 def q_scum(spark, sf_dir):
     from polars_ts_spark.operators import theta

@@ -1,0 +1,126 @@
+"""Agent layer: curator diagnostics on planted structure, cleaning,
+planner branch heuristics, forecaster selection/ensemble, the full
+scientist chain, and the LLM-hook contract."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from polars_ts_spark.agents import (
+    CuratorAgent,
+    ForecasterAgent,
+    PlannerAgent,
+    ReporterAgent,
+    TimeSeriesScientist,
+)
+from polars_ts_spark.agents.curator import CurationReport, _series_diagnostics
+from polars_ts_spark.agents.planner import ForecastPlan
+
+
+def _panel(spark, n=120, n_series=3, period=7, trend=0.5, noise=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    ts = pd.date_range("2024-01-01", periods=n, freq="D")
+    frames = []
+    for i in range(n_series):
+        y = (100.0 + 10 * i + trend * np.arange(n)
+             + 10 * np.sin(2 * np.pi * np.arange(n) / period)
+             + noise * rng.normal(0, 1, n))
+        frames.append(pd.DataFrame({"unique_id": f"s{i}", "ds": ts, "y": y}))
+    return spark.createDataFrame(pd.concat(frames))
+
+
+def test_series_diagnostics_planted():
+    n = 140
+    seasonal = 20 * np.sin(2 * np.pi * np.arange(n) / 12)
+    period, _, _, _ = _series_diagnostics(seasonal)
+    assert period == 12            # autocorr peak at the planted period
+    trended = 0.8 * np.arange(n)
+    _, trend, stationary, _ = _series_diagnostics(trended)
+    assert trend                   # slope*n dwarfs the range threshold
+    assert not stationary          # trend shifts the half-means
+    flat = np.ones(50)
+    p2, t2, s2, l2 = _series_diagnostics(flat)
+    assert p2 is None and not t2 and l2 is None
+    assert not s2  # reference quirk: zero-variance var_ratio=0 flags non-stationary
+    noisy = np.random.default_rng(0).normal(0, 1, 100)
+    _, _, s3, _ = _series_diagnostics(noisy)
+    assert s3  # white noise IS stationary
+
+
+def test_curator_counts_and_clean(spark):
+    df = _panel(spark, n=60, n_series=2)
+    pdf = df.toPandas()
+    pdf.loc[pdf.index[5], "y"] = np.nan
+    pdf.loc[pdf.index[70], "y"] = 10_000.0  # >3 sigma outlier
+    df2 = spark.createDataFrame(pdf)
+    cur = CuratorAgent()
+    rep = cur.curate(df2)
+    assert rep.n_series == 2 and rep.n_observations == 120
+    assert rep.n_missing == 1 and rep.n_outliers >= 1
+    cleaned = cur.curate_and_clean(df2).toPandas()
+    assert cleaned["y"].notna().all()
+    assert cleaned["y"].max() < 10_000.0  # outlier clipped
+
+
+def test_planner_branches():
+    def rep(n_obs, n_series=1, trend=False, period=None):
+        return CurationReport(n_obs, n_series, 0, 0, period, trend, True, None, "")
+
+    short = PlannerAgent(horizon=5).plan(rep(20))
+    assert short.candidates == ["naive", "ses"] and not short.ensemble
+    rich = PlannerAgent(horizon=5).plan(rep(100, trend=True, period=7))
+    assert {"naive", "moving_average", "holt", "holt_winters", "ses"} == set(rich.candidates)
+    assert rich.ensemble and rich.config["holt_winters"]["season_length"] == 7
+    assert 3 <= rich.config["moving_average"]["window"] <= 30
+
+
+def test_forecaster_selects_and_blends(spark):
+    df = _panel(spark, n=100, trend=0.0, period=7, noise=0.5)
+    plan = ForecastPlan(candidates=["naive", "ses", "moving_average"], horizon=7,
+                        rationale="", config={"moving_average": {"window": 7}},
+                        ensemble=True)
+    res = ForecasterAgent().forecast(df, plan)
+    assert set(res.model_scores) == {"naive", "ses", "moving_average"}
+    assert res.best_model.startswith("ensemble(")
+    assert res.ensemble_weights and abs(sum(res.ensemble_weights.values()) - 1.0) < 1e-9
+    out = res.predictions.toPandas()
+    assert len(out) == 3 * 7 and out["y_hat"].notna().all()
+    # single-best path
+    plan2 = ForecastPlan(candidates=["naive", "ses"], horizon=7, rationale="")
+    res2 = ForecasterAgent().forecast(df, plan2)
+    assert res2.best_model in {"naive", "ses"} and not res2.ensemble_weights
+
+
+def test_scientist_chain_and_llm_hook(spark):
+    df = _panel(spark, n=120)
+    res = TimeSeriesScientist(horizon=5).run(df)
+    assert len(res.predictions.toPandas()) == 3 * 5
+    assert "# Forecast Report" in res.report
+    assert [h["agent"] for h in res.context.history][0] == "curator"
+
+    class FakeLLM:
+        def __init__(self):
+            self.prompts = []
+
+        def complete(self, prompt):
+            self.prompts.append(prompt)
+            return "LLM SUMMARY"
+
+    llm = FakeLLM()
+    res2 = TimeSeriesScientist(horizon=5, backend=llm).run(df)
+    assert res2.report.startswith("## Executive Summary")
+    assert any("<report>" in p for p in llm.prompts)  # injection-delimited
+
+
+def test_reporter_structure():
+    rep = CurationReport(100, 2, 0, 1, 7, True, False, 30, "sum")
+    plan = ForecastPlan(["naive", "holt"], 5, "because")
+    from polars_ts_spark.agents.forecaster import ForecastAgentResult
+
+    result = ForecastAgentResult(predictions=None, best_model="holt",
+                                 model_scores={"naive": 2.0, "holt": 1.0})
+    md = ReporterAgent().report(rep, plan, result).markdown
+    for frag in ("## Data Diagnostics", "## Model Selection",
+                 "## Forecast Results", "**Best model**: holt",
+                 "**Detected period**: 7", "**Recommended lookback**: 30"):
+        assert frag in md
