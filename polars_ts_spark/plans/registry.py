@@ -6222,12 +6222,149 @@ def q_theta(spark, sf_dir):
     return out.select("unique_id", "ds", F.round("y_hat", 4).alias("y_hat"))
 
 
-@register("agent_scientist_forecast")  # rows-only: the full agent chain
+def _agent_scientist_oracle(h: int = 7) -> str:
+    """END-TO-END oracle for the agent chain on the supplier panel:
+    re-derives the curator's decision variables (per-series autocorr
+    period + slope/range trend, majority/mode aggregated), GUARDS that
+    they select the [naive, moving_average(W), ses] ensemble branch the
+    data actually takes (any other decision path yields 0 rows → the
+    gate flags it), then replays that branch exactly: z-clip cleaning,
+    per-series tail split, the three candidate fits on train, MAE
+    scoring over the timestamp join, inverse-MAE weights in candidate
+    order, full-data refits, and the weighted blend rounded 4dp.
+    Unrealized branches (Holt/HW with dynamic period) are intentionally
+    not replicated — the guard makes taking them a detected failure,
+    and their recursions are verified by their own queries."""
+    return PANEL_CTE + f""",
+    gstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+                    CAST(COUNT(DISTINCT unique_id) AS BIGINT) AS n_series
+             FROM panel),
+    npser AS (SELECT n_obs // n_series AS n FROM gstat),
+    wnd AS (SELECT LEAST(GREATEST(n // 10, 3), 30) AS w FROM npser),
+    rser AS (SELECT unique_id, list(y ORDER BY ds) AS v,
+                    CAST(COUNT(*) AS BIGINT) AS sn
+             FROM panel GROUP BY 1),
+    diag AS (
+        SELECT unique_id,
+               CASE WHEN sn >= 5 AND (list_max(v) - list_min(v)) > 0 THEN
+                   ABS((list_sum(list_transform(generate_series(1, sn),
+                           i -> (i - 1 - (sn - 1) / 2.0) * v[i]))
+                        / (sn * (sn * sn - 1) / 12.0)) * sn)
+                   / (list_max(v) - list_min(v)) > 0.2
+               ELSE FALSE END AS trend,
+               CASE WHEN sn >= 10 AND vr > 0 AND list_max(acfs) > 0.3
+                    THEN list_indexof(acfs, list_max(acfs)) + 1
+               END AS period
+        FROM (
+            SELECT unique_id, v, sn, vr,
+                   list_transform(generate_series(2, LEAST(sn // 2, 60) - 1),
+                       lag -> list_sum(list_transform(
+                                  generate_series(1, CAST(sn - lag AS BIGINT)),
+                                  i2 -> e[i2] * e[CAST(i2 + lag AS BIGINT)])) / vr
+                   ) AS acfs
+            FROM (
+                SELECT unique_id, v, sn,
+                       list_transform(v, x -> x - list_sum(v) / sn) AS e,
+                       list_sum(list_transform(
+                           list_transform(v, x -> x - list_sum(v) / sn),
+                           x -> x * x)) AS vr
+                FROM rser
+            )
+        )
+    ),
+    guard AS (
+        SELECT (mode(period) IS NULL)
+               AND (AVG(CASE WHEN trend THEN 1.0 ELSE 0.0 END) <= 0.5)
+               AND (SELECT n FROM npser) >= 50 AS ok
+        FROM diag
+    ),
+    cstats AS (SELECT unique_id, AVG(y) AS mu, STDDEV_SAMP(y) AS sd
+               FROM panel GROUP BY 1),
+    clean AS (
+        SELECT p.unique_id, p.ds,
+               CASE WHEN s.sd IS NULL THEN p.y
+                    WHEN p.y < s.mu - 3.0 * s.sd THEN s.mu - 3.0 * s.sd
+                    WHEN p.y > s.mu + 3.0 * s.sd THEN s.mu + 3.0 * s.sd
+                    ELSE p.y END AS y
+        FROM panel p JOIN cstats s USING (unique_id)
+    ),
+    rkd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds DESC) AS rk
+            FROM clean),
+    train AS (SELECT unique_id, ds, y FROM rkd WHERE rk > {h}),
+    val AS (SELECT unique_id, ds, y FROM rkd WHERE rk <= {h}),
+    steps AS (SELECT UNNEST(generate_series(1, {h})) AS step),
+    tg AS (SELECT unique_id, max_by(y, ds) AS last_y, MAX(ds) AS last_ts,
+                  list(y ORDER BY ds) AS v, CAST(COUNT(*) AS BIGINT) AS n
+           FROM train GROUP BY 1),
+    tfreq AS (
+        SELECT unique_id,
+               CAST(CASE WHEN COUNT(d) = 0 THEN 86400 ELSE MEDIAN(d) END AS BIGINT) AS freq_s
+        FROM (SELECT unique_id,
+                     epoch(ds) - epoch(LAG(ds) OVER (PARTITION BY unique_id ORDER BY ds)) AS d
+              FROM train) GROUP BY 1
+    ),
+    tcand AS (
+        SELECT t.unique_id, t.last_ts, t.last_y AS yh_naive,
+               list_reduce(v[CAST(n - LEAST(n, w.w) + 1 AS BIGINT):CAST(n AS BIGINT)],
+                           (x, y2) -> x + y2) / LEAST(n, w.w) AS yh_ma,
+               list_sum(list_transform(generate_series(1, n), i ->
+                   CASE WHEN i = 1 THEN POW(0.7, n - 1) * v[i]
+                        ELSE 0.3 * POW(0.7, n - i) * v[i] END)) AS yh_ses
+        FROM tg t, wnd w
+    ),
+    tfut AS (
+        SELECT c.unique_id,
+               c.last_ts + INTERVAL '1 second' * (s.step * f.freq_s) AS ds,
+               c.yh_naive, c.yh_ma, c.yh_ses
+        FROM tcand c JOIN tfreq f USING (unique_id) CROSS JOIN steps s
+    ),
+    mae AS (
+        SELECT AVG(ABS(v.y - f.yh_naive)) AS m1,
+               AVG(ABS(v.y - f.yh_ma)) AS m2,
+               AVG(ABS(v.y - f.yh_ses)) AS m3
+        FROM val v JOIN tfut f ON v.unique_id = f.unique_id AND v.ds = f.ds
+    ),
+    wts AS (
+        SELECT (1.0 / m1) / (((1.0 / m1) + (1.0 / m2)) + (1.0 / m3)) AS w1,
+               (1.0 / m2) / (((1.0 / m1) + (1.0 / m2)) + (1.0 / m3)) AS w2,
+               (1.0 / m3) / (((1.0 / m1) + (1.0 / m2)) + (1.0 / m3)) AS w3
+        FROM mae
+    ),
+    fg AS (SELECT unique_id, max_by(y, ds) AS last_y, MAX(ds) AS last_ts,
+                  list(y ORDER BY ds) AS v, CAST(COUNT(*) AS BIGINT) AS n
+           FROM clean GROUP BY 1),
+    ffreq AS (
+        SELECT unique_id,
+               CAST(CASE WHEN COUNT(d) = 0 THEN 86400 ELSE MEDIAN(d) END AS BIGINT) AS freq_s
+        FROM (SELECT unique_id,
+                     epoch(ds) - epoch(LAG(ds) OVER (PARTITION BY unique_id ORDER BY ds)) AS d
+              FROM clean) GROUP BY 1
+    ),
+    fcand AS (
+        SELECT t.unique_id, t.last_ts, t.last_y AS yh_naive,
+               list_reduce(v[CAST(n - LEAST(n, w.w) + 1 AS BIGINT):CAST(n AS BIGINT)],
+                           (x, y2) -> x + y2) / LEAST(n, w.w) AS yh_ma,
+               list_sum(list_transform(generate_series(1, n), i ->
+                   CASE WHEN i = 1 THEN POW(0.7, n - 1) * v[i]
+                        ELSE 0.3 * POW(0.7, n - i) * v[i] END)) AS yh_ses
+        FROM fg t, wnd w
+    )
+    SELECT c.unique_id,
+           c.last_ts + INTERVAL '1 second' * (s.step * f.freq_s) AS ds,
+           ROUND(((c.yh_naive * t.w1) + (c.yh_ma * t.w2)) + (c.yh_ses * t.w3), 4) AS y_hat
+    FROM fcand c
+    JOIN ffreq f USING (unique_id)
+    CROSS JOIN steps s
+    CROSS JOIN wts t
+    WHERE (SELECT ok FROM guard)
+    """
+
+
+@register("agent_scientist_forecast", _agent_scientist_oracle())
 def q_agent_scientist(spark, sf_dir):
     """Curate -> plan -> forecast -> report end-to-end on the supplier
     panel; the query returns the chain's blended/selected predictions
-    (agents/scientist.py). Constituent operators (z-clip, SES/Holt/HW,
-    MAE scoring) are individually oracle-backed."""
+    (agents/scientist.py)."""
     from polars_ts_spark.agents import TimeSeriesScientist
 
     panel = supplier_daily_panel(spark, sf_dir)
