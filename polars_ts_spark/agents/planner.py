@@ -1,19 +1,19 @@
-"""PlannerAgent: heuristic candidate-model selection
-(ref agents/planner.py:25-119). Pure driver logic over the curation
-report's scalars — no data access."""
+"""PlannerAgent: heuristic candidate-model selection (behavioral
+parity with ref agents/planner.py:56-119, expressed as a RULE TABLE:
+each rule is (condition over the report, candidate, config builder,
+rationale)). Pure driver logic over the curation report's scalars —
+no data access."""
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
 from polars_ts_spark.agents.curator import CurationReport
-from polars_ts_spark.agents.protocol import LLMBackend, RuleBasedBackend
+from polars_ts_spark.agents.protocol import LLMBackend, RuleBasedBackend, _wants_llm
 
 
 @dataclass
 class ForecastPlan:
-    """Model selection plan (planner.py:14-21)."""
-
     candidates: list[str]
     horizon: int
     rationale: str
@@ -21,11 +21,33 @@ class ForecastPlan:
     ensemble: bool = False
 
 
+def _ma_window(n: int) -> int:
+    return min(max(n // 10, 3), 30)
+
+
+# (predicate(n, report), model name, config builder, rationale builder)
+_RULES = [
+    (lambda n, r: True, "naive", None,
+     lambda n, r: "Naive baseline for comparison."),
+    (lambda n, r: n < 30, "ses", None,
+     lambda n, r: "Short series — SES is robust."),
+    (lambda n, r: n >= 30, "moving_average",
+     lambda n, r: {"window": _ma_window(n)},
+     lambda n, r: f"Moving average (window={_ma_window(n)}) for smoothed baseline."),
+    (lambda n, r: n >= 30 and r.has_trend, "holt", None,
+     lambda n, r: "Trend detected — Holt's method appropriate."),
+    (lambda n, r: n >= 30 and r.detected_period is not None, "holt_winters",
+     lambda n, r: {"season_length": r.detected_period},
+     lambda n, r: (f"Seasonality (period={r.detected_period}) — "
+                   "Holt-Winters for trend+seasonal.")),
+    (lambda n, r: n >= 50, "ses", None,
+     lambda n, r: "SES as additional candidate for longer series."),
+]
+
+
 class PlannerAgent:
-    """Selects candidates from data characteristics (planner.py:56-119):
-    naive always; SES for short series; moving average (adaptive
-    window), Holt on trend, Holt-Winters on a detected period, SES
-    again for long series; ensemble at 3+ candidates."""
+    """Walks the rule table top to bottom; 3+ selected candidates turn
+    on inverse-MAE ensembling downstream."""
 
     def __init__(self, backend: LLMBackend | None = None, horizon: int = 10):
         self.backend = backend or RuleBasedBackend()
@@ -33,38 +55,27 @@ class PlannerAgent:
 
     def plan(self, curation: CurationReport) -> ForecastPlan:
         n = curation.n_observations // max(curation.n_series, 1)
-        candidates, why = ["naive"], ["Naive baseline for comparison."]
+        candidates: list[str] = []
         config: dict[str, dict] = {}
-        if n < 30:
-            candidates.append("ses")
-            why.append("Short series — SES is robust.")
-        else:
-            window = min(max(n // 10, 3), 30)
-            candidates.append("moving_average")
-            config["moving_average"] = {"window": window}
-            why.append(f"Moving average (window={window}) for smoothed baseline.")
-            if curation.has_trend:
-                candidates.append("holt")
-                why.append("Trend detected — Holt's method appropriate.")
-            if curation.detected_period is not None:
-                candidates.append("holt_winters")
-                config["holt_winters"] = {"season_length": curation.detected_period}
-                why.append(f"Seasonality (period={curation.detected_period}) — "
-                           "Holt-Winters for trend+seasonal.")
-            if n >= 50:
-                candidates.append("ses")
-                why.append("SES as additional candidate for longer series.")
+        why: list[str] = []
+        for pred, name, cfg, reason in _RULES:
+            if not pred(n, curation):
+                continue
+            candidates.append(name)
+            if cfg is not None:
+                config[name] = cfg(n, curation)
+            why.append(reason(n, curation))
         ensemble = len(candidates) >= 3
         if ensemble:
             why.append("3+ candidates — ensemble enabled for adaptive combination.")
         rationale = " ".join(why)
-        if not isinstance(self.backend, RuleBasedBackend):
-            llm = self.backend.complete(
+        if _wants_llm(self.backend):
+            guided = self.backend.complete(
                 f"Given: {n} obs/series over {curation.n_series} series, "
                 f"trend={curation.has_trend}, period={curation.detected_period}, "
                 f"stationary={curation.is_stationary}; candidates {candidates}. "
                 "Provide a brief rationale for this model selection.")
-            if llm:
-                rationale = llm
+            if guided:
+                rationale = guided
         return ForecastPlan(candidates=candidates, horizon=self.horizon,
                             rationale=rationale, config=config, ensemble=ensemble)
