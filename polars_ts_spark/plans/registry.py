@@ -5198,13 +5198,89 @@ def q_event_window_agg(spark, sf_dir):
     return tumbling_event_aggregate(user_event_panel(spark, sf_dir), "1 hour")
 
 
-@register("streaming_global_forecast")  # driver online model: rows-only
+_STREAMING_GLOBAL_ORACLE = """
+WITH RECURSIVE daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM daily_cents
+        WHERE CAST(unique_id AS BIGINT) % 5 = 0
+        GROUP BY 1, 2
+    ),
+    rows0 AS (
+        SELECT unique_id, y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+               LAG(y, 1) OVER (PARTITION BY unique_id ORDER BY ds) AS l1,
+               LAG(y, 2) OVER (PARTITION BY unique_id ORDER BY ds) AS l2
+        FROM monthly
+    ),
+    -- the NLMS sample stream: per-series rows from the 3rd value on,
+    -- in the (id ASC, time ASC) global order the class consumes
+    samples AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY unique_id, rn) AS t, l1, l2, y AS yt
+        FROM rows0 WHERE rn >= 3
+    ),
+    nsmp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM samples),
+    -- one recursion step per sample, replaying OnlineSGDRegressor's
+    -- float op order exactly: pred = (l1*w1 + l2*w2) + b; err; norm =
+    -- 1 + (l1^2 + l2^2); w_i -= lr*((err*l_i)/norm + 0.0*w_i);
+    -- b -= (lr*err)/norm
+    sgd AS (
+        SELECT CAST(0 AS BIGINT) AS t, CAST(0.0 AS DOUBLE) AS w1,
+               CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS b
+        UNION ALL
+        SELECT g.t + 1,
+               g.w1 - 0.01 * (((((s.l1 * g.w1 + s.l2 * g.w2) + g.b) - s.yt) * s.l1)
+                              / (1.0 + (s.l1 * s.l1 + s.l2 * s.l2)) + 0.0 * g.w1),
+               g.w2 - 0.01 * (((((s.l1 * g.w1 + s.l2 * g.w2) + g.b) - s.yt) * s.l2)
+                              / (1.0 + (s.l1 * s.l1 + s.l2 * s.l2)) + 0.0 * g.w2),
+               g.b - (0.01 * (((s.l1 * g.w1 + s.l2 * g.w2) + g.b) - s.yt))
+                     / (1.0 + (s.l1 * s.l1 + s.l2 * s.l2))
+        FROM sgd g JOIN samples s ON s.t = g.t + 1
+    ),
+    wfin AS (SELECT w1, w2, b FROM sgd, nsmp WHERE t = n),
+    tails AS (
+        SELECT unique_id, max_by(y, rn) AS p1,
+               max_by(l1, rn) AS p2
+        FROM rows0 GROUP BY 1
+    ),
+    fc AS (
+        SELECT t.unique_id,
+               ((t.p1 * w.w1 + t.p2 * w.w2) + w.b) AS s1,
+               t.p1, t.p2, w.w1, w.w2, w.b
+        FROM tails t CROSS JOIN wfin w
+    ),
+    fc2 AS (SELECT *, ((s1 * w1 + p1 * w2) + b) AS s2 FROM fc),
+    fc3 AS (SELECT *, ((s2 * w1 + s1 * w2) + b) AS s3 FROM fc2)
+    SELECT unique_id, 1 AS step, ROUND(s1, 2) AS y_hat FROM fc3
+    UNION ALL
+    SELECT unique_id, 2, ROUND(s2, 2) FROM fc3
+    UNION ALL
+    SELECT unique_id, 3, ROUND(s3, 2) FROM fc3
+"""
+
+
+@register("streaming_global_forecast", _STREAMING_GLOBAL_ORACLE)
 def q_streaming_global(spark, sf_dir):
+    """Global online NLMS over per-series lag buffers. Runs on the
+    exact-cents monthly panel restricted to every 5th supplier so both
+    engines fold a bit-identical BOUNDED sample stream — the oracle
+    replays every weight update in one recursion (one step per
+    sample), and an unbounded stream would take the DuckDB recursion
+    quadratic scan time. The operator itself has no such bound."""
     from polars_ts_spark.streaming.online import StreamingGlobalForecaster
-    panel = supplier_daily_panel(spark, sf_dir)
+    panel = _monthly_panel_exact(spark, sf_dir).filter(
+        F.col("unique_id").cast("long") % 5 == 0)
     m = StreamingGlobalForecaster(lags=(1, 2), window_size=60)
     m.partial_fit(panel)
-    return spark.createDataFrame(m.predict(3))
+    pdf = m.predict(3)
+    pdf["y_hat"] = pdf["y_hat"].round(2)
+    return spark.createDataFrame(pdf)
 
 
 # ---------------------------------------------------------------------------
