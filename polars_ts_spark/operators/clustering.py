@@ -1025,7 +1025,9 @@ def shapelet_cluster(
                     f"cast({target_col} as double) as v))), s -> s.v)").alias("vals"))
         .collect()
     )
-    ids = [r[id_col] for r in rows]
+    # sorted ids: the candidate scan order (and thus strict-> argmax
+    # tie-breaks) must not depend on Spark's collect order
+    ids = sorted(r[id_col] for r in rows)
     series = {r[id_col]: np.asarray(r["vals"], float) for r in rows}
     unassigned = list(ids)
     labels: dict[str, int] = {}

@@ -7320,10 +7320,155 @@ def q_fourier_decomp(spark, sf_dir):
     )
 
 
-@register("shapelet_cluster")  # rows-only
+def _shapelet_oracle(L: int = 8, nc: int = 4) -> str:
+    """U-shapelet (k=2) replay, fully RELATIONAL (no recursion): every
+    candidate subsequence (series × linspace starts) is z-normalized;
+    the sliding z-normalized distance to every series uses the identity
+    sum((Wz - s)^2) = L·[w non-const] + L·[s non-const]
+                      - 2·(sum(w·s) - mu_w·sum(s)) / sd_w
+    — the cross-term is ONE convolution join (candidate elements ×
+    series positions, GROUP BY window), window mu/sd come from fixed
+    window-frame aggregates (L=8 is a power of two, so a constant
+    window's variance is EXACTLY zero on both engines). The gap
+    statistic scans split points over rank-ordered distances via
+    running sums; argmaxes replicate the kernel's first-strict-max
+    scan order (sid asc, start asc). Values differ from numpy's direct
+    path by reassociation ulps only — every DECISION (argmax, mid-gap
+    threshold membership) sits on data-scale margins, the same
+    robustness contract as the PAM replays."""
+    return f"""
+WITH daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM daily_cents GROUP BY 1, 2
+    ),
+    orows AS (
+        SELECT unique_id AS sid, y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn
+        FROM monthly
+    ),
+    vser AS (SELECT sid, list(y ORDER BY rn) AS v, CAST(COUNT(*) AS BIGINT) AS n
+             FROM orows GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM vser),
+    -- window stats per (series, start j): fixed L-frame aggregates
+    wstats AS (
+        SELECT sid, rn AS j,
+               AVG(y) OVER wf AS mu,
+               AVG(y * y) OVER wf AS m2,
+               COUNT(*) OVER wf AS wcnt
+        FROM orows
+        WINDOW wf AS (PARTITION BY sid ORDER BY rn
+                      ROWS BETWEEN CURRENT ROW AND {L - 1} FOLLOWING)
+    ),
+    wok AS (
+        SELECT sid, j, mu,
+               SQRT(GREATEST(m2 - mu * mu, 0.0)) AS sd
+        FROM wstats WHERE wcnt = {L}
+    ),
+    -- candidates: every series x linspace(0, n-L, nc) starts
+    cands AS (
+        SELECT sid AS csid, ci,
+               CAST(TRUNC(ci * ((n - {L}) / {nc - 1}.0)) AS BIGINT) AS st,
+               v, n
+        FROM vser, (SELECT UNNEST(generate_series(0, {nc - 1})) AS ci)
+        WHERE n > {L}
+    ),
+    cshp AS (
+        SELECT csid, ci, st,
+               list_transform(v[st + 1:st + {L}], x -> x - sm) AS cen,
+               CASE WHEN sstd = 0 THEN 1.0 ELSE sstd END AS sdiv,
+               CASE WHEN sstd = 0 THEN 0.0 ELSE CAST({L} AS DOUBLE) END AS a_s
+        FROM (
+            SELECT *, SQRT(list_sum(list_transform(v[st + 1:st + {L}],
+                       x -> (x - sm) * (x - sm))) / {L}) AS sstd
+            FROM (SELECT *, list_sum(v[st + 1:st + {L}]) / {L} AS sm FROM cands)
+        )
+    ),
+    celem AS (
+        SELECT csid, ci, st, a_s, e,
+               cen[e] / sdiv AS se
+        FROM cshp, (SELECT UNNEST(generate_series(1, {L})) AS e)
+    ),
+    csum0 AS (SELECT csid, ci, st, a_s, list_sum(list_transform(
+                  generate_series(1, {L}), e2 -> cen[e2] / sdiv)) AS ssum
+              FROM cshp),
+    -- cross-term convolution: contribution of candidate element e to
+    -- window j = pos - e + 1 of every series
+    conv AS (
+        SELECT c.csid, c.ci, c.st, o.sid, o.rn - c.e + 1 AS j,
+               SUM(c.se * o.y) AS cs
+        FROM celem c JOIN orows o ON o.rn - c.e + 1 >= 1
+        GROUP BY 1, 2, 3, 4, 5
+    ),
+    dists AS (
+        SELECT c.csid, c.ci, c.st, c.sid,
+               SQRT(GREATEST(MIN(
+                   (CASE WHEN w.sd = 0 THEN 0.0 ELSE CAST({L} AS DOUBLE) END
+                    + s0.a_s)
+                   - 2.0 * (c.cs - w.mu * s0.ssum)
+                     / (CASE WHEN w.sd = 0 THEN 1.0 ELSE w.sd END)
+               ), 0.0) / {L}) AS d
+        FROM conv c
+        JOIN wok w ON w.sid = c.sid AND w.j = c.j
+        JOIN csum0 s0 ON s0.csid = c.csid AND s0.ci = c.ci AND s0.st = c.st
+        GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY csid, ci, st ORDER BY d, sid) AS rk,
+               SUM(d) OVER (PARTITION BY csid, ci, st ORDER BY d, sid) AS p1,
+               SUM(d * d) OVER (PARTITION BY csid, ci, st ORDER BY d, sid) AS p2,
+               SUM(d) OVER (PARTITION BY csid, ci, st) AS t1,
+               SUM(d * d) OVER (PARTITION BY csid, ci, st) AS t2
+        FROM dists
+    ),
+    gaps AS (
+        SELECT csid, ci, st, rk AS kk,
+               ((t1 - p1) / (ns - rk)
+                - SQRT(GREATEST((t2 - p2) / (ns - rk)
+                                - ((t1 - p1) / (ns - rk)) * ((t1 - p1) / (ns - rk)), 0.0)))
+               - (p1 / rk + SQRT(GREATEST(p2 / rk - (p1 / rk) * (p1 / rk), 0.0))) AS gap,
+               (d + dnext) / 2.0 AS thr
+        FROM (SELECT *, LEAD(d) OVER (PARTITION BY csid, ci, st ORDER BY d, sid) AS dnext
+              FROM ranked), nn
+        WHERE rk >= GREATEST(2, ns // 5) AND rk <= LEAST(ns - 2, 4 * ns // 5)
+    ),
+    candbest AS (
+        SELECT csid, ci, st, gap, thr FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY csid, ci, st
+                ORDER BY gap DESC, kk) AS brk
+            FROM gaps
+        ) WHERE brk = 1
+    ),
+    best AS (
+        SELECT csid, ci, st, thr FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY gap DESC, csid, ci) AS gbk
+            FROM candbest
+        ) WHERE gbk = 1
+    ),
+    members AS (
+        SELECT d.sid, d.d <= b.thr AS m
+        FROM dists d JOIN best b
+          ON d.csid = b.csid AND d.ci = b.ci AND d.st = b.st
+    ),
+    mcount AS (SELECT SUM(CASE WHEN m THEN 1 ELSE 0 END) AS nm FROM members)
+    SELECT m.sid AS unique_id,
+           CAST(CASE WHEN c.nm = 0 OR c.nm = n2.ns THEN 1
+                     WHEN m.m THEN 0 ELSE 1 END AS INT) AS cluster
+    FROM members m, mcount c, nn n2
+    """
+
+
+@register("shapelet_cluster", _shapelet_oracle())
 def q_shapelet(spark, sf_dir):
     from polars_ts_spark.operators import clustering
-    return clustering.shapelet_cluster(_monthly_panel(spark, sf_dir), k=2, shapelet_lengths=(8,))
+    return clustering.shapelet_cluster(
+        _monthly_panel_exact(spark, sf_dir), k=2, shapelet_lengths=(8,))
 
 
 # ---------------------------------------------------------------------------
