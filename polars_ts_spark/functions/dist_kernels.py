@@ -122,10 +122,16 @@ def dtw_batch(A: np.ndarray, B: np.ndarray) -> np.ndarray:
 
 
 def dtw_sakoe_chiba_batch(A: np.ndarray, B: np.ndarray, window: int = 10) -> np.ndarray:
-    """Band |i-j| <= max(window, |n-m|) (dtw.rs:32-55)."""
+    """Band |i-j| <= max(window, |n-m|) (dtw.rs:32-55). Routes to the
+    bit-identical C fast path when built."""
+    from polars_ts_spark.functions import native
+
     k, n = A.shape
     m = B.shape[1]
     w = max(window, abs(n - m))
+    nat = native.dtw_band_pairs(A, B, w)
+    if nat is not None:
+        return nat
     row0 = np.full((k, m + 1), INF); row0[:, 0] = 0.0
     col0 = np.full((k, n + 1), INF); col0[:, 0] = 0.0
 
@@ -140,10 +146,16 @@ def dtw_sakoe_chiba_batch(A: np.ndarray, B: np.ndarray, window: int = 10) -> np.
 
 
 def dtw_itakura_batch(A: np.ndarray, B: np.ndarray, max_slope: float = 2.0) -> np.ndarray:
-    """Itakura parallelogram constraint (dtw.rs:58-86)."""
+    """Itakura parallelogram constraint (dtw.rs:58-86). Routes to the
+    bit-identical C fast path when built."""
+    from polars_ts_spark.functions import native
+
     k, n = A.shape
     m = B.shape[1]
     s = float(max_slope)
+    nat = native.dtw_itakura_pairs(A, B, s)
+    if nat is not None:
+        return nat
     row0 = np.full((k, m + 1), INF); row0[:, 0] = 0.0
     col0 = np.full((k, n + 1), INF); col0[:, 0] = 0.0
 

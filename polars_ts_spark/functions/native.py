@@ -78,6 +78,58 @@ static inline double msm_cost(double x, double y, double z, double c) {
     return c + dmin(dy, dz);
 }
 
+/* Sakoe-Chiba banded DTW: cell = |i-j| <= w ? |a-b| + min3 : INF
+   (dist_kernels.dtw_sakoe_chiba_batch; w = max(window, |n-m|) is
+   applied by the caller). */
+void dtw_band_pairs(const double *A, const double *B, double *out,
+                    long k, long n, long m, long w, double *work) {
+    double *prev = work, *cur = work + (m + 1);
+    for (long p = 0; p < k; p++) {
+        const double *a = A + p * n, *b = B + p * m;
+        prev[0] = 0.0;
+        for (long j = 1; j <= m; j++) prev[j] = INFINITY;
+        for (long i = 1; i <= n; i++) {
+            cur[0] = INFINITY;
+            const double ai = a[i - 1];
+            for (long j = 1; j <= m; j++) {
+                long dij = i - j; if (dij < 0) dij = -dij;
+                if (dij > w) { cur[j] = INFINITY; continue; }
+                cur[j] = fabs(ai - b[j - 1])
+                         + dmin(dmin(prev[j], cur[j - 1]), prev[j - 1]);
+            }
+            double *tmp = prev; prev = cur; cur = tmp;
+        }
+        out[p] = prev[m];
+    }
+}
+
+/* Itakura parallelogram DTW (dist_kernels.dtw_itakura_batch):
+   in-region iff j <= s*i && i <= s*j && (n-i) <= s*(m-j)+s
+   && (m-j) <= s*(n-i)+s. */
+void dtw_itakura_pairs(const double *A, const double *B, double *out,
+                       long k, long n, long m, double s, double *work) {
+    double *prev = work, *cur = work + (m + 1);
+    for (long p = 0; p < k; p++) {
+        const double *a = A + p * n, *b = B + p * m;
+        prev[0] = 0.0;
+        for (long j = 1; j <= m; j++) prev[j] = INFINITY;
+        for (long i = 1; i <= n; i++) {
+            cur[0] = INFINITY;
+            const double ai = a[i - 1];
+            for (long j = 1; j <= m; j++) {
+                int ok = (j <= s * i) && (i <= s * j)
+                         && ((n - i) <= s * (m - j) + s)
+                         && ((m - j) <= s * (n - i) + s);
+                if (!ok) { cur[j] = INFINITY; continue; }
+                cur[j] = fabs(ai - b[j - 1])
+                         + dmin(dmin(prev[j], cur[j - 1]), prev[j - 1]);
+            }
+            double *tmp = prev; prev = cur; cur = tmp;
+        }
+        out[p] = prev[m];
+    }
+}
+
 /* LCSS raw length, padded grid (dist_kernels.lcss_batch op order):
    cell = |a-b| <= eps ? diag + 1 : max(up, left); zero boundaries. */
 void lcss_pairs(const double *A, const double *B, double *out,
@@ -324,6 +376,11 @@ def _load():
                                   ctypes.c_long, ctypes.c_double, dp]
         lib.lcss_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
                                    ctypes.c_long, ctypes.c_double, dp]
+        lib.dtw_band_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
+                                       ctypes.c_long, ctypes.c_long, dp]
+        lib.dtw_itakura_pairs.argtypes = [dp, dp, dp, ctypes.c_long,
+                                          ctypes.c_long, ctypes.c_long,
+                                          ctypes.c_double, dp]
         lib.edr_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
                                   ctypes.c_long, ctypes.c_double, dp]
         lib.wdtw_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
@@ -363,6 +420,42 @@ def dtw_pairs(A: np.ndarray, B: np.ndarray) -> np.ndarray | None:
     dp = ctypes.POINTER(ctypes.c_double)
     lib.dtw_pairs(A.ctypes.data_as(dp), B.ctypes.data_as(dp),
                   out.ctypes.data_as(dp), k, n, m, work.ctypes.data_as(dp))
+    return out
+
+
+def dtw_band_pairs(A: np.ndarray, B: np.ndarray, w: int) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    A, B = _prep(A, B)
+    k, n = A.shape
+    m = B.shape[1]
+    if n == 0 or m == 0:
+        return None
+    out = np.empty(k)
+    work = np.empty(2 * (m + 1))
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.dtw_band_pairs(A.ctypes.data_as(dp), B.ctypes.data_as(dp),
+                       out.ctypes.data_as(dp), k, n, m, int(w),
+                       work.ctypes.data_as(dp))
+    return out
+
+
+def dtw_itakura_pairs(A: np.ndarray, B: np.ndarray, s: float) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    A, B = _prep(A, B)
+    k, n = A.shape
+    m = B.shape[1]
+    if n == 0 or m == 0:
+        return None
+    out = np.empty(k)
+    work = np.empty(2 * (m + 1))
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.dtw_itakura_pairs(A.ctypes.data_as(dp), B.ctypes.data_as(dp),
+                          out.ctypes.data_as(dp), k, n, m, ctypes.c_double(s),
+                          work.ctypes.data_as(dp))
     return out
 
 
