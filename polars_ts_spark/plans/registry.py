@@ -6436,6 +6436,60 @@ def _agent_scientist_oracle(h: int = 7) -> str:
     """
 
 
+def _anomaly_consensus_oracle(ws: int = 20, zt: float = 3.0, st_: float = 3.0,
+                              mt: float = 3.5) -> str:
+    """Multi-agent anomaly consensus replay: the trailing context is a
+    window list; mean/std are the same sequential folds the Spark plan
+    uses (aggregate from 0.0 == list_reduce from x1), medians/MAD are
+    exact order statistics of the sorted (transformed) list, votes are
+    the same CASE sum."""
+    m = ws - 1
+    mid = (m + 1) // 2
+    mean = f"list_reduce(ctx, (a, x) -> a + x) / {m}"
+    sd = (f"sqrt(list_reduce(list_transform(ctx, x -> (x - ({mean})) * (x - ({mean}))), "
+          f"(a, b) -> a + b) / {m})")
+    med = f"list_sort(ctx)[{mid}]"
+    mad = f"list_sort(list_transform(ctx, x -> abs(x - ({med}))))[{mid}]"
+    z = f"abs(y - ({mean})) / (({sd}) + 1e-10)"
+    ss = f"abs(y - ({med})) / (({sd}) + 1e-10)"
+    ms = f"0.6745 * abs(y - ({med})) / (({mad}) + 1e-10)"
+    votes = (f"(CASE WHEN ({z}) > {zt!r} THEN 1 ELSE 0 END"
+             f" + CASE WHEN ({ss}) > {st_!r} THEN 1 ELSE 0 END"
+             f" + CASE WHEN ({ms}) > {mt!r} THEN 1 ELSE 0 END)")
+    return PANEL_CTE + f""",
+    ctxd AS (
+        SELECT unique_id, ds, y,
+               list(y) OVER (PARTITION BY unique_id ORDER BY ds
+                             ROWS BETWEEN {m} PRECEDING AND 1 PRECEDING) AS ctx,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn
+        FROM panel
+    )
+    SELECT unique_id, ds,
+           ROUND({z}, 6) AS z_score,
+           ROUND({ss}, 6) AS std_score,
+           ROUND({ms}, 6) AS mad_score,
+           ({votes}) > 1.5 AS is_anomaly
+    FROM ctxd WHERE rn >= {ws}
+    """
+
+
+@register("anomaly_consensus", _anomaly_consensus_oracle())
+def q_anomaly_consensus(spark, sf_dir):
+    """Distributed multi-detector anomaly consensus
+    (agents/anomaly.py): z-score + median-deviation + MAD agents
+    voting per row over trailing windows."""
+    from polars_ts_spark.agents.anomaly import consensus_anomalies
+
+    out = consensus_anomalies(supplier_daily_panel(spark, sf_dir))
+    return out.select(
+        "unique_id", "ds",
+        F.round("z_score", 6).alias("z_score"),
+        F.round("std_score", 6).alias("std_score"),
+        F.round("mad_score", 6).alias("mad_score"),
+        "is_anomaly",
+    )
+
+
 @register("agent_scientist_forecast", _agent_scientist_oracle())
 def q_agent_scientist(spark, sf_dir):
     """Curate -> plan -> forecast -> report end-to-end on the supplier

@@ -124,3 +124,40 @@ def test_reporter_structure():
                  "## Forecast Results", "**Best model**: holt",
                  "**Detected period**: 7", "**Recommended lookback**: 30"):
         assert frag in md
+
+
+def test_anomaly_agents_scalar_and_distributed(spark):
+    """The three detector agents flag a planted spike; the distributed
+    consensus plan agrees with the scalar agents at the spike row."""
+    from polars_ts_spark.agents.anomaly import (
+        AnomalyOrchestrator,
+        ConsensusAgent,
+        MADAgent,
+        RollingStdAgent,
+        ZScoreAgent,
+        consensus_anomalies,
+    )
+
+    rng = np.random.default_rng(4)
+    n = 80
+    y = 10 + rng.normal(0, 1, n)
+    y[60] = 60.0  # planted spike
+    win = np.concatenate([y[41:60], [y[60]]])  # trailing 19 + value
+    for agent in (ZScoreAgent(), RollingStdAgent(), MADAgent()):
+        score, flag = agent.detect(win)
+        assert flag and score > 3.0
+    normal_win = np.concatenate([y[20:39], [y[39]]])
+    flags = [a.detect(normal_win)[1] for a in (ZScoreAgent(), RollingStdAgent(), MADAgent())]
+    assert not ConsensusAgent("majority").decide(flags, [0.0] * 3)
+    assert ConsensusAgent("any").decide([True, False, False], [0.0] * 3)
+    assert ConsensusAgent("weighted", [0.7, 0.2, 0.1]).decide(
+        [True, False, False], [0.0] * 3)
+
+    ts = pd.date_range("2024-01-01", periods=n, freq="D")
+    df = spark.createDataFrame(pd.DataFrame({"unique_id": "s", "ds": ts, "y": y}))
+    out = consensus_anomalies(df).toPandas().set_index("ds")
+    spike_day = ts[60]
+    assert bool(out.loc[spike_day, "is_anomaly"])
+    assert int(out["is_anomaly"].sum()) <= 3  # spike (+ shadowed neighbors at most)
+    res = AnomalyOrchestrator().run(df)
+    assert res.history and res.detections.count() == n - 19
