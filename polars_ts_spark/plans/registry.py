@@ -6490,6 +6490,49 @@ def q_anomaly_consensus(spark, sf_dir):
     )
 
 
+_ENERGY_GRID_ORACLE = PANEL_CTE + """,
+    rk AS (
+        SELECT unique_id, y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds DESC) AS r
+        FROM panel
+    ),
+    hh AS (
+        SELECT unique_id, CAST((7 - r) % 7 AS INT) AS ds, y AS y_hat
+        FROM rk WHERE r <= 7
+    ),
+    gr AS (
+        SELECT 'grid_' || CAST(CAST(unique_id AS BIGINT) % 3 AS VARCHAR) AS unique_id,
+               ds, SUM(y_hat) AS y_hat
+        FROM hh GROUP BY 1, 2
+    ),
+    rg AS (SELECT 'region' AS unique_id, ds, SUM(y_hat) AS y_hat FROM hh GROUP BY 1, 2)
+    SELECT unique_id, ds, ROUND(y_hat, 4) AS y_hat FROM hh
+    UNION ALL
+    SELECT unique_id, ds, ROUND(y_hat, 4) FROM gr
+    UNION ALL
+    SELECT unique_id, ds, ROUND(y_hat, 4) FROM rg
+    """
+
+
+@register("energy_grid_forecast", _ENERGY_GRID_ORACLE)
+def q_energy_grid(spark, sf_dir):
+    """Hierarchical energy-style demand chain (agents/energy.py):
+    suppliers as households bucketed into grids, seasonal-naive
+    per-household forecasts reconciled bottom-up to grid/region. The
+    oracle re-derives the last-cycle tiling and the rollup sums."""
+    from polars_ts_spark.agents.energy import EnergyGridOrchestrator, GridHierarchy
+
+    panel = supplier_daily_panel(spark, sf_dir)
+    ids = sorted(r[0] for r in panel.select("unique_id").distinct().collect())
+    structure: dict[str, list[str]] = {}
+    for s in ids:
+        structure.setdefault(f"grid_{int(s) % 3}", []).append(s)
+    hier = GridHierarchy("region", structure)
+    res = EnergyGridOrchestrator(season=7, horizon=7).run(panel, hier)
+    return res.reconciled.select(
+        "unique_id", "ds", F.round("y_hat", 4).alias("y_hat"))
+
+
 @register("agent_scientist_forecast", _agent_scientist_oracle())
 def q_agent_scientist(spark, sf_dir):
     """Curate -> plan -> forecast -> report end-to-end on the supplier

@@ -161,3 +161,48 @@ def test_anomaly_agents_scalar_and_distributed(spark):
     assert int(out["is_anomaly"].sum()) <= 3  # spike (+ shadowed neighbors at most)
     res = AnomalyOrchestrator().run(df)
     assert res.history and res.detections.count() == n - 19
+
+
+def test_energy_grid_orchestrator(spark):
+    from polars_ts_spark.agents.energy import (
+        DemandForecastAgent,
+        DemandResponseAgent,
+        EnergyGridOrchestrator,
+        GridHierarchy,
+        WeatherContextAgent,
+    )
+
+    # scalar agents: seasonal repeat, mean fallback, degree-day shape,
+    # energy-conserving peak shaving
+    fc = DemandForecastAgent(season=4).forecast(np.array([1.0, 2, 3, 4, 5, 6, 7, 8]), 6)
+    assert fc.tolist() == [5, 6, 7, 8, 5, 6]
+    assert DemandForecastAgent(season=10).forecast(np.array([2.0, 4.0]), 3).tolist() == [3, 3, 3]
+    adj = WeatherContextAgent().adjust(np.zeros(3), np.array([18.0, 28.0, 8.0]))
+    assert adj.tolist() == [0.0, 20.0, 30.0]
+    shifted, energy = DemandResponseAgent(capacity=5.0).optimize(
+        np.array([1.0, 8.0, 2.0, 1.0]))
+    assert energy == pytest.approx(3.0)
+    assert shifted.max() <= 5.0 + 1e-9
+    assert shifted.sum() == pytest.approx(12.0)
+
+    # distributed chain: two grids x two households, 8-step histories
+    hier = GridHierarchy("region", {"g1": ["h1", "h2"], "g2": ["h3"]})
+    ts = pd.date_range("2024-01-01", periods=8, freq="h")
+    frames = [pd.DataFrame({"unique_id": h, "ds": ts, "y": base + np.arange(8) % 4})
+              for h, base in (("h1", 10.0), ("h2", 20.0), ("h3", 30.0))]
+    panel = spark.createDataFrame(pd.concat(frames))
+    res = EnergyGridOrchestrator(season=4, horizon=4).run(
+        panel, hier, generation=np.full(4, 5.0), capacity=70.0)
+    out = res.reconciled.toPandas()
+    piv = out.pivot(index="ds", columns="unique_id", values="y_hat")
+    # coherence: region == g1 + g2 == h1 + h2 + h3 at every step
+    assert np.allclose(piv["region"], piv[["h1", "h2", "h3"]].sum(axis=1))
+    assert np.allclose(piv["g1"], piv[["h1", "h2"]].sum(axis=1))
+    # seasonal naive at household level: last cycle repeats
+    assert np.allclose(piv["h1"].to_numpy(), 10.0 + np.arange(4) % 4)
+    # renewables netted off the region profile
+    assert np.allclose(res.region_net_demand,
+                       piv["region"].to_numpy() - 5.0)
+    with pytest.raises(ValueError, match="missing histories"):
+        EnergyGridOrchestrator(season=4, horizon=4).run(
+            panel, GridHierarchy("region", {"g1": ["h1", "nope"]}))
