@@ -6514,6 +6514,101 @@ _ENERGY_GRID_ORACLE = PANEL_CTE + """,
     """
 
 
+def _supply_chain_oracle(h: int = 7) -> str:
+    """Supply-chain chain replay: last-cycle baseline, diff-in-means
+    promo lift (day-of-month <= 10 flag), scheduled lift application,
+    base-stock reorder scalars and the two-echelon EWMA bullwhip —
+    all sequential-arithmetic over the 7 wide step columns, mirroring
+    the kernel's numpy ops (n=7 sums are sequential on both sides)."""
+    sw = ", ".join(
+        f"MAX(CASE WHEN step = {k} THEN s END) AS s{k}" for k in range(h))
+    # EWMA echelons: e*_0 = 0.5*s0 + 0.5*s0; e*_i = 0.5*v_i + 0.5*e*_{i-1}
+    e1 = ["0.5 * s0 + 0.5 * s0 AS e1_0"] + [
+        f"0.5 * s{i} + 0.5 * e1_{i - 1} AS e1_{i}" for i in range(1, h)]
+    e2 = ["0.5 * e1_0 + 0.5 * e1_0 AS e2_0"] + [
+        f"0.5 * e1_{i} + 0.5 * e2_{i - 1} AS e2_{i}" for i in range(1, h)]
+    chain = ""
+    for exprs in (e1, e2):
+        for e in exprs:
+            chain = f"SELECT *, {e} FROM ({chain})" if chain else \
+                f"SELECT *, {e} FROM wide"
+    seq_sum = lambda pre: " + ".join(f"{pre}{k}" for k in range(h))  # noqa: E731
+    mean_s = f"(({seq_sum('s')}) / {h}.0)"
+    var_s = ("((" + " + ".join(f"(s{k} - {mean_s}) * (s{k} - {mean_s})"
+                               for k in range(h)) + f") / {h}.0)")
+    mean_e = f"(({seq_sum('e2_')}) / {h}.0)"
+    var_e = ("((" + " + ".join(f"(e2_{k} - {mean_e}) * (e2_{k} - {mean_e})"
+                               for k in range(h)) + f") / {h}.0)")
+    return PANEL_CTE + f""",
+    rk AS (
+        SELECT unique_id, y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds DESC) AS r
+        FROM panel
+    ),
+    cyc AS (SELECT unique_id, CAST((7 - r) % 7 AS INT) AS step, y
+            FROM rk WHERE r <= 7),
+    lift AS (
+        SELECT unique_id,
+               CASE WHEN np_ > 0 AND nb_ > 0 AND mb > 0
+                    THEN mp / mb - 1.0 ELSE 0.0 END AS lift
+        FROM (
+            SELECT unique_id,
+                   AVG(CASE WHEN EXTRACT(day FROM ds) <= 10 THEN y END) AS mp,
+                   SUM(CASE WHEN EXTRACT(day FROM ds) <= 10 THEN 1 ELSE 0 END) AS np_,
+                   AVG(CASE WHEN EXTRACT(day FROM ds) > 10 THEN y END) AS mb,
+                   SUM(CASE WHEN EXTRACT(day FROM ds) > 10 THEN 1 ELSE 0 END) AS nb_
+            FROM panel GROUP BY 1
+        )
+    ),
+    sens AS (
+        SELECT c.unique_id, c.step,
+               c.y * (1.0 + l.lift *
+                      (CASE WHEN c.step % 3 = 0 THEN 1.0 ELSE 0.0 END)) AS s,
+               l.lift
+        FROM cyc c JOIN lift l USING (unique_id)
+    ),
+    wide AS (SELECT unique_id, MAX(lift) AS lift, {sw} FROM sens GROUP BY 1),
+    calc AS (
+        SELECT unique_id, lift,
+               (s0 + s1) AS lead_demand,
+               SQRT({var_s}) AS sd,
+               {var_s} AS vs, {var_e} AS ve,
+               s0, s1, s2, s3, s4, s5, s6
+        FROM ({chain})
+    )
+    SELECT w.unique_id, s2.step, ROUND(s2.s, 4) AS sensed,
+           ROUND(w.lift, 6) AS lift,
+           ROUND(w.lead_demand + (1.65 * w.sd) * SQRT(2.0), 4) AS order_qty,
+           CASE WHEN 0.0 < w.lead_demand THEN 1.0 ELSE 0.0 END AS stockout_risk,
+           ROUND(w.ve / (w.vs + 1e-12), 6) AS bullwhip
+    FROM calc w JOIN sens s2 USING (unique_id)
+    """
+
+
+@register("supply_chain_sensing", _supply_chain_oracle())
+def q_supply_chain(spark, sf_dir):
+    """Per-SKU supply-chain chain (agents/supply_chain.py): seasonal
+    baseline + promo lift (day-of-month <= 10 history flag, every-3rd-
+    step schedule) + base-stock reorder + bullwhip, every supplier
+    series in one distributed pass."""
+    import numpy as np
+
+    from polars_ts_spark.agents.supply_chain import SupplyChainOrchestrator
+
+    panel = supplier_daily_panel(spark, sf_dir).withColumn(
+        "promo", (F.dayofmonth("ds") <= 10).cast("boolean"))
+    sched = np.array([1.0 if k % 3 == 0 else 0.0 for k in range(7)])
+    out = SupplyChainOrchestrator(season=7, lead_time=2, n_echelons=2).run_panel(
+        panel, horizon=7, promo_col="promo", promo_schedule=sched)
+    return out.select(
+        "unique_id", "step", F.round("sensed", 4).alias("sensed"),
+        F.round("lift", 6).alias("lift"),
+        F.round("order_qty", 4).alias("order_qty"),
+        "stockout_risk",
+        F.round("bullwhip", 6).alias("bullwhip"),
+    )
+
+
 @register("energy_grid_forecast", _ENERGY_GRID_ORACLE)
 def q_energy_grid(spark, sf_dir):
     """Hierarchical energy-style demand chain (agents/energy.py):

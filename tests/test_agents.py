@@ -206,3 +206,49 @@ def test_energy_grid_orchestrator(spark):
     with pytest.raises(ValueError, match="missing histories"):
         EnergyGridOrchestrator(season=4, horizon=4).run(
             panel, GridHierarchy("region", {"g1": ["h1", "nope"]}))
+
+
+def test_supply_chain_agents(spark):
+    from polars_ts_spark.agents.supply_chain import (
+        DemandSensingAgent,
+        EchelonCoordinatorAgent,
+        InventoryAgent,
+        PromotionEffectAgent,
+        SupplyChainOrchestrator,
+    )
+
+    # promo lift: planted 50% uplift recovered by diff-in-means
+    sales = np.array([10.0, 10, 10, 15, 15, 15])
+    flags = np.array([0, 0, 0, 1, 1, 1], dtype=bool)
+    lift = PromotionEffectAgent().estimate(sales, flags)
+    assert lift == pytest.approx(0.5)
+    assert PromotionEffectAgent().estimate(sales, np.ones(6, bool)) == 0.0
+    # sensing fuses weighted signals and floors at zero
+    sensed = DemandSensingAgent({"social": 2.0}).sense(
+        np.array([10.0, 10.0]), {"social": np.array([0.1, -1.0])})
+    assert sensed.tolist() == [12.0, 0.0]
+    # base-stock policy
+    ro = InventoryAgent(lead_time=2).reorder(np.array([5.0, 5, 5, 5]), on_hand=3.0)
+    assert ro["order_qty"] == pytest.approx(ro["order_up_to"] - 3.0)
+    assert ro["stockout_risk"] == 1.0
+    # echelon smoothing reduces variance -> bullwhip < 1 for noisy demand
+    rng = np.random.default_rng(0)
+    coord = EchelonCoordinatorAgent(n_echelons=2).coordinate(
+        10 + rng.normal(0, 2, 50))
+    assert coord["bullwhip_ratio"] < 1.0
+    assert len(coord["echelon_orders"]) == 3
+
+    # distributed panel pass: one result block per series
+    ts = pd.date_range("2024-01-01", periods=28, freq="D")
+    panel = spark.createDataFrame(pd.concat([
+        pd.DataFrame({"unique_id": s, "ds": ts,
+                      "y": 50.0 + 10 * (np.arange(28) % 7),
+                      "promo": (np.arange(28) % 9 == 0)})
+        for s in ("a", "b")
+    ]))
+    out = SupplyChainOrchestrator().run_panel(
+        panel, horizon=7, promo_col="promo",
+        promo_schedule=np.zeros(7)).toPandas()
+    assert len(out) == 14 and set(out["unique_id"]) == {"a", "b"}
+    a = out[out["unique_id"] == "a"].sort_values("step")
+    assert np.allclose(a["sensed"], 50.0 + 10 * (np.arange(7) % 7))
