@@ -6514,6 +6514,79 @@ _ENERGY_GRID_ORACLE = PANEL_CTE + """,
     """
 
 
+_CLINICAL_ORACLE = """
+WITH v AS (
+    SELECT event_id,
+           40.0 + value % 100.0 AS hr,
+           85.0 + (value * 3.0) % 140.0 AS sbp,
+           6.0 + value % 22.0 AS rr,
+           35.0 + (value % 45.0) / 10.0 AS temp,
+           90.0 + value % 11.0 AS spo2
+    FROM events WHERE value IS NOT NULL
+),
+s AS (
+    SELECT event_id, hr, sbp, rr, temp, spo2,
+           CAST((CASE WHEN rr >= 22.0 THEN 1 ELSE 0 END)
+              + (CASE WHEN sbp <= 100.0 THEN 1 ELSE 0 END)
+              + (CASE WHEN temp > 38.0 OR temp < 36.0 THEN 1 ELSE 0 END)
+              + (CASE WHEN hr > 90.0 THEN 1 ELSE 0 END)
+              + (CASE WHEN rr > 20.0 THEN 1 ELSE 0 END) AS DOUBLE) AS sepsis_risk,
+           CAST((CASE WHEN NOT (hr BETWEEN 60.0 AND 100.0) THEN 1 ELSE 0 END)
+              + (CASE WHEN NOT (sbp BETWEEN 100.0 AND 140.0) THEN 1 ELSE 0 END)
+              + (CASE WHEN NOT (rr BETWEEN 12.0 AND 20.0) THEN 1 ELSE 0 END)
+              + (CASE WHEN NOT (temp BETWEEN 36.0 AND 38.0) THEN 1 ELSE 0 END)
+              + (CASE WHEN NOT (spo2 BETWEEN 94.0 AND 100.0) THEN 1 ELSE 0 END)
+             AS DOUBLE) AS n_deranged,
+           (CASE WHEN rr <= 8 OR rr >= 25 THEN 3 WHEN rr >= 21 THEN 2
+                 WHEN rr <= 11 THEN 1 ELSE 0 END)
+           + (CASE WHEN spo2 <= 91 THEN 3 WHEN spo2 <= 93 THEN 2
+                   WHEN spo2 <= 95 THEN 1 ELSE 0 END)
+           + (CASE WHEN sbp <= 90 OR sbp >= 220 THEN 3 WHEN sbp <= 100 THEN 2
+                   WHEN sbp <= 110 THEN 1 ELSE 0 END)
+           + (CASE WHEN hr <= 40 OR hr >= 131 THEN 3 WHEN hr >= 111 THEN 2
+                   WHEN hr >= 91 OR hr <= 50 THEN 1 ELSE 0 END)
+           + (CASE WHEN temp <= 35 THEN 3 WHEN temp >= 39.1 THEN 2
+                   WHEN temp >= 38.1 OR temp <= 36 THEN 1 ELSE 0 END) AS news
+    FROM v
+)
+SELECT event_id, sepsis_risk, n_deranged, CAST(news AS INT) AS news,
+       CAST(CASE WHEN n_deranged >= 3.0
+                 THEN LEAST(t1 + 1, 3) ELSE t1 END AS INT) AS tier
+FROM (
+    SELECT *,
+           CASE WHEN sepsis_risk >= 2.0 THEN GREATEST(t0, 2) ELSE t0 END AS t1
+    FROM (
+        SELECT *, CASE WHEN news >= 7 THEN 3 WHEN news >= 5 THEN 2
+                       WHEN news >= 1 THEN 1 ELSE 0 END AS t0
+        FROM s
+    )
+)
+"""
+
+
+@register("clinical_escalation", _CLINICAL_ORACLE)
+def q_clinical_escalation(spark, sf_dir):
+    """Row-wise clinical scoring (agents/healthcare.py): qSOFA+SIRS
+    sepsis risk, reference-band derangement count, NEWS tier — pure
+    Catalyst CASE expressions over vitals deterministically derived
+    from the events stream (the container has no clinical corpus; the
+    derivation is identical modular arithmetic on both engines)."""
+    from polars_ts_spark.agents.healthcare import clinical_escalation
+    from polars_ts_spark.sources.datasets import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vitals = ev.select(
+        "event_id",
+        F.expr("40.0 + value % 100.0").alias("hr"),
+        F.expr("85.0 + (value * 3.0) % 140.0").alias("sbp"),
+        F.expr("6.0 + value % 22.0").alias("rr"),
+        F.expr("35.0 + (value % 45.0) / 10.0").alias("temp"),
+        F.expr("90.0 + value % 11.0").alias("spo2"),
+    )
+    return clinical_escalation(vitals).select(
+        "event_id", "sepsis_risk", "n_deranged", "news", "tier")
+
+
 def _supply_chain_oracle(h: int = 7) -> str:
     """Supply-chain chain replay: last-cycle baseline, diff-in-means
     promo lift (day-of-month <= 10 flag), scheduled lift application,

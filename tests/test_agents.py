@@ -252,3 +252,46 @@ def test_supply_chain_agents(spark):
     assert len(out) == 14 and set(out["unique_id"]) == {"a", "b"}
     a = out[out["unique_id"] == "a"].sort_values("step")
     assert np.allclose(a["sensed"], 50.0 + 10 * (np.arange(7) % 7))
+
+
+def test_healthcare_agents(spark):
+    from polars_ts_spark.agents.healthcare import (
+        EscalationAgent,
+        SepsisWarningAgent,
+        TreatmentAgent,
+        VitalMonitorAgent,
+        clinical_escalation,
+        federated_average,
+    )
+
+    septic = np.array([120.0, 85.0, 28.0, 39.5, 88.0])   # hr sbp rr temp spo2
+    healthy = np.array([75.0, 120.0, 16.0, 37.0, 98.0])
+    risk, flag = SepsisWarningAgent().score(septic)
+    assert flag and risk >= 4
+    assert not SepsisWarningAgent().score(healthy)[1]
+    nd, any_ = VitalMonitorAgent().score(septic)
+    assert any_ and nd == 5.0
+    assert VitalMonitorAgent().score(healthy) == (0.0, False)
+    esc = EscalationAgent()
+    assert esc.decide(septic, True, 5.0) == 3
+    assert esc.decide(healthy, False, 0.0) == 0
+
+    # bandit learns the rewarded action for a tier
+    t = TreatmentAgent()
+    for _ in range(20):
+        t.update(2, 1, 1.0)
+        t.update(2, 2, 0.0)
+    assert t.recommend(2) == 1
+    fa = federated_average([np.ones((2, 2)), 3 * np.ones((2, 2))], [1.0, 3.0])
+    assert np.allclose(fa, 2.5)
+
+    # distributed scoring matches the scalar agents row for row
+    pdf = pd.DataFrame([septic, healthy], columns=["hr", "sbp", "rr", "temp", "spo2"])
+    out = clinical_escalation(spark.createDataFrame(pdf)).toPandas()
+    for i, row in enumerate([septic, healthy]):
+        assert out.loc[i, "sepsis_risk"] == SepsisWarningAgent().score(row)[0]
+        assert out.loc[i, "n_deranged"] == VitalMonitorAgent().score(row)[0]
+        assert out.loc[i, "news"] == EscalationAgent().news_score(row)
+        exp_tier = EscalationAgent().decide(
+            row, SepsisWarningAgent().score(row)[1], VitalMonitorAgent().score(row)[0])
+        assert out.loc[i, "tier"] == exp_tier
