@@ -6514,6 +6514,79 @@ _ENERGY_GRID_ORACLE = PANEL_CTE + """,
     """
 
 
+_MACHINE_HEALTH_ORACLE = """
+WITH panel AS (
+    SELECT CAST(user_id AS VARCHAR) AS unique_id, ts AS ds,
+           SUM(CAST(value AS DOUBLE)) AS y
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+    SELECT unique_id, ds,
+           ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+           SQRT(AVG(y * y) OVER (PARTITION BY unique_id ORDER BY ds
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+               + 1e-12 AS rms,
+           y
+    FROM panel
+),
+bl AS (SELECT unique_id, SQRT(AVG(y * y)) + 1e-12 AS bl
+       FROM b WHERE rn <= 5 GROUP BY 1),
+h AS (
+    SELECT b.unique_id, b.ds, b.rn,
+           LEAST(GREATEST(1.0 - LEAST(GREATEST(
+               (b.rms / l.bl - 1.0) / 2.0, 0.0), 1.0), 0.0), 1.0) AS health
+    FROM b JOIN bl l USING (unique_id)
+),
+st AS (
+    SELECT unique_id, CAST(COUNT(*) AS DOUBLE) AS n,
+           SUM(health) AS sy, SUM(health * (rn - 1)) AS sxy
+    FROM h GROUP BY 1
+),
+tr AS (
+    SELECT unique_id, n, slope,
+           sy / n - slope * ((n - 1) / 2.0) + slope * (n - 1) AS cur
+    FROM (
+        SELECT *, (sxy - ((n - 1) / 2.0) * sy) / (n * (n * n - 1) / 12.0) AS slope
+        FROM st
+    )
+),
+r AS (
+    SELECT unique_id,
+           CASE WHEN n < 3 THEN 'infinity'::DOUBLE
+                WHEN cur <= 0.2 THEN 0.0
+                WHEN slope >= -1e-9 THEN 'infinity'::DOUBLE
+                ELSE (cur - 0.2) / (-slope) END AS rul
+    FROM tr
+)
+SELECT h.unique_id, h.ds, ROUND(h.health, 6) AS health, ROUND(r.rul, 4) AS rul
+FROM h JOIN r USING (unique_id)
+"""
+
+
+@register("machine_health_rul", _MACHINE_HEALTH_ORACLE)
+def q_machine_health(spark, sf_dir):
+    """Per-machine health index + RUL (agents/iiot.py): trailing-RMS /
+    warmup-baseline degradation and closed-form trend extrapolation,
+    every machine distributed; user event streams stand in for sensor
+    channels."""
+    from polars_ts_spark.agents.iiot import machine_health_panel
+    from polars_ts_spark.sources.datasets import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # events.ts is TIMESTAMP(NANOS) parquet, bigint nanos under
+    # nanosAsLong — integer-divide to micros (see user_event_panel)
+    ts = (F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+          if dict(ev.dtypes)["ts"] == "bigint" else F.col("ts"))
+    panel = ev.groupBy(
+        F.col("user_id").cast("string").alias("unique_id"),
+        ts.alias("ds"),
+    ).agg(F.sum(F.col("value").cast("double")).alias("y"))
+    out = machine_health_panel(panel)
+    return out.select(
+        "unique_id", "ds", F.round("health", 6).alias("health"),
+        F.round("rul", 4).alias("rul"))
+
+
 _CLINICAL_ORACLE = """
 WITH v AS (
     SELECT event_id,

@@ -295,3 +295,48 @@ def test_healthcare_agents(spark):
         exp_tier = EscalationAgent().decide(
             row, SepsisWarningAgent().score(row)[1], VitalMonitorAgent().score(row)[0])
         assert out.loc[i, "tier"] == exp_tier
+
+
+def test_iiot_agents(spark):
+    from polars_ts_spark.agents.iiot import (
+        HealthIndexAgent,
+        MaintenanceOrchestrator,
+        MaintenanceSchedulerAgent,
+        RULEstimator,
+        SpectralFeatureAgent,
+        machine_health_panel,
+    )
+
+    # spectral features: band fractions sum to ~1; low-freq sine
+    # concentrates in the first band
+    t = np.arange(256)
+    feats = SpectralFeatureAgent(n_bands=3).extract(np.sin(2 * np.pi * t / 128))
+    assert feats[1:].sum() == pytest.approx(1.0, abs=1e-9)
+    assert feats[1] > 0.9
+    # health declines as RMS grows past the baseline
+    agent = HealthIndexAgent(baseline=np.array([1.0]), fail_ratio=3.0)
+    assert agent.score(np.array([[1.0]])) == pytest.approx(1.0, abs=1e-9)
+    assert agent.score(np.array([[3.0]])) == pytest.approx(0.0, abs=1e-6)
+    # RUL: linear decline from 1.0 by 0.1/step hits 0.2 in 8 steps
+    h = 1.0 - 0.1 * np.arange(5)
+    assert RULEstimator(0.2).estimate(h) == pytest.approx(4.0, rel=1e-6)
+    assert RULEstimator().estimate(np.ones(5)) == float("inf")
+    # Q-learning: rewarded maintenance at low health wins greedily
+    s = MaintenanceSchedulerAgent(seed=1)
+    for _ in range(50):
+        s.update(0, 1, 1.0, 5)
+        s.update(0, 0, -1.0, 0)
+    assert s.act(0) == 1
+    # orchestrator end-to-end on a degrading machine
+    sensors = (1.0 + 0.05 * np.arange(40))[:, None]
+    res = MaintenanceOrchestrator().run(sensors)
+    assert res.health[0] > res.health[-1]
+    assert np.isfinite(res.rul)
+
+    # distributed surface matches the scalar chain per machine
+    ts_ = pd.date_range("2024-01-01", periods=40, freq="h")
+    df = spark.createDataFrame(pd.DataFrame({
+        "unique_id": "m1", "ds": ts_, "y": sensors[:, 0]}))
+    out = machine_health_panel(df).toPandas().sort_values("ds")
+    assert np.allclose(out["health"].to_numpy(), res.health, atol=1e-9)
+    assert out["rul"].iloc[0] == pytest.approx(res.rul, rel=1e-9)
