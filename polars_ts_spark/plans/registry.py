@@ -6514,6 +6514,77 @@ _ENERGY_GRID_ORACLE = PANEL_CTE + """,
     """
 
 
+def _portfolio_alloc_oracle(ws: int = 20, decay: float = 0.94) -> str:
+    """MARL allocation replay: positional log-returns with the
+    min-length cap, trailing-window vol + the SAME EWMA literal
+    coefficients the numpy agent computes, shift-normalized weights
+    (with the env's extra renormalization division) and the per-step
+    portfolio return."""
+    import numpy as np
+
+    coef = np.array([decay ** (ws - 1 - i) for i in range(ws)])
+    coef = coef / coef.sum()
+    ew = "0.0"
+    for i, c in enumerate(coef):
+        ew = f"({ew} + {c!r} * ctx[{i + 1}])"
+    return PANEL_CTE + f""",
+    rets AS (
+        SELECT unique_id,
+               LN(y) - LAG(LN(y)) OVER w AS ret,
+               ROW_NUMBER() OVER w - 1 AS rn
+        FROM panel
+        WINDOW w AS (PARTITION BY unique_id ORDER BY ds)
+        QUALIFY ret IS NOT NULL
+    ),
+    ml AS (SELECT MIN(mx) AS m FROM (
+        SELECT unique_id, MAX(rn) AS mx FROM rets GROUP BY 1)),
+    capped AS (SELECT r.* FROM rets r, ml WHERE r.rn <= ml.m),
+    stat AS (
+        SELECT unique_id, rn,
+               ret,
+               STDDEV_POP(ret) OVER wf AS vol,
+               list(ret) OVER wf AS ctx
+        FROM capped
+        WINDOW wf AS (PARTITION BY unique_id ORDER BY rn
+                      ROWS BETWEEN {ws} PRECEDING AND 1 PRECEDING)
+        QUALIFY rn > {ws}
+    ),
+    scored AS (
+        SELECT unique_id, rn, ret,
+               ({ew}) / (GREATEST(vol, 1e-10) * 1.0) AS score
+        FROM stat
+    ),
+    sh AS (
+        SELECT *, score - MIN(score) OVER (PARTITION BY rn) + 1e-10 AS shifted
+        FROM scored
+    ),
+    w0 AS (
+        SELECT *, shifted / SUM(shifted) OVER (PARTITION BY rn) AS ww0 FROM sh
+    ),
+    wn AS (
+        SELECT *, ww0 / SUM(ww0) OVER (PARTITION BY rn) AS weight FROM w0
+    )
+    SELECT CAST(rn - {ws} - 1 AS BIGINT) AS step, unique_id,
+           ROUND(weight, 8) AS weight,
+           ROUND(SUM(weight * ret) OVER (PARTITION BY rn), 8) AS portfolio_return
+    FROM wn
+    """
+
+
+@register("portfolio_allocation", _portfolio_alloc_oracle())
+def q_portfolio_allocation(spark, sf_dir):
+    """MARL portfolio loop distributed (agents/marl.py): per-step
+    rolling-vol risk, EWMA expected returns, shift-normalized
+    allocation and realized portfolio return over supplier revenue
+    treated as positive prices."""
+    from polars_ts_spark.agents.marl import portfolio_allocation_panel
+
+    out = portfolio_allocation_panel(supplier_daily_panel(spark, sf_dir))
+    return out.select(
+        "step", "unique_id", F.round("weight", 8).alias("weight"),
+        F.round("portfolio_return", 8).alias("portfolio_return"))
+
+
 _MACHINE_HEALTH_ORACLE = """
 WITH panel AS (
     SELECT CAST(user_id AS VARCHAR) AS unique_id, ts AS ds,

@@ -340,3 +340,44 @@ def test_iiot_agents(spark):
     out = machine_health_panel(df).toPandas().sort_values("ds")
     assert np.allclose(out["health"].to_numpy(), res.health, atol=1e-9)
     assert out["rul"].iloc[0] == pytest.approx(res.rul, rel=1e-9)
+
+
+def test_marl_portfolio_agents(spark):
+    from polars_ts_spark.agents.marl import (
+        AllocationAgent,
+        MARLOrchestrator,
+        PortfolioEnv,
+        ReturnAgent,
+        RiskAgent,
+        portfolio_allocation_panel,
+    )
+
+    rng = np.random.default_rng(7)
+    n, k = 60, 3
+    rets = rng.normal(0.001, 0.02, (n, k)) + np.array([0.002, 0.0, -0.002])
+    # scalar agents: weights sum to 1 and favour high return / low risk
+    w = AllocationAgent().allocate(RiskAgent().assess(rets),
+                                   ReturnAgent().predict(rets), k)
+    assert w.sum() == pytest.approx(1.0) and (w >= 0).all()
+    env = PortfolioEnv(rets, window_size=20)
+    env.reset()
+    _, reward, _, info = env.step(np.ones(k) / k)
+    assert info["portfolio_return"] == pytest.approx(
+        float(np.dot(np.ones(k) / k, rets[20])))
+    res = MARLOrchestrator(window_size=20).run(rets)
+    assert res.weights_history.shape == (n - 20, k)
+    assert np.isfinite(res.sharpe_ratio)
+
+    # distributed plan reproduces the driver loop step for step
+    prices = 100.0 * np.exp(np.cumsum(rets, axis=0))
+    ts = pd.date_range("2024-01-01", periods=n, freq="D")
+    frames = [pd.DataFrame({"unique_id": f"a{j}", "ds": ts, "y": prices[:, j]})
+              for j in range(k)]
+    out = (portfolio_allocation_panel(spark.createDataFrame(pd.concat(frames)))
+           .toPandas().sort_values(["step", "unique_id"]))
+    # panel log-returns lose the first price row: env over rets[1:]
+    ref = MARLOrchestrator(window_size=20).run(rets[1:])
+    got_w = out.pivot(index="step", columns="unique_id", values="weight").to_numpy()
+    assert np.allclose(got_w, ref.weights_history, atol=1e-9)
+    got_pr = out.groupby("step")["portfolio_return"].first().to_numpy()
+    assert np.allclose(got_pr, ref.portfolio_returns, atol=1e-9)
