@@ -177,3 +177,36 @@ def test_streaming_kalman_update_matches_driver_class(spark):
         assert out.loc[sid, "x"] == pytest.approx(x, abs=1e-12)
         assert out.loc[sid, "p"] == pytest.approx(p, abs=1e-12)
         assert out.loc[sid, "n_obs"] == 50
+
+
+def test_structured_streaming_kalman_state(spark):
+    """Real Structured Streaming run of the Kalman fold: parquet file
+    source -> applyInPandasWithState -> memory sink; final state equals
+    the driver-dict filter exactly."""
+    from polars_ts_spark.streaming.structured import streaming_kalman_update
+
+    tmp = tempfile.mkdtemp(prefix="stream_kal_")
+    try:
+        pdf = _panel(40)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = spark.readStream.schema(schema).parquet(tmp)
+        out = streaming_kalman_update(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("kal_state")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        res = spark.sql("SELECT * FROM kal_state").toPandas()
+        assert set(res["unique_id"]) == {"a", "b"}
+        ref = StreamingKalmanFilter().fit(pdf)
+        for sid in ("a", "b"):
+            row = res[res["unique_id"] == sid].iloc[-1]
+            x, p = ref.state[sid]
+            assert row["x"] == pytest.approx(x, abs=1e-12)
+            assert row["p"] == pytest.approx(p, abs=1e-12)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
