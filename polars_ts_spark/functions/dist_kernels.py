@@ -501,7 +501,15 @@ def dtw_fast(a: np.ndarray, b: np.ndarray, radius: int = 5) -> float:
 
 def dtw_multi(A: np.ndarray, B: np.ndarray, metric: str = "manhattan") -> float:
     """Multivariate DTW (dtw_multi.rs:14-47); per-step manhattan or
-    euclidean cost across channels."""
+    euclidean cost across channels. Routes to the bit-identical C fast
+    path when built."""
+    from polars_ts_spark.functions import native
+
+    A = np.asarray(A, float)
+    B = np.asarray(B, float)
+    nat = native.dtw_multi_pair(A, B, metric == "euclidean")
+    if nat is not None:
+        return nat
     n, m = A.shape[0], B.shape[0]
     row0 = np.full((1, m + 1), INF); row0[0, 0] = 0.0
     col0 = np.full((1, n + 1), INF); col0[0, 0] = 0.0
@@ -516,10 +524,18 @@ def dtw_multi(A: np.ndarray, B: np.ndarray, metric: str = "manhattan") -> float:
 
 def msm_multi(A: np.ndarray, B: np.ndarray, c: float = 1.0) -> float:
     """Multivariate MSM (msm_multi.rs:20-59): dependent split/merge cost
-    via the hypersphere-midpoint test on timestep vectors."""
+    via the hypersphere-midpoint test on timestep vectors. Routes to
+    the bit-identical C fast path when built."""
+    from polars_ts_spark.functions import native
+
+    A = np.asarray(A, float)
+    B = np.asarray(B, float)
     n, m = A.shape[0], B.shape[0]
     if n == 0 or m == 0:
         return 0.0
+    nat = native.msm_multi_pair(A, B, c)
+    if nat is not None:
+        return nat
 
     def vcost(x, y, z):
         mid = (y + z) / 2.0

@@ -78,6 +78,81 @@ static inline double msm_cost(double x, double y, double z, double c) {
     return c + dmin(dy, dz);
 }
 
+/* Multivariate DTW (dist_kernels.dtw_multi): per-step channel cost
+   (manhattan sum or euclidean norm, channels ascending like numpy),
+   cell = cost + min(min(up, left), diag). A is (n, C) row-major. */
+void dtw_multi_pair(const double *A, const double *B, double *out,
+                    long n, long m, long C, int euclid, double *work) {
+    double *prev = work, *cur = work + (m + 1);
+    prev[0] = 0.0;
+    for (long j = 1; j <= m; j++) prev[j] = INFINITY;
+    for (long i = 1; i <= n; i++) {
+        cur[0] = INFINITY;
+        const double *ai = A + (i - 1) * C;
+        for (long j = 1; j <= m; j++) {
+            const double *bj = B + (j - 1) * C;
+            double cost = 0.0;
+            if (euclid) {
+                for (long q = 0; q < C; q++) {
+                    double d = ai[q] - bj[q];
+                    cost += d * d;
+                }
+                cost = sqrt(cost);
+            } else {
+                for (long q = 0; q < C; q++) cost += fabs(ai[q] - bj[q]);
+            }
+            cur[j] = cost + dmin(dmin(prev[j], cur[j - 1]), prev[j - 1]);
+        }
+        double *tmp = prev; prev = cur; cur = tmp;
+    }
+    out[0] = prev[m];
+}
+
+/* Multivariate MSM (dist_kernels.msm_multi): dependent split/merge via
+   the hypersphere-midpoint test on timestep vectors; boundaries are
+   row00 + sequential cumsums, cell = min(min(d1, d2), d3). */
+static inline double vnorm(const double *x, const double *y, long C) {
+    double s = 0.0;
+    for (long q = 0; q < C; q++) { double d = x[q] - y[q]; s += d * d; }
+    return sqrt(s);
+}
+
+static inline double mvcost(const double *x, const double *y, const double *z,
+                            long C, double c, double *mid) {
+    for (long q = 0; q < C; q++) mid[q] = (y[q] + z[q]) / 2.0;
+    double rad = vnorm(y, z, C) / 2.0;
+    double dm = vnorm(x, mid, C);
+    if (dm <= rad) return c;
+    return c + dmin(vnorm(x, y, C), vnorm(x, z, C));
+}
+
+void msm_multi_pair(const double *A, const double *B, double *out,
+                    long n, long m, long C, double c, double *work) {
+    double *prev = work, *cur = work + m, *mid = work + 2 * m;
+    double row00 = vnorm(A, B, C);
+    prev[0] = row00;
+    double s = 0.0;
+    for (long j = 1; j < m; j++) {
+        s += mvcost(B + j * C, A, B + (j - 1) * C, C, c, mid);
+        prev[j] = row00 + s;
+    }
+    double cs = 0.0;
+    for (long i = 1; i < n; i++) {
+        const double *ai = A + i * C, *ap = A + (i - 1) * C;
+        cs += mvcost(ai, ap, B, C, c, mid);
+        cur[0] = row00 + cs;
+        for (long j = 1; j < m; j++) {
+            const double *bj = B + j * C, *bp = B + (j - 1) * C;
+            double d1 = prev[j - 1] + vnorm(ai, bj, C);
+            double d2 = prev[j] + mvcost(ai, ap, bj, C, c, mid);
+            double d3 = cur[j - 1] + mvcost(bj, ai, bp, C, c, mid);
+            cur[j] = dmin(dmin(d1, d2), d3);
+        }
+        double *tmp = prev; prev = cur; cur = tmp;
+    }
+    out[0] = prev[m - 1];
+}
+
 /* Sakoe-Chiba banded DTW: cell = |i-j| <= w ? |a-b| + min3 : INF
    (dist_kernels.dtw_sakoe_chiba_batch; w = max(window, |n-m|) is
    applied by the caller). */
@@ -387,6 +462,10 @@ def _load():
                                    ctypes.c_long, dp, dp]
         lib.frechet_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
                                       ctypes.c_long, dp]
+        lib.dtw_multi_pair.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
+                                       ctypes.c_long, ctypes.c_int, dp]
+        lib.msm_multi_pair.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
+                                       ctypes.c_long, ctypes.c_double, dp]
         lib.twe_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
                                   ctypes.c_long, ctypes.c_double,
                                   ctypes.c_double, dp]
@@ -516,6 +595,44 @@ def wdtw_pairs(A: np.ndarray, B: np.ndarray, weights: np.ndarray) -> np.ndarray 
                    out.ctypes.data_as(dp), k, n, m, w.ctypes.data_as(dp),
                    work.ctypes.data_as(dp))
     return out
+
+
+def dtw_multi_pair(A: np.ndarray, B: np.ndarray, euclid: bool) -> float | None:
+    lib = _load()
+    if lib is None:
+        return None
+    A = np.ascontiguousarray(A, dtype=np.float64)
+    B = np.ascontiguousarray(B, dtype=np.float64)
+    n, C = A.shape
+    m = B.shape[0]
+    if n == 0 or m == 0 or B.shape[1] != C:
+        return None
+    out = np.empty(1)
+    work = np.empty(2 * (m + 1))
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.dtw_multi_pair(A.ctypes.data_as(dp), B.ctypes.data_as(dp),
+                       out.ctypes.data_as(dp), n, m, C, int(euclid),
+                       work.ctypes.data_as(dp))
+    return float(out[0])
+
+
+def msm_multi_pair(A: np.ndarray, B: np.ndarray, c: float) -> float | None:
+    lib = _load()
+    if lib is None:
+        return None
+    A = np.ascontiguousarray(A, dtype=np.float64)
+    B = np.ascontiguousarray(B, dtype=np.float64)
+    n, C = A.shape
+    m = B.shape[0]
+    if n == 0 or m == 0 or B.shape[1] != C:
+        return None
+    out = np.empty(1)
+    work = np.empty(2 * max(m, 1) + C)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.msm_multi_pair(A.ctypes.data_as(dp), B.ctypes.data_as(dp),
+                       out.ctypes.data_as(dp), n, m, C, ctypes.c_double(c),
+                       work.ctypes.data_as(dp))
+    return float(out[0])
 
 
 def frechet_pairs(A: np.ndarray, B: np.ndarray) -> np.ndarray | None:
