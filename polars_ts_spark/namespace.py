@@ -91,6 +91,12 @@ class PtsAccessor:
     def mase(self, season_length=1, **kw) -> DataFrame:
         return metrics.mase(self.df, season_length, **kw)
 
+    def mape(self, **kw) -> DataFrame:
+        return metrics.mape(self.df, **kw)
+
+    def crps(self, **kw) -> DataFrame:
+        return metrics.crps(self.df, **kw)
+
 
 def pts(df: DataFrame) -> PtsAccessor:
     return PtsAccessor(df)
