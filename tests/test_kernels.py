@@ -204,3 +204,46 @@ def test_native_dp_kernels_bit_identical_to_numpy(monkeypatch):
         assert np.array_equal(ed_nat, K.edr_batch(A, B, 0.1))
         assert np.array_equal(w_nat, K.wdtw_batch(A, B, 0.05))
         assert np.array_equal(f_nat, K.frechet_batch(A, B))
+
+
+def test_native_banded_and_multi_kernels_bit_identical(monkeypatch):
+    """dtw_band / dtw_itakura / dtw_multi / msm_multi route to C
+    unconditionally when a toolchain exists — the 'bit-identical'
+    contract the SQL oracles rest on must cover them too, not just the
+    8 univariate batch kernels (round-5 ADVICE)."""
+    import numpy as np
+
+    from polars_ts_spark.functions import dist_kernels as K
+    from polars_ts_spark.functions import native
+
+    if not native.available():
+        pytest.skip("no C toolchain; numpy path is the only path")
+    rng = np.random.default_rng(11)
+    uni = []
+    for n, m in [(60, 60), (23, 41), (5, 5)]:
+        A = rng.normal(0, 50, (17, n))
+        B = rng.normal(0, 50, (17, m))
+        w = max(7, abs(n - m))
+        uni.append((A, B,
+                    native.dtw_band_pairs(A, B, w),
+                    native.dtw_itakura_pairs(A, B, 2.0)))
+    multi = []
+    for n, m, ch in [(40, 40, 3), (17, 29, 2), (4, 6, 5)]:
+        A = rng.normal(0, 10, (n, ch))
+        B = rng.normal(0, 10, (m, ch))
+        multi.append((A, B,
+                      native.dtw_multi_pair(A, B, False),
+                      native.dtw_multi_pair(A, B, True),
+                      native.msm_multi_pair(A, B, 1.0),
+                      native.msm_multi_pair(A, B, 0.1)))
+    for fn in ("dtw_band_pairs", "dtw_itakura_pairs",
+               "dtw_multi_pair", "msm_multi_pair"):
+        monkeypatch.setattr(native, fn, lambda *a: None)
+    for A, B, band_nat, ita_nat in uni:
+        assert np.array_equal(band_nat, K.dtw_sakoe_chiba_batch(A, B, 7))
+        assert np.array_equal(ita_nat, K.dtw_itakura_batch(A, B, 2.0))
+    for A, B, man_nat, euc_nat, m1_nat, m01_nat in multi:
+        assert man_nat == K.dtw_multi(A, B, "manhattan")
+        assert euc_nat == K.dtw_multi(A, B, "euclidean")
+        assert m1_nat == K.msm_multi(A, B, 1.0)
+        assert m01_nat == K.msm_multi(A, B, 0.1)
