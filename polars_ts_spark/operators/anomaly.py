@@ -17,6 +17,9 @@ a sequential per-series recursion -> applyInPandas.
 
 from __future__ import annotations
 
+import hashlib
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -30,63 +33,103 @@ from polars_ts_spark.panel import ID, TARGET, TIME
 # isolation forest (numpy)
 
 
-class _ITree:
-    __slots__ = ("feat", "thresh", "left", "right", "size")
-
-    def __init__(self, X: np.ndarray, depth: int, max_depth: int, rng: np.random.Generator):
-        self.size = len(X)
-        self.feat = self.thresh = self.left = self.right = None
-        if depth >= max_depth or len(X) <= 1:
-            return
-        spans = X.max(axis=0) - X.min(axis=0)
-        ok = np.flatnonzero(spans > 0)
-        if len(ok) == 0:
-            return
-        self.feat = int(rng.choice(ok))
-        lo, hi = X[:, self.feat].min(), X[:, self.feat].max()
-        self.thresh = float(rng.uniform(lo, hi))
-        mask = X[:, self.feat] < self.thresh
-        self.left = _ITree(X[mask], depth + 1, max_depth, rng)
-        self.right = _ITree(X[~mask], depth + 1, max_depth, rng)
-
-    def path_length(self, x: np.ndarray, depth: int = 0) -> float:
-        if self.feat is None:
-            return depth + _avg_path(self.size)
-        child = self.left if x[self.feat] < self.thresh else self.right
-        return child.path_length(x, depth + 1)
-
-
 def _avg_path(n: int) -> float:
     if n <= 1:
         return 0.0
-    h = np.log(n - 1) + 0.5772156649
+    h = math.log(n - 1) + 0.5772156649
     return 2.0 * h - 2.0 * (n - 1) / n
 
 
+def _hash_u32(key: str) -> int:
+    """First 8 md5 hex digits as an unsigned 32-bit int — the engine-
+    replicable draw primitive (numutils.hash_normals contract; DuckDB
+    replays it as ('0x' || substr(md5(k),1,8))::BIGINT)."""
+    return int.from_bytes(hashlib.md5(key.encode()).digest()[:4], "big")
+
+
+def _hash_unit(key: str) -> float:
+    return (_hash_u32(key) + 0.5) / 4294967296.0
+
+
 class IsolationForest:
-    """Seeded numpy isolation forest (anomaly_forest.py semantics)."""
+    """Isolation forest with ORDER-INDEPENDENT md5 draws
+    (anomaly_forest.py:10-101 semantics; same split rule, path-length
+    scoring and 2^(-E[h]/c(ss)) score as sklearn's). Every random
+    choice is a pure function of (seed, tree, heap-node) rather than a
+    position in a PCG64 stream, so the whole fit trajectory — per-tree
+    md5-rank subsampling, per-node feature pick among positive-span
+    features, per-node uniform threshold — replays exactly in SQL
+    (the round-5 CLARANS/QMLE replay technique):
+
+    - tree t's sample: row indices ranked by md5(f"{seed}:s:{t}:{i}"),
+      first ss.
+    - node feature: ok = sorted feature idx with span > 0;
+      feat = ok[_hash_u32(f"{seed}:f:{t}:{node}") % len(ok)].
+    - threshold: lo + _hash_unit(f"{seed}:t:{t}:{node}") * (hi - lo).
+    - children: x[feat] < thr -> 2*node, else 2*node+1 (heap ids).
+
+    Trees are stored as dense per-tree arrays (feat/thr/leaf-add
+    indexed by heap node) so scoring is a vectorized 8-step walk, not
+    a per-row recursion."""
 
     def __init__(self, n_trees: int = 100, sample_size: int = 256, seed: int = 42):
         self.n_trees, self.sample_size, self.seed = n_trees, sample_size, seed
 
     def fit(self, X: np.ndarray) -> "IsolationForest":
         X = np.asarray(X, float)
-        rng = np.random.default_rng(self.seed)
-        ss = min(self.sample_size, len(X))
-        max_depth = int(np.ceil(np.log2(max(ss, 2))))
-        self.trees = []
-        for _ in range(self.n_trees):
-            idx = rng.choice(len(X), ss, replace=False)
-            self.trees.append(_ITree(X[idx], 0, max_depth, rng))
+        n = len(X)
+        ss = min(self.sample_size, n)
+        self.max_depth = int(np.ceil(np.log2(max(ss, 2))))
+        width = 1 << (self.max_depth + 1)
+        seed = self.seed
+        self.feat = np.full((self.n_trees, width), -1, dtype=np.int64)
+        self.thr = np.zeros((self.n_trees, width))
+        self.leaf_add = np.zeros((self.n_trees, width))
+        for t in range(self.n_trees):
+            keys = [hashlib.md5(f"{seed}:s:{t}:{i}".encode()).hexdigest() for i in range(n)]
+            order = np.argsort(np.asarray(keys))  # md5-rank sample
+            frontier: dict[int, np.ndarray] = {1: order[:ss]}
+            for d in range(self.max_depth + 1):
+                nxt: dict[int, np.ndarray] = {}
+                for node, rows in frontier.items():
+                    sub = X[rows]
+                    if d >= self.max_depth or len(rows) <= 1:
+                        self.leaf_add[t, node] = _avg_path(len(rows))
+                        continue
+                    lo = sub.min(axis=0)
+                    hi = sub.max(axis=0)
+                    ok = np.flatnonzero(hi - lo > 0)
+                    if len(ok) == 0:
+                        self.leaf_add[t, node] = _avg_path(len(rows))
+                        continue
+                    f = int(ok[_hash_u32(f"{seed}:f:{t}:{node}") % len(ok)])
+                    thr = lo[f] + _hash_unit(f"{seed}:t:{t}:{node}") * (hi[f] - lo[f])
+                    self.feat[t, node] = f
+                    self.thr[t, node] = thr
+                    mask = sub[:, f] < thr
+                    nxt[2 * node] = rows[mask]
+                    nxt[2 * node + 1] = rows[~mask]
+                frontier = nxt
         self._c = _avg_path(ss)
         return self
 
     def score(self, X: np.ndarray) -> np.ndarray:
         """Anomaly score in (0, 1); > 0.5 ~ anomalous."""
         X = np.asarray(X, float)
-        depths = np.array([
-            np.mean([t.path_length(x) for t in self.trees]) for x in X
-        ])
+        n = len(X)
+        depths = np.zeros(n)
+        for t in range(self.n_trees):
+            node = np.ones(n, dtype=np.int64)
+            depth = np.zeros(n)
+            for _ in range(self.max_depth):
+                f = self.feat[t, node]
+                split = f >= 0
+                xv = X[np.arange(n), np.maximum(f, 0)]
+                go_right = (xv >= self.thr[t, node]).astype(np.int64)
+                node = np.where(split, 2 * node + go_right, node)
+                depth += split
+            depths += depth + self.leaf_add[t, node]
+        depths /= self.n_trees
         return 2.0 ** (-depths / max(self._c, 1e-9))
 
 
@@ -124,14 +167,17 @@ def isolation_forest_detect(
     # sample only what the fit needs, and score the ORIGINAL
     # distributed frame — no createDataFrame round-trip.
     FIT_CAP = 100_000
-    feat_only = feats.select(*feature_cols)
-    n = feat_only.count()
+    # (id, time) sort fixes the fit-matrix row order: the forest's
+    # md5-rank subsample is keyed on the row INDEX, so the index->row
+    # mapping must be engine-replicable (the SQL oracle rebuilds it as
+    # ROW_NUMBER() OVER (ORDER BY id, ds))
+    feat_src = feats.select(id_col, time_col, *feature_cols)
+    n = feat_src.count()
     if n > FIT_CAP:
         frac = min(1.0, 1.2 * FIT_CAP / n)
-        fit_pdf = feat_only.sample(fraction=frac, seed=seed).limit(FIT_CAP).toPandas()
-    else:
-        fit_pdf = feat_only.toPandas()
-    X = fit_pdf.to_numpy(dtype=float)
+        feat_src = feat_src.sample(fraction=frac, seed=seed).limit(FIT_CAP)
+    fit_pdf = feat_src.toPandas().sort_values([id_col, time_col])
+    X = fit_pdf[list(feature_cols)].to_numpy(dtype=float)
     forest = IsolationForest(n_trees=n_trees, seed=seed).fit(X)
     # broadcast the fitted trees; score inside a pandas UDF partition-wise
     spark = df.sparkSession

@@ -6188,10 +6188,162 @@ def q_signature(spark, sf_dir):
 # anomaly / theta / kaboudan / EnbPI / holidays
 
 
-@register("isolation_forest")  # seeded forest: rows-only
+def _iforest_oracle(T: int = 50, seed: int = 42, stages: int = 8,
+                    sample: int = 256, thresh: float = 0.6) -> str:
+    """Exact replay of the md5-draw isolation forest (anomaly.py
+    IsolationForest; ref anomaly_forest.py:10-101): every random choice
+    is a pure function of (seed, tree, heap-node), so the fit unrolls
+    as `stages` GROUP BY passes — per-depth node stats -> feature pick
+    among positive-span features via md5 mod -> uniform threshold ->
+    child assignment — and scoring is the same walk over the recorded
+    split table. Features are rounded 4dp on BOTH sides so engine
+    summation order can't flip a split branch."""
+    u32 = "('0x' || substr(md5({k}), 1, 8))::BIGINT"
+    fsel = "CASE {f} WHEN 0 THEN {a}.f0 WHEN 1 THEN {a}.f1 ELSE {a}.f2 END"
+    build, leaf_sel, split_sel = [], [], []
+    for d in range(stages):
+        fk = u32.format(k=f"CONCAT('{seed}:f:', t, ':', node)")
+        tk = u32.format(k=f"CONCAT('{seed}:t:', t, ':', node)")
+        build.append(f"""
+    st{d} AS MATERIALIZED (
+        SELECT t, node, COUNT(*) AS cnt,
+               MIN(f0) AS lo0, MAX(f0) AS hi0,
+               MIN(f1) AS lo1, MAX(f1) AS hi1,
+               MIN(f2) AS lo2, MAX(f2) AS hi2
+        FROM m{d} GROUP BY 1, 2
+    ),
+    ok{d} AS MATERIALIZED (
+        SELECT *, list_filter([0, 1, 2],
+                   i -> CASE i WHEN 0 THEN hi0 > lo0
+                               WHEN 1 THEN hi1 > lo1
+                               ELSE hi2 > lo2 END) AS ok
+        FROM st{d}
+    ),
+    dec{d} AS MATERIALIZED (
+        SELECT t, node, cnt,
+               (cnt > 1 AND len(ok) > 0 AND {d} < (SELECT md FROM prm)) AS is_split,
+               CASE WHEN len(ok) > 0
+                    THEN ok[1 + ({fk} % len(ok))] ELSE -1 END AS feat,
+               lo0, hi0, lo1, hi1, lo2, hi2
+        FROM ok{d}
+    ),
+    spl{d} AS MATERIALIZED (
+        SELECT t, node, feat,
+               (CASE feat WHEN 0 THEN lo0 WHEN 1 THEN lo1 ELSE lo2 END)
+               + (({tk} + 0.5) / 4294967296.0)
+               * ((CASE feat WHEN 0 THEN hi0 WHEN 1 THEN hi1 ELSE hi2 END)
+                  - (CASE feat WHEN 0 THEN lo0 WHEN 1 THEN lo1 ELSE lo2 END)) AS thr
+        FROM dec{d} WHERE is_split
+    ),
+    m{d + 1} AS MATERIALIZED (
+        SELECT m.t,
+               m.node * 2 + CASE WHEN ({fsel.format(f='s.feat', a='m')}) < s.thr
+                                 THEN 0 ELSE 1 END AS node,
+               m.f0, m.f1, m.f2
+        FROM m{d} m JOIN spl{d} s ON m.t = s.t AND m.node = s.node
+    )""")
+        leaf_sel.append(
+            f"SELECT t, node, {d} AS depth, cnt FROM dec{d} WHERE NOT is_split")
+        split_sel.append(
+            f"SELECT t, node, {d} AS depth, feat, thr FROM spl{d}")
+    leaf_sel.append(
+        f"SELECT t, node, {stages} AS depth, COUNT(*) AS cnt "
+        f"FROM m{stages} GROUP BY 1, 2")
+    walk = []
+    for d in range(stages):
+        walk.append(f"""
+    w{d + 1} AS MATERIALIZED (
+        SELECT w.ri, w.t,
+               CASE WHEN s.node IS NULL THEN w.node
+                    ELSE w.node * 2 + CASE WHEN ({fsel.format(f='s.feat', a='w')}) < s.thr
+                                           THEN 0 ELSE 1 END END AS node,
+               w.depth + CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS depth,
+               w.f0, w.f1, w.f2
+        FROM w{d} w LEFT JOIN splits s
+          ON s.t = w.t AND s.node = w.node AND s.depth = {d}
+    )""")
+    return PANEL_CTE + f""",
+    fx AS (
+        SELECT unique_id, ds,
+               ROUND(CAST(y AS DOUBLE), 4) AS f0,
+               ROUND(COALESCE(CAST(y AS DOUBLE)
+                     - LAG(CAST(y AS DOUBLE)) OVER (PARTITION BY unique_id ORDER BY ds),
+                     0.0), 4) AS f1,
+               ROUND(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+                          ELSE (CAST(y AS DOUBLE) - mu) / sd END, 4) AS f2
+        FROM (SELECT *, STDDEV_SAMP(CAST(y AS DOUBLE)) OVER (PARTITION BY unique_id) AS sd,
+                        AVG(CAST(y AS DOUBLE)) OVER (PARTITION BY unique_id) AS mu
+              FROM panel)
+    ),
+    fi AS MATERIALIZED (SELECT *, ROW_NUMBER() OVER (ORDER BY unique_id, ds) - 1 AS ri FROM fx),
+    prm AS (
+        SELECT LEAST({sample}, COUNT(*)) AS ss,
+               CAST(CEIL(LOG2(GREATEST(LEAST({sample}, COUNT(*)), 2))) AS INT) AS md
+        FROM fi
+    ),
+    tr AS (SELECT UNNEST(range({T})) AS t),
+    ranked AS (
+        SELECT tr.t, fi.ri, fi.f0, fi.f1, fi.f2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tr.t
+                   ORDER BY md5(CONCAT('{seed}:s:', tr.t, ':', fi.ri))) AS rk
+        FROM fi CROSS JOIN tr
+    ),
+    m0 AS MATERIALIZED (SELECT t, 1 AS node, f0, f1, f2 FROM ranked WHERE rk <= (SELECT ss FROM prm)),
+    {','.join(build)},
+    leaves AS MATERIALIZED ({' UNION ALL '.join(leaf_sel)}),
+    splits AS MATERIALIZED ({' UNION ALL '.join(split_sel)}),
+    w0 AS MATERIALIZED (SELECT ri, t, 1 AS node, 0 AS depth, f0, f1, f2 FROM fi CROSS JOIN tr),
+    {','.join(walk)},
+    paths AS (
+        SELECT w.ri, w.t,
+               w.depth + COALESCE(
+                   CASE WHEN l.cnt <= 1 THEN 0.0
+                        ELSE 2.0 * (LN(l.cnt - 1) + 0.5772156649)
+                             - 2.0 * (l.cnt - 1) / l.cnt END, 0.0) AS pl
+        FROM w{stages} w LEFT JOIN leaves l ON l.t = w.t AND l.node = w.node
+    ),
+    cs AS (
+        SELECT GREATEST(CASE WHEN ss <= 1 THEN 0.0
+                             ELSE 2.0 * (LN(ss - 1) + 0.5772156649)
+                                  - 2.0 * (ss - 1) / ss END, 1e-9) AS c
+        FROM prm
+    ),
+    sc AS (SELECT ri, AVG(pl) AS mp FROM paths GROUP BY 1)
+    SELECT f.unique_id, f.ds,
+           ROUND(POWER(2.0, -s.mp / cs.c), 6) AS anomaly_score,
+           POWER(2.0, -s.mp / cs.c) > {thresh} AS is_anomaly
+    FROM sc s JOIN fi f ON f.ri = s.ri CROSS JOIN cs
+    """
+
+
+@register("isolation_forest", _iforest_oracle())
 def q_iforest(spark, sf_dir):
+    """md5-draw isolation forest on 4dp-rounded panel features (the
+    rounding pins split branches across engines; ref
+    anomaly_forest.py:10-101)."""
+    from pyspark.sql import Window
+
     from polars_ts_spark.operators import anomaly
-    return anomaly.isolation_forest_detect(supplier_daily_panel(spark, sf_dir), n_trees=50)
+
+    p = supplier_daily_panel(spark, sf_dir)
+    w = Window.partitionBy("unique_id").orderBy("ds")
+    wp = Window.partitionBy("unique_id")
+    feats = (
+        p.withColumn("f0", F.round("y", 4))
+        .withColumn("f1", F.round(F.coalesce(
+            F.col("y") - F.lag("y", 1).over(w), F.lit(0.0)), 4))
+        .withColumn("__sd", F.stddev_samp("y").over(wp))
+        .withColumn("f2", F.round(
+            F.when(F.col("__sd").isNull() | (F.col("__sd") == 0), 0.0)
+            .otherwise((F.col("y") - F.avg("y").over(wp)) / F.col("__sd")), 4))
+        .drop("__sd")
+    )
+    out = anomaly.isolation_forest_detect(
+        feats, feature_cols=["f0", "f1", "f2"], n_trees=50)
+    return out.select(
+        "unique_id", "ds",
+        F.round("anomaly_score", 6).alias("anomaly_score"), "is_anomaly")
 
 
 _BAYES_ANOMALY_ORACLE = PANEL_CTE + """,
