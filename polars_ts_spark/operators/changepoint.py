@@ -114,7 +114,8 @@ def bocpd(
 # Gaussian HMM regime detection
 
 
-def _hmm_fit_series(y: np.ndarray, n_states: int = 2, n_iter: int = 50):
+def _hmm_fit_series(y: np.ndarray, n_states: int = 2, n_iter: int = 50,
+                    early_stop: bool = True):
     """Baum-Welch for a Gaussian-emission HMM; quantile-based init (no
     RNG -> deterministic). Returns (states, gamma_max, means)."""
     y = np.asarray(y, float)
@@ -159,7 +160,7 @@ def _hmm_fit_series(y: np.ndarray, n_states: int = 2, n_iter: int = 50):
         means = (gamma * y[:, None]).sum(axis=0) / np.maximum(w, 1e-300)
         var = (gamma * (y[:, None] - means[None, :]) ** 2).sum(axis=0) / np.maximum(w, 1e-300)
         var = np.maximum(var, 1e-8)
-        if np.max(np.abs(means - prev_means)) < 1e-8 * (1 + np.max(np.abs(means))):
+        if early_stop and np.max(np.abs(means - prev_means)) < 1e-8 * (1 + np.max(np.abs(means))):
             break
     # order states by mean so labels are deterministic
     order = np.argsort(means)
@@ -169,7 +170,8 @@ def _hmm_fit_series(y: np.ndarray, n_states: int = 2, n_iter: int = 50):
     return states, gamma.max(axis=1), means[order]
 
 
-def _hmm_fit_batch(ys: list[np.ndarray], n_states: int, n_iter: int):
+def _hmm_fit_batch(ys: list[np.ndarray], n_states: int, n_iter: int,
+                   early_stop: bool = True):
     """Baum-Welch for MANY series with ONE shared t-loop: the series
     axis is the SIMD axis (stacked matmul recursions over padded
     arrays). Padding is EXACT for the scaled filter: padded steps get
@@ -236,9 +238,10 @@ def _hmm_fit_batch(ys: list[np.ndarray], n_states: int, n_iter: int):
         upd = active.copy()
         pi[upd], A[upd] = new_pi[upd], new_A[upd]
         means[upd], var[upd] = new_means[upd], new_var[upd]
-        active &= delta >= tol
-        if not active.any():
-            break
+        if early_stop:
+            active &= delta >= tol
+            if not active.any():
+                break
     out = []
     for i in range(S):
         order = np.argsort(means[i])
@@ -253,6 +256,7 @@ def regime_detect(
     df: DataFrame,
     n_states: int = 2,
     n_iter: int = 50,
+    early_stop: bool = True,
     id_col: str = ID,
     time_col: str = TIME,
     target_col: str = TARGET,
@@ -277,7 +281,7 @@ def regime_detect(
                 fit_ys.append(y)
                 fit_frames.append(g)
         if fit_ys:
-            for g, (states, prob, _m) in zip(fit_frames, _hmm_fit_batch(fit_ys, n_states, n_iter)):
+            for g, (states, prob, _m) in zip(fit_frames, _hmm_fit_batch(fit_ys, n_states, n_iter, early_stop)):
                 pieces.append(pd.DataFrame({
                     id_col: g[id_col], time_col: g[time_col],
                     target_col: g[target_col].to_numpy(dtype=float),

@@ -2454,10 +2454,166 @@ def q_bocpd(spark, sf_dir):
     return out.withColumn("cp_prob", F.round("cp_prob", 6))
 
 
-@register("regime_detect")
+def _regime_oracle(n_iter: int = 6) -> str:
+    """Fixed-iteration (branch-free) Baum-Welch replay for the K=2
+    Gaussian HMM (changepoint._hmm_fit_batch with early_stop=False; ref
+    changepoint/regime.py:9-158). Each EM iteration unrolls as: emission
+    CTE -> scaled forward recursion (recursive CTE over t, state in
+    columns) -> scaled backward recursion -> gamma/xi aggregations ->
+    M-step params. The exact-cents monthly panel makes the INPUT
+    bit-identical across engines; everything downstream is branch-free
+    so libm-vs-DuckDB exp/log ulps stay ulps, absorbed by the 6dp
+    rounding of regime_prob. State labels are remapped by ascending
+    final mean (strict mu1 < mu0 flips), argmax ties resolve to state 0
+    on both sides."""
+    its = []
+    for k in range(1, n_iter + 1):
+        p = f"p{k - 1}"
+        its.append(f"""
+    b{k} AS MATERIALIZED (
+        SELECT pp.unique_id, pp.t, pp.n, pp.y,
+               GREATEST(EXP(-0.5 * (pp.y - q.mu0) * (pp.y - q.mu0) / q.v0)
+                        / SQRT(2 * PI() * q.v0), 1e-300) AS b0,
+               GREATEST(EXP(-0.5 * (pp.y - q.mu1) * (pp.y - q.mu1) / q.v1)
+                        / SQRT(2 * PI() * q.v1), 1e-300) AS b1
+        FROM pan pp JOIN {p} q USING (unique_id)
+    ),
+    af{k} AS MATERIALIZED (
+        SELECT unique_id, t, ua0 / c AS a0, ua1 / c AS a1, c FROM (
+            SELECT b.unique_id, b.t,
+                   q.pi0 * b.b0 AS ua0, q.pi1 * b.b1 AS ua1,
+                   CASE WHEN q.pi0 * b.b0 + q.pi1 * b.b1 = 0 THEN 1e-300
+                        ELSE q.pi0 * b.b0 + q.pi1 * b.b1 END AS c
+            FROM b{k} b JOIN {p} q USING (unique_id) WHERE b.t = 1)
+        UNION ALL
+        SELECT unique_id, t, ua0 / c AS a0, ua1 / c AS a1, c FROM (
+            SELECT b.unique_id, b.t,
+                   (f.a0 * q.A00 + f.a1 * q.A10) * b.b0 AS ua0,
+                   (f.a0 * q.A01 + f.a1 * q.A11) * b.b1 AS ua1,
+                   CASE WHEN (f.a0 * q.A00 + f.a1 * q.A10) * b.b0
+                             + (f.a0 * q.A01 + f.a1 * q.A11) * b.b1 = 0 THEN 1e-300
+                        ELSE (f.a0 * q.A00 + f.a1 * q.A10) * b.b0
+                             + (f.a0 * q.A01 + f.a1 * q.A11) * b.b1 END AS c
+            FROM af{k} f
+            JOIN b{k} b ON b.unique_id = f.unique_id AND b.t = f.t + 1
+            JOIN {p} q ON q.unique_id = f.unique_id)
+    ),
+    bw{k} AS MATERIALIZED (
+        SELECT b.unique_id, b.t, CAST(1.0 AS DOUBLE) AS be0, CAST(1.0 AS DOUBLE) AS be1
+        FROM b{k} b WHERE b.t = b.n
+        UNION ALL
+        SELECT w.unique_id, b.t,
+               (q.A00 * (b2.b0 * w.be0) + q.A01 * (b2.b1 * w.be1)) / f2.c AS be0,
+               (q.A10 * (b2.b0 * w.be0) + q.A11 * (b2.b1 * w.be1)) / f2.c AS be1
+        FROM bw{k} w
+        JOIN b{k} b ON b.unique_id = w.unique_id AND b.t = w.t - 1
+        JOIN b{k} b2 ON b2.unique_id = w.unique_id AND b2.t = w.t
+        JOIN af{k} f2 ON f2.unique_id = w.unique_id AND f2.t = w.t
+        JOIN {p} q ON q.unique_id = w.unique_id
+    ),
+    g{k} AS MATERIALIZED (
+        SELECT f.unique_id, f.t, b.y,
+               f.a0 * w.be0 / GREATEST(f.a0 * w.be0 + f.a1 * w.be1, 1e-300) AS g0,
+               f.a1 * w.be1 / GREATEST(f.a0 * w.be0 + f.a1 * w.be1, 1e-300) AS g1
+        FROM af{k} f
+        JOIN bw{k} w ON w.unique_id = f.unique_id AND w.t = f.t
+        JOIN b{k} b ON b.unique_id = f.unique_id AND b.t = f.t
+    ),
+    xi{k} AS MATERIALIZED (
+        SELECT f.unique_id,
+               SUM(f.a0 * (b.b0 * w.be0) / f2.c) AS x00r,
+               SUM(f.a0 * (b.b1 * w.be1) / f2.c) AS x01r,
+               SUM(f.a1 * (b.b0 * w.be0) / f2.c) AS x10r,
+               SUM(f.a1 * (b.b1 * w.be1) / f2.c) AS x11r
+        FROM af{k} f
+        JOIN b{k} b ON b.unique_id = f.unique_id AND b.t = f.t + 1
+        JOIN bw{k} w ON w.unique_id = f.unique_id AND w.t = f.t + 1
+        JOIN af{k} f2 ON f2.unique_id = f.unique_id AND f2.t = f.t + 1
+        GROUP BY 1
+    ),
+    mu{k} AS MATERIALIZED (
+        SELECT unique_id,
+               SUM(g0 * y) / GREATEST(SUM(g0), 1e-300) AS mu0,
+               SUM(g1 * y) / GREATEST(SUM(g1), 1e-300) AS mu1
+        FROM g{k} GROUP BY 1
+    ),
+    p{k} AS MATERIALIZED (
+        SELECT g.unique_id,
+               ANY_VALUE(m.mu0) AS mu0, ANY_VALUE(m.mu1) AS mu1,
+               GREATEST(SUM(g.g0 * (g.y - m.mu0) * (g.y - m.mu0))
+                        / GREATEST(SUM(g.g0), 1e-300), 1e-8) AS v0,
+               GREATEST(SUM(g.g1 * (g.y - m.mu1) * (g.y - m.mu1))
+                        / GREATEST(SUM(g.g1), 1e-300), 1e-8) AS v1,
+               ANY_VALUE(x.x00r) * ANY_VALUE(q.A00)
+                 / GREATEST(ANY_VALUE(x.x00r) * ANY_VALUE(q.A00)
+                            + ANY_VALUE(x.x01r) * ANY_VALUE(q.A01), 1e-300) AS A00,
+               ANY_VALUE(x.x01r) * ANY_VALUE(q.A01)
+                 / GREATEST(ANY_VALUE(x.x00r) * ANY_VALUE(q.A00)
+                            + ANY_VALUE(x.x01r) * ANY_VALUE(q.A01), 1e-300) AS A01,
+               ANY_VALUE(x.x10r) * ANY_VALUE(q.A10)
+                 / GREATEST(ANY_VALUE(x.x10r) * ANY_VALUE(q.A10)
+                            + ANY_VALUE(x.x11r) * ANY_VALUE(q.A11), 1e-300) AS A10,
+               ANY_VALUE(x.x11r) * ANY_VALUE(q.A11)
+                 / GREATEST(ANY_VALUE(x.x10r) * ANY_VALUE(q.A10)
+                            + ANY_VALUE(x.x11r) * ANY_VALUE(q.A11), 1e-300) AS A11,
+               MAX(CASE WHEN g.t = 1 THEN g.g0 END) AS pi0,
+               MAX(CASE WHEN g.t = 1 THEN g.g1 END) AS pi1
+        FROM g{k} g
+        JOIN mu{k} m ON m.unique_id = g.unique_id
+        JOIN xi{k} x ON x.unique_id = g.unique_id
+        JOIN {p} q ON q.unique_id = g.unique_id
+        GROUP BY 1
+    )""")
+    return f"""
+WITH RECURSIVE daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM monthly_src GROUP BY 1, 2
+    ),
+    allpan AS MATERIALIZED (
+        SELECT unique_id, ds, y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS t,
+               COUNT(*) OVER (PARTITION BY unique_id) AS n
+        FROM monthly
+    ),
+    pan AS MATERIALIZED (SELECT * FROM allpan WHERE n >= 6),
+    p0 AS MATERIALIZED (
+        SELECT unique_id,
+               quantile_cont(y, 0.1) AS mu0, quantile_cont(y, 0.9) AS mu1,
+               var_pop(y) / 2 + 1e-8 AS v0, var_pop(y) / 2 + 1e-8 AS v1,
+               0.9 AS A00, 0.1 AS A01, 0.1 AS A10, 0.9 AS A11,
+               0.5 AS pi0, 0.5 AS pi1
+        FROM pan GROUP BY 1
+    ),
+    {','.join(its)}
+    SELECT p.unique_id, p.ds, p.y,
+           CASE WHEN (SELECT mu1 FROM p{n_iter} f WHERE f.unique_id = p.unique_id)
+                     < (SELECT mu0 FROM p{n_iter} f WHERE f.unique_id = p.unique_id)
+                THEN 1 - (CASE WHEN g.g1 > g.g0 THEN 1 ELSE 0 END)
+                ELSE (CASE WHEN g.g1 > g.g0 THEN 1 ELSE 0 END) END AS regime,
+           ROUND(GREATEST(g.g0, g.g1), 6) AS regime_prob
+    FROM pan p
+    JOIN g{n_iter} g ON g.unique_id = p.unique_id AND g.t = p.t
+    UNION ALL
+    SELECT unique_id, ds, y, 0 AS regime, 1.0 AS regime_prob
+    FROM allpan WHERE n < 6
+    """.replace("FROM monthly_src", "FROM daily_cents")
+
+
+@register("regime_detect", _regime_oracle())
 def q_regime(spark, sf_dir):
+    """Branch-free 6-iteration Baum-Welch on the exact-cents monthly
+    panel (bit-identical inputs across engines; ref regime.py:9-158)."""
     from polars_ts_spark.operators import changepoint
-    return changepoint.regime_detect(supplier_daily_panel(spark, sf_dir), n_states=2)
+    out = changepoint.regime_detect(
+        _monthly_panel_exact(spark, sf_dir), n_states=2, n_iter=6, early_stop=False)
+    return out.withColumn("regime_prob", F.round("regime_prob", 6))
 
 
 # ---------------------------------------------------------------------------
