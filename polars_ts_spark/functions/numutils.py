@@ -71,6 +71,21 @@ def nelder_mead(
 # special functions (Numerical Recipes-style series/continued fractions)
 
 
+def hash_u32(key: str) -> int:
+    """First 8 md5 hex digits as an unsigned 32-bit int — the engine-
+    replicable draw primitive (DuckDB replays it as
+    ('0x' || substr(md5(k),1,8))::BIGINT)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(key.encode()).digest()[:4], "big")
+
+
+def hash_unit(key: str) -> float:
+    """Uniform draw strictly inside (0, 1) from an md5 key (same
+    (u32 + 0.5) / 2^32 mapping as hash_normals' inputs)."""
+    return (hash_u32(key) + 0.5) / 4294967296.0
+
+
 def hash_normals(seed: int, tag: str, n: int) -> np.ndarray:
     """n standard-normal draws from md5 hashes via Box–Muller:
     u = (first-8-hex-digits + 0.5) / 2^32 (strictly inside (0,1)),

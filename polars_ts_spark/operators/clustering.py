@@ -320,6 +320,41 @@ def spectral_labels(D: np.ndarray, k: int, sigma: float | None = None, seed: int
     return _kmeans_euclid(X, k, seed)
 
 
+def spectral_labels_power(
+    D: np.ndarray, k: int, sigma: float | None = None,
+    n_iter: int = 20, seed: int = 42,
+) -> np.ndarray:
+    """Same Ng-Jordan-Weiss pipeline as ``spectral_labels`` but with the
+    eigensolver replaced by fixed-count subspace (orthogonal) iteration
+    on I + L from an md5-hash init — every step is a branch-free
+    composition of matmuls, modified Gram-Schmidt and norms, so the
+    whole trajectory replays in SQL (unlike LAPACK's eigh, whose
+    internal pivoting/rotations are not engine-replicable). Spectrum of
+    I + L is [0, 2], so the dominant subspace is the top-k ALGEBRAIC
+    eigenvectors of L, as NJW wants."""
+    from polars_ts_spark.functions.numutils import hash_unit
+
+    sigma = sigma or (np.median(D[D > 0]) or 1.0)
+    A = np.exp(-(D ** 2) / (2 * sigma ** 2))
+    np.fill_diagonal(A, 0.0)
+    d = A.sum(axis=1)
+    d_inv = 1.0 / np.sqrt(np.maximum(d, 1e-12))
+    L = d_inv[:, None] * A * d_inv[None, :]
+    n = len(D)
+    X = np.array([
+        [hash_unit(f"{seed}:spec:{i}:{j}") - 0.5 for j in range(k)]
+        for i in range(n)
+    ])
+    for _ in range(n_iter):
+        X = L @ X + X
+        for j in range(k):           # modified Gram-Schmidt, fixed order
+            for l in range(j):
+                X[:, j] -= (X[:, l] @ X[:, j]) * X[:, l]
+            X[:, j] /= max(float(np.linalg.norm(X[:, j])), 1e-12)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return _kmeans_euclid(X, k, seed)
+
+
 # ---------------------------------------------------------------------------
 # evaluation scores (evaluation.py:65-325)
 
@@ -440,10 +475,18 @@ def dbscan_cluster(
 
 def spectral_cluster(
     df: DataFrame, k: int = 3, method: str = "dtw", seed: int = 42,
+    solver: str = "eigh", n_iter: int = 20,
     id_col: str = ID, time_col: str = TIME, target_col: str = TARGET, **kw,
 ) -> DataFrame:
+    """solver='eigh' is LAPACK (reference parity, spectral.py:52-129);
+    solver='power' is fixed-count subspace iteration — same NJW
+    pipeline, fully engine-replicable (oracle-able)."""
     ids, D = distance_matrix(df, method, id_col, time_col, target_col, **kw)
-    return _labels_df(df.sparkSession, ids, spectral_labels(D, k, seed=seed), id_col)
+    labels = (
+        spectral_labels_power(D, k, n_iter=n_iter, seed=seed)
+        if solver == "power" else spectral_labels(D, k, seed=seed)
+    )
+    return _labels_df(df.sparkSession, ids, labels, id_col)
 
 
 def auto_cluster(

@@ -2667,6 +2667,24 @@ def _kmedoids_shared(seed: int = 42, metric: str = "dtw") -> str:
     )"""
 
 
+def _fy_select(k: int, lcg_cte: str = "lcg", nn_cte: str = "nn") -> str:
+    """Partial Fisher-Yates (k chained swaps driven by the first k LCG
+    draws r1..rk, the _LCG.sample contract) -> SELECT m1..mk."""
+    inner = f"""SELECT r1, r2, r3, n,
+                               list_transform(generate_series(1, n), p -> p - 1) AS perm0
+                        FROM {lcg_cte}, {nn_cte}"""
+    for s in range(k):
+        r = f"r{s + 1}"
+        jj = f"CAST({s} + {r} % (n - {s}) AS BIGINT)" if s else f"CAST({r} % n AS BIGINT)"
+        inner = f"""SELECT r1, r2, r3, n,
+                list_transform(perm{s}, (x, p) -> CASE WHEN p - 1 = {s} THEN perm{s}[{jj} + 1]
+                                                      WHEN p - 1 = {jj} THEN perm{s}[{s} + 1]
+                                                      ELSE x END) AS perm{s + 1}
+            FROM ({inner})"""
+    fy_sel = ", ".join(f"perm{k}[{m + 1}] AS m{m + 1}" for m in range(k))
+    return f"SELECT {fy_sel} FROM ({inner})"
+
+
 def _pam_chain(k: int, pre: str = "", max_iter: int = 100,
                mat_cte: str = "matl", lcg_cte: str = "lcg",
                nn_cte: str = "nn") -> str:
@@ -2693,21 +2711,8 @@ def _pam_chain(k: int, pre: str = "", max_iter: int = 100,
         d2 = f"GREATEST({dm('i', 1)}, {dm('i', 2)})"
         med_chk = "(f2 % n) = meds[1] OR (f2 % n) = meds[2]"
         minit = "[f.m1, f.m2]"
-    # partial Fisher-Yates: k chained swaps driven by r1..rk
-    inner = f"""SELECT r1, r2, r3, n,
-                               list_transform(generate_series(1, n), p -> p - 1) AS perm0
-                        FROM {lcg_cte}, {nn_cte}"""
-    for s in range(k):
-        r = f"r{s + 1}"
-        jj = f"CAST({s} + {r} % (n - {s}) AS BIGINT)" if s else f"CAST({r} % n AS BIGINT)"
-        inner = f"""SELECT r1, r2, r3, n,
-                list_transform(perm{s}, (x, p) -> CASE WHEN p - 1 = {s} THEN perm{s}[{jj} + 1]
-                                                      WHEN p - 1 = {jj} THEN perm{s}[{s} + 1]
-                                                      ELSE x END) AS perm{s + 1}
-            FROM ({inner})"""
-    fy_sel = ", ".join(f"perm{k}[{m + 1}] AS m{m + 1}" for m in range(k))
     return f""",
-    {pre}fy AS (SELECT {fy_sel} FROM ({inner})),
+    {pre}fy AS ({_fy_select(k, lcg_cte, nn_cte)}),
     {pre}pam AS (
         SELECT 0 AS it, 0 AS ph, FALSE AS done,
                {minit} AS meds,
@@ -3117,10 +3122,128 @@ def q_clarans(spark, sf_dir):
     return clustering.clarans_cluster(_monthly_panel_exact(spark, sf_dir), k=3, method="msm")
 
 
-@register("spectral_cluster")
+def _spectral_oracle(seed: int = 42, n_iter: int = 20, km_iter: int = 100) -> str:
+    """Replay of spectral_cluster(solver='power', k=3, method='dtw')
+    (clustering.spectral_labels_power; ref spectral.py:52-129): the
+    bit-exact DTW matrix comes from the shared PAM prelude, then sigma
+    (duplicated-pair median), NJW affinity/normalization, n_iter
+    unrolled subspace iterations on I+L (matmul + modified Gram-Schmidt,
+    all branch-free — summation-order ulps never branch), row
+    normalization, and a km_iter-step LCG-seeded k-means state machine
+    (fixed-step replay of _kmeans_euclid: its early stop is a fixed
+    point, so running all iterations reproduces the stopped labels)."""
+    its = []
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        its.append(f"""
+    y{t} AS MATERIALIZED (
+        SELECT m.i, SUM(m.v * x.x1) AS w1, SUM(m.v * x.x2) AS w2,
+               SUM(m.v * x.x3) AS w3
+        FROM lmat m JOIN x{p} x ON x.i = m.j GROUP BY m.i),
+    z{t} AS MATERIALIZED (
+        SELECT y.i, y.w1 + x.x1 AS u1, y.w2 + x.x2 AS u2, y.w3 + x.x3 AS u3
+        FROM y{t} y JOIN x{p} x ON x.i = y.i),
+    n1_{t} AS (SELECT GREATEST(SQRT(SUM(u1 * u1)), 1e-12) AS nv FROM z{t}),
+    g1_{t} AS MATERIALIZED (
+        SELECT z.i, z.u1 / n.nv AS q1, z.u2, z.u3 FROM z{t} z, n1_{t} n),
+    d12_{t} AS (SELECT SUM(q1 * u2) AS dv FROM g1_{t}),
+    h2_{t} AS MATERIALIZED (
+        SELECT g.i, g.q1, g.u2 - d.dv * g.q1 AS v2, g.u3 FROM g1_{t} g, d12_{t} d),
+    n2_{t} AS (SELECT GREATEST(SQRT(SUM(v2 * v2)), 1e-12) AS nv FROM h2_{t}),
+    g2_{t} AS MATERIALIZED (
+        SELECT h.i, h.q1, h.v2 / n.nv AS q2, h.u3 FROM h2_{t} h, n2_{t} n),
+    d13_{t} AS (SELECT SUM(q1 * u3) AS dv FROM g2_{t}),
+    h3a_{t} AS MATERIALIZED (
+        SELECT g.i, g.q1, g.q2, g.u3 - d.dv * g.q1 AS v3 FROM g2_{t} g, d13_{t} d),
+    d23_{t} AS (SELECT SUM(q2 * v3) AS dv FROM h3a_{t}),
+    h3_{t} AS MATERIALIZED (
+        SELECT h.i, h.q1, h.q2, h.v3 - d.dv * h.q2 AS v3 FROM h3a_{t} h, d23_{t} d),
+    n3_{t} AS (SELECT GREATEST(SQRT(SUM(v3 * v3)), 1e-12) AS nv FROM h3_{t}),
+    x{t} AS MATERIALIZED (
+        SELECT h.i, h.q1 AS x1, h.q2 AS x2, h.v3 / n.nv AS x3 FROM h3_{t} h, n3_{t} n)""")
+    x0c = ", ".join(
+        "(('0x' || substr(md5(CONCAT('%s:spec:', ix, ':%d')), 1, 8))::BIGINT + 0.5)"
+        " / 4294967296.0 - 0.5 AS x%d" % (seed, j, j + 1)
+        for j in range(3)
+    )
+    dsq = lambda c: (f"((p[1] - cent[{c}][1]) * (p[1] - cent[{c}][1])"
+                     f" + (p[2] - cent[{c}][2]) * (p[2] - cent[{c}][2])"
+                     f" + (p[3] - cent[{c}][3]) * (p[3] - cent[{c}][3]))")
+    cmean = ", ".join(
+        "[" + ", ".join(
+            f"""CASE WHEN len(list_filter(nlabels, l -> l = {c})) = 0
+                     THEN cent[{c + 1}][{m}]
+                     ELSE list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+                              ii -> CASE WHEN nlabels[ii] = {c}
+                                         THEN pts[ii][{m}] ELSE 0.0 END))
+                          / len(list_filter(nlabels, l -> l = {c})) END"""
+            for m in (1, 2, 3)
+        ) + "]"
+        for c in range(3)
+    )
+    return _kmedoids_shared(seed, "dtw") + f""",
+    sig AS (
+        SELECT CASE WHEN s IS NULL OR s = 0 THEN 1.0 ELSE s END AS s
+        FROM (SELECT quantile_cont(dd, 0.5) AS s FROM fullpairs WHERE dd > 0)
+    ),
+    deg AS (
+        SELECT f.i, SUM(CASE WHEN f.i = f.j THEN 0.0
+                             ELSE EXP(-(f.dd * f.dd) / (2 * (s.s * s.s))) END) AS dg
+        FROM fullpairs f, sig s GROUP BY f.i
+    ),
+    dinv AS (SELECT i, 1.0 / SQRT(GREATEST(dg, 1e-12)) AS di FROM deg),
+    lmat AS MATERIALIZED (
+        SELECT f.i, f.j,
+               CASE WHEN f.i = f.j THEN 0.0
+                    ELSE d1.di * EXP(-(f.dd * f.dd) / (2 * (s.s * s.s))) * d2.di END AS v
+        FROM fullpairs f
+        JOIN dinv d1 ON d1.i = f.i JOIN dinv d2 ON d2.i = f.j, sig s
+    ),
+    x0 AS MATERIALIZED (SELECT ix AS i, {x0c} FROM idx),
+    {','.join(its)},
+    xr AS MATERIALIZED (
+        SELECT i, x1 / rn AS x1, x2 / rn AS x2, x3 / rn AS x3
+        FROM (SELECT i, x1, x2, x3,
+                     GREATEST(SQRT(x1 * x1 + x2 * x2 + x3 * x3), 1e-12) AS rn
+              FROM x{n_iter})
+    ),
+    fy AS ({_fy_select(3)}),
+    cidx AS (
+        SELECT LEAST(m1, m2, m3) AS c1,
+               m1 + m2 + m3 - LEAST(m1, m2, m3) - GREATEST(m1, m2, m3) AS c2,
+               GREATEST(m1, m2, m3) AS c3
+        FROM fy
+    ),
+    xl AS MATERIALIZED (SELECT list([x1, x2, x3] ORDER BY i) AS pts FROM xr),
+    km AS (
+        SELECT 0 AS it,
+               [pts[c1 + 1], pts[c2 + 1], pts[c3 + 1]] AS cent,
+               CAST(NULL AS BIGINT[]) AS labels, pts, n
+        FROM xl, cidx, nn
+        UNION ALL
+        SELECT it + 1, ncent, nlabels, pts, n FROM (
+            SELECT it, pts, n, cent,
+                   list_transform(pts, p -> CAST(
+                       CASE WHEN {dsq(1)} <= {dsq(2)} AND {dsq(1)} <= {dsq(3)} THEN 0
+                            WHEN {dsq(2)} <= {dsq(3)} THEN 1 ELSE 2 END AS BIGINT)) AS nlabels,
+                   [{cmean}] AS ncent
+            FROM km WHERE it < {km_iter}
+        )
+    ),
+    kmf AS (SELECT labels FROM km WHERE it = {km_iter})
+    SELECT x.sid AS unique_id, CAST(f.labels[x.ix + 1] AS INT) AS cluster
+    FROM idx x, kmf f
+    """
+
+
+@register("spectral_cluster", _spectral_oracle())
 def q_spectral(spark, sf_dir):
+    """NJW spectral clustering with the engine-replicable power solver
+    on the exact-cents monthly panel (bit-identical DTW matrix across
+    engines; ref spectral.py:52-129)."""
     from polars_ts_spark.operators import clustering
-    return clustering.spectral_cluster(_monthly_panel(spark, sf_dir), k=3, method="sbd")
+    return clustering.spectral_cluster(
+        _monthly_panel_exact(spark, sf_dir), k=3, method="dtw", solver="power")
 
 
 def _dbscan_oracle(eps: float, min_samples: int) -> str:
