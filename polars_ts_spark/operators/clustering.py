@@ -553,9 +553,12 @@ def _sbd_align(x: np.ndarray, ref: np.ndarray) -> np.ndarray:
     return out
 
 
-def _shape_extract(X: np.ndarray, ref: np.ndarray) -> np.ndarray:
+def _shape_extract(X: np.ndarray, ref: np.ndarray, exact: bool = False) -> np.ndarray:
     """Dominant eigenvector of the aligned, centered scatter
-    (kshape.py:80-120), via power iteration with fixed start."""
+    (kshape.py:80-120), via power iteration with fixed start.
+    ``exact=True`` runs the branch-free variant (always 100 iterations,
+    guarded divide instead of the zero/allclose breaks) whose whole
+    trajectory replays in SQL."""
     aligned = np.stack([_sbd_align(x, ref) for x in X])
     aligned = np.stack([_znorm(a) for a in aligned])
     n = aligned.shape[1]
@@ -566,6 +569,9 @@ def _shape_extract(X: np.ndarray, ref: np.ndarray) -> np.ndarray:
     for _ in range(100):
         v2 = M @ v
         nv = np.linalg.norm(v2)
+        if exact:
+            v = v2 / max(float(nv), 1e-300)
+            continue
         if nv == 0:
             break
         v2 = v2 / nv
@@ -581,12 +587,21 @@ def _shape_extract(X: np.ndarray, ref: np.ndarray) -> np.ndarray:
 
 def kshape(
     df: DataFrame, k: int = 3, max_iter: int = 20, seed: int = 42,
+    exact: bool = False,
     id_col: str = ID, time_col: str = TIME, target_col: str = TARGET,
 ) -> DataFrame:
     """KShape clustering (kshape.py:10-160): series collected (panel
     scale: n_series bounded), z-normed, SBD assignment + eigen shape
-    centroids. [id, cluster]."""
-    rows = _collect_array_panel(df, id_col, time_col, target_col, "kshape")
+    centroids. [id, cluster]. Series are processed in sorted-id order
+    so the LCG label init is a function of the data, not of Spark's
+    collect order. ``exact=True`` removes the two convergence
+    early-stops (main loop runs exactly max_iter rounds, power
+    iteration exactly 100) so the full trajectory is branch-free and
+    SQL-replicable."""
+    rows = sorted(
+        _collect_array_panel(df, id_col, time_col, target_col, "kshape"),
+        key=lambda r: r[id_col],
+    )
     ids = [r[id_col] for r in rows]
     L = max(len(r["vals"]) for r in rows)
     X = np.stack([
@@ -606,11 +621,11 @@ def kshape(
         for c in range(k):
             mem = X[labels == c]
             if len(mem):
-                centroids[c] = _shape_extract(mem, centroids[c])
+                centroids[c] = _shape_extract(mem, centroids[c], exact=exact)
         # assignment by SBD
         d = np.stack([K.sbd_batch(X, np.broadcast_to(centroids[c], X.shape)) for c in range(k)], axis=1)
         new = np.argmin(d, axis=1)
-        if np.array_equal(new, labels):
+        if not exact and np.array_equal(new, labels):
             break
         labels = new
     order = {c: r for r, c in enumerate(pd.unique(labels))}

@@ -3819,10 +3819,216 @@ def q_agglo(spark, sf_dir):
     return clustering.agglomerative_cluster(_monthly_panel_exact(spark, sf_dir), k=3, method="dtw")
 
 
-@register("kshape_cluster")
+def _zn_sql(inner: str, lst: str, out: str) -> str:
+    """Wrap ``inner`` (a SELECT producing list column ``lst`` plus
+    passthroughs) in the znorm layers: (x - mean) / (std if std > 0
+    else 1), population std — clustering._znorm's exact op order."""
+    return f"""
+        SELECT * EXCLUDE ({lst}, __mu, __sd),
+               list_transform({lst}, e -> (e - __mu) / __sd) AS {out} FROM (
+          SELECT * EXCLUDE (__sd0),
+                 CASE WHEN __sd0 > 0 THEN __sd0 ELSE 1.0 END AS __sd FROM (
+            SELECT *, list_sum({lst}) / len({lst}) AS __mu,
+                   SQRT(list_sum(list_transform({lst},
+                        e -> (e - list_sum({lst}) / len({lst}))
+                           * (e - list_sum({lst}) / len({lst})))) / len({lst})) AS __sd0
+            FROM ({inner})))"""
+
+
+def _cc_sql(x: str, ref: str) -> str:
+    """Full linear cross-correlation list (np.correlate(x, ref, 'full')
+    value order): cc[jj] = sum_i x[i] * ref[i + L - 1 - jj]."""
+    return f"""list_transform(range(2 * L - 1), jj -> list_sum(
+        list_transform(range(L), ii ->
+            CASE WHEN ii + L - 1 - jj >= 0 AND ii + L - 1 - jj < L
+                 THEN {x}[ii + 1] * {ref}[ii + L - jj] ELSE 0.0 END)))"""
+
+
+def _kshape_oracle(seed: int = 42, max_iter: int = 3) -> str:
+    """Exact replay of kshape(k=3, exact=True) on the exact-cents
+    monthly panel (clustering.kshape; ref kshape.py:10-160). The
+    branch-free trajectory unrolls as: LCG label init (recursive state
+    chain, conditional empty-cluster fallback draws), then per round and
+    per cluster — SBD alignment of members to the centroid (argmax of
+    the full cross-correlation, first-max ties), z-norm, double-centered
+    scatter, a 100-step power recursion over list state, sign fix and
+    z-norm — followed by the SBD argmin assignment; labels remapped by
+    first appearance. All branches are exact (integer shifts, argmin /
+    argmax, emptiness counts); summation-order and FFT-vs-direct ulps
+    stay ulps because every consumer between branches is continuous."""
+    L_ = "(SELECT L FROM lmax)"
+    its = []
+    for it in range(1, max_iter + 1):
+        p = it - 1
+        for c in range(3):
+            al_inner = f"""
+          SELECT ix, xv, L,
+                 list_transform(range(L), pos ->
+                     CASE WHEN pos - sft >= 0 AND pos - sft < L
+                          THEN xv[pos - sft + 1] ELSE 0.0 END) AS araw
+          FROM (
+            SELECT ix, xv, L,
+                   (list_indexof(ccd, list_max(ccd)) - 1) - (L - 1) AS sft
+            FROM (
+              SELECT ix, xv, L,
+                     CASE WHEN dn > 0 THEN list_transform(cc, e -> e / dn)
+                          ELSE cc END AS ccd
+              FROM (
+                SELECT ix, xv, L,
+                       SQRT(list_sum(list_transform(xv, e -> e * e)))
+                       * SQRT(list_sum(list_transform(ref, e -> e * e))) AS dn,
+                       {_cc_sql('xv', 'ref')} AS cc
+                FROM (SELECT l.ix, x.x AS xv, ct.cv AS ref, {L_} AS L
+                      FROM labs{p} l JOIN xz x ON x.i = l.ix
+                      JOIN cent{p} ct ON ct.c = {c}
+                      WHERE l.lab = {c}))))"""
+            its.append(f"""
+    al{it}c{c} AS MATERIALIZED ({_zn_sql(al_inner, 'araw', 'a')}),
+    sc{it}c{c} AS MATERIALIZED (
+        SELECT pi.pos AS i2, pj.pos AS j2,
+               SUM(m.a[pi.pos + 1] * m.a[pj.pos + 1]) AS v
+        FROM al{it}c{c} m
+        CROSS JOIN (SELECT UNNEST(range({L_})) AS pos) pi
+        CROSS JOIN (SELECT UNNEST(range({L_})) AS pos) pj
+        GROUP BY 1, 2),
+    ctr{it}c{c} AS MATERIALIZED (
+        SELECT s.i2, s.j2,
+               s.v - cm.v - rm.v + (SELECT SUM(v) / ({L_} * {L_}) FROM sc{it}c{c}) AS v
+        FROM sc{it}c{c} s
+        JOIN (SELECT i2, SUM(v) / {L_} AS v FROM sc{it}c{c} GROUP BY 1) rm ON rm.i2 = s.i2
+        JOIN (SELECT j2, SUM(v) / {L_} AS v FROM sc{it}c{c} GROUP BY 1) cm ON cm.j2 = s.j2),
+    mat{it}c{c} AS MATERIALIZED (
+        SELECT list(rowl ORDER BY i2) AS mat FROM (
+            SELECT i2, list(v ORDER BY j2) AS rowl FROM ctr{it}c{c} GROUP BY 1)),
+    pw{it}c{c} AS (
+        SELECT 0 AS p2,
+               list_transform(range(lm.L), z ->
+                   1.0 / SQRT(CAST(lm.L AS DOUBLE))) AS v, mat
+        FROM mat{it}c{c}, lmax lm
+        UNION ALL
+        SELECT p2 + 1,
+               list_transform(v2, e -> e / GREATEST(
+                   SQRT(list_sum(list_transform(v2, q2 -> q2 * q2))), 1e-300)),
+               mat
+        FROM (SELECT p2, mat,
+                     list_transform(generate_series(1, len(v)), i2 ->
+                         list_sum(list_transform(generate_series(1, len(v)),
+                             j2 -> mat[i2][j2] * v[j2]))) AS v2
+              FROM pw{it}c{c} WHERE p2 < 100)),
+    am{it}c{c} AS (
+        SELECT list(m ORDER BY pos) AS aml FROM (
+            SELECT pp.pos, SUM(m.a[pp.pos + 1]) / COUNT(*) AS m
+            FROM al{it}c{c} m
+            CROSS JOIN (SELECT UNNEST(range({L_})) AS pos) pp
+            GROUP BY 1)),
+    cn{it}c{c} AS MATERIALIZED ({_zn_sql(f'''
+          SELECT CASE WHEN list_sum(list_transform(generate_series(1, len(w.v)),
+                          i2 -> w.v[i2] * a.aml[i2])) < 0
+                      THEN list_transform(w.v, e -> -e) ELSE w.v END AS sv
+          FROM (SELECT v FROM pw{it}c{c} WHERE p2 = 100) w, am{it}c{c} a''',
+          'sv', 'cv')})""")
+        its.append(f"""
+    cent{it} AS MATERIALIZED (
+        SELECT o.c, COALESCE(nw.cv, o.cv) AS cv
+        FROM cent{p} o LEFT JOIN (
+            SELECT 0 AS c, cv FROM cn{it}c0
+            UNION ALL SELECT 1, cv FROM cn{it}c1
+            UNION ALL SELECT 2, cv FROM cn{it}c2) nw ON nw.c = o.c),
+    dist{it} AS MATERIALIZED (
+        SELECT ix, c, CASE WHEN dn > 0 THEN 1.0 - mx / dn ELSE 1.0 END AS d
+        FROM (
+            SELECT x.i AS ix, ct.c,
+                   SQRT(list_sum(list_transform(x.x, e -> e * e)))
+                   * SQRT(list_sum(list_transform(ct.cv, e -> e * e))) AS dn,
+                   list_max({_cc_sql('x.x', 'ct.cv')}) AS mx
+            FROM xz x CROSS JOIN cent{it} ct, (SELECT L FROM lmax) lm(L))),
+    labs{it} AS MATERIALIZED (
+        SELECT ix, CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0
+                        WHEN d1 <= d2 THEN 1 ELSE 2 END AS lab
+        FROM (SELECT ix, MAX(CASE WHEN c = 0 THEN d END) AS d0,
+                     MAX(CASE WHEN c = 1 THEN d END) AS d1,
+                     MAX(CASE WHEN c = 2 THEN d END) AS d2
+              FROM dist{it} GROUP BY 1))""")
+    A, C, M64 = 6364136223846793005, 1442695040888963407, 1 << 64
+    xz_inner = """
+        SELECT i.ix AS i,
+               list_concat(s.v, list_transform(range(lm.L - s.len), z -> 0.0)) AS pad
+        FROM ser s JOIN idx i ON i.sid = s.sid, lmax lm"""
+    return f"""
+WITH RECURSIVE daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM daily_cents GROUP BY 1, 2
+    ),
+    ser AS (
+        SELECT unique_id AS sid, list(CAST(y AS DOUBLE) ORDER BY ds) AS v,
+               CAST(COUNT(*) AS INT) AS len
+        FROM monthly GROUP BY 1
+    ),
+    idx AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS ix FROM ser),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+    lmax AS (SELECT MAX(len) AS L FROM ser),
+    xz AS MATERIALIZED ({_zn_sql(xz_inner, 'pad', 'x')}),
+    lcgn AS (
+        SELECT 0 AS i, CAST({seed} AS HUGEINT) AS st
+        UNION ALL
+        SELECT i + 1, ({A}::HUGEINT * st + {C}) % {M64}::HUGEINT
+        FROM lcgn, nn WHERE i < n + 3
+    ),
+    draws AS (SELECT i, CAST(st // 8589934592 AS BIGINT) AS r FROM lcgn WHERE i >= 1),
+    labs0 AS MATERIALIZED (
+        SELECT i - 1 AS ix, r % 3 AS lab FROM draws, nn WHERE i <= n
+    ),
+    emptyc AS (
+        SELECT t.c, COUNT(l.lab) = 0 AS is_empty
+        FROM (VALUES (0), (1), (2)) t(c)
+        LEFT JOIN labs0 l ON l.lab = t.c GROUP BY 1
+    ),
+    fb AS (
+        SELECT c, is_empty,
+               COALESCE(SUM(CASE WHEN is_empty THEN 1 ELSE 0 END)
+                   OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS prior
+        FROM emptyc
+    ),
+    cmean AS (
+        SELECT l.lab AS c, pp.pos, SUM(x.x[pp.pos + 1]) / COUNT(*) AS m
+        FROM labs0 l JOIN xz x ON x.i = l.ix
+        CROSS JOIN (SELECT UNNEST(range({L_})) AS pos) pp
+        GROUP BY 1, 2
+    ),
+    cent0 AS MATERIALIZED (
+        SELECT f.c,
+               CASE WHEN f.is_empty
+                    THEN (SELECT x.x FROM xz x, draws d, nn
+                          WHERE d.i = n + 1 + f.prior AND x.i = d.r % n)
+                    ELSE (SELECT list(m ORDER BY pos) FROM cmean cm WHERE cm.c = f.c)
+               END AS cv
+        FROM fb f
+    ),
+    {','.join(its)},
+    firstpos AS (SELECT lab, MIN(ix) AS fp FROM labs{max_iter} GROUP BY 1),
+    rankedl AS (SELECT lab, ROW_NUMBER() OVER (ORDER BY fp) - 1 AS new FROM firstpos)
+    SELECT i.sid AS unique_id, CAST(r.new AS INT) AS cluster
+    FROM labs{max_iter} l
+    JOIN rankedl r ON r.lab = l.lab
+    JOIN idx i ON i.ix = l.ix
+    """
+
+
+@register("kshape_cluster", _kshape_oracle())
 def q_kshape(spark, sf_dir):
+    """Branch-free 3-round KShape on the exact-cents monthly panel
+    (bit-identical inputs across engines; ref kshape.py:10-160)."""
     from polars_ts_spark.operators import clustering
-    return clustering.kshape(_monthly_panel(spark, sf_dir), k=3)
+    return clustering.kshape(
+        _monthly_panel_exact(spark, sf_dir), k=3, max_iter=3, exact=True)
 
 
 # knn over DTW is deterministic end-to-end (bit-exact distances over
