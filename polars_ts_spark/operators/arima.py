@@ -686,19 +686,38 @@ def auto_arima_series(y: np.ndarray, max_p: int = 3, max_d: int = 1, max_q: int 
     maxs = (max_p, max_q, max_P if seasonal else 0, max_Q if seasonal else 0)
     cache: dict[tuple, float] = {}
 
+    def admissible(phi, theta, Phi, Theta):
+        """Hyndman-Khandakar root check (auto.arima / statsforecast):
+        a candidate whose expanded AR or MA polynomial has a root with
+        modulus <= 1.001 is non-stationary / non-invertible (or a
+        spurious near-unit-root canceling pair) and is discarded."""
+        phi_full = _expand_seasonal(phi, Phi, s) if len(Phi) else np.asarray(phi, float)
+        theta_full = (-_expand_seasonal(-np.asarray(theta, float), -np.asarray(Theta, float), s)
+                      if len(Theta) else np.asarray(theta, float))
+        for coefs, sign in ((phi_full, -1.0), (theta_full, 1.0)):
+            if len(coefs) == 0 or not np.any(coefs):
+                continue
+            roots = np.roots(np.r_[1.0, sign * np.asarray(coefs, float)][::-1])
+            if len(roots) and np.abs(roots).min() <= 1.001:
+                return False
+        return True
+
     def aic_of(o):
         if o in cache:
             return cache[o]
         if len(cache) >= max_fits:
             return np.inf
         p, q, P, Q = o
-        if p == 0 and q == 0 and P == 0 and Q == 0 and d == 0 and D == 0:
-            aic = np.inf  # no model at all
-        else:
-            try:
-                *_, aic = sarma_fit_series(w, p, q, P, Q, s)
-            except np.linalg.LinAlgError:
+        # (0,0)(0,0) with d = D = 0 is the MEAN-ONLY model — a real
+        # candidate in Hyndman-Khandakar (statsforecast fits it with a
+        # constant), not "no model"; white noise must be able to select
+        # (0,0,0).
+        try:
+            c_, phi_, theta_, Phi_, Theta_, _, aic = sarma_fit_series(w, p, q, P, Q, s)
+            if not admissible(phi_, theta_, Phi_, Theta_):
                 aic = np.inf
+        except np.linalg.LinAlgError:
+            aic = np.inf
         cache[o] = aic
         return aic
 

@@ -204,6 +204,41 @@ def series_to_image(
     return df.groupBy(id_col).applyInPandas(kern, schema=schema)
 
 
+def _default_torchvision_embed(P: np.ndarray, dim: int) -> np.ndarray:
+    """Default vision backbone (ref imaging/embeddings.py:172-260
+    'resnet' path): resnet18 truncated before its fc head, i.e. up to
+    global average pooling. Flat grayscale pixel vectors are reshaped
+    square, tiled to 3 channels, bilinear-resized to the backbone's
+    224x224 input; the (n, 512) features are projected to ``dim`` by
+    truncation / zero-pad. Import-guarded: without torch/torchvision
+    this raises the same honest ImportError as before."""
+    try:
+        import torch
+        import torchvision
+    except ImportError as e:
+        raise ImportError(
+            "torch/torchvision required for default vision embeddings; "
+            "pass embed_batch= for a custom (or stub) model"
+        ) from e
+    model = getattr(_default_torchvision_embed, "_model", None)
+    if model is None:
+        net = torchvision.models.resnet18(weights=None)
+        model = torch.nn.Sequential(*list(net.children())[:-1]).eval()
+        _default_torchvision_embed._model = model
+    n, npix = P.shape
+    side = int(np.sqrt(npix))
+    imgs = torch.tensor(
+        P[:, : side * side].reshape(n, 1, side, side), dtype=torch.float32
+    ).repeat(1, 3, 1, 1)
+    imgs = torch.nn.functional.interpolate(
+        imgs, size=(224, 224), mode="bilinear", align_corners=False)
+    with torch.no_grad():
+        feat = model(imgs).reshape(n, -1).numpy()
+    if feat.shape[1] >= dim:
+        return feat[:, :dim]
+    return np.pad(feat, ((0, 0), (0, dim - feat.shape[1])))
+
+
 def vision_embeddings(
     decoded_df: DataFrame,
     embed_batch=None,
@@ -222,16 +257,7 @@ def vision_embeddings(
     import pandas as pd
 
     if embed_batch is None:
-        def embed_batch(P):  # pragma: no cover - torch absent in CI
-            try:
-                import torch  # noqa: F401
-                import torchvision  # noqa: F401
-            except ImportError as e:
-                raise ImportError(
-                    "torch/torchvision required for default vision embeddings; "
-                    "pass embed_batch= for a custom (or stub) model"
-                ) from e
-            raise NotImplementedError("wire a torchvision model here")
+        embed_batch = lambda P: _default_torchvision_embed(P, dim)  # noqa: E731
 
     def gen(batches):
         for pdf in batches:

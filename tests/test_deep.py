@@ -140,3 +140,109 @@ def test_torch_ports_guarded(spark):
             pt.fit(df)
         with pytest.raises(RuntimeError, match="fit"):
             nb.predict(df)
+
+
+def _fake_torch_module():
+    import contextlib
+    import types
+
+    import numpy as np
+
+    t = types.ModuleType("torch")
+    t.float32 = np.float32
+    t.tensor = lambda x, dtype=None: np.asarray(x, dtype=dtype or float)
+    t.no_grad = contextlib.nullcontext
+    return t
+
+
+def test_chronos_loader_contract_with_fake_module(monkeypatch):
+    """Chronos _load_hook tensor plumbing (ref
+    foundation_forecast.py:80-190) against a fake chronos module: the
+    pipeline is constructed from the adapter's model name, each batch is
+    forwarded once with num_samples, and the hook returns the
+    sample-path MEDIAN with shape (n, h)."""
+    import sys
+    import types
+
+    from polars_ts_spark.operators import foundation
+
+    seen = {}
+
+    class _FakePipeline:
+        @classmethod
+        def from_pretrained(cls, name):
+            seen["name"] = name
+            return cls()
+
+        def predict(self, contexts, h, num_samples):
+            seen["ctx_shape"] = np.asarray(contexts).shape
+            seen["h"], seen["ns"] = h, num_samples
+            n = len(contexts)
+            # deterministic samples: value = sample index -> median = (ns-1)/2
+            arr = np.tile(np.arange(num_samples, dtype=float)[None, :, None], (n, 1, h))
+
+            class _S:
+                def numpy(self):
+                    return arr
+
+            return _S()
+
+    fake = types.ModuleType("chronos")
+    fake.ChronosPipeline = _FakePipeline
+    monkeypatch.setitem(sys.modules, "chronos", fake)
+    monkeypatch.setitem(sys.modules, "torch", _fake_torch_module())
+
+    hook = foundation.ChronosForecaster(
+        model_name="acme/tiny", num_samples=7)._load_hook(h=4)
+    out = hook(np.ones((3, 8)))
+    assert seen == {"name": "acme/tiny", "ctx_shape": (3, 8), "h": 4, "ns": 7}
+    assert out.shape == (3, 4) and np.allclose(out, 3.0)  # median of 0..6
+
+
+def test_moirai_loader_contract_with_fake_module(monkeypatch):
+    """Moirai _load_hook plumbing (ref foundation_forecast.py:265-370):
+    one no-grad forward per batch, prediction_length/num_samples passed
+    through, median over the sample axis (-2)."""
+    import sys
+    import types
+
+    from polars_ts_spark.operators import foundation
+
+    seen = {}
+
+    class _FakeMoirai:
+        @classmethod
+        def from_pretrained(cls, name):
+            seen["name"] = name
+            return cls()
+
+        def __call__(self, contexts, prediction_length, num_samples):
+            seen["pl"], seen["ns"] = prediction_length, num_samples
+            n = len(contexts)
+            arr = np.tile(
+                np.arange(num_samples, dtype=float)[None, :, None],
+                (n, 1, prediction_length))
+
+            class _S:
+                def cpu(self):
+                    return self
+
+                def numpy(self):
+                    return arr
+
+            return _S(), None
+
+    mod = types.ModuleType("uni2ts.model.moirai_forecast")
+    mod.MoiraiForecast = _FakeMoirai
+    pkg = types.ModuleType("uni2ts")
+    pkg_model = types.ModuleType("uni2ts.model")
+    monkeypatch.setitem(sys.modules, "uni2ts", pkg)
+    monkeypatch.setitem(sys.modules, "uni2ts.model", pkg_model)
+    monkeypatch.setitem(sys.modules, "uni2ts.model.moirai_forecast", mod)
+    monkeypatch.setitem(sys.modules, "torch", _fake_torch_module())
+
+    hook = foundation.MoiraiForecaster(
+        model_name="sf/tiny", num_samples=5)._load_hook(h=3)
+    out = hook(np.ones((2, 6)))
+    assert seen == {"name": "sf/tiny", "pl": 3, "ns": 5}
+    assert out.shape == (2, 3) and np.allclose(out, 2.0)  # median of 0..4

@@ -485,3 +485,97 @@ def test_kasba_separates_levels(spark):
     assert len({lab[f"low{i}"] for i in range(4)}) == 1
     assert len({lab[f"high{i}"] for i in range(4)}) == 1
     assert lab["low0"] != lab["high0"]
+
+
+def test_default_torchvision_embed_contract(monkeypatch):
+    """The guarded torchvision default (imaging._default_torchvision_embed)
+    exercised end-to-end with a fake torch/torchvision: square reshape,
+    3-channel tile, 224x224 bilinear resize, truncated-resnet feature
+    call, truncation/zero-pad projection. The no-torch path (ImportError
+    with guidance) is covered by test surface elsewhere."""
+    import contextlib
+    import sys
+    import types
+
+    import numpy as np
+
+    from polars_ts_spark.operators import imaging
+
+    calls = {}
+
+    class T:
+        def __init__(self, a):
+            self.a = np.asarray(a, dtype=np.float32)
+
+        def repeat(self, r0, r1, r2, r3):
+            return T(np.tile(self.a, (r0, r1, r2, r3)))
+
+        def reshape(self, *s):
+            return T(self.a.reshape(*s))
+
+        def numpy(self):
+            return self.a
+
+    def interpolate(t, size=None, mode=None, align_corners=None):
+        calls["interp"] = (t.a.shape, size, mode)
+        n, c = t.a.shape[:2]
+        return T(np.full((n, c, size[0], size[1]), t.a.mean(), dtype=np.float32))
+
+    class Seq:
+        def __init__(self, *layers):
+            self.layers = layers
+
+        def eval(self):
+            return self
+
+        def __call__(self, t):
+            out = t
+            for layer in self.layers:
+                out = layer(out)
+            return out
+
+    def feature_layer(t):
+        n = t.a.shape[0]
+        per = t.a.mean(axis=(1, 2, 3)).reshape(n, 1, 1, 1)
+        return T(np.tile(per, (1, 512, 1, 1)))
+
+    fake_torch = types.ModuleType("torch")
+    fake_torch.tensor = lambda x, dtype=None: T(x)
+    fake_torch.float32 = np.float32
+    fake_torch.no_grad = contextlib.nullcontext
+    nn = types.ModuleType("torch.nn")
+    nn.Sequential = Seq
+    fnc = types.ModuleType("torch.nn.functional")
+    fnc.interpolate = interpolate
+    nn.functional = fnc
+    fake_torch.nn = nn
+    fake_tv = types.ModuleType("torchvision")
+    models = types.ModuleType("torchvision.models")
+
+    def resnet18(weights=None):
+        calls["resnet"] = weights
+
+        class Net:
+            def children(self):
+                return [feature_layer, "fc-head-dropped"]
+
+        return Net()
+
+    models.resnet18 = resnet18
+    fake_tv.models = models
+    monkeypatch.setitem(sys.modules, "torch", fake_torch)
+    monkeypatch.setitem(sys.modules, "torchvision", fake_tv)
+    if hasattr(imaging._default_torchvision_embed, "_model"):
+        del imaging._default_torchvision_embed._model
+    try:
+        P = np.arange(5 * 49, dtype=float).reshape(5, 49)  # 7x7 grayscale
+        E = imaging._default_torchvision_embed(P, dim=64)
+        assert E.shape == (5, 64)
+        shp, size, mode = calls["interp"]
+        assert shp == (5, 3, 7, 7) and size == (224, 224) and mode == "bilinear"
+        assert calls["resnet"] is None  # weights=None: no network download
+        E2 = imaging._default_torchvision_embed(P, dim=600)  # > 512 -> zero-pad
+        assert E2.shape == (5, 600) and (E2[:, 512:] == 0).all()
+    finally:
+        if hasattr(imaging._default_torchvision_embed, "_model"):
+            del imaging._default_torchvision_embed._model
