@@ -108,7 +108,9 @@ def main():
     # >15% between rounds on load noise get a third pass and a reported
     # spread, so noise can't masquerade as a regression (VERDICT r4 #9).
     RUNS = 2
-    RERUN3 = {"forecast_metrics", "kmedoids_dtw"}
+    # lsh_ann_topk added r6: pins the multi-probe recall-fix cost
+    # (0.96 -> 1.20 s in r5) so it can't drift unnoticed (VERDICT r5 #9)
+    RERUN3 = {"forecast_metrics", "kmedoids_dtw", "lsh_ann_topk"}
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

@@ -86,8 +86,14 @@ class IsolationForest:
         self.thr = np.zeros((self.n_trees, width))
         self.leaf_add = np.zeros((self.n_trees, width))
         for t in range(self.n_trees):
-            keys = [hashlib.md5(f"{seed}:s:{t}:{i}".encode()).hexdigest() for i in range(n)]
-            order = np.argsort(np.asarray(keys))  # md5-rank sample
+            # md5-rank sample: rank by the 16 raw digest bytes as two
+            # big-endian u64s — identical order to the hex-string sort
+            # the SQL oracle uses (ROW_NUMBER OVER (ORDER BY md5(...)))
+            # without materializing n python strings per tree
+            pre = f"{seed}:s:{t}:".encode()
+            dig = b"".join(hashlib.md5(pre + b"%d" % i).digest() for i in range(n))
+            u = np.frombuffer(dig, dtype=">u8").reshape(n, 2)
+            order = np.lexsort((u[:, 1], u[:, 0]))
             frontier: dict[int, np.ndarray] = {1: order[:ss]}
             for d in range(self.max_depth + 1):
                 nxt: dict[int, np.ndarray] = {}

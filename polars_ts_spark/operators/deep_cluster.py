@@ -39,12 +39,14 @@ def _series_matrix(df: DataFrame, id_col: str, time_col: str, target_col: str):
     """(ids, X) with each z-normalized series resampled by truncation/
     zero-pad to the median length — the common fixed-width input the
     reference's `_prepare_data` builds (deep_cluster.py:150-170)."""
-    rows = (
+    rows = sorted(
         df.groupBy(F.col(id_col).cast("string").alias(id_col))
         .agg(F.expr(f"transform(array_sort(collect_list(struct({time_col} as t, "
                     f"cast({target_col} as double) as v))), s -> s.v)").alias("vals"))
-        .collect()
-    )
+        .collect(),
+        key=lambda r: r[id_col],
+    )  # sorted ids: row order (hence any index-seeded init) must not
+    # depend on Spark's collect order
     ids = [r[id_col] for r in rows]
     arrays = [np.asarray(r["vals"], float) for r in rows]
     L = int(np.median([len(a) for a in arrays]))
@@ -63,6 +65,32 @@ def svd_encode(X: np.ndarray, dim: int) -> np.ndarray:
     Xc = X - X.mean(axis=0, keepdims=True)
     _, _, Vt = np.linalg.svd(Xc, full_matrices=False)
     return Xc @ Vt[: min(dim, Vt.shape[0])].T
+
+
+def power_encode(X: np.ndarray, dim: int, n_iter: int = 30, seed: int = 42) -> np.ndarray:
+    """Engine-replicable linear encoder: fixed-count subspace iteration
+    with modified Gram-Schmidt on the centered Gram matrix Xcᵀ Xc from
+    an md5-hash init, returning Z = Xc @ V. Same embedding subspace as
+    ``svd_encode`` at convergence, but — unlike LAPACK's SVD — every
+    float op is a branch-free, SQL-replayable composition (the
+    spectral_labels_power construction)."""
+    from polars_ts_spark.functions.numutils import hash_unit
+
+    Xc = X - X.mean(axis=0, keepdims=True)
+    L = Xc.shape[1]
+    dim = min(dim, L)
+    G = Xc.T @ Xc
+    V = np.array([
+        [hash_unit(f"{seed}:enc:{i}:{j}") - 0.5 for j in range(dim)]
+        for i in range(L)
+    ])
+    for _ in range(n_iter):
+        V = G @ V
+        for j in range(dim):       # modified Gram-Schmidt, fixed order
+            for l in range(j):
+                V[:, j] -= (V[:, l] @ V[:, j]) * V[:, l]
+            V[:, j] /= max(float(np.linalg.norm(V[:, j])), 1e-12)
+    return Xc @ V
 
 
 def _lcg_kmeans(Z: np.ndarray, k: int, seed: int, n_iter: int = 50):
@@ -98,13 +126,19 @@ class DECClusterer:
 
     def __init__(self, n_clusters: int = 2, embedding_dim: int = 16,
                  finetune_iters: int = 30, seed: int = 42,
-                 encode_hook=None,
+                 encode_hook=None, encoder: str = "svd", exact: bool = False,
                  id_col: str = ID, time_col: str = TIME, target_col: str = TARGET):
+        """``encoder='power'`` swaps the LAPACK SVD for the
+        engine-replicable subspace-iteration encoder (``power_encode``);
+        ``exact=True`` removes the refinement loop's allclose early stop
+        so the whole trajectory is branch-free (oracle-able)."""
         self.n_clusters = n_clusters
         self.embedding_dim = embedding_dim
         self.finetune_iters = finetune_iters
         self.seed = seed
         self.encode_hook = encode_hook
+        self.encoder = encoder
+        self.exact = exact
         self.id_col, self.time_col, self.target_col = id_col, time_col, target_col
         self.labels_: DataFrame | None = None
         self.embeddings_: np.ndarray | None = None
@@ -125,7 +159,10 @@ class DECClusterer:
     def fit(self, df: DataFrame) -> "DECClusterer":
         spark = df.sparkSession
         ids, X = _series_matrix(df, self.id_col, self.time_col, self.target_col)
-        encode = self.encode_hook or (lambda M: svd_encode(M, self.embedding_dim))
+        encode = self.encode_hook or (
+            (lambda M: power_encode(M, self.embedding_dim, seed=self.seed))
+            if self.encoder == "power"
+            else (lambda M: svd_encode(M, self.embedding_dim)))
         Z = np.asarray(encode(X), dtype=float)
         self.embeddings_ = Z
         labels, C = _lcg_kmeans(Z, self.n_clusters, self.seed)
@@ -135,7 +172,7 @@ class DECClusterer:
             # centroid update = stationary point of the KL objective in C
             # for a fixed encoder
             C_new = (p.T @ Z) / np.maximum(p.sum(axis=0)[:, None], 1e-12)
-            if np.allclose(C_new, C, atol=1e-10):
+            if not self.exact and np.allclose(C_new, C, atol=1e-10):
                 C = C_new
                 break
             C = C_new

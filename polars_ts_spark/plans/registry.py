@@ -6014,12 +6014,243 @@ def q_auto_arima(spark, sf_dir):
     return arima.auto_arima(_monthly_panel(spark, sf_dir), h=6, season_length=12)
 
 
-@register("dec_cluster")  # embedding k-means + KL refinement: rows-only
-def q_dec_cluster(spark, sf_dir):
-    from polars_ts_spark.operators.deep_cluster import DECClusterer
-    return DECClusterer(n_clusters=3, embedding_dim=8).fit_predict(
-        _monthly_panel(spark, sf_dir)
+def _dec_oracle(seed: int = 42, dim: int = 4, enc_iter: int = 30,
+                km_iter: int = 50, ft_iter: int = 30) -> str:
+    """Exact replay of DECClusterer(n_clusters=3, embedding_dim=4,
+    encoder='power', exact=True) on the exact-cents monthly panel
+    (deep_cluster.py DEC; ref deep_cluster.py:32-231). Stages: median-
+    length truncate + z-norm matrix -> column-centered Gram -> enc_iter
+    unrolled subspace iterations with 4-column modified Gram-Schmidt ->
+    Z = Xc V -> LCG farthest-point k-means (fixed km_iter list-state
+    recursion; the Python early stop is a fixed point) -> ft_iter
+    Student-t KL refinement recursion -> argmax labels. All branches
+    are exact; summation/libm ulps stay in continuous consumers."""
+    D = dim
+    cols = lambda a: ", ".join(f"{a}x{j}" for j in range(1, D + 1))
+    its = []
+    for t in range(1, enc_iter + 1):
+        p = t - 1
+        gs = []
+        for j in range(1, D + 1):
+            if j > 1:
+                gs.append(f"""
+    gw{t}_{j}_0 AS (SELECT * FROM gw{t}_{j - 1}_{j - 1})""")
+            src = f"u{j}"
+            for l in range(1, j):
+                nxt = f"u{j}_{l}"
+                gs.append(f"""
+    gp{t}_{j}_{l} AS (SELECT SUM(q{l} * {src}) AS dv FROM gw{t}_{j}_{l - 1}),
+    gw{t}_{j}_{l} AS MATERIALIZED (
+        SELECT g.* EXCLUDE ({src}), g.{src} - d.dv * g.q{l} AS {nxt}
+        FROM gw{t}_{j}_{l - 1} g, gp{t}_{j}_{l} d)""")
+                src = nxt
+            gs.append(f"""
+    gn{t}_{j} AS (SELECT GREATEST(SQRT(SUM({src} * {src})), 1e-12) AS nv
+                  FROM gw{t}_{j}_{j - 1}),
+    gw{t}_{j}_{j} AS MATERIALIZED (
+        SELECT g.* EXCLUDE ({src}), g.{src} / n.nv AS q{j}
+        FROM gw{t}_{j}_{j - 1} g, gn{t}_{j} n)""")
+        # stage entry: y = G @ V_{t-1}; gw{t}_1_0 seeds the GS chain
+        matmul = ", ".join(
+            f"SUM(g.v * v.x{j}) AS u{j}" for j in range(1, D + 1))
+        its.append(f"""
+    gy{t} AS MATERIALIZED (
+        SELECT g.i, {matmul}
+        FROM gmat g JOIN v{p} v ON v.i = g.j GROUP BY g.i),
+    gw{t}_1_0 AS MATERIALIZED (SELECT * FROM gy{t}),{','.join(gs)},
+    v{t} AS MATERIALIZED (
+        SELECT i, {', '.join(f'q{j} AS x{j}' for j in range(1, D + 1))}
+        FROM gw{t}_{D}_{D})""")
+    v0c = ", ".join(
+        "(('0x' || substr(md5(CONCAT('%s:enc:', i, ':%d')), 1, 8))::BIGINT + 0.5)"
+        " / 4294967296.0 - 0.5 AS x%d" % (seed, j, j + 1)
+        for j in range(D)
     )
+    A, C, M64 = 6364136223846793005, 1442695040888963407, 1 << 64
+    # list helpers over [z1..zD] points and k=3 centroids
+    dsq = lambda c: "(" + " + ".join(
+        f"(p[{m}] - cent[{c}][{m}]) * (p[{m}] - cent[{c}][{m}])"
+        for m in range(1, D + 1)) + ")"
+    dsq_z = lambda c: "(" + " + ".join(
+        f"(zl[ii][{m}] - cent[{c}][{m}]) * (zl[ii][{m}] - cent[{c}][{m}])"
+        for m in range(1, D + 1)) + ")"
+    km_cmean = ", ".join(
+        "[" + ", ".join(
+            f"""CASE WHEN len(list_filter(nlabels, l -> l = {c})) = 0
+                     THEN cent[{c + 1}][{m}]
+                     ELSE list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+                              ii -> CASE WHEN nlabels[ii] = {c}
+                                         THEN zl[ii][{m}] ELSE 0.0 END))
+                          / len(list_filter(nlabels, l -> l = {c})) END"""
+            for m in range(1, D + 1)
+        ) + "]"
+        for c in range(3)
+    )
+    # DEC refinement step pieces (all lateral aliases in one SELECT):
+    # qraw[ii][c] = 1/(1+d), q = row-normalized, f[c] = col sums,
+    # w = q^2 / f, p = row-normalized w, C_new = p^T Z / col sums
+    qrow = ("list_transform(generate_series(1, CAST(n AS INT)), ii -> ["
+            + ", ".join(f"1.0 / (1.0 + {dsq_z(c + 1)})" for c in range(3)) + "])")
+    pnew = ", ".join(
+        "[" + ", ".join(
+            f"""list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+                    ii -> pm[ii][{c + 1}] * zl[ii][{m}]))
+                / GREATEST(list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+                    ii -> pm[ii][{c + 1}])), 1e-12)"""
+            for m in range(1, D + 1)
+        ) + "]"
+        for c in range(3)
+    )
+    return f"""
+WITH RECURSIVE daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM daily_cents GROUP BY 1, 2
+    ),
+    ser AS (
+        SELECT unique_id AS sid, list(CAST(y AS DOUBLE) ORDER BY ds) AS v,
+               CAST(COUNT(*) AS INT) AS len
+        FROM monthly GROUP BY 1
+    ),
+    idx AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS ix FROM ser),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+    lmed AS (SELECT CAST(FLOOR(quantile_cont(len, 0.5)) AS INT) AS L FROM ser),
+    -- truncate to L, z-norm over the TRUNCATED slice's own length,
+    -- zero-pad to L (deep_cluster._series_matrix)
+    xz AS MATERIALIZED (
+        SELECT i, list_concat(
+                   list_transform(tr, e -> (e - mu) / sd),
+                   list_transform(range(L - len(tr)), z -> 0.0)) AS x
+        FROM (
+          SELECT i, tr, L, list_sum(tr) / len(tr) AS mu,
+                 CASE WHEN sd0 > 0 THEN sd0 ELSE 1.0 END AS sd
+          FROM (
+            SELECT i.ix AS i, s.v[1:lm.L] AS tr, lm.L AS L,
+                   SQRT(list_sum(list_transform(s.v[1:lm.L],
+                        e -> (e - list_sum(s.v[1:lm.L]) / len(s.v[1:lm.L]))
+                           * (e - list_sum(s.v[1:lm.L]) / len(s.v[1:lm.L]))))
+                        / len(s.v[1:lm.L])) AS sd0
+            FROM ser s JOIN idx i ON i.sid = s.sid, lmed lm))
+    ),
+    colmu AS (
+        SELECT pp.pos, SUM(x.x[pp.pos + 1]) / COUNT(*) AS m
+        FROM xz x CROSS JOIN (SELECT UNNEST(range((SELECT L FROM lmed))) AS pos) pp
+        GROUP BY 1
+    ),
+    xc AS MATERIALIZED (
+        SELECT x.i, list(x.x[c.pos + 1] - c.m ORDER BY c.pos) AS x
+        FROM xz x CROSS JOIN colmu c GROUP BY x.i
+    ),
+    gmat AS MATERIALIZED (
+        SELECT pi.pos AS i, pj.pos AS j,
+               SUM(x.x[pi.pos + 1] * x.x[pj.pos + 1]) AS v
+        FROM xc x
+        CROSS JOIN (SELECT UNNEST(range((SELECT L FROM lmed))) AS pos) pi
+        CROSS JOIN (SELECT UNNEST(range((SELECT L FROM lmed))) AS pos) pj
+        GROUP BY 1, 2
+    ),
+    v0 AS MATERIALIZED (
+        SELECT pp.pos AS i, {v0c.replace('ix', 'pp.pos')}
+        FROM (SELECT UNNEST(range((SELECT L FROM lmed))) AS pos) pp
+    ),
+    {','.join(its)},
+    vcols AS MATERIALIZED (
+        SELECT {', '.join(f'list(x{j} ORDER BY i) AS c{j}' for j in range(1, D + 1))}
+        FROM v{enc_iter}
+    ),
+    zr AS MATERIALIZED (
+        SELECT x.i,
+               {', '.join(f'''list_sum(list_transform(generate_series(1, len(x.x)),
+                    ii -> x.x[ii] * vc.c{j}[ii])) AS z{j}'''
+                          for j in range(1, D + 1))}
+        FROM xc x, vcols vc
+    ),
+    zl AS MATERIALIZED (
+        SELECT list([{', '.join(f'z{j}' for j in range(1, D + 1))}] ORDER BY i) AS zl FROM zr
+    ),
+    -- LCG farthest-point init: first = ((seed*A + C) >> 33) %% n, then
+    -- k-1 argmax-of-min-distance picks (np.argmax first-max ties)
+    kinit AS (
+        SELECT zl, n,
+               CAST((({A}::HUGEINT * {seed} + {C}) // 8589934592) % n AS BIGINT) AS first
+        FROM zl, nn
+    ),
+    k1 AS (SELECT zl, n, [zl[first + 1]] AS cent FROM kinit),
+    k2 AS (
+        SELECT zl, n, list_append(cent, zl[
+            list_indexof(dl, list_max(dl))]) AS cent
+        FROM (SELECT zl, n, cent,
+                     list_transform(zl, p -> {dsq(1)}) AS dl FROM k1)
+    ),
+    k3 AS (
+        SELECT zl, n, list_append(cent, zl[
+            list_indexof(dl, list_max(dl))]) AS cent
+        FROM (SELECT zl, n, cent,
+                     list_transform(zl, p -> LEAST({dsq(1)}, {dsq(2)})) AS dl FROM k2)
+    ),
+    km AS (
+        SELECT 0 AS it, cent, zl, n FROM k3
+        UNION ALL
+        SELECT it + 1, ncent, zl, n FROM (
+            SELECT it, zl, n, cent,
+                   list_transform(zl, p -> CAST(
+                       CASE WHEN {dsq(1)} <= {dsq(2)} AND {dsq(1)} <= {dsq(3)} THEN 0
+                            WHEN {dsq(2)} <= {dsq(3)} THEN 1 ELSE 2 END AS BIGINT)) AS nlabels,
+                   [{km_cmean}] AS ncent
+            FROM km WHERE it < {km_iter}
+        )
+    ),
+    kmc AS (SELECT cent, zl, n FROM km WHERE it = {km_iter}),
+    dec AS (
+        SELECT 0 AS it, cent, zl, n FROM kmc
+        UNION ALL
+        SELECT it + 1, [{pnew}] AS cent, zl, n FROM (
+            SELECT it, zl, n,  cent,
+                   {qrow} AS qraw,
+                   list_transform(qraw, r -> [r[1] / (r[1] + r[2] + r[3]),
+                                              r[2] / (r[1] + r[2] + r[3]),
+                                              r[3] / (r[1] + r[2] + r[3])]) AS qm,
+                   [list_sum(list_transform(qm, r -> r[1])),
+                    list_sum(list_transform(qm, r -> r[2])),
+                    list_sum(list_transform(qm, r -> r[3]))] AS fcol,
+                   list_transform(qm, r -> [r[1] * r[1] / fcol[1],
+                                            r[2] * r[2] / fcol[2],
+                                            r[3] * r[3] / fcol[3]]) AS wm,
+                   list_transform(wm, r -> [r[1] / (r[1] + r[2] + r[3]),
+                                            r[2] / (r[1] + r[2] + r[3]),
+                                            r[3] / (r[1] + r[2] + r[3])]) AS pm
+            FROM dec WHERE it < {ft_iter}
+        )
+    ),
+    decf AS (SELECT cent, zl, n FROM dec WHERE it = {ft_iter}),
+    finalq AS (
+        SELECT i.sid AS unique_id, i.ix,
+               {', '.join(f'1.0 / (1.0 + (' + ' + '.join(
+                   f'(d.zl[i.ix + 1][{m}] - d.cent[{c + 1}][{m}]) * (d.zl[i.ix + 1][{m}] - d.cent[{c + 1}][{m}])'
+                   for m in range(1, D + 1)) + f')) AS q{c}' for c in range(3))}
+        FROM idx i, decf d
+    )
+    SELECT unique_id,
+           CAST(CASE WHEN q0 >= q1 AND q0 >= q2 THEN 0
+                     WHEN q1 >= q2 THEN 1 ELSE 2 END AS INT) AS cluster
+    FROM finalq
+    """
+
+
+@register("dec_cluster", _dec_oracle())
+def q_dec_cluster(spark, sf_dir):
+    """DEC with the engine-replicable power encoder, branch-free
+    refinement, on the exact-cents monthly panel (ref
+    deep_cluster.py:32-231)."""
+    from polars_ts_spark.operators.deep_cluster import DECClusterer
+    return DECClusterer(n_clusters=3, embedding_dim=4, encoder="power",
+                        exact=True).fit_predict(_monthly_panel_exact(spark, sf_dir))
 
 
 def _window_ridge_oracle(d: int, h: int, alpha: float = 1.0) -> str:
@@ -6336,7 +6567,26 @@ def q_synth_control(spark, sf_dir):
     return spark.createDataFrame(out)
 
 
-_CAUSAL_IMPACT_ORACLE = _MONTHLY_CTE.replace("WITH", "WITH RECURSIVE", 1) + """,
+# exact-cents monthly panel: causal_impact's 4dp-rounded outputs sit on
+# a long Kalman recursion, so the INPUT must be bit-identical not just
+# across engines but across Spark RUNS — AVG(double) varies run-to-run
+# with partition order, and a value near a 0.00005 boundary flips the
+# rounding (the r5->r6 flaky hash).
+_MONTHLY_EXACT_CTE = """
+WITH daily_cents AS (
+    SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+           date_trunc('day', l_shipdate) AS ds,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+    FROM lineitem GROUP BY 1, 2
+),
+monthly AS (
+    SELECT unique_id, date_trunc('month', ds) AS ds,
+           CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+    FROM daily_cents GROUP BY 1, 2
+)
+"""
+
+_CAUSAL_IMPACT_ORACLE = _MONTHLY_EXACT_CTE.replace("WITH", "WITH RECURSIVE", 1) + """,
     tcut AS (
         SELECT ds AS t0 FROM (
             SELECT ds, ROW_NUMBER() OVER (ORDER BY ds) AS rn,
@@ -6408,7 +6658,7 @@ _CAUSAL_IMPACT_ORACLE = _MONTHLY_CTE.replace("WITH", "WITH RECURSIVE", 1) + """,
 @register("causal_impact", _CAUSAL_IMPACT_ORACLE)
 def q_causal_impact(spark, sf_dir):
     from polars_ts_spark.operators import causal
-    panel = _monthly_panel(spark, sf_dir)
+    panel = _monthly_panel_exact(spark, sf_dir)
     times = sorted(r[0] for r in panel.select("ds").distinct().collect())
     cut = times[int(len(times) * 0.8)]
     out = causal.causal_impact(panel, cut)
