@@ -529,6 +529,52 @@ def sarma_fit_series(y: np.ndarray, p: int, q: int, P: int = 0, Q: int = 0,
     return c, phi, theta, Phi, Theta, sigma2, float(aic)
 
 
+def sarma_fit_hr(y: np.ndarray, p: int, q: int, P: int = 0, Q: int = 0, s: int = 0):
+    """Hannan-Rissanen two-stage least squares for SARMA orders with no
+    multiplicative cross terms (p·P == 0 and q·Q == 0, where the model
+    is exactly linear in the parameters). Stage 1: long-AR(m) OLS
+    residuals (m = max(8, p + q + s(P+Q) + 1), fixed — not a function
+    of n, so the SQL oracle's system size is static); residuals are 0
+    before t = m. Stage 2: OLS of y_t on [y-lags, e-lags, 1] over
+    t >= max(m, lags). Both solves are 1e-8-ridge normal equations —
+    closed form, branch-free, engine-replicable (unlike the
+    CSS/Nelder-Mead and KF-MLE paths). HR is the standard consistent
+    initializer used by auto.arima/statsforecast before MLE.
+    Returns (c, phi, theta, Phi, Theta, sigma2, aic)."""
+    if p * P or q * Q:
+        raise ValueError("method='hr' needs p*P == 0 and q*Q == 0 "
+                         "(no multiplicative cross terms)")
+    y = np.asarray(y, float)
+    n = len(y)
+    m = max(8, p + q + s * (P + Q) + 1)
+    e = np.zeros(n)
+    if n > m + 1:
+        X1 = np.column_stack([y[m - 1 - i: n - 1 - i] for i in range(m)]
+                             + [np.ones(n - m)])
+        A1 = X1.T @ X1 + 1e-8 * np.eye(m + 1)
+        coef1 = np.linalg.solve(A1, X1.T @ y[m:])
+        e[m:] = y[m:] - X1 @ coef1
+    ar_lags = list(range(1, p + 1)) + [s * j for j in range(1, P + 1)]
+    ma_lags = list(range(1, q + 1)) + [s * j for j in range(1, Q + 1)]
+    t0 = max([m] + ar_lags + ma_lags)
+    X = np.column_stack(
+        [y[t0 - L: n - L] for L in ar_lags]
+        + [e[t0 - L: n - L] for L in ma_lags]
+        + [np.ones(n - t0)])
+    A = X.T @ X + 1e-8 * np.eye(X.shape[1])
+    coef = np.linalg.solve(A, X.T @ y[t0:])
+    phi = coef[:p]
+    Phi = coef[p:p + P]
+    theta = coef[p + P:p + P + q]
+    Theta = coef[p + P + q:p + P + q + Q]
+    c = float(coef[-1])
+    resid = y[t0:] - X @ coef
+    sigma2 = float((resid ** 2).mean())
+    k = 2 + p + q + P + Q
+    aic = (n - t0) * np.log(max(sigma2, 1e-300)) + 2 * k
+    return c, phi, theta, Phi, Theta, sigma2, float(aic)
+
+
 def _seasonal_diff(w: np.ndarray, s: int) -> tuple[np.ndarray, np.ndarray]:
     """One lag-s difference; returns (differenced, tail) where tail is
     the last s values of the input (needed to integrate back)."""
@@ -557,8 +603,9 @@ def sarima_forecast_series(
     for _ in range(d):
         heads.append(w[-1])
         w = np.diff(w)
-    if method == "css":
-        c, phi, theta, Phi, Theta, _, _ = sarma_fit_series(w, p, q, P, Q, s)
+    if method in ("css", "hr"):
+        fit = sarma_fit_series if method == "css" else sarma_fit_hr
+        c, phi, theta, Phi, Theta, _, _ = fit(w, p, q, P, Q, s)
         phi_full = _expand_seasonal(phi, Phi, s) if (P and s) else phi
         theta_full = -_expand_seasonal(-theta, -Theta, s) if (Q and s) else theta
         fc = arma_forecast_series(w, c, phi_full, theta_full, h)

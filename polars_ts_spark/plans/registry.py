@@ -369,7 +369,8 @@ steps AS (SELECT UNNEST(generate_series(1, {h})) AS step)
 """
 
 
-def _gauss_solve_ctes(k: int, nrhs: int, src: str, prefix: str = "") -> str:
+def _gauss_solve_ctes(k: int, nrhs: int, src: str, prefix: str = "",
+                      carry: tuple = ()) -> str:
     """CTE chain solving the k x k linear system A W = B (nrhs right-hand
     sides) by unpivoted Gaussian elimination + back-substitution, all
     unrolled at SQL-generation time. Expects CTE ``src`` to expose one
@@ -380,12 +381,16 @@ def _gauss_solve_ctes(k: int, nrhs: int, src: str, prefix: str = "") -> str:
     equations (SPD). Validated against LAPACK np.linalg.solve on the
     real sf0.001/sf0.01 sufficient statistics: max relative coefficient
     difference ~8e-15, prediction difference ~1e-9 absolute on ~6e4
-    scale — far below the 2dp rounding both sides apply."""
+    scale — far below the 2dp rounding both sides apply.
+
+    The row-wise arithmetic makes each INPUT ROW an independent system:
+    pass ``carry`` columns (e.g. a series id) to solve many systems in
+    one chain."""
     ctes = []
     # live[i][j] / rhs[i][r] track which CTE column currently holds the value
     prev = src
     for t in range(k - 1):
-        cols = []
+        cols = list(carry)
         # rows <= t frozen (needed for back-substitution)
         for i in range(t + 1):
             for j in range(i, k):
@@ -6328,12 +6333,150 @@ def q_window_model_forecast(spark, sf_dir):
     return out.select("unique_id", "ds", F.round("y_hat", 2).alias("y_hat"))
 
 
-@register("sarima_forecast")  # CSS + Nelder-Mead: rows-only
-def q_sarima(spark, sf_dir):
-    from polars_ts_spark.operators import arima
-    return arima.arima_forecast(
-        _monthly_panel(spark, sf_dir), h=6, order=(0, 1, 1), seasonal_order=(1, 0, 0, 12)
+def _sarima_hr_oracle(h: int = 6, s: int = 12, m: int = 14,
+                      min_n: int = 19) -> str:
+    """Replay of arima_forecast(order=(0,1,1), seasonal=(1,0,0,12),
+    method='hr') on the exact-cents monthly panel (arima.sarma_fit_hr;
+    ref models/arima.py:95-182). The Hannan-Rissanen fit is two closed-
+    form ridge solves — stage-1 AR(14) residuals, stage-2 OLS of w_t on
+    [w_{t-12}, e_{t-1}, 1] — both per-series rows through the shared
+    Gauss chain (carry=unique_id), then the CSS residual recursion, the
+    h-step decode (future shocks 0; all lag-12 references land on
+    observed history for h <= 12), and d=1 re-integration. Output keyed
+    by step (timestamp generation is covered by the daily-panel
+    forecast oracles). Rounded 2dp both sides."""
+    # stage-1 normal equations: X = [lag1..lag14, 1], 15x15 + 1e-8 ridge
+    k1 = m + 1
+    x1 = [f"l{i}" for i in range(1, m + 1)] + ["1.0"]
+    a1, b1 = [], []
+    for i in range(k1):
+        for j in range(i, k1):
+            ridge = " + 1e-8" if i == j else ""
+            a1.append(f"SUM({x1[i]} * {x1[j]}){ridge} AS a_{i}_{j}")
+        b1.append(f"SUM({x1[i]} * w) AS b_{i}_0")
+    mir1 = ["*"] + [f"a_{i}_{j} AS a_{j}_{i}" for i in range(k1) for j in range(i + 1, k1)]
+    fit1 = " + ".join(f"c.w_{i}_0 * l.l{i + 1}" for i in range(m)) + f" + c.w_{m}_0"
+    # stage-2: X = [w_{t-12}, e_{t-1}, 1]
+    x2 = ["x1", "x2", "1.0"]
+    a2, b2 = [], []
+    for i in range(3):
+        for j in range(i, 3):
+            ridge = " + 1e-8" if i == j else ""
+            a2.append(f"SUM({x2[i]} * {x2[j]}){ridge} AS a_{i}_{j}")
+        b2.append(f"SUM({x2[i]} * w) AS b_{i}_0")
+    mir2 = ["*"] + [f"a_{i}_{j} AS a_{j}_{i}" for i in range(3) for j in range(i + 1, 3)]
+    lags = ",\n               ".join(
+        f"LAG(w, {i}) OVER (PARTITION BY unique_id ORDER BY t) AS l{i}"
+        for i in range(1, m + 1))
+    return f"""
+WITH RECURSIVE daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM daily_cents GROUP BY 1, 2
+    ),
+    pan AS MATERIALIZED (
+        SELECT unique_id, ds, CAST(y AS DOUBLE) AS y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+               COUNT(*) OVER (PARTITION BY unique_id) AS ny
+        FROM monthly
+    ),
+    lasty AS (SELECT unique_id, max_by(y, rn) AS y_last, ANY_VALUE(ny) AS ny
+              FROM pan GROUP BY 1),
+    steps AS (SELECT UNNEST(generate_series(1, {h})) AS step),
+    wt AS MATERIALIZED (
+        SELECT unique_id, rn - 2 AS t,
+               y - LAG(y) OVER (PARTITION BY unique_id ORDER BY rn) AS w,
+               ny - 1 AS n
+        FROM pan QUALIFY w IS NOT NULL
+    ),
+    lagged AS MATERIALIZED (
+        SELECT unique_id, t, n, w,
+               {lags}
+        FROM wt
+    ),
+    s1u AS (SELECT unique_id, {', '.join(a1)}, {', '.join(b1)}
+            FROM lagged WHERE t >= {m} GROUP BY 1),
+    s1m AS (SELECT {', '.join(mir1)} FROM s1u),
+    {_gauss_solve_ctes(k1, 1, 's1m', prefix='s1', carry=('unique_id',))},
+    ehat AS MATERIALIZED (
+        SELECT l.unique_id, l.t, l.n, l.w,
+               CASE WHEN l.t >= {m} THEN l.w - ({fit1}) ELSE 0.0 END AS e
+        FROM lagged l JOIN s1wsol c USING (unique_id)
+    ),
+    st2 AS (
+        SELECT unique_id, t, n, w,
+               LAG(w, {s}) OVER (PARTITION BY unique_id ORDER BY t) AS x1,
+               LAG(e, 1) OVER (PARTITION BY unique_id ORDER BY t) AS x2
+        FROM ehat
+    ),
+    s2u AS (SELECT unique_id, {', '.join(a2)}, {', '.join(b2)}
+            FROM st2 WHERE t >= {m} GROUP BY 1),
+    s2m AS (SELECT {', '.join(mir2)} FROM s2u),
+    {_gauss_solve_ctes(3, 1, 's2m', prefix='s2', carry=('unique_id',))},
+    prm2 AS (SELECT unique_id, w_0_0 AS cphi, w_1_0 AS cth, w_2_0 AS cc FROM s2wsol),
+    -- CSS residual recursion with the fitted params (errs history for
+    -- the step-1 decode): e_t = ((w_t - c) - Phi*w_{{t-12}}) - th*e_{{t-1}}
+    css AS (
+        SELECT w.unique_id, w.t, w.n,
+               (w.w - p.cphi * 0.0 - p.cc) AS e
+        FROM wt w JOIN prm2 p USING (unique_id) WHERE w.t = 0
+        UNION ALL
+        SELECT w.unique_id, w.t, w.n,
+               w.w - p.cc
+               - (CASE WHEN w.t >= {s} THEN p.cphi * w12.w ELSE 0.0 END)
+               - p.cth * c.e AS e
+        FROM css c
+        JOIN wt w ON w.unique_id = c.unique_id AND w.t = c.t + 1
+        JOIN prm2 p ON p.unique_id = c.unique_id
+        LEFT JOIN wt w12 ON w12.unique_id = c.unique_id AND w12.t = w.t - {s}
+    ),
+    elast AS (SELECT unique_id, max_by(e, t) AS e_last FROM css GROUP BY 1),
+    -- h-step decode: w_hat_k = c + Phi * w[n - 12 + k - 1] (+ th*e_last at k=1)
+    dec AS (
+        SELECT st.step, p.unique_id,
+               p.cc + p.cphi * wl.w
+               + CASE WHEN st.step = 1 THEN p.cth * el.e_last ELSE 0.0 END AS w_hat
+        FROM prm2 p
+        CROSS JOIN steps st
+        JOIN elast el USING (unique_id)
+        JOIN wt wl ON wl.unique_id = p.unique_id AND wl.t = wl.n - {s} + st.step - 1
+    ),
+    integ AS (
+        SELECT unique_id, step,
+               SUM(w_hat) OVER (PARTITION BY unique_id ORDER BY step) AS cw
+        FROM dec
     )
+    SELECT l.unique_id, CAST(s.step AS INT) AS step,
+           ROUND(CASE WHEN l.ny < {min_n} THEN l.y_last
+                      ELSE l.y_last + i.cw END, 2) AS y_hat
+    FROM lasty l
+    CROSS JOIN steps s
+    LEFT JOIN integ i ON i.unique_id = l.unique_id AND i.step = s.step
+    """
+
+
+@register("sarima_forecast", _sarima_hr_oracle())
+def q_sarima(spark, sf_dir):
+    """SARIMA(0,1,1)(1,0,0,12) with the closed-form Hannan-Rissanen
+    estimator on the exact-cents monthly panel; output keyed by step
+    (ref models/arima.py:95-182)."""
+    from pyspark.sql import Window
+
+    from polars_ts_spark.operators import arima
+    out = arima.arima_forecast(
+        _monthly_panel_exact(spark, sf_dir), h=6,
+        order=(0, 1, 1), seasonal_order=(1, 0, 0, 12), method="hr")
+    w = Window.partitionBy("unique_id").orderBy("ds")
+    return out.select(
+        "unique_id",
+        F.row_number().over(w).cast("int").alias("step"),
+        F.round("y_hat", 2).alias("y_hat"))
 
 
 # ROCKET is oracle-expressible because the "random" kernels are a

@@ -260,3 +260,22 @@ class TestAutoArimaPlantedOrders:
         a = auto_arima_series(y, max_p=3, max_d=1, max_q=1)
         b = auto_arima_series(y, max_p=3, max_d=1, max_q=1)
         assert a == b
+
+
+def test_sarma_fit_hr_recovers_planted_seasonal_ar():
+    """Hannan-Rissanen two-stage LS on a planted SAR(1)+MA(1) process:
+    estimates land near truth (consistent estimator), and the cross-term
+    guard rejects multiplicative orders it cannot linearize."""
+    from polars_ts_spark.operators.arima import sarma_fit_hr
+    rng = np.random.default_rng(21)
+    n, s = 480, 12
+    e = rng.normal(0, 1, n)
+    y = np.empty(n)
+    y[:s] = e[:s]
+    for t in range(s, n):
+        y[t] = 0.6 * y[t - s] + e[t] + 0.5 * e[t - 1]
+    c, phi, theta, Phi, Theta, sigma2, aic = sarma_fit_hr(y, p=0, q=1, P=1, Q=0, s=s)
+    assert abs(Phi[0] - 0.6) < 0.12 and abs(theta[0] - 0.5) < 0.12
+    assert sigma2 < 1.4
+    with pytest.raises(ValueError, match="cross terms"):
+        sarma_fit_hr(y, p=1, q=0, P=1, Q=0, s=s)
