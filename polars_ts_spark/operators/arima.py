@@ -56,10 +56,12 @@ def arma_fit_series(y: np.ndarray, p: int = 1, q: int = 0):
         aic = n * np.log(max(sigma2, 1e-300)) + 2 * 2
         return c, np.empty(0), np.empty(0), sigma2, float(aic)
     if q == 0:
-        # exact OLS for pure AR
+        # OLS for pure AR via 1e-8-ridge normal equations (house
+        # solver family — engine-replicable through the SQL Gauss
+        # chain, unlike LAPACK lstsq's SVD)
         X = np.column_stack([y[p - 1 - i : n - 1 - i] for i in range(p)] + [np.ones(n - p)])
         t_ = y[p:]
-        coef, *_ = np.linalg.lstsq(X, t_, rcond=None)
+        coef = np.linalg.solve(X.T @ X + 1e-8 * np.eye(p + 1), X.T @ t_)
         phi, c = coef[:p], float(coef[p])
         e = t_ - X @ coef
         sigma2 = float((e ** 2).mean())

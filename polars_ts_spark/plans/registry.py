@@ -6013,10 +6013,273 @@ def q_arima(spark, sf_dir):
     return out.select("unique_id", "ds", F.round("y_hat", 2).alias("y_hat"))
 
 
-@register("auto_arima")
+def _auto_arima_ar_oracle(h: int = 6, max_p: int = 3, seed_crit: float = 0.463) -> str:
+    """Full-path replay of auto_arima(max_p=3, max_q=0, season_length=0,
+    method='css') — the AR-restricted Hyndman-Khandakar configuration in
+    which EVERY candidate fit is closed form (mean-only or ridge-normal-
+    equation AR OLS), so the entire selection trajectory is SQL-
+    replayable: KPSS d-choice, the four candidate AICs, Jury-criterion
+    admissibility (algebraically equivalent to the np.roots
+    |root| > 1.001 check — 0 mismatches in 2e5 random polys), the
+    stepwise walk (start trio then greedy p±1 with strict improvement),
+    the CSS AR decode recursion and d-integration (ref
+    models/arima.py:22-87 stepwise semantics)."""
+    c_inv = "1.001"  # chi(c*u) scaling: a_i = -phi_i * 1.001^i
+    fits, wsols = [], []
+    for p in range(1, max_p + 1):
+        xs = [f"l{i}" for i in range(1, p + 1)] + ["1.0"]
+        aa, bb = [], []
+        for i in range(p + 1):
+            for j in range(i, p + 1):
+                ridge = " + 1e-8" if i == j else ""
+                aa.append(f"SUM({xs[i]} * {xs[j]}){ridge} AS a_{i}_{j}")
+            bb.append(f"SUM({xs[i]} * w) AS b_{i}_0")
+        mir = ["*"] + [f"a_{i}_{j} AS a_{j}_{i}"
+                       for i in range(p + 1) for j in range(i + 1, p + 1)]
+        fit_expr = " + ".join(f"c.w_{i}_0 * l.l{i + 1}" for i in range(p)) + f" + c.w_{p}_0"
+        fits.append(f"""
+    f{p}u AS (SELECT unique_id, COUNT(*) AS nrows, {', '.join(aa)}, {', '.join(bb)}
+              FROM lagw WHERE t >= {p} GROUP BY 1),
+    f{p}m AS (SELECT {', '.join(mir)} FROM f{p}u),
+    {_gauss_solve_ctes(p + 1, 1, f'f{p}m', prefix=f'p{p}', carry=('unique_id', 'nrows'))},
+    r{p} AS (
+        SELECT l.unique_id,
+               SUM((l.w - ({fit_expr})) * (l.w - ({fit_expr}))) / ANY_VALUE(c.nrows) AS sig2,
+               {', '.join(f'ANY_VALUE(c.w_{i}_0) AS f{i + 1}' for i in range(p))},
+               ANY_VALUE(c.w_{p}_0) AS cc
+        FROM lagw l JOIN p{p}wsol c USING (unique_id)
+        WHERE l.t >= {p} GROUP BY 1
+    )""")
+    # Jury admissibility per p (scaled coefficients a_i = -f_i * 1.001^i)
+    jury = {
+        1: "abs(-f1 * 1.001) < 1",
+        2: ("abs(-f2 * 1.001 * 1.001) < 1 "
+            "AND 1 + (-f1 * 1.001) + (-f2 * 1.001 * 1.001) > 0 "
+            "AND 1 - (-f1 * 1.001) + (-f2 * 1.001 * 1.001) > 0"),
+        3: ("abs(-f3 * 1.001 * 1.001 * 1.001) < 1 "
+            "AND 1 + (-f1 * 1.001) + (-f2 * 1.001 * 1.001) + (-f3 * 1.001 * 1.001 * 1.001) > 0 "
+            "AND -1 + (-f1 * 1.001) - (-f2 * 1.001 * 1.001) + (-f3 * 1.001 * 1.001 * 1.001) < 0 "
+            "AND abs((-f3 * 1.001 * 1.001 * 1.001) * (-f3 * 1.001 * 1.001 * 1.001) - 1) "
+            "    > abs((-f3 * 1.001 * 1.001 * 1.001) * (-f1 * 1.001) - (-f2 * 1.001 * 1.001))"),
+    }
+    aics = []
+    for p in range(1, max_p + 1):
+        zchk = " AND ".join(f"f{i + 1} = 0.0" for i in range(p))
+        aics.append(f"""
+    a{p} AS (
+        SELECT r.unique_id,
+               CASE WHEN ({zchk}) OR ({jury[p]})
+                    THEN (n.nw - {p}) * LN(GREATEST(r.sig2, 1e-300)) + {2 * (p + 2)}
+                    ELSE {_INF} END AS aic
+        FROM r{p} r JOIN wn n USING (unique_id)
+    )""")
+    return f"""
+WITH RECURSIVE daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM daily_cents GROUP BY 1, 2
+    ),
+    pan AS MATERIALIZED (
+        SELECT unique_id, CAST(y AS DOUBLE) AS y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+               COUNT(*) OVER (PARTITION BY unique_id) AS ny
+        FROM monthly
+    ),
+    lasty AS (SELECT unique_id, max_by(y, rn) AS y_last, ANY_VALUE(ny) AS ny
+              FROM pan GROUP BY 1),
+    steps AS (SELECT UNNEST(generate_series(1, {h})) AS step),
+    -- KPSS level statistic on y (Bartlett l4 bandwidth)
+    kp0 AS (
+        SELECT unique_id, y, rn, ny,
+               y - AVG(y) OVER (PARTITION BY unique_id) AS e
+        FROM pan
+    ),
+    kp1 AS (
+        SELECT unique_id, rn, ny, e,
+               SUM(e) OVER (PARTITION BY unique_id ORDER BY rn) AS s,
+               CAST(FLOOR(4 * POW(ny / 100.0, 0.25)) AS INT) AS lags
+        FROM kp0
+    ),
+    kgam AS (
+        SELECT a.unique_id, k.k,
+               SUM(a.e * b.e) / ANY_VALUE(a.ny) AS gk,
+               ANY_VALUE(a.lags) AS lags
+        FROM kp1 a
+        JOIN (SELECT UNNEST(generate_series(0, 24)) AS k) k
+          ON k.k <= LEAST(a.lags, a.ny - 1)
+        JOIN kp1 b ON b.unique_id = a.unique_id AND b.rn = a.rn - k.k
+        GROUP BY 1, 2
+    ),
+    kpss AS (
+        SELECT g.unique_id,
+               CASE WHEN ANY_VALUE(n.ny) < 8 THEN 0.0
+                    WHEN MAX(CASE WHEN g.k = 0 THEN g.gk END) <= 0 THEN 0.0
+                    WHEN SUM(CASE WHEN g.k = 0 THEN g.gk
+                                  ELSE 2 * (1 - g.k / (g.lags + 1.0)) * g.gk END) <= 0
+                         THEN 0.0
+                    ELSE ANY_VALUE(ss.s2) / (ANY_VALUE(n.ny) * ANY_VALUE(n.ny)
+                         * SUM(CASE WHEN g.k = 0 THEN g.gk
+                                    ELSE 2 * (1 - g.k / (g.lags + 1.0)) * g.gk END))
+               END AS stat
+        FROM kgam g
+        JOIN lasty n ON n.unique_id = g.unique_id
+        JOIN (SELECT unique_id, SUM(s * s) AS s2 FROM kp1 GROUP BY 1) ss
+          ON ss.unique_id = g.unique_id
+        GROUP BY 1
+    ),
+    dsel AS (
+        SELECT p.unique_id,
+               CASE WHEN p.ny < 12 THEN 1  -- short-series (0,1,0) branch
+                    WHEN p.ny > 10 AND k.stat > {seed_crit} THEN 1
+                    ELSE 0 END AS d
+        FROM lasty p JOIN kpss k USING (unique_id)
+    ),
+    wt AS MATERIALIZED (
+        SELECT p.unique_id,
+               CASE WHEN d.d = 1 THEN p.rn - 2 ELSE p.rn - 1 END AS t,
+               CASE WHEN d.d = 1
+                    THEN p.y - LAG(p.y) OVER (PARTITION BY p.unique_id ORDER BY p.rn)
+                    ELSE p.y END AS w
+        FROM pan p JOIN dsel d USING (unique_id)
+        QUALIFY w IS NOT NULL OR d.d = 0
+    ),
+    wn AS (SELECT unique_id, COUNT(*) AS nw FROM wt GROUP BY 1),
+    lagw AS MATERIALIZED (
+        SELECT unique_id, t, w,
+               LAG(w, 1) OVER (PARTITION BY unique_id ORDER BY t) AS l1,
+               LAG(w, 2) OVER (PARTITION BY unique_id ORDER BY t) AS l2,
+               LAG(w, 3) OVER (PARTITION BY unique_id ORDER BY t) AS l3
+        FROM wt
+    ),
+    -- p = 0: mean-only
+    r0 AS (
+        SELECT unique_id, AVG(w) AS cc, COUNT(*) AS nw0 FROM wt GROUP BY 1
+    ),
+    a0 AS (
+        SELECT r.unique_id,
+               n.nw * LN(GREATEST(
+                   (SELECT SUM((w2.w - r.cc) * (w2.w - r.cc)) FROM wt w2
+                    WHERE w2.unique_id = r.unique_id) / n.nw, 1e-300)) + 4 AS aic
+        FROM r0 r JOIN wn n USING (unique_id)
+    ),
+    {','.join(fits)},
+    {','.join(aics)},
+    al AS (
+        SELECT a0.unique_id,
+               [a0.aic, COALESCE(a1.aic, {_INF}), COALESCE(a2.aic, {_INF}),
+                COALESCE(a3.aic, {_INF})] AS aic
+        FROM a0
+        LEFT JOIN a1 USING (unique_id)
+        LEFT JOIN a2 USING (unique_id)
+        LEFT JOIN a3 USING (unique_id)
+    ),
+    -- start trio (2,0),(0,0),(1,0) evaluated sequentially, then the
+    -- greedy +-1 walk with strict improvement
+    wstart AS (
+        SELECT unique_id, aic,
+               CASE WHEN aic[2] < (CASE WHEN aic[1] < aic[3] THEN aic[1] ELSE aic[3] END)
+                    THEN 1
+                    WHEN aic[1] < aic[3] THEN 0 ELSE 2 END AS cur
+        FROM al
+    ),
+    walk AS (
+        SELECT unique_id, aic, cur, 0 AS it FROM wstart
+        UNION ALL
+        SELECT unique_id, aic,
+               CASE WHEN cur < {max_p} AND aic[cur + 2] < aic[cur + 1] THEN cur + 1
+                    WHEN cur > 0 AND aic[cur] < aic[cur + 1] THEN cur - 1
+                    ELSE cur END AS cur,
+               it + 1
+        FROM walk
+        WHERE it < 8 AND (
+            (cur < {max_p} AND aic[cur + 2] < aic[cur + 1])
+            OR (cur > 0 AND aic[cur] < aic[cur + 1]))
+    ),
+    chosen AS (
+        SELECT w.unique_id,
+               CASE WHEN l.ny < 12 THEN 0
+                    WHEN NOT isfinite(w.aic[w.cur + 1]) THEN 0
+                    ELSE w.cur END AS p,
+               CASE WHEN l.ny < 12 THEN 1 ELSE d.d END AS d
+        FROM (SELECT unique_id, aic, max_by(cur, it) AS cur FROM walk GROUP BY 1, aic) w
+        JOIN dsel d USING (unique_id) JOIN lasty l USING (unique_id)
+    ),
+    prms AS (
+        SELECT c.unique_id, c.p, c.d,
+               CASE c.p WHEN 0 THEN r0.cc WHEN 1 THEN r1.cc
+                        WHEN 2 THEN r2.cc ELSE r3.cc END AS cc,
+               CASE c.p WHEN 1 THEN r1.f1 WHEN 2 THEN r2.f1
+                        WHEN 3 THEN r3.f1 ELSE 0.0 END AS f1,
+               CASE c.p WHEN 2 THEN r2.f2 WHEN 3 THEN r3.f2 ELSE 0.0 END AS f2,
+               CASE c.p WHEN 3 THEN r3.f3 ELSE 0.0 END AS f3
+        FROM chosen c
+        LEFT JOIN r0 USING (unique_id) LEFT JOIN r1 USING (unique_id)
+        LEFT JOIN r2 USING (unique_id) LEFT JOIN r3 USING (unique_id)
+    ),
+    tailw AS (
+        SELECT w.unique_id,
+               COALESCE(max_by(w.w, w.t), 0.0) AS h1,
+               COALESCE(max_by(l.l1, w.t), 0.0) AS h2,
+               COALESCE(max_by(l.l2, w.t), 0.0) AS h3
+        FROM wt w JOIN lagw l ON l.unique_id = w.unique_id AND l.t = w.t
+        GROUP BY 1
+    ),
+    dec AS (
+        SELECT p.unique_id, 0 AS step,
+               CAST(0.0 AS DOUBLE) AS w_hat,
+               t.h1, t.h2, t.h3, p.cc, p.f1, p.f2, p.f3
+        FROM prms p JOIN tailw t USING (unique_id)
+        UNION ALL
+        SELECT unique_id, step + 1,
+               cc + f1 * h1 + f2 * h2 + f3 * h3 AS w_hat,
+               cc + f1 * h1 + f2 * h2 + f3 * h3, h1, h2, cc, f1, f2, f3
+        FROM dec WHERE step < {h}
+    ),
+    integ AS (
+        SELECT d.unique_id, d.step,
+               SUM(d.w_hat) OVER (PARTITION BY d.unique_id ORDER BY d.step) AS cw,
+               d.w_hat
+        FROM dec d WHERE d.step >= 1
+    )
+    SELECT c.unique_id, CAST(s.step AS INT) AS step,
+           ROUND(CASE WHEN c.d = 1 THEN l.y_last + i.cw ELSE i.w_hat END, 2) AS y_hat,
+           CAST(c.p AS INT) AS p, CAST(c.d AS INT) AS d, 0 AS q,
+           0 AS sp, 0 AS sd, 0 AS sq
+    FROM chosen c
+    JOIN lasty l USING (unique_id)
+    CROSS JOIN steps s
+    JOIN integ i ON i.unique_id = c.unique_id AND i.step = s.step
+    """
+
+
+@register("auto_arima", _auto_arima_ar_oracle())
 def q_auto_arima(spark, sf_dir):
+    """AR-restricted Hyndman-Khandakar auto-ARIMA (max_q=0, CSS decode)
+    on the exact-cents monthly panel — the configuration in which every
+    candidate fit is closed form and the full stepwise trajectory is
+    engine-replicable (ref models/arima.py:22-87)."""
+    from pyspark.sql import Window
+
     from polars_ts_spark.operators import arima
-    return arima.auto_arima(_monthly_panel(spark, sf_dir), h=6, season_length=12)
+    out = arima.auto_arima(
+        _monthly_panel_exact(spark, sf_dir), h=6,
+        max_p=3, max_q=0, season_length=0, method="css")
+    # positional rename: case-insensitive resolution (both Spark SQL and
+    # DuckDB) makes p/P, d/D, q/Q ambiguous, so the seasonal orders ship
+    # as sp/sd/sq
+    out = out.toDF("unique_id", "ds", "y_hat", "p", "d", "q", "sp", "sd", "sq")
+    w = Window.partitionBy("unique_id").orderBy("ds")
+    return out.select(
+        "unique_id",
+        F.row_number().over(w).cast("int").alias("step"),
+        F.round("y_hat", 2).alias("y_hat"),
+        "p", "d", "q", "sp", "sd", "sq")
 
 
 def _dec_oracle(seed: int = 42, dim: int = 4, enc_iter: int = 30,
