@@ -174,6 +174,11 @@ def main():
         "quality": quality,
         "spread_3runs": spread,
         "cpu_calibration_sec": {"before": calib_before, "after": _cpu_calibration()},
+        "notes": {
+            "regime_detect": "query redefined in r6 (exact-cents monthly panel, "
+                             "6 fixed EM iterations, was daily/50) — its delta vs "
+                             "r5 is a definition change, not a kernel speedup",
+        },
     }))
 
 
