@@ -8907,10 +8907,194 @@ def q_bsts(spark, sf_dir):
 # bit-exact recursive-CTE oracles over the exact-cents bivariate panel)
 
 
-@register("pairwise_dtw_fast")  # rows-only (FastDTW approximation)
+def _fastdtw_ladder(maxlv: int = 8) -> str:
+    """Halving ladder CTE body: level-k arrays are adjacent-pair means
+    of level k-1 (dist_kernels._fastdtw_path's reduction — exact
+    (x+y)/2 doubles, so bit-identical across engines)."""
+    inner = """
+        SELECT id_1, id_2, a AS a1, b AS b1,
+           list_transform(range(len(a) // 2), i -> (a[2*i + 1] + a[2*i + 2]) / 2.0) AS a2,
+           list_transform(range(len(b) // 2), i -> (b[2*i + 1] + b[2*i + 2]) / 2.0) AS b2
+        FROM pairs"""
+    for k in range(3, maxlv + 1):
+        inner = f"""
+        SELECT *,
+           list_transform(range(len(a{k - 1}) // 2), i -> (a{k - 1}[2*i + 1] + a{k - 1}[2*i + 2]) / 2.0) AS a{k},
+           list_transform(range(len(b{k - 1}) // 2), i -> (b{k - 1}[2*i + 1] + b{k - 1}[2*i + 2]) / 2.0) AS b{k}
+        FROM ({inner})"""
+    al = ", ".join(f"a{k}" for k in range(1, maxlv + 1))
+    bl = ", ".join(f"b{k}" for k in range(1, maxlv + 1))
+    return f"SELECT id_1, id_2, [{al}] AS al, [{bl}] AS bl FROM ({inner})"
+
+
+def _fastdtw_oracle(radius: int = 3, maxlv: int = 8) -> str:
+    """BIT-EXACT replay of FastDTW (dist_kernels._fastdtw_path; Salvador
+    & Chan 2007; ref dtw.rs:89-197) as one per-pair level/phase state
+    machine: phase 0 builds the level's cell window (full grid at the
+    coarsest level, else the radius-inflated projection of the coarser
+    warp path), phase 1 folds the windowed DP one anti-diagonal per
+    step (deps live on the two previous shifted diagonals, carried as
+    kd1/kd2 so lookups stay O(window-width)), phase 2 backtracks the
+    path with the Python min()'s first-min (diag, up, left) priority,
+    then the machine descends a level. Every operation is abs/min/add/
+    (x+y)/2 on the exact-cents panel — no libm, no divisions by data —
+    so the replay is exactly bitwise, verified 45/45 pairs. Cells are
+    encoded i*256 + j (lengths < 256); max {maxlv} levels covers
+    series up to ~{2 ** (maxlv - 1) * 5} points."""
+    E, INF = 256, _INF
+    R2 = radius + 2
+    return f"""
+WITH RECURSIVE daily_cents AS (
+    SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+           date_trunc('day', l_shipdate) AS ds,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+    FROM lineitem GROUP BY 1, 2
+),
+monthly AS (
+    SELECT unique_id, date_trunc('month', ds) AS ds,
+           CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+    FROM daily_cents GROUP BY 1, 2
+),
+ser AS (
+    SELECT unique_id AS sid, list(CAST(y AS DOUBLE) ORDER BY ds) AS v
+    FROM monthly GROUP BY 1
+),
+pairs AS (
+    SELECT s1.sid AS id_1, s2.sid AS id_2, s1.v AS a, s2.v AS b
+    FROM ser s1 JOIN ser s2 ON s1.sid < s2.sid
+),
+lad AS MATERIALIZED ({_fastdtw_ladder(maxlv)}),
+base AS (
+    SELECT id_1, id_2, al, bl,
+           COALESCE(list_filter(range(1, {maxlv + 1}),
+               k -> LEAST(len(al[k]), len(bl[k])) <= {R2})[1], {maxlv}) AS blv
+    FROM lad
+),
+fd AS (
+    SELECT id_1, id_2, al, bl, blv AS lvl,
+           0 AS phase, CAST(0 AS BIGINT) AS pos,
+           CAST([] AS BIGINT[]) AS win,
+           CAST([0] AS BIGINT[]) AS dpk, CAST([0.0] AS DOUBLE[]) AS dpv,
+           CAST([] AS BIGINT[]) AS kd1, CAST([] AS DOUBLE[]) AS vd1,
+           CAST([] AS BIGINT[]) AS kd2, CAST([] AS DOUBLE[]) AS vd2,
+           CAST([] AS BIGINT[]) AS path,
+           CAST(0 AS BIGINT) AS bi, CAST(0 AS BIGINT) AS bj,
+           CAST(NULL AS DOUBLE) AS dist
+    FROM base
+    UNION ALL
+    SELECT id_1, id_2, al, bl,
+           CASE WHEN phase = 2 AND bt_done THEN lvl - 1 ELSE lvl END,
+           CASE WHEN phase = 0 THEN 1
+                WHEN phase = 1 AND NOT fold_done THEN 1
+                WHEN phase = 1 AND lvl > 1 THEN 2
+                WHEN phase = 1 THEN 3
+                WHEN phase = 2 AND bt_done THEN 0
+                ELSE 2 END,
+           CASE WHEN phase = 0 THEN 0
+                WHEN phase = 1 THEN pos + 1
+                ELSE 0 END,
+           CASE WHEN phase = 0 THEN nwin
+                WHEN phase = 2 AND bt_done THEN CAST([] AS BIGINT[])
+                ELSE win END,
+           CASE WHEN phase = 0 OR (phase = 2 AND bt_done) THEN CAST([0] AS BIGINT[])
+                WHEN phase = 1 THEN list_concat(dpk, newk)
+                ELSE dpk END,
+           CASE WHEN phase = 0 OR (phase = 2 AND bt_done) THEN CAST([0.0] AS DOUBLE[])
+                WHEN phase = 1 THEN list_concat(dpv, newv)
+                ELSE dpv END,
+           CASE WHEN phase = 1 THEN newk ELSE CAST([] AS BIGINT[]) END,
+           CASE WHEN phase = 1 THEN newv ELSE CAST([] AS DOUBLE[]) END,
+           CASE WHEN phase = 1 THEN kd1
+                WHEN phase = 0 THEN CAST([0] AS BIGINT[])
+                ELSE CAST([] AS BIGINT[]) END,
+           CASE WHEN phase = 1 THEN vd1
+                WHEN phase = 0 THEN CAST([0.0] AS DOUBLE[])
+                ELSE CAST([] AS DOUBLE[]) END,
+           CASE WHEN phase = 0 THEN CAST([] AS BIGINT[])
+                WHEN phase = 2 AND NOT bt_done
+                THEN list_append(path, (bi - 1) * {E} + (bj - 1))
+                ELSE path END,
+           CASE WHEN phase = 1 AND fold_done AND lvl > 1 THEN nl
+                WHEN phase = 2 AND NOT bt_done THEN nbi
+                ELSE 0 END,
+           CASE WHEN phase = 1 AND fold_done AND lvl > 1 THEN ml
+                WHEN phase = 2 AND NOT bt_done THEN nbj
+                ELSE 0 END,
+           CASE WHEN phase = 1 AND fold_done AND lvl = 1 THEN dfin ELSE dist END
+    FROM (
+      SELECT *,
+          CASE WHEN dd <= du AND dd <= dl_ THEN bi - 1
+               WHEN du <= dl_ THEN bi - 1 ELSE bi END AS nbi,
+          CASE WHEN dd <= du AND dd <= dl_ THEN bj - 1
+               WHEN du <= dl_ THEN bj ELSE bj - 1 END AS nbj,
+          CASE WHEN phase = 1 AND fold_done THEN
+              COALESCE(list_extract(list_concat(dpv, newv),
+                  list_indexof(list_concat(dpk, newk), nl * {E} + ml)), {INF})
+          END AS dfin
+      FROM (
+        SELECT *,
+            CASE WHEN phase = 1 THEN
+                list_transform(dcells, c -> (c // {E} + 1) * {E} + (c % {E} + 1))
+                ELSE CAST([] AS BIGINT[]) END AS newk,
+            CASE WHEN phase = 1 THEN
+                list_transform(dcells, c ->
+                    abs(al[lvl][c // {E} + 1] - bl[lvl][c % {E} + 1])
+                    + LEAST(
+                        COALESCE(vd2[list_indexof(kd2, c)], {INF}),
+                        COALESCE(vd1[list_indexof(kd1, c + 1)], {INF}),
+                        COALESCE(vd1[list_indexof(kd1, c + {E})], {INF})))
+                ELSE CAST([] AS DOUBLE[]) END AS newv,
+            CASE WHEN phase = 2 THEN
+                COALESCE(dpv[list_indexof(dpk, (bi - 1) * {E} + (bj - 1))], {INF})
+                ELSE 0.0 END AS dd,
+            CASE WHEN phase = 2 THEN
+                COALESCE(dpv[list_indexof(dpk, (bi - 1) * {E} + bj)], {INF})
+                ELSE 0.0 END AS du,
+            CASE WHEN phase = 2 THEN
+                COALESCE(dpv[list_indexof(dpk, bi * {E} + (bj - 1))], {INF})
+                ELSE 0.0 END AS dl_
+        FROM (
+          SELECT *,
+              len(al[lvl]) AS nl, len(bl[lvl]) AS ml,
+              (phase = 1 AND pos >= len(al[lvl]) + len(bl[lvl]) - 2) AS fold_done,
+              (phase = 2 AND bi = 0 AND bj = 0) AS bt_done,
+              CASE WHEN phase = 0 THEN
+                  CASE WHEN len(path) = 0 THEN
+                      flatten(list_transform(range(len(al[lvl])),
+                          i -> list_transform(range(len(bl[lvl])), j -> i * {E} + j)))
+                  ELSE
+                      list_sort(list_distinct(flatten(list_transform(path, pc ->
+                          flatten(list_transform(range({-radius}, {radius + 1}), di ->
+                              flatten(list_transform(range({-radius}, {radius + 1}), dj ->
+                                  list_filter(
+                                      [ (2 * ((pc // {E}) + di)) * {E} + 2 * ((pc % {E}) + dj),
+                                        (2 * ((pc // {E}) + di)) * {E} + 2 * ((pc % {E}) + dj) + 1,
+                                        (2 * ((pc // {E}) + di) + 1) * {E} + 2 * ((pc % {E}) + dj),
+                                        (2 * ((pc // {E}) + di) + 1) * {E} + 2 * ((pc % {E}) + dj) + 1 ],
+                                      c -> 2 * ((pc // {E}) + di) >= 0
+                                           AND 2 * ((pc % {E}) + dj) >= 0
+                                           AND c // {E} < len(al[lvl])
+                                           AND c % {E} < len(bl[lvl]))))))))))
+                  END
+              ELSE CAST([] AS BIGINT[]) END AS nwin,
+              CASE WHEN phase = 1 THEN
+                  list_filter(win, c -> c // {E} + c % {E} = pos)
+              ELSE CAST([] AS BIGINT[]) END AS dcells
+          FROM fd WHERE phase <= 2
+        )
+      )
+    )
+)
+SELECT id_1, id_2, dist AS dtw FROM fd WHERE phase = 3
+"""
+
+
+@register("pairwise_dtw_fast", _fastdtw_oracle())
 def q_dtw_fast(spark, sf_dir):
+    """FastDTW (radius 3) on the exact-cents monthly panel — bit-exact
+    SQL state-machine replay (ref dtw.rs:89-197)."""
     from polars_ts_spark.operators.distance import compute_pairwise_distance
-    return compute_pairwise_distance(_monthly_panel(spark, sf_dir), method="dtw",
+    return compute_pairwise_distance(_monthly_panel_exact(spark, sf_dir), method="dtw",
                                      variant="fast", param=3)
 
 
