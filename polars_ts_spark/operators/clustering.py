@@ -799,16 +799,22 @@ def _ssg_barycenter(
 
 def kasba(
     df: DataFrame, k: int = 3, max_iter: int = 5, ssg_epochs: int = 2,
-    c: float = 1.0, seed: int = 42,
+    c: float = 1.0, seed: int = 42, exact: bool = False,
     id_col: str = ID, time_col: str = TIME, target_col: str = TARGET,
 ) -> DataFrame:
     """KASBA clustering (clustering/kasba.py:16-262): k-means with the
     MSM distance and accelerated stochastic barycenter averaging.
     Assignment (the O(n·k·len²) stage) runs through the distributed
     pairwise engine; only the k barycenter refits run on the driver.
-    Output [id, cluster]."""
+    ``exact=True`` removes the label-stability early stop (the refit
+    is not a fixed point, so the branch-free trajectory runs exactly
+    max_iter rounds — SQL-replayable). Output [id, cluster]."""
     spark = df.sparkSession
-    rows = _collect_array_panel(df, id_col, time_col, target_col, "kasba")
+    rows = sorted(
+        _collect_array_panel(df, id_col, time_col, target_col, "kasba"),
+        key=lambda r: r[id_col],
+    )  # sorted ids: the LCG centroid init indexes rows, so row order
+    # must not depend on Spark's collect order
     ids = [r[id_col] for r in rows]
     clash = [s for s in ids if s.startswith("__cent_")]
     if clash:
@@ -843,12 +849,15 @@ def kasba(
             "c": [int(s.split("_")[-1]) for s in cid[keep]],
             "v": d["msm"].to_numpy()[keep],
         })
-        best = pares.loc[pares.groupby("sid")["v"].idxmin()]
+        # deterministic argmin: ties on distance break toward the lower
+        # cluster index (idxmin would inherit Spark's collect order)
+        best = (pares.sort_values(["sid", "v", "c"], kind="stable")
+                .groupby("sid", sort=False).first().reset_index())
         new_labels = dict(zip(best["sid"], best["c"]))
         # a series with no distance row (shouldn't happen, but don't
         # silently reassign) keeps its previous label
         new_labels = {s: int(new_labels.get(s, labels.get(s, 0))) for s in ids}
-        if new_labels == labels:
+        if not exact and new_labels == labels:
             break
         labels = new_labels
         for ci in range(k):

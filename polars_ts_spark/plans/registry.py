@@ -9725,7 +9725,330 @@ def q_treat_outliers_interp(spark, sf_dir):
     )
 
 
-@register("kasba")  # stochastic barycenter refits: rows-only
+
+
+# ---------------------------------------------------------------------------
+# KASBA exact-mode replay (MSM assignment DP + SSG barycenter machine)
+
+_KASBA_MSMC = ("CASE WHEN ({y} <= {x} AND {x} <= {z}) OR ({y} >= {x} AND {x} >= {z}) "
+               "THEN 1.0 ELSE 1.0 + LEAST(abs({x} - {y}), abs({x} - {z})) END")
+
+
+def _kasba_assign(s):
+    """Set-based MSM DP distances (sid x cluster), diagonal recursion."""
+    cost_u = _KASBA_MSMC.format(x="a[i + 1]", y="a[i]", z="b[1]")
+    cost_ui = _KASBA_MSMC.format(x="a[i + 1]", y="a[i]", z="b[d + 1 - i + 1]")
+    cost_l = _KASBA_MSMC.format(x="b[d + 1 + 1]", y="a[1]", z="b[d + 1]")
+    cost_li = _KASBA_MSMC.format(x="b[d + 1 - i + 1]", y="a[i + 1]", z="b[d + 1 - i]")
+    return f"""
+    ap{s} AS (SELECT x.sid, c.cl, x.v AS a, c.cv AS b,
+                     len(x.v) AS n2, len(c.cv) AS m2
+              FROM ser x CROSS JOIN cent{s - 1} c),
+    ad{s} AS (
+        SELECT sid, cl, a, b, n2, m2, CAST(0 AS BIGINT) AS d,
+               CAST([0] AS BIGINT[]) AS kd1, [abs(a[1] - b[1])] AS vd1,
+               CAST([] AS BIGINT[]) AS kd2, CAST([] AS DOUBLE[]) AS vd2
+        FROM ap{s}
+        UNION ALL
+        SELECT sid, cl, a, b, n2, m2, d + 1, nk, nv, kd1, vd1
+        FROM (
+            SELECT *,
+                list_filter(range(GREATEST(0, d + 1 - m2 + 1),
+                                  LEAST(d + 1, n2 - 1) + 1), i -> i) AS cells,
+                list_transform(cells, i -> i) AS nk,
+                list_transform(cells, i ->
+                    CASE
+                      WHEN i = 0 THEN
+                        vd1[list_indexof(kd1, CAST(0 AS BIGINT))] + {cost_l}
+                      WHEN d + 1 - i = 0 THEN
+                        vd1[list_indexof(kd1, i - 1)] + {cost_u}
+                      ELSE LEAST(
+                        COALESCE(vd2[list_indexof(kd2, i - 1)], 1e308)
+                            + abs(a[i + 1] - b[d + 1 - i + 1]),
+                        COALESCE(vd1[list_indexof(kd1, i - 1)], 1e308) + {cost_ui},
+                        COALESCE(vd1[list_indexof(kd1, i)], 1e308) + {cost_li})
+                    END) AS nv
+            FROM ad{s} WHERE d < n2 + m2 - 2
+        )
+    ),
+    adist{s} AS (
+        SELECT sid, cl, vd1[list_indexof(kd1, n2 - 1)] AS dist
+        FROM ad{s} WHERE d = n2 + m2 - 2
+    ),
+    labs{s} AS (
+        SELECT sid, cl FROM (
+            SELECT sid, cl,
+                   ROW_NUMBER() OVER (PARTITION BY sid ORDER BY dist, cl) AS rk
+            FROM adist{s}) WHERE rk = 1
+    )"""
+
+
+def _kasba_refit(s):
+    """SSG barycenter machine for stage s (clusters in parallel rows)."""
+    M = _KASBA_MSMC
+    # backtrack costs at cursor (bi, bj), 0-based into bary/x
+    btc_d = "abs(bary[bi + 1] - x[bj + 1])"
+    btc_u = M.format(x="bary[bi + 1]", y="bary[bi]", z="x[bj + 1]")
+    btc_l = M.format(x="x[bj + 1]", y="bary[bi + 1]", z="x[bj]")
+    # fold costs for cell (i, j = pos + 1 - i)
+    f_u0 = M.format(x="bary[i + 1]", y="bary[i]", z="x[1]")
+    f_l0 = M.format(x="x[pos + 2]", y="bary[1]", z="x[pos + 1]")
+    f_ui = M.format(x="bary[i + 1]", y="bary[i]", z="x[pos - i + 2]")
+    f_li = M.format(x="x[pos - i + 2]", y="bary[i + 1]", z="x[pos - i + 1]")
+    return f"""
+    mem{s} AS (
+        SELECT l.cl, list(sr.v ORDER BY l.sid) AS mvs,
+               CAST(COUNT(*) AS BIGINT) AS msz
+        FROM labs{s} l JOIN ser sr ON sr.sid = l.sid GROUP BY l.cl
+    ),
+    offs{s} AS (
+        SELECT cl, msz,
+               3 + {s - 1} * (SELECT n FROM nn)
+               + COALESCE(SUM(msz) OVER (ORDER BY cl
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM mem{s}
+    ),
+    perm{s} AS (
+        SELECT cl, CAST(0 AS BIGINT) AS i,
+               list_transform(generate_series(1, CAST(msz AS INT)),
+                              p -> CAST(p - 1 AS BIGINT)) AS pm,
+               msz, off
+        FROM offs{s}
+        UNION ALL
+        SELECT p.cl, p.i + 1,
+               list_transform(p.pm, (x2, q) ->
+                   CASE WHEN q - 1 = p.i
+                            THEN p.pm[CAST(p.i + d.r % (p.msz - p.i) AS INT) + 1]
+                        WHEN q - 1 = p.i + d.r % (p.msz - p.i)
+                            THEN p.pm[CAST(p.i AS INT) + 1]
+                        ELSE x2 END),
+               p.msz, p.off
+        FROM perm{s} p JOIN draws d ON d.i = p.off + p.i + 1
+        WHERE p.i < p.msz
+    ),
+    permf{s} AS (SELECT cl, pm, msz FROM perm{s} WHERE i = msz),
+    ssg{s} AS (
+        SELECT c.cl, c.cv AS bary, p.pm, p.msz, m.mvs,
+               CAST(1 AS BIGINT) AS mi, 0 AS phase, CAST(0 AS BIGINT) AS pos,
+               CAST([] AS BIGINT[]) AS dpk, CAST([] AS DOUBLE[]) AS dpv,
+               CAST([] AS BIGINT[]) AS kd1, CAST([] AS DOUBLE[]) AS vd1,
+               CAST([] AS BIGINT[]) AS kd2, CAST([] AS DOUBLE[]) AS vd2,
+               CAST([] AS BIGINT[]) AS path,
+               CAST(0 AS BIGINT) AS bi, CAST(0 AS BIGINT) AS bj
+        FROM cent{s - 1} c
+        JOIN permf{s} p ON p.cl = c.cl
+        JOIN mem{s} m ON m.cl = c.cl
+        UNION ALL
+        SELECT cl,
+               CASE WHEN phase = 2 AND bt_done THEN nbary ELSE bary END,
+               pm, msz, mvs,
+               CASE WHEN phase = 2 AND bt_done THEN mi + 1 ELSE mi END,
+               CASE WHEN phase = 0 THEN 1
+                    WHEN phase = 1 AND NOT fold_done THEN 1
+                    WHEN phase = 1 THEN 2
+                    WHEN phase = 2 AND bt_done THEN 0
+                    ELSE 2 END,
+               CASE WHEN phase = 1 AND NOT fold_done THEN pos + 1 ELSE 0 END,
+               CASE WHEN phase = 0 THEN [CAST(0 AS BIGINT)]
+                    WHEN phase = 1 AND NOT fold_done THEN list_concat(dpk, nk2)
+                    WHEN phase = 2 AND bt_done THEN CAST([] AS BIGINT[])
+                    ELSE dpk END,
+               CASE WHEN phase = 0 THEN [abs(bary[1] - x[1])]
+                    WHEN phase = 1 AND NOT fold_done THEN list_concat(dpv, nv1)
+                    WHEN phase = 2 AND bt_done THEN CAST([] AS DOUBLE[])
+                    ELSE dpv END,
+               CASE WHEN phase = 0 THEN [CAST(0 AS BIGINT)]
+                    WHEN phase = 1 AND NOT fold_done THEN nk1
+                    ELSE CAST([] AS BIGINT[]) END,
+               CASE WHEN phase = 0 THEN [abs(bary[1] - x[1])]
+                    WHEN phase = 1 AND NOT fold_done THEN nv1
+                    ELSE CAST([] AS DOUBLE[]) END,
+               CASE WHEN phase = 1 AND NOT fold_done THEN kd1
+                    ELSE CAST([] AS BIGINT[]) END,
+               CASE WHEN phase = 1 AND NOT fold_done THEN vd1
+                    ELSE CAST([] AS DOUBLE[]) END,
+               CASE WHEN phase = 0 OR (phase = 2 AND bt_done)
+                        THEN CAST([] AS BIGINT[])
+                    WHEN phase = 2 THEN list_append(path, bi * 256 + bj)
+                    ELSE path END,
+               CASE WHEN phase = 1 AND fold_done THEN CAST(len(bary) AS BIGINT) - 1
+                    WHEN phase = 2 AND NOT bt_done THEN nbi2
+                    ELSE 0 END,
+               CASE WHEN phase = 1 AND fold_done THEN CAST(len(x) AS BIGINT) - 1
+                    WHEN phase = 2 AND NOT bt_done THEN nbj2
+                    ELSE 0 END
+        FROM (
+          SELECT *,
+              CASE WHEN phase = 2 AND NOT bt_done THEN
+                  CASE WHEN bi = 0 THEN bi
+                       WHEN bj = 0 THEN bi - 1
+                       WHEN btd <= btu AND btd <= btl THEN bi - 1
+                       WHEN btu <= btl THEN bi - 1
+                       ELSE bi END
+              ELSE CAST(0 AS BIGINT) END AS nbi2,
+              CASE WHEN phase = 2 AND NOT bt_done THEN
+                  CASE WHEN bi = 0 THEN bj - 1
+                       WHEN bj = 0 THEN bj
+                       WHEN btd <= btu AND btd <= btl THEN bj - 1
+                       WHEN btu <= btl THEN bj
+                       ELSE bj - 1 END
+              ELSE CAST(0 AS BIGINT) END AS nbj2,
+              CASE WHEN phase = 2 AND bt_done THEN
+                  list_transform(generate_series(1, CAST(len(bary) AS INT)), p2 ->
+                      bary[p2] + (1.0 / (1.0 + (mi - 1))) * (
+                          (CASE WHEN len(list_filter(fpath, pc -> pc // 256 = p2 - 1)) = 0
+                                THEN bary[p2]
+                                ELSE list_sum(list_transform(
+                                         list_filter(fpath, pc -> pc // 256 = p2 - 1),
+                                         pc -> x[CAST(pc % 256 AS INT) + 1]))
+                                     / len(list_filter(fpath, pc -> pc // 256 = p2 - 1))
+                           END) - bary[p2]))
+              ELSE CAST([] AS DOUBLE[]) END AS nbary
+          FROM (
+            SELECT *,
+                CASE WHEN phase = 2 AND bt_done
+                     THEN list_reverse(list_append(path, bi * 256 + bj))
+                     ELSE CAST([] AS BIGINT[]) END AS fpath,
+                CASE WHEN phase = 1 AND NOT fold_done THEN
+                    list_transform(cells0, i -> i * 256 + (pos + 1 - i))
+                ELSE CAST([] AS BIGINT[]) END AS nk2,
+                CASE WHEN phase = 1 AND NOT fold_done THEN cells0
+                ELSE CAST([] AS BIGINT[]) END AS nk1,
+                CASE WHEN phase = 1 AND NOT fold_done THEN
+                    list_transform(cells0, i ->
+                        CASE
+                          WHEN i = 0 THEN
+                            vd1[list_indexof(kd1, CAST(0 AS BIGINT))] + ({f_l0})
+                          WHEN pos + 1 - i = 0 THEN
+                            vd1[list_indexof(kd1, i - 1)] + ({f_u0})
+                          ELSE LEAST(
+                            COALESCE(vd2[list_indexof(kd2, i - 1)], 1e308)
+                                + abs(bary[i + 1] - x[pos - i + 2]),
+                            COALESCE(vd1[list_indexof(kd1, i - 1)], 1e308) + ({f_ui}),
+                            COALESCE(vd1[list_indexof(kd1, i)], 1e308) + ({f_li}))
+                        END)
+                ELSE CAST([] AS DOUBLE[]) END AS nv1,
+                CASE WHEN phase = 2 AND bi > 0 AND bj > 0 THEN
+                    COALESCE(dpv[list_indexof(dpk, (bi - 1) * 256 + (bj - 1))], 1e308)
+                    + ({btc_d}) ELSE 0.0 END AS btd,
+                CASE WHEN phase = 2 AND bi > 0 AND bj > 0 THEN
+                    COALESCE(dpv[list_indexof(dpk, (bi - 1) * 256 + bj)], 1e308)
+                    + ({btc_u}) ELSE 0.0 END AS btu,
+                CASE WHEN phase = 2 AND bi > 0 AND bj > 0 THEN
+                    COALESCE(dpv[list_indexof(dpk, bi * 256 + (bj - 1))], 1e308)
+                    + ({btc_l}) ELSE 0.0 END AS btl
+            FROM (
+              SELECT *,
+                  (phase = 2 AND bi = 0 AND bj = 0) AS bt_done,
+                  (phase = 1 AND pos >= CAST(len(bary) + len(x) AS BIGINT) - 2) AS fold_done,
+                  CASE WHEN phase = 1 THEN
+                      list_filter(range(GREATEST(CAST(0 AS BIGINT),
+                                                 pos + 1 - CAST(len(x) AS BIGINT) + 1),
+                                        LEAST(pos + 1, CAST(len(bary) AS BIGINT) - 1) + 1),
+                                  i -> TRUE)
+                  ELSE CAST([] AS BIGINT[]) END AS cells0
+              FROM (
+                SELECT *, mvs[CAST(pm[CAST(mi AS INT)] AS INT) + 1] AS x
+                FROM ssg{s} WHERE NOT (phase = 0 AND mi > msz)
+              )
+            )
+          )
+        )
+    ),
+    ssgf{s} AS (SELECT cl, bary FROM ssg{s} WHERE phase = 0 AND mi > msz),
+    cent{s} AS (
+        SELECT o.cl, COALESCE(nw.bary, o.cv) AS cv
+        FROM cent{s - 1} o LEFT JOIN ssgf{s} nw ON nw.cl = o.cl
+    )"""
+
+
+def _kasba_oracle(max_iter: int = 3) -> str:
+    """Exact replay of kasba(k=3, max_iter=3, ssg_epochs=1, exact=True)
+    on the exact-cents monthly panel (clustering.kasba; ref
+    clustering/kasba.py:16-262). Per round: (a) MSM distances of every
+    series to the 3 evolving centroids as a set-based anti-diagonal DP
+    recursion (value-identical to msm_batch: same boundary folds, min
+    of the same three terms, the (x-y)(x-z)<=0 between-test); argmin
+    with the (distance, cluster) tie-break; (b) the stochastic
+    subgradient barycenter refit as a per-cluster state machine —
+    shared-LCG permutation draws located by exact stream offsets, then
+    per member a full MSM DP fold (keys kept for backtracking), the
+    _msm_path backtrack with first-min diag/up/left priority, and the
+    eta-decay barycenter update with member contributions summed in
+    forward-path order. Every op is abs/min/add/divide-by-count — no
+    libm — so the trajectory replays exactly (labels matched the
+    Python driver bitwise at dev time). The final round's refit is
+    skipped on both sides: it cannot affect the returned labels."""
+    parts = []
+    for s in range(1, max_iter + 1):
+        parts.append(_kasba_assign(s))
+        if s < max_iter:
+            parts.append(_kasba_refit(s))
+    return f"""
+WITH RECURSIVE daily_cents AS (
+    SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+           date_trunc('day', l_shipdate) AS ds,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+    FROM lineitem GROUP BY 1, 2
+),
+monthly AS (
+    SELECT unique_id, date_trunc('month', ds) AS ds,
+           CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+    FROM daily_cents GROUP BY 1, 2
+),
+ser AS (
+    SELECT unique_id AS sid, list(CAST(y AS DOUBLE) ORDER BY ds) AS v
+    FROM monthly GROUP BY 1
+),
+idx AS (SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS ix FROM ser),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+lch AS (
+    SELECT CAST(0 AS BIGINT) AS i, CAST(42 AS HUGEINT) AS st
+    UNION ALL
+    SELECT i + 1, (6364136223846793005::HUGEINT * st + 1442695040888963407) % 18446744073709551616::HUGEINT
+    FROM lch, nn WHERE i < 3 + 3 * n
+),
+draws AS (SELECT i, CAST(st // 8589934592 AS BIGINT) AS r FROM lch WHERE i >= 1),
+-- init: sample(n, 3), centroids in DRAWN order
+fy AS (
+    SELECT p3[1] AS m1, p3[2] AS m2, p3[3] AS m3 FROM (
+      SELECT list_transform(p2, (x2, q) ->
+          CASE WHEN q - 1 = 2 THEN p2[CAST(2 + r3 % (n - 2) AS INT) + 1]
+               WHEN q - 1 = 2 + r3 % (n - 2) THEN p2[3]
+               ELSE x2 END) AS p3 FROM (
+        SELECT n, r3, list_transform(p1, (x2, q) ->
+            CASE WHEN q - 1 = 1 THEN p1[CAST(1 + r2 % (n - 1) AS INT) + 1]
+                 WHEN q - 1 = 1 + r2 % (n - 1) THEN p1[2]
+                 ELSE x2 END) AS p2 FROM (
+          SELECT n, r2, r3, list_transform(p0, (x2, q) ->
+              CASE WHEN q - 1 = 0 THEN p0[CAST(r1 % n AS INT) + 1]
+                   WHEN q - 1 = r1 % n THEN p0[1]
+                   ELSE x2 END) AS p1 FROM (
+            SELECT n.n,
+                   (SELECT r FROM draws WHERE i = 1) AS r1,
+                   (SELECT r FROM draws WHERE i = 2) AS r2,
+                   (SELECT r FROM draws WHERE i = 3) AS r3,
+                   list_transform(generate_series(1, CAST(n.n AS INT)),
+                                  p -> CAST(p - 1 AS BIGINT)) AS p0
+            FROM nn n)))
+    )
+),
+cent0 AS (
+    SELECT t.cl, s.v AS cv
+    FROM (SELECT 0 AS cl, m1 AS mx FROM fy
+          UNION ALL SELECT 1, m2 FROM fy
+          UNION ALL SELECT 2, m3 FROM fy) t
+    JOIN idx i ON i.ix = t.mx JOIN ser s ON s.sid = i.sid
+),
+{','.join(parts)}
+SELECT i.sid AS unique_id, CAST(l.cl AS INT) AS cluster
+FROM labs{max_iter} l JOIN idx i ON i.sid = l.sid
+"""
+
+@register("kasba", _kasba_oracle())
 def q_kasba(spark, sf_dir):
+    """Branch-free 3-round KASBA on the exact-cents monthly panel
+    (ref clustering/kasba.py:16-262)."""
     from polars_ts_spark.operators import clustering
-    return clustering.kasba(_monthly_panel(spark, sf_dir), k=3, max_iter=3, ssg_epochs=1)
+    return clustering.kasba(_monthly_panel_exact(spark, sf_dir), k=3,
+                            max_iter=3, ssg_epochs=1, exact=True)
