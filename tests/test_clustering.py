@@ -140,3 +140,50 @@ def test_iterative_clusterers_size_gate_before_collect(two_group_panel, monkeypa
     ):
         with _pt.raises(ValueError, match="driver-collect cap"):
             fn(two_group_panel, **kw)
+
+
+def test_spectral_power_solver_recovers_planted_clusters():
+    """solver='power' (the engine-replicable eigensolver) must recover
+    planted clusters like eigh does — the statistical layer for the
+    replication oracle. Near-degenerate NJW spectra (the median-sigma
+    affinity keeps cross-cluster weights ~0.9 here) need more subspace
+    iterations than the oracle default; the n_iter knob covers that."""
+    import numpy as np
+
+    from polars_ts_spark.operators.clustering import (
+        spectral_labels, spectral_labels_power)
+    rng = np.random.default_rng(3)
+    series = [base + rng.normal(0, 0.5, 12)
+              for base in (0.0, 50.0, 200.0) for _ in range(3)]
+    n = len(series)
+    D = np.zeros((n, n))
+    for a in range(n):
+        for b in range(n):
+            D[a, b] = np.abs(series[a] - series[b]).sum()
+    got = spectral_labels_power(D, 3, n_iter=200)
+    ref = spectral_labels(D, 3)
+    # same partition as eigh (up to label permutation), pure clusters
+    for g in range(3):
+        assert len(set(got[3 * g: 3 * g + 3])) == 1
+    assert len(set(got)) == 3
+    groups_got = {tuple(np.flatnonzero(got == c)) for c in set(got)}
+    groups_ref = {tuple(np.flatnonzero(ref == c)) for c in set(ref)}
+    assert groups_got == groups_ref
+
+
+def test_power_encode_matches_svd_subspace():
+    """power_encode's embedding spans the same top-k right-singular
+    subspace as svd_encode (principal angles ~0) on a random low-rank
+    matrix — validates the replication oracle's encoder statistically."""
+    import numpy as np
+
+    from polars_ts_spark.operators.deep_cluster import power_encode, svd_encode
+    rng = np.random.default_rng(11)
+    X = rng.normal(0, 1, (40, 4)) @ rng.normal(0, 1, (4, 20)) \
+        + rng.normal(0, 0.01, (40, 20))
+    Zs = svd_encode(X, 3)
+    Zp = power_encode(X, 3, n_iter=100)
+    # same column space: project one onto the other, compare norms
+    qs, _ = np.linalg.qr(Zs)
+    resid = Zp - qs @ (qs.T @ Zp)
+    assert np.linalg.norm(resid) < 1e-6 * np.linalg.norm(Zp)
