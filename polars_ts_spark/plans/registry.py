@@ -9830,7 +9830,8 @@ def _kasba_refit(s):
     ssg{s} AS (
         SELECT c.cl, c.cv AS bary, p.pm, p.msz, m.mvs,
                CAST(1 AS BIGINT) AS mi, 0 AS phase, CAST(0 AS BIGINT) AS pos,
-               CAST([] AS BIGINT[]) AS dpk, CAST([] AS DOUBLE[]) AS dpv,
+               CAST([] AS BIGINT[]) AS offs,
+               CAST([] AS DOUBLE[]) AS dpv,
                CAST([] AS BIGINT[]) AS kd1, CAST([] AS DOUBLE[]) AS vd1,
                CAST([] AS BIGINT[]) AS kd2, CAST([] AS DOUBLE[]) AS vd2,
                CAST([] AS BIGINT[]) AS path,
@@ -9849,10 +9850,14 @@ def _kasba_refit(s):
                     WHEN phase = 2 AND bt_done THEN 0
                     ELSE 2 END,
                CASE WHEN phase = 1 AND NOT fold_done THEN pos + 1 ELSE 0 END,
-               CASE WHEN phase = 0 THEN [CAST(0 AS BIGINT)]
-                    WHEN phase = 1 AND NOT fold_done THEN list_concat(dpk, nk2)
-                    WHEN phase = 2 AND bt_done THEN CAST([] AS BIGINT[])
-                    ELSE dpk END,
+               -- diag-major layout offsets: 1-based start of diagonal d
+               -- in dpv (full n x m grid; O(1) backtrack lookups)
+               CASE WHEN phase = 0 THEN
+                   list_transform(range(CAST(len(bary) + len(x) AS BIGINT) - 1), d2 ->
+                       1 + COALESCE(list_sum(list_transform(range(d2), d3 ->
+                           LEAST(d3, CAST(len(bary) AS BIGINT) - 1)
+                           - GREATEST(CAST(0 AS BIGINT), d3 - CAST(len(x) AS BIGINT) + 1) + 1)), 0))
+               ELSE offs END,
                CASE WHEN phase = 0 THEN [abs(bary[1] - x[1])]
                     WHEN phase = 1 AND NOT fold_done THEN list_concat(dpv, nv1)
                     WHEN phase = 2 AND bt_done THEN CAST([] AS DOUBLE[])
@@ -9909,9 +9914,6 @@ def _kasba_refit(s):
                 CASE WHEN phase = 2 AND bt_done
                      THEN list_reverse(list_append(path, bi * 256 + bj))
                      ELSE CAST([] AS BIGINT[]) END AS fpath,
-                CASE WHEN phase = 1 AND NOT fold_done THEN
-                    list_transform(cells0, i -> i * 256 + (pos + 1 - i))
-                ELSE CAST([] AS BIGINT[]) END AS nk2,
                 CASE WHEN phase = 1 AND NOT fold_done THEN cells0
                 ELSE CAST([] AS BIGINT[]) END AS nk1,
                 CASE WHEN phase = 1 AND NOT fold_done THEN
@@ -9929,13 +9931,13 @@ def _kasba_refit(s):
                         END)
                 ELSE CAST([] AS DOUBLE[]) END AS nv1,
                 CASE WHEN phase = 2 AND bi > 0 AND bj > 0 THEN
-                    COALESCE(dpv[list_indexof(dpk, (bi - 1) * 256 + (bj - 1))], 1e308)
+                    dpv[CAST(offs[(bi - 1) + (bj - 1) + 1] + ((bi - 1) - GREATEST(CAST(0 AS BIGINT), (bi - 1) + (bj - 1) - CAST(len(x) AS BIGINT) + 1)) AS INT)]
                     + ({btc_d}) ELSE 0.0 END AS btd,
                 CASE WHEN phase = 2 AND bi > 0 AND bj > 0 THEN
-                    COALESCE(dpv[list_indexof(dpk, (bi - 1) * 256 + bj)], 1e308)
+                    dpv[CAST(offs[(bi - 1) + (bj) + 1] + ((bi - 1) - GREATEST(CAST(0 AS BIGINT), (bi - 1) + (bj) - CAST(len(x) AS BIGINT) + 1)) AS INT)]
                     + ({btc_u}) ELSE 0.0 END AS btu,
                 CASE WHEN phase = 2 AND bi > 0 AND bj > 0 THEN
-                    COALESCE(dpv[list_indexof(dpk, bi * 256 + (bj - 1))], 1e308)
+                    dpv[CAST(offs[(bi) + (bj - 1) + 1] + ((bi) - GREATEST(CAST(0 AS BIGINT), (bi) + (bj - 1) - CAST(len(x) AS BIGINT) + 1)) AS INT)]
                     + ({btc_l}) ELSE 0.0 END AS btl
             FROM (
               SELECT *,
