@@ -247,3 +247,21 @@ def test_native_banded_and_multi_kernels_bit_identical(monkeypatch):
         assert euc_nat == K.dtw_multi(A, B, "euclidean")
         assert m1_nat == K.msm_multi(A, B, 1.0)
         assert m01_nat == K.msm_multi(A, B, 0.1)
+
+
+def test_dtw_fast_tracks_exact_dtw():
+    """FastDTW (radius 3) on smooth series stays within a few percent
+    of exact DTW and is exactly 0 on identical series — the statistical
+    layer for the bit-exact replay oracle."""
+    import numpy as np
+
+    from polars_ts_spark.functions.dist_kernels import dtw_batch, dtw_fast
+    rng = np.random.default_rng(17)
+    t = np.linspace(0, 6 * np.pi, 96)
+    a = np.sin(t) + 0.02 * rng.normal(size=96)
+    b = np.sin(t + 0.35) + 0.02 * rng.normal(size=96)
+    exact = float(dtw_batch(a[None, :], b[None, :])[0])
+    fast = dtw_fast(a, b, radius=3)
+    assert fast >= exact - 1e-12          # windowed DP can't beat exact
+    assert fast <= 1.25 * exact + 1e-9    # and stays near it
+    assert dtw_fast(a, a, radius=3) == 0.0
