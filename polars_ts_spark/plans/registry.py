@@ -9745,34 +9745,39 @@ def _kasba_assign(s):
                      len(x.v) AS n2, len(c.cv) AS m2
               FROM ser x CROSS JOIN cent{s - 1} c),
     ad{s} AS (
+        -- vd1/vd2 are the two previous diagonals' values, i-ascending;
+        -- cell i of diagonal d sits at position i - max(0, d - m + 1) + 1,
+        -- so every lookup is positional (no list scans)
         SELECT sid, cl, a, b, n2, m2, CAST(0 AS BIGINT) AS d,
-               CAST([0] AS BIGINT[]) AS kd1, [abs(a[1] - b[1])] AS vd1,
-               CAST([] AS BIGINT[]) AS kd2, CAST([] AS DOUBLE[]) AS vd2
+               [abs(a[1] - b[1])] AS vd1,
+               CAST([] AS DOUBLE[]) AS vd2
         FROM ap{s}
         UNION ALL
-        SELECT sid, cl, a, b, n2, m2, d + 1, nk, nv, kd1, vd1
+        SELECT sid, cl, a, b, n2, m2, d + 1, nv, vd1
         FROM (
             SELECT *,
-                list_filter(range(GREATEST(0, d + 1 - m2 + 1),
-                                  LEAST(d + 1, n2 - 1) + 1), i -> i) AS cells,
-                list_transform(cells, i -> i) AS nk,
-                list_transform(cells, i ->
+                GREATEST(CAST(0 AS BIGINT), d - m2 + 1) AS o1,
+                GREATEST(CAST(0 AS BIGINT), d - 1 - m2 + 1) AS o2,
+                list_transform(
+                    range(GREATEST(CAST(0 AS BIGINT), d + 1 - m2 + 1),
+                          LEAST(d + 1, CAST(n2 AS BIGINT) - 1) + 1), i ->
                     CASE
                       WHEN i = 0 THEN
-                        vd1[list_indexof(kd1, CAST(0 AS BIGINT))] + {cost_l}
+                        vd1[CAST(1 - o1 AS INT)] + {cost_l}
                       WHEN d + 1 - i = 0 THEN
-                        vd1[list_indexof(kd1, i - 1)] + {cost_u}
+                        vd1[CAST(i - o1 AS INT)] + {cost_u}
                       ELSE LEAST(
-                        COALESCE(vd2[list_indexof(kd2, i - 1)], 1e308)
+                        vd2[CAST(i - o2 AS INT)]
                             + abs(a[i + 1] - b[d + 1 - i + 1]),
-                        COALESCE(vd1[list_indexof(kd1, i - 1)], 1e308) + {cost_ui},
-                        COALESCE(vd1[list_indexof(kd1, i)], 1e308) + {cost_li})
+                        vd1[CAST(i - o1 AS INT)] + {cost_ui},
+                        vd1[CAST(i + 1 - o1 AS INT)] + {cost_li})
                     END) AS nv
             FROM ad{s} WHERE d < n2 + m2 - 2
         )
     ),
     adist{s} AS (
-        SELECT sid, cl, vd1[list_indexof(kd1, n2 - 1)] AS dist
+        SELECT sid, cl,
+               vd1[CAST(n2 - 1 - GREATEST(0, n2 + m2 - 2 - m2 + 1) + 1 AS INT)] AS dist
         FROM ad{s} WHERE d = n2 + m2 - 2
     ),
     labs{s} AS (
@@ -9832,8 +9837,8 @@ def _kasba_refit(s):
                CAST(1 AS BIGINT) AS mi, 0 AS phase, CAST(0 AS BIGINT) AS pos,
                CAST([] AS BIGINT[]) AS offs,
                CAST([] AS DOUBLE[]) AS dpv,
-               CAST([] AS BIGINT[]) AS kd1, CAST([] AS DOUBLE[]) AS vd1,
-               CAST([] AS BIGINT[]) AS kd2, CAST([] AS DOUBLE[]) AS vd2,
+               CAST([] AS DOUBLE[]) AS vd1,
+               CAST([] AS DOUBLE[]) AS vd2,
                CAST([] AS BIGINT[]) AS path,
                CAST(0 AS BIGINT) AS bi, CAST(0 AS BIGINT) AS bj
         FROM cent{s - 1} c
@@ -9862,14 +9867,9 @@ def _kasba_refit(s):
                     WHEN phase = 1 AND NOT fold_done THEN list_concat(dpv, nv1)
                     WHEN phase = 2 AND bt_done THEN CAST([] AS DOUBLE[])
                     ELSE dpv END,
-               CASE WHEN phase = 0 THEN [CAST(0 AS BIGINT)]
-                    WHEN phase = 1 AND NOT fold_done THEN nk1
-                    ELSE CAST([] AS BIGINT[]) END,
                CASE WHEN phase = 0 THEN [abs(bary[1] - x[1])]
                     WHEN phase = 1 AND NOT fold_done THEN nv1
                     ELSE CAST([] AS DOUBLE[]) END,
-               CASE WHEN phase = 1 AND NOT fold_done THEN kd1
-                    ELSE CAST([] AS BIGINT[]) END,
                CASE WHEN phase = 1 AND NOT fold_done THEN vd1
                     ELSE CAST([] AS DOUBLE[]) END,
                CASE WHEN phase = 0 OR (phase = 2 AND bt_done)
@@ -9914,20 +9914,18 @@ def _kasba_refit(s):
                 CASE WHEN phase = 2 AND bt_done
                      THEN list_reverse(list_append(path, bi * 256 + bj))
                      ELSE CAST([] AS BIGINT[]) END AS fpath,
-                CASE WHEN phase = 1 AND NOT fold_done THEN cells0
-                ELSE CAST([] AS BIGINT[]) END AS nk1,
                 CASE WHEN phase = 1 AND NOT fold_done THEN
                     list_transform(cells0, i ->
                         CASE
                           WHEN i = 0 THEN
-                            vd1[list_indexof(kd1, CAST(0 AS BIGINT))] + ({f_l0})
+                            vd1[CAST(1 - fo1 AS INT)] + ({f_l0})
                           WHEN pos + 1 - i = 0 THEN
-                            vd1[list_indexof(kd1, i - 1)] + ({f_u0})
+                            vd1[CAST(i - fo1 AS INT)] + ({f_u0})
                           ELSE LEAST(
-                            COALESCE(vd2[list_indexof(kd2, i - 1)], 1e308)
+                            vd2[CAST(i - fo2 AS INT)]
                                 + abs(bary[i + 1] - x[pos - i + 2]),
-                            COALESCE(vd1[list_indexof(kd1, i - 1)], 1e308) + ({f_ui}),
-                            COALESCE(vd1[list_indexof(kd1, i)], 1e308) + ({f_li}))
+                            vd1[CAST(i - fo1 AS INT)] + ({f_ui}),
+                            vd1[CAST(i + 1 - fo1 AS INT)] + ({f_li}))
                         END)
                 ELSE CAST([] AS DOUBLE[]) END AS nv1,
                 CASE WHEN phase = 2 AND bi > 0 AND bj > 0 THEN
@@ -9943,6 +9941,8 @@ def _kasba_refit(s):
               SELECT *,
                   (phase = 2 AND bi = 0 AND bj = 0) AS bt_done,
                   (phase = 1 AND pos >= CAST(len(bary) + len(x) AS BIGINT) - 2) AS fold_done,
+                  GREATEST(CAST(0 AS BIGINT), pos - CAST(len(x) AS BIGINT) + 1) AS fo1,
+                  GREATEST(CAST(0 AS BIGINT), pos - 1 - CAST(len(x) AS BIGINT) + 1) AS fo2,
                   CASE WHEN phase = 1 THEN
                       list_filter(range(GREATEST(CAST(0 AS BIGINT),
                                                  pos + 1 - CAST(len(x) AS BIGINT) + 1),
