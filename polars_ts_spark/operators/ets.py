@@ -125,11 +125,24 @@ def _ets_sse(values: np.ndarray, kind: str, params: np.ndarray, m: int) -> float
     return sse
 
 
-def auto_ets_series(y: np.ndarray, h: int, season_length: int = 0) -> np.ndarray:
+# the engine-replicable smoothing-parameter grid (optimizer="grid"):
+# 0.05 .. 0.95 step 0.05, iterated alpha-major then beta then gamma —
+# a SQL oracle enumerates the identical candidate stream
+ETS_GRID = [j / 20.0 for j in range(1, 20)]
+
+
+def auto_ets_series(y: np.ndarray, h: int, season_length: int = 0,
+                    optimizer: str = "nm") -> np.ndarray:
     """AutoETS-style: optimize the smoothing parameters of each ETS
     variant (SES / Holt / additive HW when seasonal data allows) by
     one-step SSE, select by AIC, forecast from the winner's final
-    state (statsforecast AutoETS in spirit; scum.py:15 member)."""
+    state (statsforecast AutoETS in spirit; scum.py:15 member).
+    ``optimizer="grid"`` swaps the Nelder-Mead search for the fixed
+    ETS_GRID sweep (first strict improvement wins ties) — branch-free
+    given the data, so the whole selection replays in SQL (the GARCH
+    grid-QMLE pattern)."""
+    from itertools import product
+
     from polars_ts_spark.functions.numutils import nelder_mead
 
     y = np.asarray(y, float)
@@ -150,7 +163,14 @@ def auto_ets_series(y: np.ndarray, h: int, season_length: int = 0) -> np.ndarray
 
     best = (np.inf, None, None)
     for kind, x0 in cands:
-        p, sse = nelder_mead(make_obj(kind, m), x0, max_iter=200)
+        if optimizer == "grid":
+            p, sse = None, np.inf
+            for combo in product(ETS_GRID, repeat=len(x0)):
+                s = _ets_sse(y, kind, np.asarray(combo), m)
+                if s < sse:
+                    p, sse = np.asarray(combo), s
+        else:
+            p, sse = nelder_mead(make_obj(kind, m), x0, max_iter=200)
         k = len(x0) + 1
         aic = n * np.log(max(sse / max(n, 1), 1e-300)) + 2 * k
         if aic < best[0]:
@@ -167,7 +187,10 @@ def auto_ets_series(y: np.ndarray, h: int, season_length: int = 0) -> np.ndarray
     ])
 
 
-def ces_series(y: np.ndarray, h: int) -> np.ndarray:
+CES_GRID = [j / 10.0 for j in range(1, 20)]
+
+
+def ces_series(y: np.ndarray, h: int, optimizer: str = "nm") -> np.ndarray:
     """CES-style complex exponential smoothing (scum.py:15 member;
     Svetunkov & Kourentzes' state-space form): state (l, c) with
     F = [[1, -(1-a1)], [1, 1-a0]], g = (a0-a1, a0+a1), ŷ = l;
@@ -203,6 +226,17 @@ def ces_series(y: np.ndarray, h: int) -> np.ndarray:
         sse, _ = run(a0, a1)
         return sse if np.isfinite(sse) else 1e12
 
+    if optimizer == "grid":
+        # a0-major sweep over (0.1 .. 1.9 step 0.1)^2; strict-improvement
+        # first-win ties — SQL-replayable (see auto_ets_series)
+        best = (np.inf, 1.0, 1.0)
+        for a0 in CES_GRID:
+            for a1 in CES_GRID:
+                sse, _ = run(a0, a1)
+                if sse < best[0]:
+                    best = (sse, a0, a1)
+        _, fc = run(best[1], best[2], horizon=h)
+        return fc
     p, _ = nelder_mead(obj, np.array([1.0, 1.0]), max_iter=200)
     _, fc = run(float(np.clip(p[0], 1e-6, 2 - 1e-6)),
                 float(np.clip(p[1], 1e-6, 2 - 1e-6)), horizon=h)

@@ -6013,8 +6013,10 @@ def q_arima(spark, sf_dir):
     return out.select("unique_id", "ds", F.round("y_hat", 2).alias("y_hat"))
 
 
-def _auto_arima_ar_oracle(h: int = 6, max_p: int = 3, seed_crit: float = 0.463) -> str:
-    """Full-path replay of auto_arima(max_p=3, max_q=0, season_length=0,
+def _auto_arima_ar_ctes(h: int = 6, max_p: int = 3, seed_crit: float = 0.463) -> str:
+    """CTE fragment (expects pan/lasty/steps CTEs in scope; ends with
+    ``aafc(unique_id, step, y_hat, p, d)``) replaying
+    auto_arima(max_q=0, season_length=0,
     method='css') — the AR-restricted Hyndman-Khandakar configuration in
     which EVERY candidate fit is closed form (mean-only or ridge-normal-
     equation AR OLS), so the entire selection trajectory is SQL-
@@ -6073,27 +6075,23 @@ def _auto_arima_ar_oracle(h: int = 6, max_p: int = 3, seed_crit: float = 0.463) 
                     ELSE {_INF} END AS aic
         FROM r{p} r JOIN wn n USING (unique_id)
     )""")
-    return f"""
-WITH RECURSIVE daily_cents AS (
-        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
-               date_trunc('day', l_shipdate) AS ds,
-               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
-        FROM lineitem GROUP BY 1, 2
-    ),
-    monthly AS (
-        SELECT unique_id, date_trunc('month', ds) AS ds,
-               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
-        FROM daily_cents GROUP BY 1, 2
-    ),
-    pan AS MATERIALIZED (
-        SELECT unique_id, CAST(y AS DOUBLE) AS y,
-               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
-               COUNT(*) OVER (PARTITION BY unique_id) AS ny
-        FROM monthly
-    ),
-    lasty AS (SELECT unique_id, max_by(y, rn) AS y_last, ANY_VALUE(ny) AS ny
-              FROM pan GROUP BY 1),
-    steps AS (SELECT UNNEST(generate_series(1, {h})) AS step),
+    al_entries = ", ".join(
+        "COALESCE(a%d.aic, %s)" % (p, _INF) for p in range(1, max_p + 1))
+    al_joins = "\n        ".join(
+        "LEFT JOIN a%d USING (unique_id)" % p for p in range(1, max_p + 1))
+    prm_cc = ("CASE c.p " + " ".join(
+        "WHEN %d THEN r%d.cc" % (p, p) for p in range(max_p))
+        + " ELSE r%d.cc END" % max_p)
+    def _fcase(i):
+        if i > max_p:
+            return "0.0 AS f%d" % i
+        whens = " ".join("WHEN %d THEN r%d.f%d" % (p, p, i)
+                         for p in range(i, max_p + 1))
+        return "CASE c.p %s ELSE 0.0 END AS f%d" % (whens, i)
+    prm_fs = ",\n               ".join(_fcase(i) for i in range(1, 4))
+    prm_joins = "\n        ".join(
+        "LEFT JOIN r%d USING (unique_id)" % p for p in range(max_p + 1))
+    return f""",
     -- KPSS level statistic on y (Bartlett l4 bandwidth)
     kp0 AS (
         SELECT unique_id, y, rn, ny,
@@ -6172,12 +6170,9 @@ WITH RECURSIVE daily_cents AS (
     {','.join(aics)},
     al AS (
         SELECT a0.unique_id,
-               [a0.aic, COALESCE(a1.aic, {_INF}), COALESCE(a2.aic, {_INF}),
-                COALESCE(a3.aic, {_INF})] AS aic
+               [a0.aic, {al_entries}] AS aic
         FROM a0
-        LEFT JOIN a1 USING (unique_id)
-        LEFT JOIN a2 USING (unique_id)
-        LEFT JOIN a3 USING (unique_id)
+        {al_joins}
     ),
     -- start trio (2,0),(0,0),(1,0) evaluated sequentially, then the
     -- greedy +-1 walk with strict improvement
@@ -6212,15 +6207,10 @@ WITH RECURSIVE daily_cents AS (
     ),
     prms AS (
         SELECT c.unique_id, c.p, c.d,
-               CASE c.p WHEN 0 THEN r0.cc WHEN 1 THEN r1.cc
-                        WHEN 2 THEN r2.cc ELSE r3.cc END AS cc,
-               CASE c.p WHEN 1 THEN r1.f1 WHEN 2 THEN r2.f1
-                        WHEN 3 THEN r3.f1 ELSE 0.0 END AS f1,
-               CASE c.p WHEN 2 THEN r2.f2 WHEN 3 THEN r3.f2 ELSE 0.0 END AS f2,
-               CASE c.p WHEN 3 THEN r3.f3 ELSE 0.0 END AS f3
+               {prm_cc} AS cc,
+               {prm_fs}
         FROM chosen c
-        LEFT JOIN r0 USING (unique_id) LEFT JOIN r1 USING (unique_id)
-        LEFT JOIN r2 USING (unique_id) LEFT JOIN r3 USING (unique_id)
+        {prm_joins}
     ),
     tailw AS (
         SELECT w.unique_id,
@@ -6246,15 +6236,49 @@ WITH RECURSIVE daily_cents AS (
                SUM(d.w_hat) OVER (PARTITION BY d.unique_id ORDER BY d.step) AS cw,
                d.w_hat
         FROM dec d WHERE d.step >= 1
-    )
-    SELECT c.unique_id, CAST(s.step AS INT) AS step,
-           ROUND(CASE WHEN c.d = 1 THEN l.y_last + i.cw ELSE i.w_hat END, 2) AS y_hat,
-           CAST(c.p AS INT) AS p, CAST(c.d AS INT) AS d, 0 AS q,
+    ),
+    aafc AS (
+        SELECT c.unique_id, CAST(s.step AS INT) AS step,
+               CASE WHEN c.d = 1 THEN l.y_last + i.cw ELSE i.w_hat END AS y_hat,
+               c.p, c.d
+        FROM chosen c
+        JOIN lasty l USING (unique_id)
+        CROSS JOIN steps s
+        JOIN integ i ON i.unique_id = c.unique_id AND i.step = s.step
+    )"""
+
+
+_AA_PRELUDE = """
+WITH RECURSIVE daily_cents AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS unique_id,
+               date_trunc('day', l_shipdate) AS ds,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT unique_id, date_trunc('month', ds) AS ds,
+               CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)) AS y
+        FROM daily_cents GROUP BY 1, 2
+    ),
+    pan AS MATERIALIZED (
+        SELECT unique_id, CAST(y AS DOUBLE) AS y,
+               ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) AS rn,
+               COUNT(*) OVER (PARTITION BY unique_id) AS ny
+        FROM monthly
+    ),
+    lasty AS (SELECT unique_id, max_by(y, rn) AS y_last, ANY_VALUE(ny) AS ny
+              FROM pan GROUP BY 1),
+    steps AS (SELECT UNNEST(generate_series(1, {h})) AS step)"""
+
+
+def _auto_arima_ar_oracle(h: int = 6, max_p: int = 3) -> str:
+    """Full auto_arima query: shared prelude + the AR-stepwise fragment
+    + the driver-facing projection (see _auto_arima_ar_ctes)."""
+    return _AA_PRELUDE.format(h=h) + _auto_arima_ar_ctes(h, max_p) + """
+    SELECT unique_id, step, ROUND(y_hat, 2) AS y_hat,
+           CAST(p AS INT) AS p, CAST(d AS INT) AS d, 0 AS q,
            0 AS sp, 0 AS sd, 0 AS sq
-    FROM chosen c
-    JOIN lasty l USING (unique_id)
-    CROSS JOIN steps s
-    JOIN integ i ON i.unique_id = c.unique_id AND i.step = s.step
+    FROM aafc
     """
 
 
@@ -8151,10 +8175,235 @@ def q_agent_scientist(spark, sf_dir):
         "unique_id", "ds", F.round("y_hat", 4).alias("y_hat"))
 
 
-@register("scum_forecast")  # rows-only
+def _scum_grid_oracle(h: int = 6) -> str:
+    """Exact replay of scum_forecast(optimizer='grid', max_q=0) on the
+    exact-cents monthly panel (theta.scum_forecast; ref scum.py:10-68):
+    the mean ensemble of (a) the AR-restricted auto-ARIMA member (the
+    shared _auto_arima_ar_ctes fragment, max_p=2, CSS decode), (b)
+    AutoETS over the fixed ETS_GRID — ses and holt one-step-SSE folds
+    as set-based recursions over (series x grid point), first-win ties
+    via (sse, grid-order) ranking, AIC pick with ses winning ties, ses
+    forecast from the closed-form geometric level, holt from the fold's
+    final state, (c) CES over CES_GRID with its (l, c) state recursion
+    and 6-step decode, (d) Dynamic Optimized Theta over the theta/alpha
+    grids with the covariance-formula OLS trend. Members are averaged
+    in list order (arima, ets, ces, dot), short-series fallbacks
+    replicated (ny<12 drops the arima member; ny<3 / ny<4 flat-line
+    CES / DOT). Rounded 2dp both sides."""
+    # grids exactly as operators/ets.py ETS_GRID / CES_GRID and
+    # operators/theta.py DOT_THETA_GRID / DOT_ALPHA_GRID
+    ets_grid = ", ".join(str(j / 20.0) for j in range(1, 20))
+    ces_grid = ", ".join(str(j / 10.0) for j in range(1, 20))
+    th_grid = ", ".join(str(1.0 + 0.25 * j) for j in range(17))
+    arima_frag = _auto_arima_ar_ctes(h, max_p=2)
+    return _AA_PRELUDE.format(h=h) + arima_frag + f""",
+    -- ---------------- AutoETS (grid) member ----------------
+    -- ses: fold (level, sse) over t = 2..ny per (sid, alpha)
+    sesg AS (
+        SELECT p.unique_id, g.a, p.rn, p.ny,
+               CAST(0.0 AS DOUBLE) AS sse, p.y AS level
+        FROM pan p CROSS JOIN (SELECT UNNEST([{ets_grid}]) AS a) g
+        WHERE p.rn = 1
+        UNION ALL
+        SELECT s.unique_id, s.a, p.rn, s.ny,
+               s.sse + (p.y - s.level) * (p.y - s.level),
+               s.a * p.y + (1 - s.a) * s.level
+        FROM sesg s
+        JOIN pan p ON p.unique_id = s.unique_id AND p.rn = s.rn + 1
+    ),
+    sesf AS (
+        SELECT unique_id, a, sse, level FROM sesg WHERE rn = ny
+    ),
+    sesb AS (
+        SELECT unique_id, a, sse, level FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY unique_id
+                        ORDER BY sse, a) AS rk
+            FROM sesf) WHERE rk = 1
+    ),
+    -- holt: fold (level, trend, sse) per (sid, alpha, beta)
+    hog AS (
+        SELECT p.unique_id, g.a, g.b, p.rn, p.ny,
+               CAST(0.0 AS DOUBLE) AS sse,
+               p.y AS level, p2.y - p.y AS trend
+        FROM pan p
+        JOIN pan p2 ON p2.unique_id = p.unique_id AND p2.rn = 2
+        CROSS JOIN (SELECT a.a, b.b
+                    FROM (SELECT UNNEST([{ets_grid}]) AS a) a
+                    CROSS JOIN (SELECT UNNEST([{ets_grid}]) AS b) b) g
+        WHERE p.rn = 1 AND p.ny >= 4
+        UNION ALL
+        SELECT s.unique_id, s.a, s.b, p.rn, s.ny,
+               s.sse + (p.y - (s.level + s.trend)) * (p.y - (s.level + s.trend)),
+               s.a * p.y + (1 - s.a) * (s.level + s.trend),
+               s.b * ((s.a * p.y + (1 - s.a) * (s.level + s.trend)) - s.level)
+                   + (1 - s.b) * s.trend
+        FROM hog s
+        JOIN pan p ON p.unique_id = s.unique_id AND p.rn = s.rn + 1
+    ),
+    hof AS (SELECT unique_id, a, b, sse, level, trend FROM hog WHERE rn = ny),
+    hob AS (
+        SELECT unique_id, a, b, sse, level, trend FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY unique_id
+                        ORDER BY sse, a, b) AS rk
+            FROM hof) WHERE rk = 1
+    ),
+    -- AIC selection: ses k=2, holt k=3; strict < keeps ses on ties
+    etsk AS (
+        SELECT s.unique_id,
+               l.ny * LN(GREATEST(s.sse / GREATEST(l.ny, 1), 1e-300)) + 4 AS aic_ses,
+               CASE WHEN h2.unique_id IS NULL THEN {_INF}
+                    ELSE l.ny * LN(GREATEST(h2.sse / GREATEST(l.ny, 1), 1e-300)) + 6
+               END AS aic_holt
+        FROM sesb s
+        JOIN lasty l USING (unique_id)
+        LEFT JOIN hob h2 USING (unique_id)
+    ),
+    -- ses forecast: closed-form geometric level (ses_level)
+    seslvl AS (
+        SELECT p.unique_id,
+               SUM(CASE WHEN p.rn = 1 THEN POW(1 - s.a, p.ny - 1) * p.y
+                        ELSE s.a * POW(1 - s.a, p.ny - p.rn) * p.y END) AS lvl
+        FROM pan p JOIN sesb s USING (unique_id)
+        GROUP BY 1
+    ),
+    m_ets AS (
+        SELECT k.unique_id, st.step,
+               CASE WHEN k.aic_ses <= k.aic_holt OR h2.unique_id IS NULL
+                    THEN CASE WHEN l.ny = 1 THEN l.y_last ELSE sl.lvl END
+                    ELSE h2.level + h2.trend * st.step END AS v
+        FROM etsk k
+        JOIN lasty l USING (unique_id)
+        JOIN seslvl sl USING (unique_id)
+        LEFT JOIN hob h2 USING (unique_id)
+        CROSS JOIN steps st
+    ),
+    -- ---------------- CES (grid) member ----------------
+    cesg AS (
+        SELECT p.unique_id, g.a0, g.a1, p.rn, p.ny,
+               CAST(0.0 AS DOUBLE) AS sse, p.y AS l_, CAST(0.0 AS DOUBLE) AS c_
+        FROM pan p
+        CROSS JOIN (SELECT a.a0, b.a1
+                    FROM (SELECT UNNEST([{ces_grid}]) AS a0) a
+                    CROSS JOIN (SELECT UNNEST([{ces_grid}]) AS a1) b) g
+        WHERE p.rn = 1 AND p.ny >= 3
+        UNION ALL
+        SELECT s.unique_id, s.a0, s.a1, p.rn, s.ny,
+               s.sse + (p.y - s.l_) * (p.y - s.l_),
+               s.l_ - (1 - s.a1) * s.c_ + (s.a0 - s.a1) * (p.y - s.l_),
+               s.l_ + (1 - s.a0) * s.c_ + (s.a0 + s.a1) * (p.y - s.l_)
+        FROM cesg s
+        JOIN pan p ON p.unique_id = s.unique_id AND p.rn = s.rn + 1
+    ),
+    cesf AS (SELECT unique_id, a0, a1, sse, l_, c_ FROM cesg WHERE rn = ny),
+    cesb AS (
+        SELECT unique_id, a0, a1, l_, c_ FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY unique_id
+                        ORDER BY sse, a0, a1) AS rk
+            FROM cesf) WHERE rk = 1
+    ),
+    -- 6-step decode: l <- l - (1-a1) c ; c <- l + (1-a0) c
+    cesd AS (
+        SELECT unique_id, a0, a1, 0 AS step, l_, c_,
+               CAST(NULL AS DOUBLE) AS v
+        FROM cesb
+        UNION ALL
+        SELECT unique_id, a0, a1, step + 1,
+               l_ - (1 - a1) * c_, l_ + (1 - a0) * c_, l_
+        FROM cesd WHERE step < {h}
+    ),
+    m_ces AS (
+        SELECT c.unique_id, c.step, c.v
+        FROM cesd c WHERE c.step >= 1
+        UNION ALL
+        SELECT l.unique_id, st.step, l.y_last AS v
+        FROM lasty l CROSS JOIN steps st WHERE l.ny < 3
+    ),
+    -- ---------------- DOT (grid) member ----------------
+    dtrend AS (
+        SELECT unique_id,
+               SUM((rn - 1 - tb) * (y - yb)) / SUM((rn - 1 - tb) * (rn - 1 - tb)) AS b
+        FROM (SELECT unique_id, rn, y,
+                     AVG(rn - 1.0) OVER (PARTITION BY unique_id) AS tb,
+                     AVG(y) OVER (PARTITION BY unique_id) AS yb
+              FROM pan)
+        GROUP BY 1
+    ),
+    dab AS (
+        SELECT t.unique_id, t.b,
+               (SELECT AVG(p.y) FROM pan p WHERE p.unique_id = t.unique_id)
+               - t.b * (SELECT AVG(p.rn - 1.0) FROM pan p WHERE p.unique_id = t.unique_id) AS a
+        FROM dtrend t
+    ),
+    dotg AS (
+        SELECT p.unique_id, g.th, g.al, p.rn, p.ny, d.a, d.b,
+               CAST(0.0 AS DOUBLE) AS sse,
+               g.th * p.y + (1 - g.th) * (d.a + d.b * (p.rn - 1)) AS level
+        FROM pan p
+        JOIN dab d USING (unique_id)
+        CROSS JOIN (SELECT t.th, al.al
+                    FROM (SELECT UNNEST([{th_grid}]) AS th) t
+                    CROSS JOIN (SELECT UNNEST([{ets_grid}]) AS al) al) g
+        WHERE p.rn = 1 AND p.ny >= 4
+        UNION ALL
+        SELECT s.unique_id, s.th, s.al, p.rn, s.ny, s.a, s.b,
+               s.sse + (p.y - ((1 / s.th) * s.level
+                   + (1 - 1 / s.th) * (s.a + s.b * (p.rn - 1))))
+                   * (p.y - ((1 / s.th) * s.level
+                   + (1 - 1 / s.th) * (s.a + s.b * (p.rn - 1)))),
+               s.al * (s.th * p.y + (1 - s.th) * (s.a + s.b * (p.rn - 1)))
+                   + (1 - s.al) * s.level
+        FROM dotg s
+        JOIN pan p ON p.unique_id = s.unique_id AND p.rn = s.rn + 1
+    ),
+    dotf AS (SELECT unique_id, th, al, sse, level, a, b, ny
+             FROM dotg WHERE rn = ny),
+    dotb AS (
+        SELECT unique_id, th, level, a, b, ny FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY unique_id
+                        ORDER BY sse, th, al) AS rk
+            FROM dotf) WHERE rk = 1
+    ),
+    m_dot AS (
+        SELECT d.unique_id, st.step,
+               (1 / d.th) * d.level
+               + (1 - 1 / d.th) * (d.a + d.b * (d.ny + st.step - 1)) AS v
+        FROM dotb d CROSS JOIN steps st
+        UNION ALL
+        SELECT l.unique_id, st.step, l.y_last AS v
+        FROM lasty l CROSS JOIN steps st WHERE l.ny < 4
+    ),
+    -- ---------------- ensemble mean ----------------
+    ens AS (
+        SELECT e.unique_id, e.step,
+               CASE WHEN l.ny >= 12
+                    THEN (aa.y_hat + e.v + c.v + d.v) / 4.0
+                    ELSE (e.v + c.v + d.v) / 3.0 END AS y_hat
+        FROM m_ets e
+        JOIN m_ces c ON c.unique_id = e.unique_id AND c.step = e.step
+        JOIN m_dot d ON d.unique_id = e.unique_id AND d.step = e.step
+        JOIN lasty l ON l.unique_id = e.unique_id
+        LEFT JOIN aafc aa ON aa.unique_id = e.unique_id AND aa.step = e.step
+    )
+    SELECT unique_id, CAST(step AS INT) AS step, ROUND(y_hat, 2) AS y_hat
+    FROM ens
+    """
+
+
+@register("scum_forecast", _scum_grid_oracle())
 def q_scum(spark, sf_dir):
+    """SCUM mean ensemble with grid-optimized members (engine-
+    replicable; ref scum.py:10-68) on the exact-cents monthly panel,
+    keyed by step."""
+    from pyspark.sql import Window
+
     from polars_ts_spark.operators import theta
-    return theta.scum_forecast(_monthly_panel(spark, sf_dir), h=6)
+    out = theta.scum_forecast(_monthly_panel_exact(spark, sf_dir), h=6,
+                              optimizer="grid", max_q=0)
+    w = Window.partitionBy("unique_id").orderBy("ds")
+    return out.select(
+        "unique_id",
+        F.row_number().over(w).cast("int").alias("step"),
+        F.round("y_hat", 2).alias("y_hat"))
 
 
 _KABOUDAN_ORACLE = PANEL_CTE + """,
