@@ -9739,11 +9739,300 @@ def q_reliability(spark, sf_dir):
     return evaluation.reliability_diagram(scored, {0.1: "q10", 0.5: "q50", 0.9: "q90"})
 
 
-@register("hdbscan_cluster")  # density tree extraction: rows-only
+def _hdbscan_oracle(seed: int = 42) -> str:
+    """Exact replay of hdbscan_cluster(min_cluster_size=2, method='dtw')
+    (clustering.hdbscan_labels; ref clustering/density.py:31-100) over
+    the bit-exact DTW matrix from the shared PAM prelude. Four chained
+    state machines, every branch on exact comparisons: (1) Prim MST on
+    the mutual-reachability graph (k-th-NN core distances via
+    list_sort; argmin with numpy's first-min rule); (2) the stable
+    (weight, insertion-order) edge sort + union-find merge chain
+    carrying root maps, children, sizes and leaf sets; (3) the condense
+    DFS as explicit frame stacks with preorder cluster-id assignment,
+    replaying the while-loop's split / die / fall-out branches and the
+    exact stability accumulation order; (4) excess-of-mass selection
+    cid-descending with carried descendant sets, root discarded, labels
+    by ascending min member. Matches hdbscan_labels bitwise on both the
+    all-noise n=10 panel and the clustered n=100 panel at dev time."""
+    return _kmedoids_shared(seed, "dtw") + """,
+
+    core AS (
+        SELECT i.ix AS i, list_sort(m.mat[CAST(i.ix AS INT) + 1])[2 + 1] AS cd
+        FROM idx i, matl m
+    ),
+    mrl AS MATERIALIZED (
+        SELECT list(rowl ORDER BY i) AS mat FROM (
+            SELECT f.i, list(CASE WHEN f.i = f.j THEN 0.0
+                                  ELSE GREATEST(c1.cd, c2.cd, f.dd) END
+                             ORDER BY f.j) AS rowl
+            FROM fullpairs f
+            JOIN core c1 ON c1.i = f.i JOIN core c2 ON c2.i = f.j
+            GROUP BY f.i)
+    ),
+    prim AS (
+        SELECT 0 AS s,
+               list_transform(generate_series(1, CAST(n AS INT)),
+                              p -> CASE WHEN p = 1 THEN 1 ELSE 0 END) AS intree,
+               m.mat[1] AS best,
+               list_transform(generate_series(1, CAST(n AS INT)),
+                              p -> CAST(0 AS BIGINT)) AS src,
+               CAST([] AS BIGINT[]) AS ea, CAST([] AS BIGINT[]) AS eb,
+               CAST([] AS DOUBLE[]) AS ew,
+               n, m.mat AS mr
+        FROM mrl m, nn
+        UNION ALL
+        SELECT s + 1,
+               list_transform(intree, (x, p) -> CASE WHEN p - 1 = jx THEN 1 ELSE x END),
+               list_transform(best, (x, p) ->
+                   CASE WHEN intree[p] = 0 AND p - 1 <> jx
+                             AND mr[CAST(jx AS INT) + 1][p] < x
+                        THEN mr[CAST(jx AS INT) + 1][p] ELSE x END),
+               list_transform(src, (x, p) ->
+                   CASE WHEN intree[p] = 0 AND p - 1 <> jx
+                             AND mr[CAST(jx AS INT) + 1][p] < best[p]
+                        THEN jx ELSE x END),
+               list_append(ea, src[CAST(jx AS INT) + 1]),
+               list_append(eb, jx),
+               list_append(ew, best[CAST(jx AS INT) + 1]),
+               n, mr
+        FROM (
+            SELECT *,
+                list_filter(range(n), j2 -> intree[CAST(j2 AS INT) + 1] = 0
+                    AND best[CAST(j2 AS INT) + 1] = mnv)[1] AS jx
+            FROM (
+                SELECT *,
+                    list_min(list_transform(generate_series(1, CAST(n AS INT)),
+                        p -> CASE WHEN intree[p] = 1 THEN 1e308 ELSE best[p] END)) AS mnv
+                FROM prim WHERE s < n - 1
+            )
+        )
+    ),
+    primf AS (SELECT ea, eb, ew, n FROM prim WHERE s = (SELECT n - 1 FROM nn)),
+    edges AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY w, k) AS s, a, b, w FROM (
+            SELECT u.k, p.ea[u.k] AS a, p.eb[u.k] AS b, p.ew[u.k] AS w
+            FROM primf p,
+                 (SELECT UNNEST(generate_series(1, CAST(n AS INT) - 1)) AS k
+                  FROM nn) u)
+    ),
+    -- union-find merge chain: internal node n+s-1 per sorted edge s
+    mrg AS (
+        SELECT 0 AS s,
+               list_transform(generate_series(1, CAST(n AS INT)),
+                              p -> CAST(p - 1 AS BIGINT)) AS rootmap,
+               CAST([] AS BIGINT[]) AS chl, CAST([] AS BIGINT[]) AS chr2,
+               CAST([] AS DOUBLE[]) AS dw, CAST([] AS BIGINT[]) AS sz,
+               CAST([] AS BIGINT[][]) AS ls,
+               n
+        FROM nn
+        UNION ALL
+        SELECT s + 1,
+               list_transform(rootmap, x -> CASE WHEN x = ra OR x = rb
+                                                 THEN n + s ELSE x END),
+               list_append(chl, ra), list_append(chr2, rb),
+               list_append(dw, w),
+               list_append(sz, szra + szrb),
+               list_append(ls, list_concat(lsra, lsrb)),
+               n
+        FROM (
+            SELECT m.*, e.w,
+                m.rootmap[CAST(e.a AS INT) + 1] AS ra,
+                m.rootmap[CAST(e.b AS INT) + 1] AS rb
+            FROM mrg m JOIN edges e ON e.s = m.s + 1
+            WHERE m.s < m.n - 1
+        ) m2(s, rootmap, chl, chr2, dw, sz, ls, n, w, ra, rb),
+        LATERAL (
+            SELECT
+                CASE WHEN ra < n THEN 1 ELSE sz[CAST(ra - n AS INT) + 1] END AS szra,
+                CASE WHEN rb < n THEN 1 ELSE sz[CAST(rb - n AS INT) + 1] END AS szrb,
+                CASE WHEN ra < n THEN [ra] ELSE ls[CAST(ra - n AS INT) + 1] END AS lsra,
+                CASE WHEN rb < n THEN [rb] ELSE ls[CAST(rb - n AS INT) + 1] END AS lsrb
+        ) AS e(szra, szrb, lsra, lsrb)
+    ),
+    tree AS (SELECT chl, chr2, dw, sz, ls, n FROM mrg
+             WHERE s = (SELECT n - 1 FROM nn)),
+    -- condense DFS: explicit frame stacks, preorder cid assignment
+    cnd AS (
+        SELECT 0 AS s2,
+               [CAST(2 * n - 2 AS BIGINT)] AS fn, [CAST(0.0 AS DOUBLE)] AS fb,
+               [CAST(-1 AS BIGINT)] AS fc, [CAST(-1 AS BIGINT)] AS fp,
+               CAST(0 AS BIGINT) AS ncl,
+               CAST([] AS BIGINT[][]) AS mem, CAST([] AS DOUBLE[]) AS stab,
+               CAST([] AS BIGINT[][]) AS chof,
+               t.chl, t.chr2, t.dw, t.sz, t.ls, t.n
+        FROM tree t
+        UNION ALL
+        SELECT s2 + 1,
+               CASE WHEN assign THEN fn
+                    WHEN leaf OR die THEN fn[1:len(fn) - 1]
+                    WHEN split THEN list_append(list_append(fn[1:len(fn) - 1], rr), ll)
+                    ELSE list_transform(fn, (x, p) -> CASE WHEN p = len(fn)
+                                                           THEN big ELSE x END) END,
+               CASE WHEN assign THEN fb
+                    WHEN leaf OR die THEN fb[1:len(fb) - 1]
+                    WHEN split THEN list_append(list_append(fb[1:len(fb) - 1], lam), lam)
+                    ELSE fb END,
+               CASE WHEN assign THEN list_transform(fc, (x, p) ->
+                        CASE WHEN p = len(fc) THEN ncl ELSE x END)
+                    WHEN leaf OR die THEN fc[1:len(fc) - 1]
+                    WHEN split THEN list_append(list_append(fc[1:len(fc) - 1],
+                        CAST(-1 AS BIGINT)), CAST(-1 AS BIGINT))
+                    ELSE fc END,
+               CASE WHEN assign THEN fp
+                    WHEN leaf OR die THEN fp[1:len(fp) - 1]
+                    WHEN split THEN list_append(list_append(fp[1:len(fp) - 1], cid), cid)
+                    ELSE fp END,
+               CASE WHEN assign THEN ncl + 1 ELSE ncl END,
+               CASE WHEN assign THEN list_append(mem, CAST([] AS BIGINT[]))
+                    WHEN leaf THEN list_transform(mem, (x, p) ->
+                        CASE WHEN p - 1 = cid THEN list_append(x, node) ELSE x END)
+                    WHEN die THEN list_transform(mem, (x, p) ->
+                        CASE WHEN p - 1 = cid THEN list_concat(x, lsnode) ELSE x END)
+                    WHEN fall THEN list_transform(mem, (x, p) ->
+                        CASE WHEN p - 1 = cid THEN list_concat(x, lssmall) ELSE x END)
+                    ELSE mem END,
+               CASE WHEN assign THEN list_append(stab, 0.0)
+                    WHEN die OR split THEN list_transform(stab, (x, p) ->
+                        CASE WHEN p - 1 = cid
+                             THEN x + (sl + sr) * (lam - birth) ELSE x END)
+                    WHEN fall THEN list_transform(stab, (x, p) ->
+                        CASE WHEN p - 1 = cid
+                             THEN x + ssmall * (lam - birth) ELSE x END)
+                    ELSE stab END,
+               CASE WHEN assign THEN
+                        CASE WHEN parent >= 0
+                             THEN list_transform(list_append(chof, CAST([] AS BIGINT[])),
+                                      (x, p) -> CASE WHEN p - 1 = parent
+                                                     THEN list_append(x, ncl) ELSE x END)
+                             ELSE list_append(chof, CAST([] AS BIGINT[])) END
+                    ELSE chof END,
+               chl, chr2, dw, sz, ls, n
+        FROM (
+          SELECT *,
+              (NOT assign AND node < n) AS leaf,
+              (NOT assign AND node >= n AND sl >= 2 AND sr >= 2) AS split,
+              (NOT assign AND node >= n AND sl < 2 AND sr < 2) AS die,
+              (NOT assign AND node >= n AND NOT (sl >= 2 AND sr >= 2)
+                   AND NOT (sl < 2 AND sr < 2)) AS fall,
+              CASE WHEN sl < 2 THEN ll ELSE rr END AS small,
+              CASE WHEN sl < 2 THEN rr ELSE ll END AS big,
+              CASE WHEN sl < 2 THEN sl ELSE sr END AS ssmall,
+              CASE WHEN node >= n THEN
+                  CASE WHEN small < n THEN [small]
+                       ELSE ls[CAST(small - n AS INT) + 1] END
+              ELSE CAST([] AS BIGINT[]) END AS lssmall,
+              CASE WHEN node >= n AND node >= 0 THEN
+                  CASE WHEN node < n THEN [node]
+                       ELSE ls[CAST(node - n AS INT) + 1] END
+              ELSE CAST([] AS BIGINT[]) END AS lsnode
+          FROM (
+            SELECT *,
+                (fc[len(fc)] = -1) AS assign,
+                fn[len(fn)] AS node, fb[len(fb)] AS birth,
+                fc[len(fc)] AS cid, fp[len(fp)] AS parent,
+                CASE WHEN fn[len(fn)] >= n THEN chl[CAST(fn[len(fn)] - n AS INT) + 1]
+                     ELSE CAST(0 AS BIGINT) END AS ll,
+                CASE WHEN fn[len(fn)] >= n THEN chr2[CAST(fn[len(fn)] - n AS INT) + 1]
+                     ELSE CAST(0 AS BIGINT) END AS rr,
+                CASE WHEN fn[len(fn)] >= n THEN
+                    CASE WHEN dw[CAST(fn[len(fn)] - n AS INT) + 1] > 0
+                         THEN LEAST(1.0 / dw[CAST(fn[len(fn)] - n AS INT) + 1], 1e12)
+                         ELSE 1e12 END
+                ELSE 0.0 END AS lam
+            FROM cnd WHERE len(fn) > 0
+          ),
+          LATERAL (
+              SELECT
+                  CASE WHEN node < n THEN CAST(0 AS BIGINT)
+                       WHEN ll < n THEN 1 ELSE sz[CAST(ll - n AS INT) + 1] END AS sl,
+                  CASE WHEN node < n THEN CAST(0 AS BIGINT)
+                       WHEN rr < n THEN 1 ELSE sz[CAST(rr - n AS INT) + 1] END AS sr
+          ) AS q(sl, sr)
+        )
+    ),
+    cndf AS (
+        SELECT ncl, mem, stab, chof FROM cnd
+        WHERE len(fn) = 0
+    ),
+    -- EOM selection, cid descending; desc sets carried bottom-up
+    eom AS (
+        SELECT c.ncl - 1 AS cid,
+               list_transform(generate_series(1, CAST(c.ncl AS INT)),
+                              p -> CAST(0 AS BIGINT)) AS sel,
+               list_transform(generate_series(1, CAST(c.ncl AS INT)),
+                              p -> CAST(0.0 AS DOUBLE)) AS sstab,
+               list_transform(generate_series(1, CAST(c.ncl AS INT)),
+                              p -> CAST([] AS BIGINT[])) AS dsc,
+               c.mem, c.stab, c.chof
+        FROM cndf c
+        UNION ALL
+        SELECT cid - 1,
+               CASE WHEN nochild THEN
+                        list_transform(sel, (x, p) -> CASE WHEN p - 1 = cid THEN 1 ELSE x END)
+                    WHEN take THEN
+                        list_transform(sel, (x, p) ->
+                            CASE WHEN p - 1 = cid THEN 1
+                                 WHEN list_contains(ndesc, p - 1) THEN 0
+                                 ELSE x END)
+                    ELSE sel END,
+               CASE WHEN nochild OR take THEN
+                        list_transform(sstab, (x, p) ->
+                            CASE WHEN p - 1 = cid THEN stab[CAST(cid AS INT) + 1] ELSE x END)
+                    ELSE list_transform(sstab, (x, p) ->
+                            CASE WHEN p - 1 = cid THEN csum ELSE x END) END,
+               CASE WHEN nochild THEN dsc
+                    ELSE list_transform(dsc, (x, p) ->
+                        CASE WHEN p - 1 = cid THEN ndesc ELSE x END) END,
+               mem, stab, chof
+        FROM (
+          SELECT *,
+              (len(ch) = 0) AS nochild,
+              (len(ch) > 0 AND stab[CAST(cid AS INT) + 1] >= csum AND cid <> 0) AS take
+          FROM (
+            SELECT *,
+                chof[CAST(cid AS INT) + 1] AS ch,
+                CASE WHEN len(chof[CAST(cid AS INT) + 1]) = 0 THEN 0.0
+                     ELSE sstab[CAST(chof[CAST(cid AS INT) + 1][1] AS INT) + 1]
+                          + sstab[CAST(chof[CAST(cid AS INT) + 1][2] AS INT) + 1] END AS csum,
+                CASE WHEN len(chof[CAST(cid AS INT) + 1]) = 0 THEN CAST([] AS BIGINT[])
+                     ELSE list_concat(list_concat(chof[CAST(cid AS INT) + 1],
+                              dsc[CAST(chof[CAST(cid AS INT) + 1][1] AS INT) + 1]),
+                              dsc[CAST(chof[CAST(cid AS INT) + 1][2] AS INT) + 1]) END AS ndesc
+            FROM eom WHERE cid >= 0
+          )
+        )
+    ),
+    eomf AS (SELECT sel, mem FROM eom WHERE cid = -1),
+    chosen2 AS (
+        SELECT cid, mm, ROW_NUMBER() OVER (ORDER BY mn) - 1 AS lab FROM (
+            SELECT p.p - 1 AS cid, e.mem[p.p] AS mm, list_min(e.mem[p.p]) AS mn
+            FROM eomf e,
+                 (SELECT UNNEST(generate_series(1, CAST(len(mem) AS INT))) AS p
+                  FROM eomf) p
+            WHERE (p.p - 1 <> 0 AND e.sel[p.p] = 1 OR FALSE)
+              AND len(e.mem[p.p]) >= 2)
+    ),
+    lab AS (
+        SELECT i.sid, i.ix,
+               COALESCE((SELECT CAST(c.lab AS INT) FROM chosen2 c
+                         WHERE list_contains(c.mm, i.ix)), -1) AS cluster
+        FROM idx i
+    )
+    SELECT sid AS unique_id,
+           CASE WHEN (SELECT n FROM nn) < 4 THEN -1 ELSE cluster END AS cluster
+    FROM lab
+"""
+
+
+@register("hdbscan_cluster", _hdbscan_oracle())
 def q_hdbscan(spark, sf_dir):
+    """HDBSCAN* over the bit-exact DTW matrix on the exact-cents
+    monthly panel; min_cluster_size=2 — the configuration where the
+    density tree yields real clusters at sf0.01 (mcs=3 is degenerately
+    all-noise on this panel; ref clustering/density.py:31-100)."""
     from polars_ts_spark.operators import clustering
     return clustering.hdbscan_cluster(
-        _monthly_panel(spark, sf_dir), min_cluster_size=3, method="sbd"
+        _monthly_panel_exact(spark, sf_dir), min_cluster_size=2, method="dtw"
     )
 
 
