@@ -10592,3 +10592,105 @@ def q_kasba(spark, sf_dir):
     from polars_ts_spark.operators import clustering
     return clustering.kasba(_monthly_panel_exact(spark, sf_dir), k=3,
                             max_iter=3, ssg_epochs=1, exact=True)
+
+
+# ---------------------------------------------------------------------------
+# CV splitters: sliding-window and rolling-origin-with-gap (SURVEY §2.14).
+# Both are pure index arithmetic on the distinct-timestamp axis (ref
+# validation/splits.py: sliding 59-105, rolling_origin 108-232), so fold
+# boundaries and slice row counts verify exactly, like cv_expanding_splits.
+
+_CV_SLIDING_ORACLE = PANEL_CTE + """,
+    times AS (
+        SELECT ds, ROW_NUMBER() OVER (ORDER BY ds) AS rn,
+               COUNT(*) OVER () AS n
+        FROM (SELECT DISTINCT ds FROM panel)
+    ),
+    folds AS (
+        SELECT f.i AS fold, f.i * 7 + 1 AS ts_rn, 30 + f.i * 7 AS te_rn
+        FROM (SELECT UNNEST(generate_series(0, 2)) AS i) f,
+             (SELECT ANY_VALUE(n) AS n FROM times) c
+        WHERE 30 + f.i * 7 + 7 <= c.n
+    )
+    SELECT b.fold, b.train_start, b.train_end, b.test_start, b.test_end,
+           (SELECT COUNT(*) FROM panel
+            WHERE ds >= b.train_start AND ds <= b.train_end) AS train_rows,
+           (SELECT COUNT(*) FROM panel
+            WHERE ds >= b.test_start AND ds <= b.test_end) AS test_rows
+    FROM (
+        SELECT f.fold,
+               (SELECT ds FROM times WHERE rn = f.ts_rn) AS train_start,
+               (SELECT ds FROM times WHERE rn = f.te_rn) AS train_end,
+               (SELECT ds FROM times WHERE rn = f.te_rn + 1) AS test_start,
+               (SELECT ds FROM times WHERE rn = f.te_rn + 7) AS test_end
+        FROM folds f
+    ) b
+    """
+
+
+@register("cv_sliding_splits", _CV_SLIDING_ORACLE)
+def q_cv_sliding_splits(spark, sf_dir):
+    """Fixed-size (30 distinct-timestamp) sliding train window, h=7,
+    3 folds (ref validation/splits.py:59-105)."""
+    from polars_ts_spark.operators.cv import sliding_window_cv
+    panel = supplier_daily_panel(spark, sf_dir)
+    rows = []
+    for fold, (train, test) in enumerate(
+            sliding_window_cv(panel, h=7, train_size=30, n_splits=3)):
+        tr = train.agg(F.count(F.lit(1)).alias("n"), F.min("ds").alias("mn"),
+                       F.max("ds").alias("mx")).collect()[0]
+        te = test.agg(F.count(F.lit(1)).alias("n"), F.min("ds").alias("mn"),
+                      F.max("ds").alias("mx")).collect()[0]
+        rows.append((fold, tr["mn"], tr["mx"], te["mn"], te["mx"], tr["n"], te["n"]))
+    return spark.createDataFrame(
+        rows, "fold int, train_start timestamp, train_end timestamp, "
+              "test_start timestamp, test_end timestamp, "
+              "train_rows long, test_rows long")
+
+
+_CV_ROLLING_GAP_ORACLE = PANEL_CTE + """,
+    times AS (
+        SELECT ds, ROW_NUMBER() OVER (ORDER BY ds) AS rn,
+               COUNT(*) OVER () AS n
+        FROM (SELECT DISTINCT ds FROM panel)
+    ),
+    folds AS (
+        SELECT f.i AS fold, (c.n - 20) + f.i * 5 AS te_rn
+        FROM (SELECT UNNEST(generate_series(0, 2)) AS i) f,
+             (SELECT ANY_VALUE(n) AS n FROM times) c
+        WHERE (c.n - 20) + f.i * 5 + 10 <= c.n
+    )
+    SELECT b.fold, b.train_start, b.train_end, b.test_start, b.test_end,
+           (SELECT COUNT(*) FROM panel WHERE ds <= b.train_end) AS train_rows,
+           (SELECT COUNT(*) FROM panel
+            WHERE ds >= b.test_start AND ds <= b.test_end) AS test_rows
+    FROM (
+        SELECT f.fold,
+               (SELECT ds FROM times WHERE rn = 1) AS train_start,
+               (SELECT ds FROM times WHERE rn = f.te_rn) AS train_end,
+               (SELECT ds FROM times WHERE rn = f.te_rn + 4) AS test_start,
+               (SELECT ds FROM times WHERE rn = f.te_rn + 10) AS test_end
+        FROM folds f
+    ) b
+    """
+
+
+@register("cv_rolling_origin_splits", _CV_ROLLING_GAP_ORACLE)
+def q_cv_rolling_origin_splits(spark, sf_dir):
+    """Expanding rolling-origin with a 3-timestamp purge gap between
+    train end and test start, step=5, h=7, 3 folds (ref
+    validation/splits.py:108-232 gap semantics)."""
+    from polars_ts_spark.operators.cv import rolling_origin_cv
+    panel = supplier_daily_panel(spark, sf_dir)
+    rows = []
+    for fold, (train, test) in enumerate(
+            rolling_origin_cv(panel, h=7, n_splits=3, step=5, gap=3)):
+        tr = train.agg(F.count(F.lit(1)).alias("n"), F.min("ds").alias("mn"),
+                       F.max("ds").alias("mx")).collect()[0]
+        te = test.agg(F.count(F.lit(1)).alias("n"), F.min("ds").alias("mn"),
+                      F.max("ds").alias("mx")).collect()[0]
+        rows.append((fold, tr["mn"], tr["mx"], te["mn"], te["mx"], tr["n"], te["n"]))
+    return spark.createDataFrame(
+        rows, "fold int, train_start timestamp, train_end timestamp, "
+              "test_start timestamp, test_end timestamp, "
+              "train_rows long, test_rows long")

@@ -75,3 +75,18 @@ def test_sliding_cv_fixed_train(spark):
     folds = list(sliding_window_cv(df, h=2, train_size=4, n_splits=3, step=2))
     assert len(folds) == 3
     assert all(tr.count() == 4 for tr, _ in folds)
+
+
+def test_rolling_origin_cv_gap_purges_boundary(spark):
+    from polars_ts_spark.operators.cv import rolling_origin_cv
+
+    df = make_panel(spark, {"A": [float(i) for i in range(20)]})
+    folds = list(rolling_origin_cv(df, h=2, n_splits=2, step=2, gap=3))
+    assert len(folds) == 2
+    for tr, te in folds:
+        times = sorted(r[0] for r in df.select("ds").distinct().collect())
+        tr_max = tr.agg(F.max("ds")).first()[0]
+        te_min = te.agg(F.min("ds")).first()[0]
+        # exactly `gap` distinct timestamps are purged between train and test
+        assert times.index(te_min) - times.index(tr_max) == 3 + 1
+        assert te.count() == 2
