@@ -51,6 +51,7 @@ HEADLINE = [
     "text_stats",
     "cosine_topk",
     "lsh_ann_topk",
+    "ivf_ann_topk",
     # model & pipeline layer
     "recursive_forecast",
     "arima_forecast",
@@ -147,6 +148,11 @@ def main():
         if bf1:
             quality["ann_recall_at_1"] = round(
                 sum(1 for v, nb in bf1.items() if ann1.get(v) == nb) / len(bf1), 4)
+        ivf1 = {r["vec_id"]: r["neighbor_id"]
+                for r in embedsim.ivf_ann_topk(emb, k=1).collect()}
+        if bf1:
+            quality["ivf_recall_at_1"] = round(
+                sum(1 for v, nb in bf1.items() if ivf1.get(v) == nb) / len(bf1), 4)
         # (cosine near-dup pair recall is asserted in tests/test_datapipe.py
         # at sf0.01 — this corpus has no pairs above 0.8 at bench scale, so
         # the exact baseline here would only burn a quadratic pass)

@@ -6,10 +6,11 @@ models/_time_utils.py:15-30 (future grid = last_time + k·median_freq).
 
 Output schema: [id_col, time_col, "y_hat"] exactly like the reference.
 
-Scale notes: each forecaster is one groupBy(id) aggregate (map-side
-combinable) followed by a per-series fan-out via
-``explode(sequence(1, h))`` — rows out = n_series × h, no shuffle beyond
-the aggregate, broadcast-friendly downstream.
+Scale notes: each forecaster is a lag-diff window + groupBy(id)
+aggregate followed by a per-series fan-out via ``explode(sequence(1,
+h))`` — the window and the aggregate share the hash(id) exchange, so
+one shuffle total; rows out = n_series × h, broadcast-friendly
+downstream.
 """
 
 from __future__ import annotations
@@ -20,8 +21,30 @@ from pyspark.sql import functions as F
 from polars_ts_spark.panel import ID, TARGET, TIME, require_columns
 
 
-def _tsarr(time_col: str) -> str:
-    return f"sort_array(collect_list({time_col}))"
+_DIFF = "__ts_diff_s"
+
+
+def _with_ts_diff(df: DataFrame, id_col: str, time_col: str) -> DataFrame:
+    """Per-row inter-arrival seconds vs the previous observation of the
+    same series (_time_utils.py:15-25). One window over (id, ds) — the
+    diff multiset equals the sorted-timestamp-array diffs, so
+    ``median(__ts_diff_s)`` in the subsequent aggregate reproduces
+    ``_freq_agg`` while sorting each series once instead of once per
+    expression reference."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(time_col)
+    return df.withColumn(
+        _DIFF,
+        F.unix_timestamp(time_col) - F.unix_timestamp(F.lag(time_col).over(w)),
+    )
+
+
+def _freq_from_diff():
+    """Aggregate companion of ``_with_ts_diff``: exact median of the
+    inter-arrival seconds (null for the series' first row is ignored),
+    86400 s fallback for single-observation series."""
+    return F.expr(f"cast(coalesce(median({_DIFF}), 86400) as bigint)")
 
 
 def _future_rows(grouped: DataFrame, h: int, id_col: str, time_col: str) -> DataFrame:
@@ -42,34 +65,16 @@ def _future_rows(grouped: DataFrame, h: int, id_col: str, time_col: str) -> Data
     )
 
 
-def _freq_agg(time_col: str):
-    """Median inter-arrival seconds as an aggregate expression
-    (_time_utils.py:15-25: freq = median timestamp delta). Median of the
-    sorted diff array taken inline (Spark's median() is an agg, not an
-    array function)."""
-    diffs = (
-        f"array_sort(zip_with(slice({_tsarr(time_col)}, 2, greatest(size({_tsarr(time_col)}) - 1, 0)),"
-        f"         slice({_tsarr(time_col)}, 1, greatest(size({_tsarr(time_col)}) - 1, 0)),"
-        "          (nxt, prv) -> unix_timestamp(nxt) - unix_timestamp(prv)))"
-    )
-    return F.expr(
-        f"cast(case when size({diffs}) = 0 then 86400 "
-        f"when size({diffs}) % 2 = 1 then element_at({diffs}, cast((size({diffs}) + 1) / 2 as int)) "
-        f"else (element_at({diffs}, cast(size({diffs}) / 2 as int)) + element_at({diffs}, cast(size({diffs}) / 2 as int) + 1)) / 2 "
-        "end as bigint)"
-    )
-
-
 def naive_forecast(
     df: DataFrame, h: int,
     id_col: str = ID, time_col: str = TIME, target_col: str = TARGET,
 ) -> DataFrame:
     """Repeat the last observed value h times (baselines.py:17-65)."""
     require_columns(df, id_col, time_col, target_col)
-    g = df.groupBy(id_col).agg(
+    g = _with_ts_diff(df, id_col, time_col).groupBy(id_col).agg(
         F.max_by(target_col, time_col).alias("__last_y"),
         F.max(time_col).alias("__last_ts"),
-        _freq_agg(time_col).alias("__freq_s"),
+        _freq_from_diff().alias("__freq_s"),
     )
     return _future_rows(g, h, id_col, time_col).select(
         id_col, time_col, F.col("__last_y").cast("double").alias("y_hat")
@@ -88,10 +93,10 @@ def seasonal_naive_forecast(
         F.sort_array(F.collect_list(F.struct(F.col(time_col).alias("t"), F.col(target_col).alias("v")))),
         -m, m,
     )
-    g = df.groupBy(id_col).agg(
+    g = _with_ts_diff(df, id_col, time_col).groupBy(id_col).agg(
         F.expr(f"transform(slice(sort_array(collect_list(struct({time_col} as t, {target_col} as v))), -{m}, {m}), s -> s.v)").alias("__tail"),
         F.max(time_col).alias("__last_ts"),
-        _freq_agg(time_col).alias("__freq_s"),
+        _freq_from_diff().alias("__freq_s"),
     )
     fanned = _future_rows(g, h, id_col, time_col)
     # element_at is 1-based; tail has exactly m elements (series shorter than
@@ -116,10 +121,10 @@ def moving_average_forecast(
         "  cast(0.0 as double), (acc, x) -> acc + x, acc -> acc / "
         f"  size(slice(sort_array(collect_list(struct({time_col} as t, {target_col} as v))), -{window}, {window})))"
     )
-    g = df.groupBy(id_col).agg(
+    g = _with_ts_diff(df, id_col, time_col).groupBy(id_col).agg(
         tail_mean.alias("__ma"),
         F.max(time_col).alias("__last_ts"),
-        _freq_agg(time_col).alias("__freq_s"),
+        _freq_from_diff().alias("__freq_s"),
     )
     return _future_rows(g, h, id_col, time_col).select(
         id_col, time_col, F.col("__ma").cast("double").alias("y_hat")

@@ -637,3 +637,233 @@ FROM (SELECT *, ROW_NUMBER() OVER (
           PARTITION BY vec_id ORDER BY votes DESC, nb_label) AS r FROM votes)
 WHERE r = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the k-means-bucketed scale path
+
+
+# power-of-two quantizer: float32 * 2^20 only shifts the exponent, so the
+# product is exact in double and FLOOR(x + 0.5) is a deterministic grid —
+# cell sums become exact BIGINT arithmetic on both engines, which makes
+# the Lloyd trajectory order-independent (a plain double SUM would vary
+# with Spark partition order and could flip an argmin at a cell boundary)
+_IVF_Q = 1048576.0
+
+
+def _ivf_qexpr(vec_col: str) -> str:
+    return (f"transform({vec_col}, x -> "
+            f"cast(floor(cast(x as double) * {_IVF_Q} + 0.5) as bigint))")
+
+
+def _ivf_score_sql(centroid: list[float], xcol: str, dim: int) -> str:
+    """Cell-assignment score |c|^2 - 2<x,c> — equals squared-L2 minus
+    the per-row constant |x|^2, so the argmin/probe ORDER over cells is
+    the k-means assignment, at half the expression size. Left-associative
+    64-term sums; repr() literals round-trip to the identical double on
+    both SQL parsers, so the oracle's SQL-computed scores match bitwise."""
+    norm2 = 0.0
+    for v in centroid:
+        norm2 += v * v
+    dot = " + ".join(f"{xcol}[{i}] * {centroid[i]!r}" for i in range(dim))
+    return f"{norm2!r} - 2.0 * ({dot})"
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 10,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """IVF-flat approximate top-k cosine neighbors: a coarse k-means
+    quantizer partitions the corpus into ``n_cells`` inverted lists;
+    each query scans only its ``n_probe`` nearest cells. Output
+    [vec_id, neighbor_id, cosine, rank] like brute_force_topk.
+
+    Deterministic end to end: md5-rank seeds, ``n_iter`` fixed Lloyd
+    iterations on the exact-integer quantization grid (see ``_IVF_Q``),
+    argmin/probe ties broken on cell id, rank ties on neighbor_id —
+    the whole trajectory replays in SQL (``ivf_ann_oracle``).
+
+    Scale: centroids are driver-tiny (n_cells × dim) at every step —
+    the corpus itself is never collected; assignment is a codegen'd
+    projection against literal centroids (no shuffle), each Lloyd
+    update is one map-side-combinable aggregate of exact BIGINT sums,
+    and the search is one equi-join on cell id. Grow n_cells ~ sqrt(n)
+    so inverted lists stay bounded; probe fan-out is n_probe rows per
+    query — linear shuffle, never n². The 2^53 exactness bound on the
+    bigint-sum-to-double cast holds to ~10^9 rows per cell."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    id_dtype = dict(df.dtypes)[id_col]
+    schema = f"vec_id {id_dtype}, neighbor_id {id_dtype}, cosine double, rank int"
+    base = (
+        df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+        .dropna()
+        .withColumn("__q", F.expr(_ivf_qexpr("__v")))
+        .withColumn("__x", F.expr(f"transform(__q, v -> cast(v as double) / {_IVF_Q})"))
+    )
+    from polars_ts_spark.operators.textops import spark_hash60
+
+    # centroid training: n_iter + 1 driver-tiny jobs over a cached scan;
+    # the cache is dropped before the (lazy) search plan is built from the
+    # uncached lineage, so nothing leaks past this call
+    cached = base.persist()
+    try:
+        seeds = (
+            cached.select(id_col, "__q")
+            .orderBy(F.expr(spark_hash60(f"cast({id_col} as string)")), F.col(id_col))
+            .limit(n_cells)
+            .collect()
+        )
+        if not seeds:
+            return spark.createDataFrame([], schema=schema)
+        cents = [[v / _IVF_Q for v in r["__q"]] for r in seeds]
+
+        def dist_structs():
+            return F.array(*[
+                F.struct(
+                    F.expr(_ivf_score_sql(c, "__x", dim)).alias("d"),
+                    F.lit(j).alias("cell"),
+                )
+                for j, c in enumerate(cents)
+            ])
+
+        for _ in range(n_iter):
+            cell = F.array_sort(dist_structs()).getItem(0).getField("cell")
+            sums = (
+                cached.withColumn("__cell", cell)
+                .groupBy("__cell")
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    *[F.sum(F.expr(f"__q[{i}]")).alias(f"__s{i}") for i in range(dim)],
+                )
+                .collect()
+            )
+            for r in sums:  # empty cells keep their previous centroid
+                cents[r["__cell"]] = [r[f"__s{i}"] / r["__n"] / _IVF_Q for i in range(dim)]
+    finally:
+        cached.unpersist()
+
+    probes = F.slice(F.array_sort(dist_structs()), 1, n_probe)
+    assigned = base.withColumn("__probes", probes).withColumn(
+        "__nrm", _norm_expanded("__v", dim)
+    )
+    home = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("__nv"),
+        F.col("__nrm").alias("__nnrm"),
+        F.expr("__probes[0].cell").alias("__cell"),
+    )
+    qry = assigned.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__nrm").alias("__qnrm"),
+        F.explode(F.expr("transform(__probes, p -> p.cell)")).alias("__cell"),
+    )
+    cos = _dot_expanded("__qv", "__nv", dim) / (F.col("__qnrm") * F.col("__nnrm"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
+    return (
+        qry.join(home, "__cell")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .withColumn("__cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id",
+                F.round("__cos", 6).alias("cosine"), "rank")
+    )
+
+
+def ivf_ann_oracle(
+    k: int = 5, n_cells: int = 16, n_probe: int = 10, n_iter: int = 2,
+    dim: int = DIM,
+) -> str:
+    """Full SQL replay of ``ivf_ann_topk`` — md5-rank seeds, the exact
+    Lloyd trajectory on the integer grid, probe selection and ranked
+    cell-scan — as chained (materialized) CTEs."""
+    from polars_ts_spark.operators.textops import duck_hash60
+
+    def dist(qref: str, cref: str) -> str:
+        # |c|^2 - 2<x,c>, the same left-associative chains as
+        # _ivf_score_sql — here |c|^2 is computed in SQL from the CTE's
+        # centroid list; 0.0 + t1 == t1 bitwise, so the python-side
+        # accumulation loop and this chain agree exactly
+        norm2 = " + ".join(f"{cref}[{i + 1}] * {cref}[{i + 1}]" for i in range(dim))
+        dot = " + ".join(f"{qref}[{i + 1}] * {cref}[{i + 1}]" for i in range(dim))
+        return f"({norm2}) - 2.0 * ({dot})"
+
+    sums_cols = ", ".join(f"SUM(q[{i + 1}]) AS s{i}" for i in range(dim))
+    cent_list = ", ".join(
+        f"CAST(g.s{i} AS DOUBLE) / CAST(g.n AS DOUBLE) / {_IVF_Q}" for i in range(dim)
+    )
+    parts = [f"""
+qv AS MATERIALIZED (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_IVF_Q} + 0.5) AS BIGINT)) AS q,
+           list_transform(list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_IVF_Q} + 0.5) AS BIGINT)),
+               v -> CAST(v AS DOUBLE) / {_IVF_Q}) AS x,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE embedding IS NOT NULL
+),
+c0 AS MATERIALIZED (
+    SELECT ROW_NUMBER() OVER (
+               ORDER BY {duck_hash60("CAST(vec_id AS VARCHAR)")}, vec_id
+           ) - 1 AS cell,
+           list_transform(q, x -> CAST(x AS DOUBLE) / {_IVF_Q}) AS c
+    FROM qv
+    QUALIFY cell < {n_cells}
+)"""]
+    prev = "c0"
+    for it in range(n_iter):
+        parts.append(f""",
+asg{it} AS MATERIALIZED (
+    SELECT vec_id, cell FROM (
+        SELECT q.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {dist("q.x", "c.c")}, c.cell) AS pr
+        FROM qv q CROSS JOIN {prev} c
+    ) WHERE pr = 1
+),
+g{it} AS MATERIALIZED (
+    SELECT a.cell, COUNT(*) AS n, {sums_cols}
+    FROM asg{it} a JOIN qv USING (vec_id)
+    GROUP BY a.cell
+),
+c{it + 1} AS MATERIALIZED (
+    SELECT p.cell,
+           CASE WHEN g.cell IS NULL THEN p.c ELSE [{cent_list}] END AS c
+    FROM {prev} p LEFT JOIN g{it} g ON g.cell = p.cell
+)""")
+        prev = f"c{it + 1}"
+    parts.append(f""",
+fin AS MATERIALIZED (
+    SELECT q.vec_id, c.cell,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {dist("q.x", "c.c")}, c.cell) AS pr
+    FROM qv q CROSS JOIN {prev} c
+),
+scored AS (
+    SELECT p.vec_id, h.vec_id AS neighbor_id,
+           ({duck_dot("a.v", "b.v", dim)}) / ({duck_norm("a.v", dim)} * {duck_norm("b.v", dim)}) AS cos
+    FROM (SELECT vec_id, cell FROM fin WHERE pr <= {n_probe}) p
+    JOIN (SELECT vec_id, cell FROM fin WHERE pr = 1) h
+      ON h.cell = p.cell AND h.vec_id <> p.vec_id
+    JOIN qv a ON a.vec_id = p.vec_id
+    JOIN qv b ON b.vec_id = h.vec_id
+)
+SELECT vec_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= {k}""")
+    return "WITH " + "".join(parts).lstrip()

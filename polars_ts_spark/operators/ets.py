@@ -254,10 +254,15 @@ def ses_forecast(df: DataFrame, h: int, alpha: float = 0.3,
     require_columns(df, id_col, time_col, target_col)
     from pyspark.sql import Window
 
-    from polars_ts_spark.operators.baselines import _freq_agg, _future_rows
+    from polars_ts_spark.operators.baselines import (
+        _freq_from_diff,
+        _future_rows,
+        _with_ts_diff,
+    )
 
     w = Window.partitionBy(id_col).orderBy(time_col)
     wn = Window.partitionBy(id_col)
+    df = _with_ts_diff(df, id_col, time_col)
     weighted = (
         F.when(
             F.col("__rn") == 1,
@@ -275,7 +280,7 @@ def ses_forecast(df: DataFrame, h: int, alpha: float = 0.3,
         .agg(
             F.sum(weighted).alias("__level"),
             F.max(time_col).alias("__last_ts"),
-            _freq_agg(time_col).alias("__freq_s"),
+            _freq_from_diff().alias("__freq_s"),
         )
     )
     return _future_rows(g, h, id_col, time_col).select(

@@ -10694,3 +10694,53 @@ def q_cv_rolling_origin_splits(spark, sf_dir):
         rows, "fold int, train_start timestamp, train_end timestamp, "
               "test_start timestamp, test_end timestamp, "
               "train_rows long, test_rows long")
+
+
+# ---------------------------------------------------------------------------
+# pts namespace (SURVEY §2.19): the same chain a reference user writes via
+# the accessor (ref polars_ts/namespace.py) — log-transform, then lag and
+# rolling features over the transformed target. Verifies the accessor's
+# _chain plumbing end-to-end, not just the underlying operators.
+
+_NAMESPACE_CHAIN_ORACLE = PANEL_CTE + """,
+    logp AS (
+        SELECT unique_id, ds, LN(1 + y) AS y, y AS y_original FROM panel
+    )
+    SELECT unique_id, ds, y, y_original,
+           LAG(y, 1) OVER w AS y_lag_1,
+           CASE WHEN COUNT(y) OVER w7 >= 7 THEN AVG(y) OVER w7 END
+               AS y_rolling_mean_7
+    FROM logp
+    WINDOW w AS (PARTITION BY unique_id ORDER BY ds),
+           w7 AS (PARTITION BY unique_id ORDER BY ds
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """
+
+
+@register("namespace_chain", _NAMESPACE_CHAIN_ORACLE)
+def q_namespace_chain(spark, sf_dir):
+    from polars_ts_spark.namespace import pts
+    panel = supplier_daily_panel(spark, sf_dir)
+    return (
+        pts(panel)
+        .log_transform()
+        .lag_features([1])
+        .rolling_features([7], ["mean"])
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (SURVEY §LLM-pipeline similarity search): the k-means-bucketed
+# scale path next to lsh_ann_topk — md5-rank seeds + 2 exact-integer Lloyd
+# iterations + n_probe cell scan, whole trajectory replayed in SQL.
+
+def _register_ivf():
+    from polars_ts_spark.operators import embedsim
+
+    @register("ivf_ann_topk", embedsim.ivf_ann_oracle(3))
+    def q_ivf_ann_topk(spark, sf_dir):
+        return embedsim.ivf_ann_topk(_embs(spark, sf_dir), k=3)
+
+
+_register_ivf()

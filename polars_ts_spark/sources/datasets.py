@@ -5,9 +5,14 @@ Reference analogue: ``polars_ts/datasets.py:10-81`` (load_dataset) — ours
 reads the driver-provided parquet instead of downloading.
 
 Scale notes: plain ``spark.read.parquet`` keeps partition pruning, filter
-pushdown and column pruning in play; panel derivation is a single
-hash-aggregate whose shuffle key (unique_id) is reused by every
-downstream per-series window — one Exchange for the whole feature plan.
+pushdown and column pruning in play. Panel derivation is a hash
+aggregate on (unique_id, ds) — map-side partial combine reduces the raw
+scan before its shuffle, so at 100 TB the exchange moves aggregated
+partials, not input rows. Downstream per-series windows then re-shuffle
+on unique_id alone; that second exchange moves only the aggregated
+panel (orders of magnitude smaller than the input), which is the right
+trade — repartitioning the raw input by unique_id first would ship the
+full table to save a shuffle of the small one.
 """
 
 from __future__ import annotations

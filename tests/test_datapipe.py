@@ -176,6 +176,37 @@ def test_lsh_ann_recall_on_corpus(spark):
     assert recall >= 0.8, f"top-1 recall {recall:.2f} < 0.8"
 
 
+def test_ivf_ann_recall_on_corpus(spark):
+    # the IVF-flat scale path must recover most true top-1 neighbors on
+    # the real corpus (uniform-random embeddings are IVF's worst case —
+    # defaults are tuned so n_probe=10/16 still clears 0.85 here) and
+    # agree exactly with brute force on shared (vec, neighbor) cosines
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    bf = {
+        (r["vec_id"], r["neighbor_id"]): r["cosine"]
+        for r in embedsim.brute_force_topk(emb, k=1).collect()
+    }
+    ann = embedsim.ivf_ann_topk(emb, k=1).collect()
+    ann1 = {r["vec_id"]: (r["neighbor_id"], r["cosine"]) for r in ann}
+    hits = 0
+    for (v, nb), cos in bf.items():
+        got = ann1.get(v)
+        if got and got[0] == nb:
+            hits += 1
+            assert got[1] == cos  # exact re-rank inside probed cells
+    recall = hits / len(bf)
+    assert recall >= 0.85, f"top-1 recall {recall:.2f} < 0.85"
+
+
+def test_ivf_ann_exhaustive_probe_is_exact(vecs, spark):
+    # probing every cell makes IVF exhaustive: top-1 must equal brute force
+    out = embedsim.ivf_ann_topk(vecs, k=1, n_cells=2, n_probe=2, dim=4).collect()
+    got = {r["vec_id"]: r["neighbor_id"] for r in out}
+    assert got[0] == 1 and got[1] == 0 and got[2] == 3 and got[3] == 2
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedsim.ivf_ann_topk(empty, k=1, dim=4).count() == 0
+
+
 def test_lsh_cosine_pairs_subset_of_exact(spark):
     # the LSH near-dup scale path emits a SUBSET of the exact pairs with
     # identical cosines (exact re-rank inside the buckets), and recovers
