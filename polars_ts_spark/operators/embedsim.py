@@ -316,6 +316,52 @@ def _band_keys_udf(n_bands: int, bits: int, dim: int):
     return pandas_udf(_keys, "array<int>")
 
 
+def _bucket_topk_kernel(pdf, id_col: str, k: int, max_bucket: int):
+    """Shared per-bucket exact-cosine top-k: queries = every row in the
+    bucket, index = rows with is_member=1; one float64 GEMM per
+    (split, query-block), cosines rounded to 6 decimals, ties broken on
+    neighbor_id. Oversized buckets are deterministically re-split
+    (Knuth multiplicative hash of the id — recall loss, not an error,
+    per the ANN contract). Query rows are blocked so the similarity
+    block never exceeds ~32 MB regardless of bucket size."""
+    import pandas as pd
+
+    ids = pdf[id_col].to_numpy()
+    mem = pdf["is_member"].to_numpy() == 1
+    m = len(ids)
+    if m < 2 or not mem.any():
+        return pd.DataFrame({"vec_id": ids[:0], "neighbor_id": ids[:0],
+                             "cosine": np.array([], dtype=np.float64)})
+    M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    n_splits = -(-m // max_bucket)
+    split_of = (ids.astype(np.int64) * 2654435761 % 2**31) % n_splits if n_splits > 1 \
+        else np.zeros(m, dtype=np.int64)
+    out_v, out_n, out_c = [], [], []
+    for sp in range(n_splits):
+        sel = np.where(split_of == sp)[0]
+        msel = sel[mem[sel]]
+        if len(sel) < 2 or len(msel) == 0:
+            continue
+        ids_q, Q = ids[sel], M[sel]
+        ids_m, Mm = ids[msel], M[msel]
+        nq = np.sqrt((Q * Q).sum(axis=1))
+        nm = np.sqrt((Mm * Mm).sum(axis=1))
+        blk = max(1, (1 << 22) // len(msel))
+        for b0 in range(0, len(sel), blk):
+            bsl = slice(b0, b0 + blk)
+            S = np.round((Q[bsl] @ Mm.T) / (nq[bsl][:, None] * nm[None, :]), 6)
+            for i_rel in range(S.shape[0]):
+                i = b0 + i_rel
+                s = S[i_rel].copy()
+                s[ids_m == ids_q[i]] = -np.inf  # self (and dup-id) exclusion
+                order = np.lexsort((ids_m, -s))[:k]
+                take = order[np.isfinite(s[order])]
+                out_v.extend([ids_q[i]] * len(take))
+                out_n.extend(ids_m[take])
+                out_c.extend(s[take])
+    return pd.DataFrame({"vec_id": out_v, "neighbor_id": out_n, "cosine": out_c})
+
+
 def lsh_ann_topk(
     df: DataFrame,
     k: int = 5,
@@ -353,7 +399,6 @@ def lsh_ann_topk(
     bounded by max_bucket · n · (1 + bits); no driver collect; at
     100 TB the band keys would be written as bucketing columns so
     repeated queries skip the shuffle."""
-    import pandas as pd
 
     keys_udf = _band_keys_udf(n_bands, bits_per_band, dim)
     # index row (is_member=1, true key) + one probe row per 1-bit flip
@@ -380,40 +425,6 @@ def lsh_ann_topk(
     id_dtype = dict(df.dtypes)[id_col]
     cand_schema = f"vec_id {id_dtype}, neighbor_id {id_dtype}, cosine double"
 
-    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy()
-        mem = pdf["is_member"].to_numpy() == 1
-        m = len(ids)
-        if m < 2 or not mem.any():
-            return pd.DataFrame({"vec_id": ids[:0], "neighbor_id": ids[:0],
-                                 "cosine": np.array([], dtype=np.float64)})
-        M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-        # deterministic re-split of oversized buckets (skew cap): Knuth
-        # multiplicative hash of the row's id, NOT randomness
-        n_splits = -(-m // max_bucket)
-        split_of = (ids.astype(np.int64) * 2654435761 % 2**31) % n_splits if n_splits > 1 \
-            else np.zeros(m, dtype=np.int64)
-        out_v, out_n, out_c = [], [], []
-        for sp in range(n_splits):
-            sel = np.where(split_of == sp)[0]
-            msel = sel[mem[sel]]
-            if len(sel) < 2 or len(msel) == 0:
-                continue
-            ids_q, Q = ids[sel], M[sel]
-            ids_m, Mm = ids[msel], M[msel]
-            nq = np.sqrt((Q * Q).sum(axis=1))
-            nm = np.sqrt((Mm * Mm).sum(axis=1))
-            S = np.round((Q @ Mm.T) / (nq[:, None] * nm[None, :]), 6)
-            for i in range(len(sel)):
-                s = S[i].copy()
-                s[ids_m == ids_q[i]] = -np.inf  # self (and dup-id) exclusion
-                order = np.lexsort((ids_m, -s))[:k]
-                take = order[np.isfinite(s[order])]
-                out_v.extend([ids_q[i]] * len(take))
-                out_n.extend(ids_m[take])
-                out_c.extend(s[take])
-        return pd.DataFrame({"vec_id": out_v, "neighbor_id": out_n, "cosine": out_c})
-
     # explicit repartition: exempt from AQE coalescing, so the Python
     # GEMM stage keeps full task parallelism (see kernel.py note); the
     # following groupBy reuses the distribution — still ONE shuffle
@@ -421,7 +432,10 @@ def lsh_ann_topk(
     cands = (
         exploded.repartition(n_parts, "band", "bkt")
         .groupBy("band", "bkt")
-        .applyInPandas(lambda key, pdf: bucket_topk(pdf), schema=cand_schema)
+        .applyInPandas(
+            lambda key, pdf: _bucket_topk_kernel(pdf, id_col, k, max_bucket),
+            schema=cand_schema,
+        )
     )
     # dedup across bands, then rank the <= n_bands*k survivors per vector
     best = cands.groupBy("vec_id", "neighbor_id").agg(F.max("cosine").alias("cosine"))
@@ -678,6 +692,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DIM,
+    max_cell: int = 32768,
 ) -> DataFrame:
     """IVF-flat approximate top-k cosine neighbors: a coarse k-means
     quantizer partitions the corpus into ``n_cells`` inverted lists;
@@ -686,17 +701,21 @@ def ivf_ann_topk(
 
     Deterministic end to end: md5-rank seeds, ``n_iter`` fixed Lloyd
     iterations on the exact-integer quantization grid (see ``_IVF_Q``),
-    argmin/probe ties broken on cell id, rank ties on neighbor_id —
-    the whole trajectory replays in SQL (``ivf_ann_oracle``).
+    argmin/probe ties broken on cell id, cosines rounded to 6 decimals
+    BEFORE ranking, rank ties on neighbor_id — the whole trajectory
+    replays in SQL (``ivf_ann_oracle``).
 
     Scale: centroids are driver-tiny (n_cells × dim) at every step —
-    the corpus itself is never collected; assignment is a codegen'd
-    projection against literal centroids (no shuffle), each Lloyd
-    update is one map-side-combinable aggregate of exact BIGINT sums,
-    and the search is one equi-join on cell id. Grow n_cells ~ sqrt(n)
-    so inverted lists stay bounded; probe fan-out is n_probe rows per
-    query — linear shuffle, never n². The 2^53 exactness bound on the
-    bigint-sum-to-double cast holds to ~10^9 rows per cell."""
+    the corpus itself is never collected; assignment is a constant-
+    folded projection against literal centroids (no shuffle), each
+    Lloyd update is one map-side-combinable aggregate of exact BIGINT
+    sums, and the search shuffles n_probe rows per vector into a
+    per-cell blocked BLAS GEMM (shared with lsh_ann_topk) — linear,
+    never n². Grow n_cells ~ sqrt(n) so inverted lists stay bounded;
+    ``max_cell`` is the OOM backstop (deterministic re-split, recall
+    loss per the ANN contract — at scale raise n_cells instead). The
+    2^53 exactness bound on the bigint-sum-to-double cast holds to
+    ~10^9 rows per cell."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -750,33 +769,38 @@ def ivf_ann_topk(
     finally:
         cached.unpersist()
 
+    # search: explode every vector into its n_probe cells (probe 0 = the
+    # home cell where it is INDEXED; the others it only visits), then one
+    # blocked float64 GEMM per cell — the lsh_ann_topk kernel. A plain
+    # cell-id equi-join evaluating the 64-term dot per candidate row was
+    # ~30x slower: Catalyst can't JIT the giant expression, so 15M+
+    # candidate rows were interpreted; the GEMM does the same flops in
+    # BLAS. Shuffle volume is n_probe rows per vector — linear, never n².
     probes = F.slice(F.array_sort(dist_structs()), 1, n_probe)
-    assigned = base.withColumn("__probes", probes).withColumn(
-        "__nrm", _norm_expanded("__v", dim)
+    exploded = (
+        base.withColumn("__probes", probes)
+        .select(
+            F.col(id_col), F.col("__v").alias("v"),
+            F.posexplode(F.expr("transform(__probes, p -> p.cell)"))
+            .alias("__pos", "__cell"),
+        )
+        .withColumn("is_member", (F.col("__pos") == 0).cast("int"))
     )
-    home = assigned.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("__v").alias("__nv"),
-        F.col("__nrm").alias("__nnrm"),
-        F.expr("__probes[0].cell").alias("__cell"),
+    cand_schema = f"vec_id {id_dtype}, neighbor_id {id_dtype}, cosine double"
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cands = (
+        exploded.repartition(min(n_parts, n_cells), "__cell")
+        .groupBy("__cell")
+        .applyInPandas(
+            lambda key, pdf: _bucket_topk_kernel(pdf, id_col, k, max_cell),
+            schema=cand_schema,
+        )
     )
-    qry = assigned.select(
-        F.col(id_col).alias("vec_id"),
-        F.col("__v").alias("__qv"),
-        F.col("__nrm").alias("__qnrm"),
-        F.explode(F.expr("transform(__probes, p -> p.cell)")).alias("__cell"),
-    )
-    cos = _dot_expanded("__qv", "__nv", dim) / (F.col("__qnrm") * F.col("__nnrm"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
-    return (
-        qry.join(home, "__cell")
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .withColumn("__cos", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id",
-                F.round("__cos", 6).alias("cosine"), "rank")
-    )
+    # a member has exactly one home cell, so (vec_id, neighbor_id) is
+    # unique across cells — the max() only matters under a re-split
+    best = cands.groupBy("vec_id", "neighbor_id").agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return best.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def ivf_ann_oracle(
@@ -860,10 +884,10 @@ scored AS (
     JOIN qv a ON a.vec_id = p.vec_id
     JOIN qv b ON b.vec_id = h.vec_id
 )
-SELECT vec_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
 FROM (
-    SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+    SELECT vec_id, neighbor_id, ROUND(cos, 6) AS cosine, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY ROUND(cos, 6) DESC, neighbor_id) AS rank
     FROM scored
 ) WHERE rank <= {k}""")
     return "WITH " + "".join(parts).lstrip()
