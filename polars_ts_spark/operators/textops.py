@@ -633,6 +633,39 @@ FROM t
 """
 
 
+# BPE-ish pre-tokenizer: the GPT-2 pattern family (contractions, optional
+# leading space + letter run / digit run / symbol run, whitespace run),
+# restricted to constructs BOTH Java regex (Spark) and RE2 (DuckDB)
+# support — no lookahead, no \p classes. Both engines use leftmost-first
+# alternation, so the match COUNT is engine-identical.
+BPE_TOKEN_RE = r"'(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|\s+"
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting for training-data accounting: whitespace tokens
+    (the text_stats convention) and BPE-ish pre-tokens (``BPE_TOKEN_RE``
+    — a proxy for LLM token cost that needs no vocabulary file).
+    Output [doc_id, ws_tokens, bpe_tokens, n_chars]. Pure per-row
+    projection — whole-stage codegen, no shuffle; at 100 TB this is a
+    single scan whose cost is the regex automaton per row."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).alias("bpe_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+TOKEN_COUNTS_ORACLE = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE.replace("'", "''")}')) AS INT)
+           AS bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
 # marker-token lists per language (heuristic language ID; deterministic)
 LANG_MARKERS = {
     "de": ("der", "die", "das", "und", "nicht", "ist"),

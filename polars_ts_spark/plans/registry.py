@@ -10744,3 +10744,18 @@ def _register_ivf():
 
 
 _register_ivf()
+
+
+# ---------------------------------------------------------------------------
+# Token counting (SURVEY §LLM-pipeline text analysis): whitespace tokens +
+# BPE-ish regex pre-tokens — the vocabulary-free LLM-token-cost proxy.
+
+def _register_token_counts():
+    from polars_ts_spark.operators import textops
+
+    @register("token_counts", textops.TOKEN_COUNTS_ORACLE)
+    def q_token_counts(spark, sf_dir):
+        return textops.token_counts(_docs(spark, sf_dir))
+
+
+_register_token_counts()

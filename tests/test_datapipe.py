@@ -104,6 +104,20 @@ def test_text_stats(docs):
     assert 0.0 < row["quality_score"] <= 1.0
 
 
+def test_token_counts_hand_checked(spark):
+    rows = [
+        (0, "the quick brown fox"),    # 4 ws, 4 bpe
+        (1, "it's here"),              # 2 ws, 3 bpe: it / 's / " here"
+        (2, "a1 b!?"),                 # 2 ws, 4 bpe: a / 1 / " b" / "!?"
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"], r["n_chars"])
+           for r in textops.token_counts(df).collect()}
+    assert out[0] == (4, 4, 19)
+    assert out[1] == (2, 3, 9)
+    assert out[2] == (2, 4, 6)
+
+
 def test_doc_fingerprint_dup_invariant(docs):
     fps = {r["doc_id"]: r["fingerprint"] for r in textops.doc_fingerprint(docs).collect()}
     assert fps[0] == fps[1]
