@@ -670,17 +670,32 @@ def _ivf_qexpr(vec_col: str) -> str:
             f"cast(floor(cast(x as double) * {_IVF_Q} + 0.5) as bigint))")
 
 
-def _ivf_score_sql(centroid: list[float], xcol: str, dim: int) -> str:
-    """Cell-assignment score |c|^2 - 2<x,c> — equals squared-L2 minus
-    the per-row constant |x|^2, so the argmin/probe ORDER over cells is
-    the k-means assignment, at half the expression size. Left-associative
-    64-term sums; repr() literals round-trip to the identical double on
-    both SQL parsers, so the oracle's SQL-computed scores match bitwise."""
-    norm2 = 0.0
-    for v in centroid:
-        norm2 += v * v
-    dot = " + ".join(f"{xcol}[{i}] * {centroid[i]!r}" for i in range(dim))
-    return f"{norm2!r} - 2.0 * ({dot})"
+def _ivf_assign_udf(cq: "np.ndarray", n_out: int):
+    """Arrow UDF assigning each quantized vector to its ``n_out``
+    nearest centroids by the exact-integer score A_j = |cq_j|² − 2⟨q,cq_j⟩
+    (squared L2 minus the per-row constant |q|², so the ORDER over cells
+    is the k-means assignment). Because centroids live on the same
+    integer grid as the vectors, every product is ≤ 2^46 and every
+    partial sum ≤ 2^53 — float64 BLAS GEMM computes A exactly and
+    ORDER-INDEPENDENTLY, so this vectorized path is bitwise-equal to the
+    oracle's BIGINT arithmetic with no summation-order caveats. Ties
+    break to the smaller cell id (stable argsort)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    CQ = cq.astype(np.float64)  # exact: grid ints < 2^53
+    norm2 = (CQ * CQ).sum(axis=1)
+
+    def _assign(qs):
+        Q = np.vstack([np.asarray(q, dtype=np.float64) for q in qs])
+        A = norm2[None, :] - 2.0 * (Q @ CQ.T)
+        if n_out == 1:
+            # np.argmin returns the FIRST minimum — the smaller cell id
+            return pd.Series(A.argmin(axis=1).astype(np.int32))
+        order = np.argsort(A, axis=1, kind="stable")[:, :n_out].astype(np.int32)
+        return pd.Series(list(order))
+
+    return pandas_udf(_assign, "int" if n_out == 1 else "array<int>")
 
 
 def ivf_ann_topk(
@@ -700,22 +715,25 @@ def ivf_ann_topk(
     [vec_id, neighbor_id, cosine, rank] like brute_force_topk.
 
     Deterministic end to end: md5-rank seeds, ``n_iter`` fixed Lloyd
-    iterations on the exact-integer quantization grid (see ``_IVF_Q``),
-    argmin/probe ties broken on cell id, cosines rounded to 6 decimals
-    BEFORE ranking, rank ties on neighbor_id — the whole trajectory
-    replays in SQL (``ivf_ann_oracle``).
+    iterations with BOTH vectors and centroids on the exact-integer
+    quantization grid (see ``_IVF_Q``) — every assignment score is an
+    exact integer < 2^53, so float64 GEMM (Spark) and BIGINT arithmetic
+    (DuckDB) agree bitwise with NO summation-order caveats; argmin/probe
+    ties break on cell id, cosines round to 6 decimals BEFORE ranking,
+    rank ties on neighbor_id. The whole trajectory replays in SQL
+    (``ivf_ann_oracle``).
 
     Scale: centroids are driver-tiny (n_cells × dim) at every step —
-    the corpus itself is never collected; assignment is a constant-
-    folded projection against literal centroids (no shuffle), each
-    Lloyd update is one map-side-combinable aggregate of exact BIGINT
-    sums, and the search shuffles n_probe rows per vector into a
-    per-cell blocked BLAS GEMM (shared with lsh_ann_topk) — linear,
-    never n². Grow n_cells ~ sqrt(n) so inverted lists stay bounded;
-    ``max_cell`` is the OOM backstop (deterministic re-split, recall
-    loss per the ANN contract — at scale raise n_cells instead). The
-    2^53 exactness bound on the bigint-sum-to-double cast holds to
-    ~10^9 rows per cell."""
+    the corpus itself is never collected; assignment is a vectorized
+    Arrow-batched GEMM against the broadcast centroid matrix (no
+    shuffle), each Lloyd update is one map-side-combinable aggregate of
+    exact BIGINT sums, and the search shuffles n_probe rows per vector
+    into a per-cell blocked BLAS GEMM (shared with lsh_ann_topk) —
+    linear, never n². Grow n_cells ~ sqrt(n) so inverted lists stay
+    bounded; ``max_cell`` is the OOM backstop (deterministic re-split,
+    recall loss per the ANN contract — at scale raise n_cells instead).
+    Exactness bounds: grid products ≤ 2^46 for |x| < 8, so 64-dim score
+    sums stay < 2^53; the Lloyd BIGINT sums hold to ~10^9 rows/cell."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -725,7 +743,6 @@ def ivf_ann_topk(
         df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
         .dropna()
         .withColumn("__q", F.expr(_ivf_qexpr("__v")))
-        .withColumn("__x", F.expr(f"transform(__q, v -> cast(v as double) / {_IVF_Q})"))
     )
     from polars_ts_spark.operators.textops import spark_hash60
 
@@ -742,21 +759,11 @@ def ivf_ann_topk(
         )
         if not seeds:
             return spark.createDataFrame([], schema=schema)
-        cents = [[v / _IVF_Q for v in r["__q"]] for r in seeds]
-
-        def dist_structs():
-            return F.array(*[
-                F.struct(
-                    F.expr(_ivf_score_sql(c, "__x", dim)).alias("d"),
-                    F.lit(j).alias("cell"),
-                )
-                for j, c in enumerate(cents)
-            ])
+        cq = np.array([r["__q"] for r in seeds], dtype=np.int64)
 
         for _ in range(n_iter):
-            cell = F.array_sort(dist_structs()).getItem(0).getField("cell")
             sums = (
-                cached.withColumn("__cell", cell)
+                cached.withColumn("__cell", _ivf_assign_udf(cq, 1)("__q"))
                 .groupBy("__cell")
                 .agg(
                     F.count(F.lit(1)).alias("__n"),
@@ -765,24 +772,28 @@ def ivf_ann_topk(
                 .collect()
             )
             for r in sums:  # empty cells keep their previous centroid
-                cents[r["__cell"]] = [r[f"__s{i}"] / r["__n"] / _IVF_Q for i in range(dim)]
+                # floor(s/n + 0.5): re-quantize the mean onto the grid —
+                # the identical IEEE divide/add/floor sequence as the
+                # oracle's FLOOR(CAST(s AS DOUBLE)/CAST(n AS DOUBLE)+0.5)
+                cq[r["__cell"]] = [
+                    int(np.floor(float(r[f"__s{i}"]) / float(r["__n"]) + 0.5))
+                    for i in range(dim)
+                ]
     finally:
         cached.unpersist()
 
     # search: explode every vector into its n_probe cells (probe 0 = the
     # home cell where it is INDEXED; the others it only visits), then one
     # blocked float64 GEMM per cell — the lsh_ann_topk kernel. A plain
-    # cell-id equi-join evaluating the 64-term dot per candidate row was
-    # ~30x slower: Catalyst can't JIT the giant expression, so 15M+
-    # candidate rows were interpreted; the GEMM does the same flops in
-    # BLAS. Shuffle volume is n_probe rows per vector — linear, never n².
-    probes = F.slice(F.array_sort(dist_structs()), 1, n_probe)
+    # cell-id equi-join evaluating a 64-term expanded dot per candidate
+    # row was ~30x slower: Catalyst can't JIT an expression that large,
+    # so 15M+ candidate rows ran interpreted; the GEMM does the same
+    # flops in BLAS. Shuffle volume is n_probe rows per vector.
     exploded = (
-        base.withColumn("__probes", probes)
+        base.withColumn("__probes", _ivf_assign_udf(cq, n_probe)("__q"))
         .select(
             F.col(id_col), F.col("__v").alias("v"),
-            F.posexplode(F.expr("transform(__probes, p -> p.cell)"))
-            .alias("__pos", "__cell"),
+            F.posexplode("__probes").alias("__pos", "__cell"),
         )
         .withColumn("is_member", (F.col("__pos") == 0).cast("int"))
     )
@@ -808,31 +819,31 @@ def ivf_ann_oracle(
     dim: int = DIM,
 ) -> str:
     """Full SQL replay of ``ivf_ann_topk`` — md5-rank seeds, the exact
-    Lloyd trajectory on the integer grid, probe selection and ranked
-    cell-scan — as chained (materialized) CTEs."""
+    Lloyd trajectory with centroids re-quantized onto the integer grid
+    every update, probe selection and ranked cell-scan — as chained
+    (materialized) CTEs. Assignment scores are pure BIGINT arithmetic
+    (exact, order-independent), matching Spark's float64 GEMM on the
+    same grid integers bit for bit."""
     from polars_ts_spark.operators.textops import duck_hash60
 
     def dist(qref: str, cref: str) -> str:
-        # |c|^2 - 2<x,c>, the same left-associative chains as
-        # _ivf_score_sql — here |c|^2 is computed in SQL from the CTE's
-        # centroid list; 0.0 + t1 == t1 bitwise, so the python-side
-        # accumulation loop and this chain agree exactly
+        # |cq|^2 - 2<q,cq> over grid BIGINTs: exact integers, so ANY
+        # summation order (here a chain; numpy GEMM on the Spark side)
+        # yields the identical value
         norm2 = " + ".join(f"{cref}[{i + 1}] * {cref}[{i + 1}]" for i in range(dim))
         dot = " + ".join(f"{qref}[{i + 1}] * {cref}[{i + 1}]" for i in range(dim))
-        return f"({norm2}) - 2.0 * ({dot})"
+        return f"({norm2}) - 2 * ({dot})"
 
     sums_cols = ", ".join(f"SUM(q[{i + 1}]) AS s{i}" for i in range(dim))
     cent_list = ", ".join(
-        f"CAST(g.s{i} AS DOUBLE) / CAST(g.n AS DOUBLE) / {_IVF_Q}" for i in range(dim)
+        f"CAST(FLOOR(CAST(g.s{i} AS DOUBLE) / CAST(g.n AS DOUBLE) + 0.5) AS BIGINT)"
+        for i in range(dim)
     )
     parts = [f"""
 qv AS MATERIALIZED (
     SELECT vec_id,
            list_transform(embedding,
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_IVF_Q} + 0.5) AS BIGINT)) AS q,
-           list_transform(list_transform(embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_IVF_Q} + 0.5) AS BIGINT)),
-               v -> CAST(v AS DOUBLE) / {_IVF_Q}) AS x,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings WHERE embedding IS NOT NULL
 ),
@@ -840,7 +851,7 @@ c0 AS MATERIALIZED (
     SELECT ROW_NUMBER() OVER (
                ORDER BY {duck_hash60("CAST(vec_id AS VARCHAR)")}, vec_id
            ) - 1 AS cell,
-           list_transform(q, x -> CAST(x AS DOUBLE) / {_IVF_Q}) AS c
+           q AS cq
     FROM qv
     QUALIFY cell < {n_cells}
 )"""]
@@ -852,7 +863,7 @@ asg{it} AS MATERIALIZED (
         SELECT q.vec_id, c.cell,
                ROW_NUMBER() OVER (
                    PARTITION BY q.vec_id
-                   ORDER BY {dist("q.x", "c.c")}, c.cell) AS pr
+                   ORDER BY {dist("q.q", "c.cq")}, c.cell) AS pr
         FROM qv q CROSS JOIN {prev} c
     ) WHERE pr = 1
 ),
@@ -863,7 +874,7 @@ g{it} AS MATERIALIZED (
 ),
 c{it + 1} AS MATERIALIZED (
     SELECT p.cell,
-           CASE WHEN g.cell IS NULL THEN p.c ELSE [{cent_list}] END AS c
+           CASE WHEN g.cell IS NULL THEN p.cq ELSE [{cent_list}] END AS cq
     FROM {prev} p LEFT JOIN g{it} g ON g.cell = p.cell
 )""")
         prev = f"c{it + 1}"
@@ -872,7 +883,7 @@ fin AS MATERIALIZED (
     SELECT q.vec_id, c.cell,
            ROW_NUMBER() OVER (
                PARTITION BY q.vec_id
-               ORDER BY {dist("q.x", "c.c")}, c.cell) AS pr
+               ORDER BY {dist("q.q", "c.cq")}, c.cell) AS pr
     FROM qv q CROSS JOIN {prev} c
 ),
 scored AS (

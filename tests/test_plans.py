@@ -180,3 +180,34 @@ def test_kaboudan_shuffle_is_windows_plus_one_join(spark):
         src, (F.col("unique_id") == F.col("__sid")) & (F.col("__rn0") == F.col("__dest")))
     plan = _plan(shuffled)
     assert "CartesianProduct" not in plan
+
+
+def test_token_counts_pure_projection(spark):
+    """token_counts is a per-row projection: zero shuffles, zero joins,
+    and only the two source columns reach the parquet scan."""
+    from polars_ts_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(textops.token_counts(docs))
+    assert _shuffle_exchanges(plan) == 0, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    scan = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "text" in scan and "doc_id" in scan
+    assert "payload" not in scan, "unused columns not pruned from the scan"
+
+
+def test_ivf_search_no_corpus_broadcast_bounded_shuffles(spark):
+    """The IVF search plan: centroids are LITERALS (the corpus is never
+    broadcast or nested-loop joined), the per-cell GEMM runs as a
+    grouped Pandas stage whose repartition is reused by the groupBy,
+    and the whole search is a bounded number of hash exchanges
+    (explode->cell, candidate dedup, final rank) — no n² anywhere."""
+    from polars_ts_spark.operators import embedsim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(embedsim.ivf_ann_topk(emb, k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" not in plan, "corpus must never broadcast"
+    assert "FlatMapGroupsInPandas" in plan or "applyInPandas" in plan
+    assert _shuffle_exchanges(plan) <= 4, plan
