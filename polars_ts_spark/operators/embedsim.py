@@ -323,7 +323,15 @@ def _bucket_topk_kernel(pdf, id_col: str, k: int, max_bucket: int):
     neighbor_id. Oversized buckets are deterministically re-split
     (Knuth multiplicative hash of the id — recall loss, not an error,
     per the ANN contract). Query rows are blocked so the similarity
-    block never exceeds ~32 MB regardless of bucket size."""
+    block never exceeds ~32 MB regardless of bucket size.
+
+    The top-k selection is fully vectorized: the 6dp-rounded cosine
+    maps EXACTLY to an int (|s|<=1 so s*1e6 is an integer after the
+    round), which composes with the neighbor's dense id-rank into one
+    distinct int64 sort key per candidate — (cosine desc, id asc)
+    becomes a single argpartition+argsort over the block, no per-row
+    Python loop (the loop was the kernel's scaling bottleneck: tens of
+    µs per query row dwarfs the GEMM at billions of rows)."""
     import pandas as pd
 
     ids = pdf[id_col].to_numpy()
@@ -337,6 +345,7 @@ def _bucket_topk_kernel(pdf, id_col: str, k: int, max_bucket: int):
     split_of = (ids.astype(np.int64) * 2654435761 % 2**31) % n_splits if n_splits > 1 \
         else np.zeros(m, dtype=np.int64)
     out_v, out_n, out_c = [], [], []
+    EXC = np.int64(-(10 ** 7))  # below any real 6dp cosine ×1e6 (>= -1e6)
     for sp in range(n_splits):
         sel = np.where(split_of == sp)[0]
         msel = sel[mem[sel]]
@@ -344,22 +353,36 @@ def _bucket_topk_kernel(pdf, id_col: str, k: int, max_bucket: int):
             continue
         ids_q, Q = ids[sel], M[sel]
         ids_m, Mm = ids[msel], M[msel]
+        n_m = len(msel)
+        # dense ascending rank of member ids (stable: duplicate ids keep
+        # input order, matching the old lexsort's behavior)
+        id_rank = np.argsort(np.argsort(ids_m, kind="stable"), kind="stable")
         nq = np.sqrt((Q * Q).sum(axis=1))
         nm = np.sqrt((Mm * Mm).sum(axis=1))
-        blk = max(1, (1 << 22) // len(msel))
+        K = min(k, n_m)
+        blk = max(1, (1 << 22) // n_m)
         for b0 in range(0, len(sel), blk):
             bsl = slice(b0, b0 + blk)
             S = np.round((Q[bsl] @ Mm.T) / (nq[bsl][:, None] * nm[None, :]), 6)
-            for i_rel in range(S.shape[0]):
-                i = b0 + i_rel
-                s = S[i_rel].copy()
-                s[ids_m == ids_q[i]] = -np.inf  # self (and dup-id) exclusion
-                order = np.lexsort((ids_m, -s))[:k]
-                take = order[np.isfinite(s[order])]
-                out_v.extend([ids_q[i]] * len(take))
-                out_n.extend(ids_m[take])
-                out_c.extend(s[take])
-    return pd.DataFrame({"vec_id": out_v, "neighbor_id": out_n, "cosine": out_c})
+            s_int = np.rint(S * 1e6).astype(np.int64)
+            s_int[ids_m[None, :] == ids_q[bsl][:, None]] = EXC  # self/dup-id
+            keys = (-s_int) * np.int64(n_m) + id_rank[None, :]  # all distinct
+            rows_i = np.arange(keys.shape[0])[:, None]
+            if K < n_m:
+                part = np.argpartition(keys, K - 1, axis=1)[:, :K]
+                top = part[rows_i, np.argsort(keys[rows_i, part], axis=1)]
+            else:
+                top = np.argsort(keys, axis=1, kind="stable")
+            valid = (s_int[rows_i, top] != EXC).ravel()
+            out_v.append(np.repeat(ids_q[bsl], K)[valid])
+            out_n.append(ids_m[top].ravel()[valid])
+            out_c.append(S[rows_i, top].ravel()[valid])
+    if not out_v:
+        return pd.DataFrame({"vec_id": ids[:0], "neighbor_id": ids[:0],
+                             "cosine": np.array([], dtype=np.float64)})
+    return pd.DataFrame({"vec_id": np.concatenate(out_v),
+                         "neighbor_id": np.concatenate(out_n),
+                         "cosine": np.concatenate(out_c)})
 
 
 def lsh_ann_topk(

@@ -398,3 +398,47 @@ def test_sample_video_frames_stub_and_guard(docs):
             multimodal.sample_video_frames(payload, decoder="av").collect()
     with pytest.raises(ValueError, match="every_n_frames"):
         multimodal.sample_video_frames(payload, every_n_frames=0)
+
+
+def test_bucket_topk_kernel_matches_lexsort_reference():
+    # the vectorized composite-key selection must reproduce the per-row
+    # lexsort semantics exactly: (cosine desc, neighbor_id asc), self and
+    # duplicate ids excluded, short buckets truncated — including dup-id
+    # corpora and k > members
+    import numpy as np
+    import pandas as pd
+
+    from polars_ts_spark.operators.embedsim import _bucket_topk_kernel
+
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        m = int(rng.integers(3, 40))
+        dup = trial % 2 == 1
+        ids = rng.integers(0, m // 2 + 2, size=m) if dup else \
+            rng.choice(np.arange(m * 3), size=m, replace=False)
+        V = rng.normal(size=(m, 8))
+        is_mem = (rng.random(m) < 0.7).astype(int)
+        is_mem[0] = 1
+        k = int(rng.integers(1, m + 3))
+        pdf = pd.DataFrame({"vec_id": ids, "v": list(V), "is_member": is_mem})
+        got = _bucket_topk_kernel(pdf, "vec_id", k, max_bucket=4096)
+
+        # reference: the original per-row lexsort loop
+        mem = is_mem == 1
+        Mm, ids_m = V[mem], ids[mem]
+        nq = np.sqrt((V * V).sum(axis=1))
+        nm = np.sqrt((Mm * Mm).sum(axis=1))
+        exp_rows = []
+        S = np.round((V @ Mm.T) / (nq[:, None] * nm[None, :]), 6)
+        for i in range(m):
+            s = S[i].copy()
+            s[ids_m == ids[i]] = -np.inf
+            order = np.lexsort((ids_m, -s))[:k]
+            take = order[np.isfinite(s[order])]
+            for j in take:
+                exp_rows.append((ids[i], ids_m[j], s[j]))
+        exp = sorted(exp_rows)
+        act = sorted(zip(got["vec_id"], got["neighbor_id"], got["cosine"]))
+        assert len(exp) == len(act), (trial, len(exp), len(act))
+        for e, a in zip(exp, act):
+            assert e[0] == a[0] and e[1] == a[1] and e[2] == a[2], (trial, e, a)
