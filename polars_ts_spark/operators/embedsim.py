@@ -698,8 +698,9 @@ def _ivf_assign_udf(cq: "np.ndarray", n_out: int):
     nearest centroids by the exact-integer score A_j = |cq_j|² − 2⟨q,cq_j⟩
     (squared L2 minus the per-row constant |q|², so the ORDER over cells
     is the k-means assignment). Because centroids live on the same
-    integer grid as the vectors, every product is ≤ 2^46 and every
-    partial sum ≤ 2^53 — float64 BLAS GEMM computes A exactly and
+    integer grid as the vectors, every product is ≤ 2^44 and every
+    partial sum ≤ 2^52 (for |x| < 4; real embeddings are unit-scale) —
+    float64 BLAS GEMM computes A exactly and
     ORDER-INDEPENDENTLY, so this vectorized path is bitwise-equal to the
     oracle's BIGINT arithmetic with no summation-order caveats. Ties
     break to the smaller cell id (stable argsort)."""
@@ -755,8 +756,9 @@ def ivf_ann_topk(
     linear, never n². Grow n_cells ~ sqrt(n) so inverted lists stay
     bounded; ``max_cell`` is the OOM backstop (deterministic re-split,
     recall loss per the ANN contract — at scale raise n_cells instead).
-    Exactness bounds: grid products ≤ 2^46 for |x| < 8, so 64-dim score
-    sums stay < 2^53; the Lloyd BIGINT sums hold to ~10^9 rows/cell."""
+    Exactness bounds: grid products ≤ 2^44 for |x| < 4, so 64-dim score
+    sums stay < 2^52 (proven as a hypothesis property); the Lloyd
+    BIGINT sums hold to ~10^9 rows/cell."""
     from pyspark.sql import Window
 
     spark = df.sparkSession

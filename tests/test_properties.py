@@ -146,3 +146,26 @@ def test_hash_normals_deterministic_and_sane(n):
     assert np.all(np.isfinite(z1))
     if n >= 200:
         assert abs(float(z1.mean())) < 0.5  # loose CLT sanity
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    q=arrays(np.int64, st.tuples(st.integers(1, 8), st.integers(1, 64)),
+             elements=st.integers(-(4 << 20), 4 << 20)),
+    ncell=st.integers(1, 16),
+)
+def test_ivf_grid_scores_float64_gemm_is_exact(q, ncell):
+    """The IVF determinism claim: with vectors AND centroids on the
+    2^-20 integer grid (|x| < 4 → |int| ≤ 2^22), the assignment score
+    |cq|² − 2⟨q,cq⟩ computed by float64 GEMM equals arbitrary-precision
+    integer arithmetic EXACTLY — order-independence is then structural,
+    not empirical."""
+    rng = np.random.default_rng(q.sum() % (2**32))
+    cq = rng.integers(-(4 << 20), 4 << 20, size=(ncell, q.shape[1]), dtype=np.int64)
+    CQ = cq.astype(np.float64)
+    A = (CQ * CQ).sum(axis=1)[None, :] - 2.0 * (q.astype(np.float64) @ CQ.T)
+    for i in range(q.shape[0]):
+        for j in range(ncell):
+            exact = sum(int(c) * int(c) for c in cq[j]) \
+                - 2 * sum(int(a) * int(b) for a, b in zip(q[i], cq[j]))
+            assert A[i, j] == exact
