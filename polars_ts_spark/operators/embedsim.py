@@ -732,6 +732,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     dim: int = DIM,
     max_cell: int = 32768,
+    train_cap: int = 65536,
 ) -> DataFrame:
     """IVF-flat approximate top-k cosine neighbors: a coarse k-means
     quantizer partitions the corpus into ``n_cells`` inverted lists;
@@ -756,6 +757,9 @@ def ivf_ann_topk(
     linear, never n². Grow n_cells ~ sqrt(n) so inverted lists stay
     bounded; ``max_cell`` is the OOM backstop (deterministic re-split,
     recall loss per the ANN contract — at scale raise n_cells instead).
+    Training reads only the md5-rank-first ``train_cap`` rows
+    (quantizer quality needs ~10^3 points/cell, not the corpus), so
+    quantizer cost is constant in corpus size.
     Exactness bounds: grid products ≤ 2^44 for |x| < 4, so 64-dim score
     sums stay < 2^52 (proven as a hypothesis property); the Lloyd
     BIGINT sums hold to ~10^9 rows/cell."""
@@ -771,16 +775,28 @@ def ivf_ann_topk(
     )
     from polars_ts_spark.operators.textops import spark_hash60
 
-    # centroid training: n_iter + 1 driver-tiny jobs over a cached scan;
-    # the cache is dropped before the (lazy) search plan is built from the
-    # uncached lineage, so nothing leaks past this call
-    cached = base.persist()
+    # centroid training runs on a BOUNDED deterministic sample — the
+    # md5-rank-first ``train_cap`` rows (the same ordering the seeds
+    # use, so the oracle replays it with one ROW_NUMBER). Quantizer
+    # quality needs ~10^3 points per cell, not the corpus; training on
+    # (and persisting!) the full table would thrash at 100 TB, while
+    # orderBy+limit plans as TakeOrderedAndProject — per-partition
+    # top-K + a driver merge of K-row heads, no full sort. The sample
+    # (<= train_cap rows) is what gets cached for the n_iter passes;
+    # the cache is dropped before the (lazy) search plan is built.
+    cached = (
+        base.select(id_col, "__q")
+        .orderBy(F.expr(spark_hash60(f"cast({id_col} as string)")), F.col(id_col))
+        .limit(train_cap)
+        .persist()
+    )
     try:
+        # re-sort the (tiny) persisted sample: a bare .limit() after
+        # persist gives arbitrary rows, not the hash-rank head
         seeds = (
-            cached.select(id_col, "__q")
-            .orderBy(F.expr(spark_hash60(f"cast({id_col} as string)")), F.col(id_col))
-            .limit(n_cells)
-            .collect()
+            cached.orderBy(
+                F.expr(spark_hash60(f"cast({id_col} as string)")), F.col(id_col)
+            ).limit(n_cells).collect()
         )
         if not seeds:
             return spark.createDataFrame([], schema=schema)
@@ -841,10 +857,11 @@ def ivf_ann_topk(
 
 def ivf_ann_oracle(
     k: int = 5, n_cells: int = 16, n_probe: int = 10, n_iter: int = 2,
-    dim: int = DIM,
+    dim: int = DIM, train_cap: int = 65536,
 ) -> str:
     """Full SQL replay of ``ivf_ann_topk`` — md5-rank seeds, the exact
-    Lloyd trajectory with centroids re-quantized onto the integer grid
+    Lloyd trajectory (trained on the md5-rank-first ``train_cap``
+    sample) with centroids re-quantized onto the integer grid
     every update, probe selection and ranked cell-scan — as chained
     (materialized) CTEs. Assignment scores are pure BIGINT arithmetic
     (exact, order-independent), matching Spark's float64 GEMM on the
@@ -872,13 +889,18 @@ qv AS MATERIALIZED (
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings WHERE embedding IS NOT NULL
 ),
-c0 AS MATERIALIZED (
-    SELECT ROW_NUMBER() OVER (
+samp AS MATERIALIZED (
+    SELECT vec_id, q,
+           ROW_NUMBER() OVER (
                ORDER BY {duck_hash60("CAST(vec_id AS VARCHAR)")}, vec_id
-           ) - 1 AS cell,
-           q AS cq
+           ) - 1 AS rnk
     FROM qv
-    QUALIFY cell < {n_cells}
+    QUALIFY rnk < {train_cap}
+),
+c0 AS MATERIALIZED (
+    SELECT rnk AS cell, q AS cq
+    FROM samp
+    WHERE rnk < {n_cells}
 )"""]
     prev = "c0"
     for it in range(n_iter):
@@ -889,12 +911,12 @@ asg{it} AS MATERIALIZED (
                ROW_NUMBER() OVER (
                    PARTITION BY q.vec_id
                    ORDER BY {dist("q.q", "c.cq")}, c.cell) AS pr
-        FROM qv q CROSS JOIN {prev} c
+        FROM samp q CROSS JOIN {prev} c
     ) WHERE pr = 1
 ),
 g{it} AS MATERIALIZED (
     SELECT a.cell, COUNT(*) AS n, {sums_cols}
-    FROM asg{it} a JOIN qv USING (vec_id)
+    FROM asg{it} a JOIN samp USING (vec_id)
     GROUP BY a.cell
 ),
 c{it + 1} AS MATERIALIZED (

@@ -221,6 +221,19 @@ def test_ivf_ann_exhaustive_probe_is_exact(vecs, spark):
     assert embedsim.ivf_ann_topk(empty, k=1, dim=4).count() == 0
 
 
+def test_ivf_train_cap_samples_but_searches_everything(spark):
+    # train_cap < corpus: the quantizer trains on the md5-rank sample
+    # only, but EVERY vector is still indexed and searched — with an
+    # exhaustive probe the result stays exact regardless of centroids
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = embedsim.ivf_ann_topk(emb, k=1, n_cells=2, n_probe=2, train_cap=40)
+    ann1 = {r["vec_id"]: r["neighbor_id"] for r in out.collect()}
+    bf1 = {r["vec_id"]: r["neighbor_id"]
+           for r in embedsim.brute_force_topk(emb, k=1).collect()}
+    assert len(ann1) == len(bf1) == 500
+    assert ann1 == bf1
+
+
 def test_lsh_cosine_pairs_subset_of_exact(spark):
     # the LSH near-dup scale path emits a SUBSET of the exact pairs with
     # identical cosines (exact re-rank inside the buckets), and recovers
