@@ -749,3 +749,120 @@ WITH g AS (
 SELECT doc_id, MIN({duck_hash60("gram")}) AS fingerprint
 FROM g GROUP BY doc_id
 """
+
+
+def corpus_curation(
+    df: DataFrame,
+    quality_min: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kw,
+) -> DataFrame:
+    """End-to-end training-corpus curation — the composed pipeline a
+    pretraining-data pass actually runs: near-dup dedup (keep only each
+    cluster's canonical doc), quality filter, language ID, and a
+    per-language token budget. Output
+    [lang_pred, n_docs, total_bpe_tokens, total_chars].
+
+    Deterministic by construction: the only aggregates are COUNT and
+    integer SUMs (exact under any partition order — no float aggregate
+    whose low bits depend on Spark's reduction order), and the quality
+    filter compares a value both engines compute with the identical
+    IEEE sequence. Scale: dedup is the linear-shuffle LSH path, the
+    stats/language/token stages are projections + one explode, and the
+    final rollup is a tiny groupBy — nothing here collects or squares."""
+    clusters = dedup_clusters(df, id_col=id_col, **lsh_kw)
+    kept = df.join(
+        clusters.filter(F.col("is_canonical")).select(id_col), id_col
+    )
+    quality = text_stats(kept, text_col, id_col).select(id_col, "quality_score")
+    lang = language_id(kept, text_col, id_col).select(id_col, "lang_pred")
+    toks = token_counts(kept, text_col, id_col)
+    return (
+        toks.join(quality, id_col).join(lang, id_col)
+        .filter(F.col("quality_score") >= quality_min)
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def corpus_curation_oracle(
+    quality_min: float = 0.5,
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> str:
+    """Composes the (already individually green) dedup-cluster, quality,
+    language-ID and token-count oracles over the kept canonical docs."""
+    clusters = dedup_clusters_oracle(
+        minhash_lsh_oracle(num_hashes, bands, threshold, shingle_n)
+    )
+    return f"""
+WITH clusters AS (
+{clusters}
+),
+kept AS (
+    SELECT d.doc_id, d.text FROM documents d
+    JOIN clusters c ON c.doc_id = d.doc_id AND c.is_canonical
+),
+q AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_obs,
+           len(list_filter(string_split(text, ' '),
+               x -> list_contains({list(STOPWORDS)}, x))) AS n_stop
+    FROM kept
+),
+quality AS (
+    SELECT doc_id,
+           least(1.0, n_tokens / 50.0) * 0.4
+           + least(1.0, ((n_chars_obs - (n_tokens - 1)) / n_tokens) / 8.0) * 0.3
+           + least(1.0, (n_stop / n_tokens) * 5.0) * 0.3 AS quality_score
+    FROM q
+),
+toks AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE.replace("'", "''")}')) AS INT)
+               AS bpe_tokens,
+           length(text) AS n_chars
+    FROM kept
+),
+ltoks AS (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM kept
+),
+{language_id_oracle_scored_ctes("ltoks")}
+SELECT lang_pred,
+       COUNT(*) AS n_docs,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM toks
+JOIN quality USING (doc_id)
+JOIN lang USING (doc_id)
+WHERE quality_score >= {quality_min}
+GROUP BY lang_pred
+"""
+
+
+def language_id_oracle_scored_ctes(toks_cte: str) -> str:
+    """The language-ID scoring as reusable CTE text (scored over an
+    existing token CTE -> a `lang` CTE of [doc_id, lang_pred])."""
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n           ".join(
+        f"SUM(CASE WHEN tok IN {LANG_MARKERS[lg]} THEN 1 ELSE 0 END) AS score_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""lscored AS (
+    SELECT doc_id,
+           {scores}
+    FROM {toks_cte} GROUP BY doc_id
+),
+lang AS (
+    SELECT doc_id, {pred} AS lang_pred FROM lscored
+)"""

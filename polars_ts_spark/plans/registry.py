@@ -10759,3 +10759,23 @@ def _register_token_counts():
 
 
 _register_token_counts()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation (SURVEY §LLM-pipeline composition): dedup ->
+# canonical keep -> quality filter -> language ID -> per-language token
+# budget, as ONE oracle-backed query — the pipeline shape a pretraining
+# data pass runs at 100 TB.
+
+def _register_corpus_curation():
+    from polars_ts_spark.operators import textops
+
+    @register("corpus_curation", textops.corpus_curation_oracle())
+    def q_corpus_curation(spark, sf_dir):
+        return textops.corpus_curation(
+            _docs(spark, sf_dir),
+            num_hashes=16, bands=4, threshold=0.5, shingle_n=3,
+        )
+
+
+_register_corpus_curation()
