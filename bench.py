@@ -49,6 +49,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "text_stats",
+    "corpus_curation",
     "cosine_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
@@ -111,7 +112,9 @@ def main():
     RUNS = 2
     # lsh_ann_topk added r6: pins the multi-probe recall-fix cost
     # (0.96 -> 1.20 s in r5) so it can't drift unnoticed (VERDICT r5 #9)
-    RERUN3 = {"forecast_metrics", "kmedoids_dtw", "lsh_ann_topk"}
+    # ivf_ann_topk added r6: new query whose time includes 3 training
+    # jobs — report a spread so host noise can't read as regression
+    RERUN3 = {"forecast_metrics", "kmedoids_dtw", "lsh_ann_topk", "ivf_ann_topk"}
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

@@ -17,12 +17,15 @@ Scale notes (100 TB):
 - brute_force_topk is O(n²) in corpus size — correct baseline only;
   its plan is a single shuffle-free broadcast-able cross join when one
   side is small (queries), else the LSH path below.
-- lsh_bucket_topk: each vector lands in exactly one bucket per table
-  scan; candidate generation is an equi-join on bucket id (linear
-  shuffle), then exact re-rank within buckets. Recall is tunable by
-  n_planes (fewer planes -> bigger buckets -> higher recall).
-- At 100 TB the corpus side would be bucketed-by parquet on bucket_id
-  so repeated queries skip the shuffle entirely.
+- lsh_ann_topk: each vector lands in one bucket per band (+1-bit
+  multi-probe); candidate generation is an equi-join on bucket id
+  (linear shuffle), then an exact GEMM re-rank within buckets. Recall
+  is tunable by bands × bits.
+- ivf_ann_topk: k-means inverted lists trained on a bounded md5-rank
+  sample, exact-integer-grid trajectory (GEMM == SQL bitwise), n_probe
+  cells scanned per query — the FAISS-style scale path.
+- At 100 TB the corpus side would be bucketed-by parquet on the
+  bucket/cell id so repeated queries skip the shuffle entirely.
 """
 
 from __future__ import annotations

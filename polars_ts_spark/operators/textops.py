@@ -525,9 +525,13 @@ def dedup_clusters(
     if pairs is None:
         pairs = minhash_lsh_pairs(df, id_col=id_col, **lsh_kw)
     e = pairs.select(F.col(id1_col).alias("src"), F.col(id2_col).alias("dst"))
+    # materialize the (linear-size) edge list ONCE: it is re-joined every
+    # propagation round, and leaving it lazy re-ran the whole upstream
+    # LSH pipeline per round (O(diameter) recomputes of the expensive
+    # candidate generation)
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     labels = df.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
     )
@@ -537,6 +541,9 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("__nb_min"))
         )
+        # fold the convergence flag into the update row (one checkpointed
+        # job per round; the old separate new-vs-old join re-shuffled the
+        # full label set just to detect a change)
         new_labels = (
             labels.join(neigh_min, labels["node"] == neigh_min["src"], "left")
             .select(
@@ -544,17 +551,13 @@ def dedup_clusters(
                 F.least(
                     F.col("cluster_id"), F.coalesce("__nb_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
+                (F.coalesce("__nb_min", F.col("cluster_id"))
+                 < F.col("cluster_id")).alias("__chg"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     return labels.select(
