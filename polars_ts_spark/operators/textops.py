@@ -869,3 +869,40 @@ def language_id_oracle_scored_ctes(toks_cte: str) -> str:
 lang AS (
     SELECT doc_id, {pred} AS lang_pred FROM lscored
 )"""
+
+
+def exact_dedup_keep_first(
+    df: DataFrame,
+    time_col: str = "ds",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch twin of ``streaming.structured.streaming_exact_dedup`` with
+    deterministic keep-first semantics: per md5 content fingerprint keep
+    the earliest (event-time, id) row. Output [doc_id, ds, fingerprint].
+    One window over the fingerprint — a single hash exchange; at 100 TB
+    this is the canonical-copy selection of an exact-dedup pass."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy(time_col, id_col)
+    return (
+        df.withColumn("fingerprint", F.md5(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, time_col, "fingerprint")
+    )
+
+
+EXACT_DEDUP_KEEP_FIRST_ORACLE = """
+WITH d AS (
+    SELECT doc_id,
+           TIMESTAMP '2024-01-01' + doc_id * INTERVAL 1 SECOND AS ds,
+           md5(text) AS fingerprint
+    FROM documents
+)
+SELECT doc_id, ds, fingerprint FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY fingerprint ORDER BY ds, doc_id) AS rn
+    FROM d
+) WHERE rn = 1
+"""

@@ -10779,3 +10779,26 @@ def _register_corpus_curation():
 
 
 _register_corpus_curation()
+
+
+# ---------------------------------------------------------------------------
+# Exact-dedup keep-first (SURVEY §2.18 × LLM-pipeline): batch twin of the
+# streaming dropDuplicatesWithinWatermark dedup, with deterministic
+# keep-first-by-(event-time, id) semantics; ds is a synthetic event time.
+
+def _register_exact_dedup_keep_first():
+    from pyspark.sql import functions as F
+
+    from polars_ts_spark.operators import textops
+
+    @register("exact_dedup_keep_first", textops.EXACT_DEDUP_KEEP_FIRST_ORACLE)
+    def q_exact_dedup_keep_first(spark, sf_dir):
+        docs = _docs(spark, sf_dir).withColumn(
+            "ds",
+            F.expr("timestamp_seconds(unix_seconds(timestamp'2024-01-01 00:00:00')"
+                   " + doc_id)"),
+        )
+        return textops.exact_dedup_keep_first(docs)
+
+
+_register_exact_dedup_keep_first()

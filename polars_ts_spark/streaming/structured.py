@@ -279,3 +279,27 @@ def tumbling_event_aggregate(
             "y_sum",
         )
     )
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    watermark: str = "1 hour",
+    time_col: str = "ds",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming exact dedup for a document stream — the LLM-pipeline
+    dedup op in streaming form: md5 content fingerprint +
+    ``dropDuplicatesWithinWatermark``, so duplicates arriving within the
+    watermark are dropped while the state store stays BOUNDED (old
+    fingerprints are evicted past the watermark — a plain
+    dropDuplicates would grow state forever on an unbounded corpus).
+    Which duplicate survives follows arrival order; the batch twin with
+    deterministic keep-first-by-(event-time, id) semantics is
+    ``textops.exact_dedup_keep_first`` (the oracle-gated query)."""
+    return (
+        stream_df.withColumn("fingerprint", F.md5(F.col(text_col)))
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .select(id_col, time_col, "fingerprint")
+    )

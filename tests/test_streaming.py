@@ -210,3 +210,44 @@ def test_structured_streaming_kalman_state(spark):
             assert row["p"] == pytest.approx(p, abs=1e-12)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_exact_dedup_bounded_state(spark):
+    """Real Structured Streaming run of the fingerprint dedup: parquet
+    source -> dropDuplicatesWithinWatermark -> memory sink. The kept set
+    must carry exactly one row per distinct text (which duplicate wins
+    follows arrival order; the deterministic batch twin is
+    exact_dedup_keep_first, oracle-gated)."""
+    import pandas as pd
+
+    from polars_ts_spark.operators.textops import exact_dedup_keep_first
+    from polars_ts_spark.streaming.structured import streaming_exact_dedup
+
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        pdf = pd.DataFrame({
+            "doc_id": range(8),
+            "ds": pd.date_range("2024-01-01", periods=8, freq="min"),
+            "text": ["alpha beta", "gamma", "alpha beta", "delta",
+                     "gamma", "alpha beta", "epsilon", "zeta"],
+        })
+        df = spark.createDataFrame(pdf)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = spark.readStream.schema(schema).parquet(tmp)
+        q = (
+            streaming_exact_dedup(stream, watermark="10 minutes")
+            .writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        res = spark.sql("SELECT * FROM dedup_stream").toPandas()
+        batch = exact_dedup_keep_first(df).toPandas()
+        assert len(res) == len(batch) == 5  # 8 docs, 5 distinct texts
+        assert set(res["fingerprint"]) == set(batch["fingerprint"])
+        assert res["fingerprint"].is_unique
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
