@@ -193,7 +193,10 @@ def test_token_counts_pure_projection(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan
     scan = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
     assert "text" in scan and "doc_id" in scan
-    assert "payload" not in scan, "unused columns not pruned from the scan"
+    # the parquet n_chars column must be pruned too — the operator
+    # computes its n_chars output from length(text), not the stored col
+    for col in ("lang", "source", "n_chars"):
+        assert col not in scan, f"unused column {col} not pruned from the scan"
 
 
 def test_ivf_search_no_corpus_broadcast_bounded_shuffles(spark):
