@@ -567,19 +567,25 @@ def dedup_clusters(
     )
 
 
-def dedup_clusters_oracle(pairs_sql: str, id_col: str = "doc_id") -> str:
+def dedup_clusters_oracle(
+    pairs_sql: str,
+    id_col: str = "doc_id",
+    table: str = "documents",
+    id1_col: str = "doc_id_1",
+    id2_col: str = "doc_id_2",
+) -> str:
     """Connected components in DuckDB: recursive closure of reachable
     ids, component label = min reachable id. ``pairs_sql`` must yield
-    [doc_id_1, doc_id_2]."""
+    [id1_col, id2_col]; ``table`` supplies the node universe."""
     return f"""
 WITH RECURSIVE pairs AS ({pairs_sql}),
 edges AS (
-    SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+    SELECT {id1_col} AS src, {id2_col} AS dst FROM pairs
     UNION
-    SELECT doc_id_2, doc_id_1 FROM pairs
+    SELECT {id2_col}, {id1_col} FROM pairs
 ),
 reach AS (
-    SELECT {id_col} AS node, {id_col} AS peer FROM documents
+    SELECT {id_col} AS node, {id_col} AS peer FROM {table}
     UNION
     SELECT r.node, e.dst AS peer
     FROM reach r JOIN edges e ON e.src = r.peer

@@ -10802,3 +10802,31 @@ def _register_exact_dedup_keep_first():
 
 
 _register_exact_dedup_keep_first()
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space near-dup clusters (SURVEY §LLM-pipeline dedup): the same
+# min-label-propagation components, driven by exact cosine>=0.95 pairs over
+# the embeddings table — the keep/drop list of an embedding-dedup pass.
+
+def _register_embedding_dedup_clusters():
+    from polars_ts_spark.operators import embedsim, textops
+
+    @register(
+        "embedding_dedup_clusters",
+        textops.dedup_clusters_oracle(
+            embedsim.cosine_dedup_oracle(0.95),
+            id_col="vec_id", table="embeddings",
+            id1_col="vec_id_1", id2_col="vec_id_2",
+        ),
+    )
+    def q_embedding_dedup_clusters(spark, sf_dir):
+        emb = _embs(spark, sf_dir)
+        pairs = embedsim.cosine_dedup_pairs(emb, threshold=0.95)
+        return textops.dedup_clusters(
+            emb, pairs=pairs,
+            id_col="vec_id", id1_col="vec_id_1", id2_col="vec_id_2",
+        )
+
+
+_register_embedding_dedup_clusters()
