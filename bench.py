@@ -187,6 +187,10 @@ def main():
             "regime_detect": "query redefined in r6 (exact-cents monthly panel, "
                              "6 fixed EM iterations, was daily/50) — its delta vs "
                              "r5 is a definition change, not a kernel speedup",
+            "corpus_curation": "new in r6: a COMPOSED pipeline (minhash-LSH "
+                               "dedup + component propagation + quality/language/"
+                               "token scans) — its cost is the sum of its stages, "
+                               "~half of it the minhash pass already timed above",
         },
     }))
 
