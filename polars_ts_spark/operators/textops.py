@@ -912,3 +912,135 @@ SELECT doc_id, ds, fingerprint FROM (
     FROM d
 ) WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# duplicate n-gram span statistics (exact substring-family dedup signal)
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-n-gram statistics — the exact
+    cross-document span-duplication signal used by substring-dedup
+    pipelines (flag/trim documents whose token n-grams are heavily
+    shared with other documents; the span-granular relative of
+    ``exact_dedup``).
+
+    A token n-gram is *duplicated* when it occurs in >= ``min_docs``
+    distinct documents. Output [doc_id, n_grams, dup_grams,
+    dup_fraction] for every document with at least one n-gram (docs
+    shorter than ``n`` tokens have no span signal and are omitted,
+    matching the unnest semantics of the oracle).
+
+    Plan: one explode (no shuffle) -> groupBy(doc, gram) with map-side
+    combine -> groupBy(gram) doc-frequency -> one equi-join back on the
+    gram -> groupBy(doc). Every stage is linear in total n-gram count.
+    At 100 TB the join key would be xxhash64(gram) (fixed-width shuffle
+    key instead of the string payload) and stop-grams above a doc-freq
+    cap would be sketched instead of joined (they are dup by definition
+    once the count exceeds ``min_docs`` — only the flag is needed);
+    both are representation changes, not plan changes. Kept as the
+    literal gram here so DuckDB replays it verbatim.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    starts = F.sequence(F.lit(1), n_tok - F.lit(n) + F.lit(1))
+    grams_arr = F.when(
+        n_tok >= F.lit(n),
+        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    g = df.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
+    per_doc_gram = g.groupBy(id_col, "gram").agg(F.count("*").alias("occ"))
+    gram_docs = per_doc_gram.groupBy("gram").agg(F.count("*").alias("docs_with"))
+    dup_occ = F.sum(
+        F.when(F.col("docs_with") >= F.lit(min_docs), F.col("occ")).otherwise(F.lit(0))
+    )
+    return (
+        per_doc_gram.join(gram_docs, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").alias("n_grams"),
+            dup_occ.alias("dup_grams"),
+        )
+        .withColumn("dup_fraction", F.col("dup_grams") / F.col("n_grams"))
+    )
+
+
+def dup_ngram_stats_oracle(n: int = 8, min_docs: int = 2) -> str:
+    return f"""
+WITH toksrc AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+    SELECT doc_id,
+           unnest([array_to_string(toks[i:i + {n - 1}], ' ')
+                   FOR i IN range(1, greatest(len(toks) - {n} + 2, 1))]) AS gram
+    FROM toksrc
+), pdg AS (
+    SELECT doc_id, gram, COUNT(*) AS occ FROM g GROUP BY doc_id, gram
+), gd AS (
+    SELECT gram, COUNT(*) AS docs_with FROM pdg GROUP BY gram
+)
+SELECT doc_id,
+       CAST(SUM(occ) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN docs_with >= {min_docs} THEN occ ELSE 0 END) AS BIGINT)
+           AS dup_grams,
+       CAST(SUM(CASE WHEN docs_with >= {min_docs} THEN occ ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(occ) AS DOUBLE) AS dup_fraction
+FROM pdg JOIN gd USING (gram)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (per-stratum md5-rank quota)
+
+
+def stratified_sample(
+    df: DataFrame,
+    frac: float = 0.25,
+    by: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: within each stratum keep the
+    ``ceil(frac * stratum_size)`` documents that rank first by
+    md5(doc_id) — a seedless, order-independent draw that is
+    reproducible across engines, partitionings, and scales (the same
+    device as the corpus token-budget selection in
+    ``corpus_curation``). Output [doc_id, stratum, sample_rank].
+
+    Plan: one window over the stratum (single hash exchange; the
+    stratum count rides the same window, no second pass). At 100 TB a
+    skewed stratum serializes into one task — there the rank would be
+    computed as a global md5 sort-key filter per stratum via a
+    two-pass quantile cut; same selection, no single-task window.
+    """
+    w = Window.partitionBy(by).orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    cnt = F.count("*").over(Window.partitionBy(by))
+    return (
+        df.select(F.col(id_col), F.col(by).alias("stratum"),
+                  F.row_number().over(w).alias("sample_rank"),
+                  F.ceil(F.lit(float(frac)) * cnt).alias("__quota"))
+        .filter(F.col("sample_rank") <= F.col("__quota"))
+        .drop("__quota")
+    )
+
+
+def stratified_sample_oracle(frac: float = 0.25, by: str = "lang") -> str:
+    return f"""
+WITH ranked AS (
+    SELECT doc_id, {by} AS stratum,
+           ROW_NUMBER() OVER (
+               PARTITION BY {by}
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank,
+           COUNT(*) OVER (PARTITION BY {by}) AS cnt
+    FROM documents
+)
+SELECT doc_id, stratum, sample_rank
+FROM ranked
+WHERE sample_rank <= CEIL(CAST({frac!r} AS DOUBLE) * cnt)
+"""

@@ -10830,3 +10830,87 @@ def _register_embedding_dedup_clusters():
 
 
 _register_embedding_dedup_clusters()
+
+
+# ---------------------------------------------------------------------------
+# Duplicate n-gram span statistics (SURVEY §LLM-pipeline dedup): the exact
+# cross-document span-duplication signal of the substring-dedup family —
+# per-doc fraction of token 8-grams shared with >=2 documents.
+
+def _register_dup_ngram_stats():
+    from polars_ts_spark.operators import textops
+
+    @register("dup_ngram_stats", textops.dup_ngram_stats_oracle(n=8, min_docs=2))
+    def q_dup_ngram_stats(spark, sf_dir):
+        return textops.dup_ngram_stats(_docs(spark, sf_dir), n=8, min_docs=2)
+
+
+_register_dup_ngram_stats()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (SURVEY §LLM-pipeline curation): per-
+# language md5-rank quota draw — the reproducible domain-mixing primitive.
+
+def _register_stratified_sample():
+    from polars_ts_spark.operators import textops
+
+    @register("stratified_sample", textops.stratified_sample_oracle(frac=0.25, by="lang"))
+    def q_stratified_sample(spark, sf_dir):
+        return textops.stratified_sample(_docs(spark, sf_dir), frac=0.25, by="lang")
+
+
+_register_stratified_sample()
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (SURVEY §2.3 scale path): both fact tables
+# written bucketed on the join key, then joined with ZERO runtime
+# exchange — the amortized-shuffle strategy for repeated 100 TB joins.
+# The oracle is the plain relational join; the no-Exchange proof is
+# plan-asserted in tests/test_sources.py.
+
+BUCKETED_JOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def _register_bucketed_join():
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polars_ts_spark.sources import bucketing
+    from polars_ts_spark.sources.datasets import load_table
+
+    @register("bucketed_join", BUCKETED_JOIN_ORACLE)
+    def q_bucketed_join(spark, sf_dir):
+        tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+        base = os.path.join(tempfile.gettempdir(), f"pts_bucketed_{os.getuid()}", tag)
+        bucketing.write_bucketed(
+            load_table(spark, sf_dir, "lineitem"), f"li_bkt_{tag}",
+            ["l_orderkey"], num_buckets=8, path=os.path.join(base, "lineitem"),
+        )
+        bucketing.write_bucketed(
+            load_table(spark, sf_dir, "orders"), f"ord_bkt_{tag}",
+            ["o_orderkey"], num_buckets=8, path=os.path.join(base, "orders"),
+        )
+        joined = (
+            spark.table(f"li_bkt_{tag}")
+            .withColumnRenamed("l_orderkey", "o_orderkey")
+            .join(spark.table(f"ord_bkt_{tag}"), "o_orderkey")
+        )
+        cents4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        return joined.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_items"),
+            F.sum(cents4.cast("bigint")).alias("revenue_e4"),
+        )
+
+
+_register_bucketed_join()

@@ -455,3 +455,63 @@ def test_bucket_topk_kernel_matches_lexsort_reference():
         assert len(exp) == len(act), (trial, len(exp), len(act))
         for e, a in zip(exp, act):
             assert e[0] == a[0] and e[1] == a[1] and e[2] == a[2], (trial, e, a)
+
+
+# ---------------------------------------------------------------------------
+# dup_ngram_stats — exact duplicated-span signal (substring-dedup family)
+
+
+def test_dup_ngram_stats_analytic(spark):
+    # doc 0 == doc 1 (all grams dup); doc 2 shares its first 3-gram with
+    # them; doc 3 is fully unique; doc 4 is shorter than n (omitted)
+    rows = [
+        (0, "a b c d"),
+        (1, "a b c d"),
+        (2, "a b c x"),
+        (3, "p q r s"),
+        (4, "a b"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.dup_ngram_stats(docs, n=3).collect()}
+    assert set(out) == {0, 1, 2, 3}  # doc 4 has no 3-gram
+    # docs 0/1: grams {a b c, b c d} both appear in >=2 docs
+    assert out[0]["n_grams"] == 2 and out[0]["dup_grams"] == 2
+    assert out[0]["dup_fraction"] == 1.0
+    # doc 2: grams {a b c, b c x}; only 'a b c' is shared
+    assert out[2]["n_grams"] == 2 and out[2]["dup_grams"] == 1
+    assert out[2]["dup_fraction"] == 0.5
+    # doc 3: nothing shared
+    assert out[3]["dup_grams"] == 0 and out[3]["dup_fraction"] == 0.0
+
+
+def test_dup_ngram_stats_within_doc_repeat_not_dup(spark):
+    # a gram repeated only WITHIN one doc is not cross-doc duplication,
+    # but each occurrence still counts toward n_grams
+    docs = spark.createDataFrame([(0, "a b a b a"), (1, "x y z w v")],
+                                 ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.dup_ngram_stats(docs, n=2).collect()}
+    assert out[0]["n_grams"] == 4  # 'a b','b a','a b','b a'
+    assert out[0]["dup_grams"] == 0
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample — deterministic per-stratum md5-rank quota
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    rows = [(i, "en" if i < 8 else "de") for i in range(12)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = textops.stratified_sample(docs, frac=0.25, by="lang")
+    got = {(r["stratum"], r["doc_id"]) for r in out.collect()}
+    # quotas: ceil(.25*8)=2 en, ceil(.25*4)=1 de
+    from collections import Counter
+    per = Counter(s for s, _ in got)
+    assert per == {"en": 2, "de": 1}
+    # deterministic: a repartitioned input selects the SAME rows
+    got2 = {(r["stratum"], r["doc_id"])
+            for r in textops.stratified_sample(
+                docs.repartition(7), frac=0.25, by="lang").collect()}
+    assert got == got2
+    # ranks are 1..quota within each stratum
+    ranks = sorted(r["sample_rank"] for r in out.collect() if r["stratum"] == "en")
+    assert ranks == [1, 2]

@@ -1,0 +1,93 @@
+"""Bucketed-table co-located joins: the write-time pre-shuffle that
+eliminates the runtime Exchange for repeated large-to-large joins
+(prompt requirement "bucketing for co-located joins"). The assertion is
+on the PHYSICAL PLAN — no Exchange node of any kind — with broadcast
+disabled so table size cannot fake the result."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_ts_spark.sources import bucketing
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR),
+    reason=f"test data dir {SF_DIR} absent (set SPARK_GRAFT_SF_DIR_SMALL)",
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@contextlib.contextmanager
+def _conf(spark, key, value):
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_bucketed_join_plans_zero_exchanges(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("bucketed"))
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("orderkey"), "l_extendedprice")
+    )
+    orders = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select(F.col("o_orderkey").alias("orderkey"), "o_orderpriority")
+    )
+    bucketing.write_bucketed(li, "t_li_bkt", ["orderkey"], num_buckets=4,
+                             path=os.path.join(base, "li"))
+    bucketing.write_bucketed(orders, "t_ord_bkt", ["orderkey"], num_buckets=4,
+                             path=os.path.join(base, "ord"))
+    try:
+        with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+            joined = bucketing.colocated_join(spark, "t_li_bkt", "t_ord_bkt",
+                                              on=["orderkey"])
+            plan = _plan(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan  # bucket-aligned scans, no shuffle
+            # and the result is the plain join's result
+            n = joined.count()
+            plain = li.join(orders, "orderkey").count()
+            assert n == plain and n > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bkt")
+
+
+def test_unbucketed_same_join_does_shuffle(spark):
+    """Control: the identical join over plain scans NEEDS two exchanges —
+    proving the zero-exchange plan above is the bucketing, not AQE."""
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("orderkey"), "l_extendedprice")
+    )
+    orders = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select(F.col("o_orderkey").alias("orderkey"), "o_orderpriority")
+    )
+    with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        plan = _plan(li.join(orders, "orderkey"))
+        # formatted mode names nodes "(n) Exchange" with the partitioning
+        # in the details block — count node headers
+        assert sum(ln.strip().endswith("Exchange")
+                   for ln in plan.splitlines()) >= 2, plan
