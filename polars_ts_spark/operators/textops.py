@@ -259,32 +259,58 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col).cache()
+    sig = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col)
     band_keys = [
         F.md5(F.concat_ws("_", *[F.col(f"mh_{j}") for j in range(bi * r, (bi + 1) * r)]))
         for bi in range(bands)
     ]
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)])
     with_bands = sig.select(
-        id_col, *[band_keys[bi].alias(f"band_{bi}") for bi in range(bands)]
+        F.col(id_col), sig_arr.alias("__sig"),
+        *[band_keys[bi].alias(f"band_{bi}") for bi in range(bands)],
     )
-    # melt to (doc_id, band, key): ONE explode, ONE stats aggregate,
+    # melt to (doc_id, sig, band, key): ONE explode, ONE stats aggregate,
     # ONE anti-join and ONE self-join on (band, key) replace the four
     # per-band join stages — same pair set, a quarter of the stages.
+    # The full signature RIDES the melted rows (once per band), so
+    # candidate pairs score their MinHash-Jaccard estimate inline in the
+    # self-join — no re-join against the signature table. At 100 TB that
+    # trades bands × num_hashes × 8 B of extra payload through the one
+    # band shuffle against TWO full candidate-to-signature joins (each
+    # its own shuffle of the candidate set plus a scan of the signature
+    # table); the payload is the cheaper side at any scale because the
+    # melted rows make exactly one hop.
     # The oversized-bucket key set is TINY by construction
     # (<= bands·n/max_bucket keys), so it broadcasts; the small-bucket
     # filter is a broadcast anti-join and the candidate join keeps its
     # plain equi-join plan shape.
     bk = F.array(*[F.col(f"band_{bi}") for bi in range(bands)])
     melted = with_bands.select(
-        id_col, F.posexplode(bk).alias("__band", "__key")
+        id_col, "__sig", F.posexplode(bk).alias("__band", "__key")
     )
     big = (
         melted.groupBy("__band", "__key")
-        .agg(F.count(F.lit(1)).alias("__bsz"), F.min(id_col).alias("__bmin"))
+        .agg(
+            F.count(F.lit(1)).alias("__bsz"),
+            # the star center's signature rides the broadcast: min-by-id
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("__sig").alias("s")))
+            .alias("__bminrow"),
+        )
         .filter(F.col("__bsz") > max_bucket)
+        .select("__band", "__key",
+                F.col("__bminrow.i").alias("__bmin"),
+                F.col("__bminrow.s").alias("__bminsig"))
     )
     small = melted.join(F.broadcast(big.select("__band", "__key")),
                         ["__band", "__key"], "left_anti")
+
+    def _est(s1_col: str, s2_col: str):
+        matches = sum(
+            F.when(F.col(s1_col).getItem(i) == F.col(s2_col).getItem(i), 1).otherwise(0)
+            for i in range(num_hashes)
+        )
+        return matches / F.lit(float(num_hashes))
+
     a, b = small.alias("a"), small.alias("b")
     pairs_small = (
         a.join(b, (F.col("a.__band") == F.col("b.__band"))
@@ -293,24 +319,20 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_id_1"),
             F.col(f"b.{id_col}").alias("doc_id_2"),
+            _est("a.__sig", "b.__sig").alias("minhash_jaccard"),
         )
     )
     star = (
         melted.join(F.broadcast(big), ["__band", "__key"])
         .filter(F.col(id_col) != F.col("__bmin"))
-        .select(F.col("__bmin").alias("doc_id_1"), F.col(id_col).alias("doc_id_2"))
+        .select(F.col("__bmin").alias("doc_id_1"),
+                F.col(id_col).alias("doc_id_2"),
+                _est("__bminsig", "__sig").alias("minhash_jaccard"))
     )
-    cand = pairs_small.unionByName(star).distinct()
-    s1 = sig.withColumnsRenamed({id_col: "doc_id_1", **{f"mh_{i}": f"x_{i}" for i in range(num_hashes)}})
-    s2 = sig.withColumnsRenamed({id_col: "doc_id_2", **{f"mh_{i}": f"y_{i}" for i in range(num_hashes)}})
-    est = sum(
-        F.when(F.col(f"x_{i}") == F.col(f"y_{i}"), 1).otherwise(0) for i in range(num_hashes)
-    ) / F.lit(float(num_hashes))
     return (
-        cand.join(s1, "doc_id_1")
-        .join(s2, "doc_id_2")
-        .select("doc_id_1", "doc_id_2", est.alias("minhash_jaccard"))
+        pairs_small.unionByName(star)
         .filter(F.col("minhash_jaccard") >= threshold)
+        .distinct()
     )
 
 
