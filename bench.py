@@ -48,6 +48,8 @@ HEADLINE = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "dup_ngram_stats",
+    "stratified_sample",
     "text_stats",
     "corpus_curation",
     "cosine_topk",

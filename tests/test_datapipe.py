@@ -515,3 +515,36 @@ def test_stratified_sample_quota_and_determinism(spark):
     # ranks are 1..quota within each stratum
     ranks = sorted(r["sample_rank"] for r in out.collect() if r["stratum"] == "en")
     assert ranks == [1, 2]
+
+
+def test_dup_ngram_stats_matches_python_reference(spark):
+    # independent mirror: pure-Python n-gram counting on three seeded
+    # random corpora must agree exactly with the distributed plan
+    import random
+    from collections import Counter
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        vocab = ["w%d" % i for i in range(12)]
+        texts = {
+            d: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+            for d in range(40)
+        }
+        n = 3
+        grams = {
+            d: [" ".join(t.split(" ")[i:i + n])
+                for i in range(len(t.split(" ")) - n + 1)]
+            for d, t in texts.items()
+        }
+        doc_freq = Counter()
+        for d, gs in grams.items():
+            for g in set(gs):
+                doc_freq[g] += 1
+        expect = {
+            d: (len(gs), sum(1 for g in gs if doc_freq[g] >= 2))
+            for d, gs in grams.items() if gs
+        }
+        docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+        got = {r["doc_id"]: (r["n_grams"], r["dup_grams"])
+               for r in textops.dup_ngram_stats(docs, n=n).collect()}
+        assert got == expect, seed
