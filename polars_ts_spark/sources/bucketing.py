@@ -56,3 +56,18 @@ def colocated_join(
     With both sides bucketed identically this plans as an
     exchange-free SortMergeJoin (bucket-aligned scans)."""
     return spark.table(left_table).join(spark.table(right_table), list(on), how)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | tuple[str, ...],
+    mode: str = "overwrite",
+) -> None:
+    """Write hive-style partitioned parquet (``path/col=value/...``).
+    Scans over the result prune whole directories for predicates on the
+    partition columns — at 100 TB a per-language or per-date consumer
+    reads only its slice, no matter how wide the corpus is. The pruning
+    is plan-asserted in tests/test_sources.py (PartitionFilters at the
+    scan, zero data files read from other partitions)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -91,3 +91,15 @@ def test_unbucketed_same_join_does_shuffle(spark):
         # in the details block — count node headers
         assert sum(ln.strip().endswith("Exchange")
                    for ln in plan.splitlines()) >= 2, plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
+    path = os.path.join(str(tmp_path_factory.mktemp("part")), "docs")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bucketing.write_partitioned(docs, path, ["lang"])
+    rd = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = _plan(rd)
+    scan = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert "lang" in scan and "en" in scan, plan  # pruned at the directory level
+    # correctness: the pruned read returns exactly the en slice
+    assert rd.count() == docs.filter("lang = 'en'").count() > 0
