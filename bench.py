@@ -186,6 +186,10 @@ def main():
         "spread_3runs": spread,
         "cpu_calibration_sec": {"before": calib_before, "after": _cpu_calibration()},
         "notes": {
+            "headline_set": "grew r5->r6: +ivf_ann_topk, +corpus_curation, "
+                            "+dup_ngram_stats, +stratified_sample — compare "
+                            "totals on the shared-query subset, not headline "
+                            "sums",
             "regime_detect": "query redefined in r6 (exact-cents monthly panel, "
                              "6 fixed EM iterations, was daily/50) — its delta vs "
                              "r5 is a definition change, not a kernel speedup",

@@ -1066,3 +1066,124 @@ SELECT doc_id, stratum, sample_rank
 FROM ranked
 WHERE sample_rank <= CEIL(CAST({frac!r} AS DOUBLE) * cnt)
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming-style near-dup dedup: greedy keep-first over LSH band keys
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Melted MinHash LSH band keys: one row per (doc, band) with the
+    md5 band key — the candidate-bucket identity shared by
+    ``minhash_lsh_pairs``, ``lsh_dedup_keep_first`` and the streaming
+    dedup's seen-key state."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col)
+    band_keys = [
+        F.md5(F.concat_ws("_", *[F.col(f"mh_{j}") for j in range(bi * r, (bi + 1) * r)]))
+        for bi in range(bands)
+    ]
+    return sig.select(
+        id_col, F.posexplode(F.array(*band_keys)).alias("__band", "__key")
+    )
+
+
+def lsh_dedup_keep_first(
+    df: DataFrame,
+    time_col: str = "ds",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup dedup with keep-first semantics — the batch twin of the
+    streaming LSH dedup (``streaming.structured.streaming_lsh_dedup``):
+    a document is KEPT iff it is the earliest presenter (by event time,
+    id-tiebreak) of EVERY one of its MinHash band keys; any band key
+    seen earlier — whether its earlier presenter was itself kept or
+    dropped — drops the document. Register-all semantics make the
+    decision a per-key window minimum (order-parallel, incremental
+    under in-order micro-batches), unlike true greedy chains which are
+    inherently sequential. Output [doc_id, ds].
+
+    Plan: signatures -> melted band keys (one explode), one window over
+    (band, key), one groupBy(doc). The event time joins on via an id
+    equi-join; at 100 TB ``ds`` would instead ride the signature
+    aggregate as a MIN so the join disappears — same result.
+    """
+    melted = minhash_band_keys(
+        df, num_hashes, bands, shingle_n, text_col, id_col
+    ).join(df.select(id_col, time_col), id_col)
+    w = Window.partitionBy("__band", "__key").orderBy(time_col, id_col)
+    flagged = melted.withColumn(
+        "__first", (F.row_number().over(w) == 1).cast("int")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(F.min("__first").alias("__keep"), F.min(time_col).alias(time_col))
+        .filter(F.col("__keep") == 1)
+        .select(id_col, time_col)
+    )
+
+
+def lsh_dedup_keep_first_oracle(
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+) -> str:
+    r = num_hashes // bands
+    coeffs = _perm_coeffs(num_hashes)
+    h32 = duck_hash32("shingle")
+    mh_exprs = ",\n           ".join(
+        f"MIN(({a} * {h32} + {b}) % {MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_exprs = ",\n           ".join(
+        "md5(concat_ws('_', "
+        + ", ".join(f"mh_{j}" for j in range(bi * r, (bi + 1) * r))
+        + f")) AS band_{bi}"
+        for bi in range(bands)
+    )
+    melted_union = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {bi} AS band, band_{bi} AS key FROM bands"
+        for bi in range(bands)
+    )
+    return f"""
+WITH {duck_shingle_cte(shingle_n)},
+sig AS (
+    SELECT doc_id,
+           {mh_exprs}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id,
+           {band_exprs}
+    FROM sig
+),
+melted AS (
+    {melted_union}
+),
+d AS (
+    SELECT doc_id,
+           TIMESTAMP '2024-01-01' + doc_id * INTERVAL 1 SECOND AS ds
+    FROM documents
+),
+flagged AS (
+    SELECT m.doc_id,
+           CASE WHEN ROW_NUMBER() OVER (
+               PARTITION BY m.band, m.key ORDER BY d.ds, m.doc_id) = 1
+           THEN 1 ELSE 0 END AS first_flag
+    FROM melted m JOIN d ON d.doc_id = m.doc_id
+)
+SELECT f.doc_id, MIN(d.ds) AS ds
+FROM flagged f JOIN d ON d.doc_id = f.doc_id
+GROUP BY f.doc_id
+HAVING MIN(first_flag) = 1
+"""

@@ -10914,3 +10914,26 @@ def _register_bucketed_join():
 
 
 _register_bucketed_join()
+
+
+# ---------------------------------------------------------------------------
+# Streaming-style near-dup dedup (SURVEY §2.18 × LLM-pipeline): greedy
+# keep-first over MinHash band keys — the batch twin of the foreachBatch
+# streaming LSH dedup (streaming/structured.py), oracle-backed here.
+
+def _register_lsh_dedup_keep_first():
+    from pyspark.sql import functions as F
+
+    from polars_ts_spark.operators import textops
+
+    @register("lsh_dedup_keep_first", textops.lsh_dedup_keep_first_oracle())
+    def q_lsh_dedup_keep_first(spark, sf_dir):
+        docs = _docs(spark, sf_dir).withColumn(
+            "ds",
+            F.expr("timestamp_seconds(unix_seconds(timestamp'2024-01-01 00:00:00')"
+                   " + doc_id)"),
+        )
+        return textops.lsh_dedup_keep_first(docs)
+
+
+_register_lsh_dedup_keep_first()

@@ -303,3 +303,59 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(["fingerprint"])
         .select(id_col, time_col, "fingerprint")
     )
+
+
+def streaming_lsh_dedup_handler(
+    kept_dir: str,
+    seen_dir: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    time_col: str = "ds",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch handler for streaming NEAR-dup dedup — the LSH
+    companion of ``streaming_exact_dedup`` (which only removes exact
+    fingerprints). Per micro-batch: (1) within-batch keep-first via the
+    batch operator, (2) anti-join against the accumulated seen band
+    keys, (3) append survivors to ``kept_dir`` and ALL batch band keys
+    to ``seen_dir`` (register-all semantics — identical to the batch
+    twin ``textops.lsh_dedup_keep_first`` as long as micro-batches
+    arrive in event-time order, which file/kafka sources with
+    monotonous producers give; the parity is asserted in
+    tests/test_streaming.py on a 2-batch run).
+
+    State notes: the seen-key set is parquet-append here (this
+    container has no transactional table format); a production
+    deployment would keep it in a Delta/Iceberg table or the state
+    store. It grows with distinct band keys — the LSH analogue of the
+    exact dedup's fingerprint state; eviction past a watermark would
+    bound it the same way ``dropDuplicatesWithinWatermark`` does.
+    """
+    from polars_ts_spark.operators import textops
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        kept = textops.lsh_dedup_keep_first(
+            batch_df, time_col=time_col, num_hashes=num_hashes,
+            bands=bands, shingle_n=shingle_n,
+            text_col=text_col, id_col=id_col,
+        )
+        keys = textops.minhash_band_keys(
+            batch_df, num_hashes, bands, shingle_n, text_col, id_col
+        )
+        try:
+            seen = spark.read.parquet(seen_dir)
+        except Exception:
+            seen = None
+        if seen is not None:
+            hit = (
+                keys.join(seen, ["__band", "__key"])
+                .select(id_col).distinct()
+            )
+            kept = kept.join(hit, id_col, "left_anti")
+        kept.write.mode("append").parquet(kept_dir)
+        keys.select("__band", "__key").distinct().write.mode("append").parquet(seen_dir)
+
+    return handle

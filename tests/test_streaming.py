@@ -251,3 +251,66 @@ def test_streaming_exact_dedup_bounded_state(spark):
         assert res["fingerprint"].is_unique
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_lsh_dedup_matches_batch_twin(spark):
+    """Real Structured Streaming run of the LSH near-dup dedup: two
+    parquet files -> maxFilesPerTrigger=1 -> foreachBatch incremental
+    handler with a parquet seen-key state. The kept set must equal the
+    batch twin lsh_dedup_keep_first over the full corpus (batches split
+    in event-time order)."""
+    import os
+
+    import pandas as pd
+
+    from polars_ts_spark.operators.textops import lsh_dedup_keep_first
+    from polars_ts_spark.streaming.structured import streaming_lsh_dedup_handler
+
+    base = tempfile.mkdtemp(prefix="stream_lsh_")
+    src, kept_dir, seen_dir = (os.path.join(base, d) for d in ("src", "kept", "seen"))
+    try:
+        texts = [
+            "the quick brown fox jumps over the lazy dog today",   # 0 kept
+            "the quick brown fox jumps over the lazy dog today",   # 1 exact dup
+            "a completely different document about spark engines", # 2 kept
+            "the quick brown fox jumps over the sleepy dog today", # 3 near dup of 0
+            "a completely different document about spark engines", # 4 dup of 2 (batch 2)
+            "yet another unrelated piece of text entirely here",   # 5 kept
+        ]
+        pdf = pd.DataFrame({
+            "doc_id": range(6),
+            "ds": pd.date_range("2024-01-01", periods=6, freq="min"),
+            "text": texts,
+        })
+        df = spark.createDataFrame(pdf)
+        os.makedirs(src, exist_ok=True)
+        # two files in event-time order; mtimes force source order
+        df.filter("doc_id < 4").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, "b0"))
+        df.filter("doc_id >= 4").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, "b1"))
+        now = 1_700_000_000
+        for i, sub in enumerate(("b0", "b1")):
+            for fn in os.listdir(os.path.join(src, sub)):
+                os.utime(os.path.join(src, sub, fn), (now + i * 60, now + i * 60))
+        schema = spark.read.parquet(os.path.join(src, "b0")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        handler = streaming_lsh_dedup_handler(kept_dir, seen_dir)
+        q = (
+            stream.writeStream.foreachBatch(handler)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["doc_id"] for r in spark.read.parquet(kept_dir).collect()}
+        batch = {r["doc_id"] for r in lsh_dedup_keep_first(df).collect()}
+        assert got == batch
+        assert 0 in got and 2 in got and 5 in got
+        assert 1 not in got and 4 not in got  # exact dups dropped
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
