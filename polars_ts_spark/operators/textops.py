@@ -81,11 +81,18 @@ def word_shingles(
     Tokenized by single-space split (the corpus convention); shingle i
     is ``concat_ws(' ', toks[i..i+n-1])`` — identical to the DuckDB
     lateral ``array_to_string(toks[i:i+n-1], ' ')``.
+
+    Documents shorter than ``n`` tokens have no shingle and are omitted
+    (the oracle's ``generate_series(1, 0)`` = empty semantics). The
+    guard matters: Spark's ``sequence(1, 0)`` is the DESCENDING
+    ``[1, 0]`` and ``slice(toks, 0, n)`` then throws, so without it one
+    short document crashed every shingle-derived pipeline.
     """
-    toks = F.split(F.col(text_col), " ")
     shingles = F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)),"
+        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN"
+        f" transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
         f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+        f" ELSE cast(array() as array<string>) END"
     )
     return (
         df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
@@ -1104,6 +1111,7 @@ def lsh_dedup_keep_first(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup dedup with keep-first semantics — the batch twin of the
     streaming LSH dedup (``streaming.structured.streaming_lsh_dedup``):
@@ -1120,9 +1128,11 @@ def lsh_dedup_keep_first(
     equi-join; at 100 TB ``ds`` would instead ride the signature
     aggregate as a MIN so the join disappears — same result.
     """
-    melted = minhash_band_keys(
-        df, num_hashes, bands, shingle_n, text_col, id_col
-    ).join(df.select(id_col, time_col), id_col)
+    if band_keys is None:
+        band_keys = minhash_band_keys(
+            df, num_hashes, bands, shingle_n, text_col, id_col
+        )
+    melted = band_keys.join(df.select(id_col, time_col), id_col)
     w = Window.partitionBy("__band", "__key").orderBy(time_col, id_col)
     flagged = melted.withColumn(
         "__first", (F.row_number().over(w) == 1).cast("int")

@@ -318,44 +318,61 @@ def streaming_lsh_dedup_handler(
     """foreachBatch handler for streaming NEAR-dup dedup — the LSH
     companion of ``streaming_exact_dedup`` (which only removes exact
     fingerprints). Per micro-batch: (1) within-batch keep-first via the
-    batch operator, (2) anti-join against the accumulated seen band
-    keys, (3) append survivors to ``kept_dir`` and ALL batch band keys
-    to ``seen_dir`` (register-all semantics — identical to the batch
-    twin ``textops.lsh_dedup_keep_first`` as long as micro-batches
-    arrive in event-time order, which file/kafka sources with
-    monotonous producers give; the parity is asserted in
-    tests/test_streaming.py on a 2-batch run).
+    batch operator, (2) anti-join against the band keys of all EARLIER
+    batches, (3) write survivors to ``kept_dir/batch=N`` and the
+    batch's band keys to ``seen_dir/batch=N`` (register-all semantics —
+    identical to the batch twin ``textops.lsh_dedup_keep_first`` when
+    event time is STRICTLY increasing across batch boundaries;
+    within-batch ties are handled by the window's id tie-break, but a
+    tie spanning two batches would resolve by batch order instead of
+    id. The parity is asserted in tests/test_streaming.py on a 2-batch
+    run).
 
-    State notes: the seen-key set is parquet-append here (this
-    container has no transactional table format); a production
-    deployment would keep it in a Delta/Iceberg table or the state
-    store. It grows with distinct band keys — the LSH analogue of the
-    exact dedup's fingerprint state; eviction past a watermark would
-    bound it the same way ``dropDuplicatesWithinWatermark`` does.
+    Replay-safe: outputs are PARTITIONED BY the foreachBatch batch_id
+    and written with overwrite, and the seen-key read filters
+    ``batch < batch_id`` — an at-least-once re-delivery of a failed
+    batch overwrites its own partitions and never anti-joins the batch
+    against its own keys from the prior attempt. Signatures are
+    computed ONCE per batch (persisted band keys feed the keep-first
+    window, the anti-join probe, and the seen-key write).
+
+    State notes: the seen-key set is parquet here (this container has
+    no transactional table format); a production deployment would keep
+    it in a Delta/Iceberg table or the state store. It grows with
+    distinct band keys — the LSH analogue of the exact dedup's
+    fingerprint state; eviction past a watermark would bound it the
+    same way ``dropDuplicatesWithinWatermark`` does.
     """
+    from pyspark.errors import AnalysisException
+
     from polars_ts_spark.operators import textops
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        kept = textops.lsh_dedup_keep_first(
-            batch_df, time_col=time_col, num_hashes=num_hashes,
-            bands=bands, shingle_n=shingle_n,
-            text_col=text_col, id_col=id_col,
-        )
         keys = textops.minhash_band_keys(
             batch_df, num_hashes, bands, shingle_n, text_col, id_col
-        )
+        ).persist()
         try:
-            seen = spark.read.parquet(seen_dir)
-        except Exception:
-            seen = None
-        if seen is not None:
-            hit = (
-                keys.join(seen, ["__band", "__key"])
-                .select(id_col).distinct()
+            kept = textops.lsh_dedup_keep_first(
+                batch_df, time_col=time_col, num_hashes=num_hashes,
+                bands=bands, shingle_n=shingle_n,
+                text_col=text_col, id_col=id_col, band_keys=keys,
             )
-            kept = kept.join(hit, id_col, "left_anti")
-        kept.write.mode("append").parquet(kept_dir)
-        keys.select("__band", "__key").distinct().write.mode("append").parquet(seen_dir)
+            try:
+                # earlier batches only: replays must not see their own keys
+                seen = spark.read.parquet(seen_dir).filter(F.col("batch") < batch_id)
+            except AnalysisException:
+                seen = None  # first batch: no state directory yet
+            if seen is not None:
+                hit = (
+                    keys.join(seen.select("__band", "__key"), ["__band", "__key"])
+                    .select(id_col).distinct()
+                )
+                kept = kept.join(hit, id_col, "left_anti")
+            kept.write.mode("overwrite").parquet(f"{kept_dir}/batch={batch_id}")
+            keys.select("__band", "__key").distinct().write.mode("overwrite").parquet(
+                f"{seen_dir}/batch={batch_id}")
+        finally:
+            keys.unpersist()
 
     return handle

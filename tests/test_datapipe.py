@@ -548,3 +548,24 @@ def test_dup_ngram_stats_matches_python_reference(spark):
         got = {r["doc_id"]: (r["n_grams"], r["dup_grams"])
                for r in textops.dup_ngram_stats(docs, n=n).collect()}
         assert got == expect, seed
+
+
+def test_shingle_pipelines_survive_short_docs(spark):
+    # regression: a doc with fewer tokens than the shingle width used to
+    # crash every shingle-derived pipeline (Spark sequence(1,0) is the
+    # DESCENDING [1,0] and slice(toks, 0, n) throws); the oracle's
+    # generate_series(1,0) = empty omits such docs instead
+    rows = [
+        (0, "just two"),
+        (1, "one"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert {r["doc_id"] for r in textops.word_shingles(docs, 3).collect()} == {2, 3}
+    pairs = textops.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    assert {(r["doc_id_1"], r["doc_id_2"]) for r in pairs} == {(2, 3)}
+    import pyspark.sql.functions as SF
+    timed = docs.withColumn("ds", SF.expr("timestamp_seconds(1700000000 + doc_id)"))
+    kept = {r["doc_id"] for r in textops.lsh_dedup_keep_first(timed).collect()}
+    assert kept == {2}  # short docs have no keys -> omitted; 3 deduped

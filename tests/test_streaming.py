@@ -312,5 +312,10 @@ def test_streaming_lsh_dedup_matches_batch_twin(spark):
         assert got == batch
         assert 0 in got and 2 in got and 5 in got
         assert 1 not in got and 4 not in got  # exact dups dropped
+        # at-least-once replay of the last batch must be a no-op:
+        # partitioned overwrite + batch<batch_id state filter
+        handler(df.filter("doc_id >= 4"), 1)
+        replayed = {r["doc_id"] for r in spark.read.parquet(kept_dir).collect()}
+        assert replayed == got
     finally:
         shutil.rmtree(base, ignore_errors=True)
