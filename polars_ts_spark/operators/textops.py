@@ -1197,3 +1197,56 @@ FROM flagged f JOIN d ON d.doc_id = f.doc_id
 GROUP BY f.doc_id
 HAVING MIN(first_flag) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (curation safety pass): URL / email / phone redaction
+
+
+# Patterns restricted to the Java-regex (Spark) + RE2 (DuckDB) common
+# subset — no lookaround, no \p classes — so match COUNTS and
+# replacements are engine-identical (the token_counts discipline).
+# Application order matters (an email inside a URL must scrub as part
+# of the URL): URL first, then email, then phone, each counted on the
+# text as scrubbed by the previous stages.
+PII_PATTERNS = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact URLs, emails and phone numbers — the standard curation
+    safety pass before corpus release. Output [doc_id, n_urls,
+    n_emails, n_phones, clean_text]. Pure per-row projection: stays in
+    whole-stage codegen, no shuffle; at 100 TB this is one scan whose
+    cost is three regex automata per row."""
+    cur = F.col(text_col)
+    counts = {}
+    for name, pat, token in PII_PATTERNS:
+        counts[name] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select(
+        F.col(id_col),
+        counts["url"].alias("n_urls"),
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        cur.alias("clean_text"),
+    )
+
+
+def pii_scrub_oracle(table_sql: str = "documents") -> str:
+    cur = "text"
+    counts = {}
+    for name, pat, token in PII_PATTERNS:
+        counts[name] = f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS INT)"
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    return f"""
+SELECT doc_id,
+       {counts['url']} AS n_urls,
+       {counts['email']} AS n_emails,
+       {counts['phone']} AS n_phones,
+       {cur} AS clean_text
+FROM {table_sql}
+"""

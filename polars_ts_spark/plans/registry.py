@@ -10937,3 +10937,40 @@ def _register_lsh_dedup_keep_first():
 
 
 _register_lsh_dedup_keep_first()
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (SURVEY §LLM-pipeline curation): URL/email/phone
+# redaction in the Java/RE2-common regex subset. The synthetic corpus
+# has no PII, so the query plants a deterministic contact suffix per
+# doc on BOTH sides — all three patterns fire on every row and the full
+# scrubbed text must match byte-for-byte.
+
+def _register_pii_scrub():
+    from pyspark.sql import functions as F
+
+    from polars_ts_spark.operators import textops
+
+    _SUFFIX_SPARK = (
+        "concat(text, ' reach u', CAST(doc_id AS STRING), '@example.com "
+        "via https://ex.org/d/', CAST(doc_id AS STRING), "
+        "' or call +1 (415) 555-0199 now')"
+    )
+    _SUFFIX_DUCK = (
+        "(text || ' reach u' || CAST(doc_id AS VARCHAR) || '@example.com "
+        "via https://ex.org/d/' || CAST(doc_id AS VARCHAR) || "
+        "' or call +1 (415) 555-0199 now')"
+    )
+
+    @register(
+        "pii_scrub",
+        textops.pii_scrub_oracle(
+            f"(SELECT doc_id, {_SUFFIX_DUCK} AS text FROM documents)"
+        ),
+    )
+    def q_pii_scrub(spark, sf_dir):
+        docs = _docs(spark, sf_dir).withColumn("text", F.expr(_SUFFIX_SPARK))
+        return textops.pii_scrub(docs)
+
+
+_register_pii_scrub()

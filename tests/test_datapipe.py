@@ -569,3 +569,23 @@ def test_shingle_pipelines_survive_short_docs(spark):
     timed = docs.withColumn("ds", SF.expr("timestamp_seconds(1700000000 + doc_id)"))
     kept = {r["doc_id"] for r in textops.lsh_dedup_keep_first(timed).collect()}
     assert kept == {2}  # short docs have no keys -> omitted; 3 deduped
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    rows = [
+        (0, "write a.b+c@x-y.co or see http://ex.am/p?q=1 and https://e.com"),
+        (1, "call +1 (415) 555-1234 today"),
+        (2, "no pii here at all"),
+        (3, "mixed https://a.io/u?e=x@y.zz then x@y.zz then 0800 123 4567 ok"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.pii_scrub(docs).collect()}
+    assert (out[0]["n_urls"], out[0]["n_emails"], out[0]["n_phones"]) == (2, 1, 0)
+    assert "<EMAIL>" in out[0]["clean_text"] and "<URL>" in out[0]["clean_text"]
+    assert "@" not in out[0]["clean_text"]
+    assert out[1]["n_phones"] == 1 and "555" not in out[1]["clean_text"]
+    assert out[2]["clean_text"] == "no pii here at all"
+    # the email inside the URL scrubs as part of the URL (order matters);
+    # the bare repeat then scrubs as an email
+    assert out[3]["n_urls"] == 1 and out[3]["n_emails"] == 1
+    assert out[3]["n_phones"] == 1

@@ -214,3 +214,52 @@ def test_ivf_search_no_corpus_broadcast_bounded_shuffles(spark):
     assert "BroadcastExchange" not in plan, "corpus must never broadcast"
     assert "FlatMapGroupsInPandas" in plan or "applyInPandas" in plan
     assert _shuffle_exchanges(plan) <= 4, plan
+
+
+def test_pii_scrub_pure_projection(spark):
+    """pii_scrub is a per-row projection: zero shuffles, zero joins."""
+    from polars_ts_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(textops.pii_scrub(docs))
+    assert _shuffle_exchanges(plan) == 0, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_dup_ngram_stats_linear_plan(spark):
+    """dup_ngram_stats: no cross join anywhere — the only join is the
+    gram equi-join — and the explode feeds a partial-aggregating
+    groupBy (the shuffle carries (doc, gram) partials, not raw grams)."""
+    from polars_ts_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(textops.dup_ngram_stats(docs))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_count" in plan, plan  # map-side combine before the gram shuffle
+
+
+def test_stratified_sample_single_exchange(spark):
+    """stratified_sample: ONE hash exchange (the stratum window); the
+    quota count rides the same window, no second pass over the input."""
+    from polars_ts_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(textops.stratified_sample(docs, frac=0.25, by="lang"))
+    # formatted mode: node headers are "(n) Exchange"; both Window nodes
+    # (rank + quota count) must share the single stratum exchange
+    n_exchange = sum(ln.strip().endswith("Exchange") for ln in plan.splitlines())
+    assert n_exchange == 1, plan
+    assert plan.count(" Window") >= 2 or plan.count("Window (") >= 2
+    assert "Join" not in plan
+
+
+def test_lsh_dedup_keep_first_no_cartesian(spark):
+    """lsh_dedup_keep_first: linear plan — band-key window + id join,
+    no self-join of documents, no cartesian stage."""
+    from polars_ts_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "ds", F.expr("timestamp_seconds(1700000000 + doc_id)"))
+    plan = _plan(textops.lsh_dedup_keep_first(docs))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
