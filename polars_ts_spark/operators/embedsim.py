@@ -729,7 +729,7 @@ def ivf_ann_topk(
     df: DataFrame,
     k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 10,
+    n_probe: int = 12,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -859,7 +859,7 @@ def ivf_ann_topk(
 
 
 def ivf_ann_oracle(
-    k: int = 5, n_cells: int = 16, n_probe: int = 10, n_iter: int = 2,
+    k: int = 5, n_cells: int = 16, n_probe: int = 12, n_iter: int = 2,
     dim: int = DIM, train_cap: int = 65536,
 ) -> str:
     """Full SQL replay of ``ivf_ann_topk`` — md5-rank seeds, the exact

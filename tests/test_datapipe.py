@@ -193,7 +193,7 @@ def test_lsh_ann_recall_on_corpus(spark):
 def test_ivf_ann_recall_on_corpus(spark):
     # the IVF-flat scale path must recover most true top-1 neighbors on
     # the real corpus (uniform-random embeddings are IVF's worst case —
-    # defaults are tuned so n_probe=10/16 still clears 0.85 here) and
+    # n_probe=12/16 clears the 0.9 bar: 0.94 at sf0.1, bench-reported) and
     # agree exactly with brute force on shared (vec, neighbor) cosines
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     bf = {
@@ -209,7 +209,7 @@ def test_ivf_ann_recall_on_corpus(spark):
             hits += 1
             assert got[1] == cos  # exact re-rank inside probed cells
     recall = hits / len(bf)
-    assert recall >= 0.85, f"top-1 recall {recall:.2f} < 0.85"
+    assert recall >= 0.9, f"top-1 recall {recall:.2f} < 0.9"
 
 
 def test_ivf_ann_exhaustive_probe_is_exact(vecs, spark):
