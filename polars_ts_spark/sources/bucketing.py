@@ -97,6 +97,12 @@ def salted_join(
     """
     from pyspark.sql import functions as F
 
+    if how not in ("inner", "left", "left_outer", "leftsemi", "left_semi",
+                   "leftanti", "left_anti"):
+        # right/full joins would emit each UNMATCHED small-side row once
+        # per salt value (the small side is replicated) — reject rather
+        # than silently duplicate
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     keys = list(on)
     # the salt must vary WITHIN a key (a hash of the join keys would pin
     # each hot key to one salt value, spreading nothing) — derive it

@@ -129,3 +129,20 @@ def test_salted_join_equals_plain_join_and_spreads_hot_key(spark):
                                         F.lit(8)))
     n_salts = b.filter("k = 1").select("__salt").distinct().count()
     assert n_salts >= 4
+
+
+def test_salted_join_left_semantics_and_rejects_right(spark):
+    import pandas as pd
+
+    import pytest as _pt
+
+    big = spark.createDataFrame(pd.DataFrame({"k": [1, 1, 2, 9], "v": [0, 1, 2, 3]}))
+    small = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "name": ["a", "b"]}))
+    left = bucketing.salted_join(big, small, ["k"], salt=4, how="left")
+    rows = {(r["k"], r["v"], r["name"]) for r in left.collect()}
+    # unmatched big row survives exactly once (each big row has ONE salt)
+    assert (9, 3, None) in rows and len(rows) == 4
+    with _pt.raises(ValueError):
+        bucketing.salted_join(big, small, ["k"], how="right")
+    with _pt.raises(ValueError):
+        bucketing.salted_join(big, small, ["k"], how="full_outer")
