@@ -589,3 +589,28 @@ def test_pii_scrub_redacts_and_counts(spark):
     # the bare repeat then scrubs as an email
     assert out[3]["n_urls"] == 1 and out[3]["n_emails"] == 1
     assert out[3]["n_phones"] == 1
+
+
+def test_curation_ops_handle_empty_corpus(spark):
+    # empty partitions/corpora are routine at scale — every curation op
+    # must plan and return empty, not throw
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    empty = spark.createDataFrame([], schema)
+    assert textops.exact_dedup(empty).count() == 0
+    assert textops.minhash_lsh_pairs(empty).count() == 0
+    assert textops.simhash_pairs(empty).count() == 0
+    assert textops.dup_ngram_stats(empty).count() == 0
+    assert textops.text_stats(empty).count() == 0
+    assert textops.token_counts(empty).count() == 0
+    assert textops.pii_scrub(empty).count() == 0
+    assert textops.stratified_sample(empty).count() == 0
+    assert textops.dedup_clusters(empty).count() == 0
+    timed = empty.withColumn("ds", F.current_timestamp())
+    assert textops.lsh_dedup_keep_first(timed).count() == 0
+    assert textops.corpus_curation(empty).count() == 0
