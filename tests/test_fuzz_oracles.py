@@ -98,3 +98,43 @@ def test_text_oracles_on_random_corpus(spark, seed):
                 f"oracle:\n{b[(a != b).any(axis=1)].head(3)}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_embedding_oracles_on_random_vectors(spark, seed):
+    import numpy as np
+
+    from polars_ts_spark.operators import embedsim
+
+    rng = np.random.default_rng(seed)
+    # the oracle dot/norm expand to the corpus dimensionality (embedsim.DIM)
+    n, dim = 80, embedsim.DIM
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    # plant a few near-dups so the 0.95 threshold fires
+    for i in range(0, 12, 3):
+        vecs[i + 1] = vecs[i] + rng.normal(scale=1e-3, size=dim).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    tmp = tempfile.mkdtemp(prefix="fuzz_emb_")
+    try:
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        path = os.path.join(tmp, "embeddings.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        src = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}/*.parquet')")
+        for name, sdf, sql in [
+            ("brute_force_topk", embedsim.brute_force_topk(src, k=3),
+             embedsim.brute_force_topk_oracle(k=3)),
+            ("cosine_dedup_pairs", embedsim.cosine_dedup_pairs(src, threshold=0.95),
+             embedsim.cosine_dedup_oracle(0.95)),
+        ]:
+            a = normalize(sdf.toPandas())
+            b = normalize(con.execute(sql).df())
+            assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
+            assert a.equals(b), f"{name}: mismatch on seed {seed}"
+        # and the planted near-dups were actually found
+        found = embedsim.cosine_dedup_pairs(src, threshold=0.95).count()
+        assert found >= 4
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
