@@ -1118,13 +1118,22 @@ def lsh_dedup_keep_first(
     a document is KEPT iff it is the earliest presenter (by event time,
     id-tiebreak) of EVERY one of its MinHash band keys; any band key
     seen earlier — whether its earlier presenter was itself kept or
-    dropped — drops the document. Register-all semantics make the
-    decision a per-key window minimum (order-parallel, incremental
-    under in-order micro-batches), unlike true greedy chains which are
-    inherently sequential. Output [doc_id, ds].
+    dropped — drops the document. Documents too short to produce a
+    shingle have no band keys and are KEPT (vacuously earliest; a
+    near-dup filter must never delete a document it cannot hash).
+    Register-all semantics make the decision a per-key window minimum
+    (order-parallel, incremental under in-order micro-batches), unlike
+    true greedy chains which are inherently sequential.
+    Output [doc_id, ds].
+
+    When ``band_keys`` is supplied (the streaming handler reuses one
+    persisted frame for this decision, the seen-key probe and the state
+    write), the signature parameters (num_hashes/bands/shingle_n/
+    text_col) are IGNORED — the caller owns their consistency.
 
     Plan: signatures -> melted band keys (one explode), one window over
-    (band, key), one groupBy(doc). The event time joins on via an id
+    (band, key), one groupBy(doc), one left join back to the corpus (so
+    key-less docs survive). The event time joins on via an id
     equi-join; at 100 TB ``ds`` would instead ride the signature
     aggregate as a MIN so the join disappears — same result.
     """
@@ -1137,10 +1146,11 @@ def lsh_dedup_keep_first(
     flagged = melted.withColumn(
         "__first", (F.row_number().over(w) == 1).cast("int")
     )
+    keyed = flagged.groupBy(id_col).agg(F.min("__first").alias("__keep"))
     return (
-        flagged.groupBy(id_col)
-        .agg(F.min("__first").alias("__keep"), F.min(time_col).alias(time_col))
-        .filter(F.col("__keep") == 1)
+        df.select(id_col, time_col)
+        .join(keyed, id_col, "left")
+        .filter(F.coalesce(F.col("__keep"), F.lit(1)) == 1)
         .select(id_col, time_col)
     )
 
@@ -1191,11 +1201,13 @@ flagged AS (
                PARTITION BY m.band, m.key ORDER BY d.ds, m.doc_id) = 1
            THEN 1 ELSE 0 END AS first_flag
     FROM melted m JOIN d ON d.doc_id = m.doc_id
+),
+keyed AS (
+    SELECT doc_id, MIN(first_flag) AS keep FROM flagged GROUP BY doc_id
 )
-SELECT f.doc_id, MIN(d.ds) AS ds
-FROM flagged f JOIN d ON d.doc_id = f.doc_id
-GROUP BY f.doc_id
-HAVING MIN(first_flag) = 1
+SELECT d.doc_id, d.ds
+FROM d LEFT JOIN keyed k ON k.doc_id = d.doc_id
+WHERE COALESCE(k.keep, 1) = 1
 """
 
 

@@ -103,6 +103,13 @@ def salted_join(
         # per salt value (the small side is replicated) — reject rather
         # than silently duplicate
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    if salt < 1:
+        # pmod(x, 0) is NULL and an empty salt array explodes to zero
+        # rows — salt=0 would silently return an empty/unmatched join
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    if "__salt" in big.columns or "__salt" in small.columns:
+        raise ValueError("inputs already carry a __salt column; rename it "
+                         "before salted_join (it would be overwritten)")
     keys = list(on)
     # the salt must vary WITHIN a key (a hash of the join keys would pin
     # each hot key to one salt value, spreading nothing) — derive it

@@ -361,8 +361,13 @@ def streaming_lsh_dedup_handler(
             try:
                 # earlier batches only: replays must not see their own keys
                 seen = spark.read.parquet(seen_dir).filter(F.col("batch") < batch_id)
-            except AnalysisException:
-                seen = None  # first batch: no state directory yet
+            except AnalysisException as exc:
+                # ONLY a missing state dir means "first batch" — schema or
+                # metadata corruption of real state must fail the batch
+                # loudly, not silently disable dedup
+                if "PATH_NOT_FOUND" not in str(exc):
+                    raise
+                seen = None
             if seen is not None:
                 hit = (
                     keys.join(seen.select("__band", "__key"), ["__band", "__key"])

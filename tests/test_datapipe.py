@@ -568,7 +568,9 @@ def test_shingle_pipelines_survive_short_docs(spark):
     import pyspark.sql.functions as SF
     timed = docs.withColumn("ds", SF.expr("timestamp_seconds(1700000000 + doc_id)"))
     kept = {r["doc_id"] for r in textops.lsh_dedup_keep_first(timed).collect()}
-    assert kept == {2}  # short docs have no keys -> omitted; 3 deduped
+    # key-less (short) docs are KEPT — a near-dup filter must never
+    # delete a document it cannot hash; 3 is the near-dup that drops
+    assert kept == {0, 1, 2}
 
 
 def test_pii_scrub_redacts_and_counts(spark):

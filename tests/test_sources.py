@@ -117,7 +117,6 @@ def test_salted_join_equals_plain_join_and_spreads_hot_key(spark):
         "k": range(1, 102),
         "name": [f"n{i}" for i in range(1, 102)],
     }))
-    plain = bucketing.colocated_join  # noqa: F841 (same-module import sanity)
     salted = bucketing.salted_join(big, small, ["k"], salt=8)
     expect = big.join(small, "k").groupBy("k").count()
     got = salted.groupBy("k").count()
@@ -146,3 +145,7 @@ def test_salted_join_left_semantics_and_rejects_right(spark):
         bucketing.salted_join(big, small, ["k"], how="right")
     with _pt.raises(ValueError):
         bucketing.salted_join(big, small, ["k"], how="full_outer")
+    with _pt.raises(ValueError):
+        bucketing.salted_join(big, small, ["k"], salt=0)
+    with _pt.raises(ValueError):
+        bucketing.salted_join(big.withColumn("__salt", F.lit(1)), small, ["k"])
