@@ -319,3 +319,40 @@ def test_streaming_lsh_dedup_matches_batch_twin(spark):
         assert replayed == got
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stateless_curation_projections_run_on_streams(spark):
+    """pii_scrub / token_counts / text_stats are pure projections, so
+    the SAME operator code must run unchanged on a readStream source —
+    no hidden sort/window/collect that would break streaming."""
+    import pandas as pd
+
+    from polars_ts_spark.operators import textops
+
+    tmp = tempfile.mkdtemp(prefix="stream_proj_")
+    try:
+        pdf = pd.DataFrame({
+            "doc_id": range(6),
+            "text": ["mail me at a@b.co now", "plain text only here",
+                     "see https://ex.org/d ok", "short one",
+                     "call +1 (415) 555-0000 today", "the quick brown fox"],
+        })
+        df = spark.createDataFrame(pdf)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = spark.readStream.schema(schema).parquet(tmp)
+        out = textops.pii_scrub(stream)
+        q = (
+            out.writeStream.format("memory").queryName("curation_stream")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        res = spark.sql("SELECT * FROM curation_stream").toPandas()
+        batch = textops.pii_scrub(df).toPandas()
+        assert sorted(res["clean_text"]) == sorted(batch["clean_text"])
+        assert int(res["n_emails"].sum()) == 1 and int(res["n_phones"].sum()) == 1
+        # token_counts and text_stats also plan on streams (stateless)
+        assert textops.token_counts(stream).isStreaming
+        assert textops.text_stats(stream).isStreaming
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
