@@ -116,7 +116,11 @@ def main():
     # (0.96 -> 1.20 s in r5) so it can't drift unnoticed (VERDICT r5 #9)
     # ivf_ann_topk added r6: new query whose time includes 3 training
     # jobs — report a spread so host noise can't read as regression
-    RERUN3 = {"forecast_metrics", "kmedoids_dtw", "lsh_ann_topk", "ivf_ann_topk"}
+    # corpus_curation added r6: a composed pipeline whose eager component
+    # (cluster propagation) is the most load-sensitive query in the set —
+    # report a spread so host noise can't read as regression
+    RERUN3 = {"forecast_metrics", "kmedoids_dtw", "lsh_ann_topk", "ivf_ann_topk",
+              "corpus_curation"}
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
