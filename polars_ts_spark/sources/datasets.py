@@ -72,3 +72,57 @@ def user_event_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts.alias("ds"),
         F.col("value").cast("double").alias("y"),
     )
+
+
+def load_dataset(
+    spark: SparkSession,
+    name: str,
+    url: str,
+    sha256: str,
+    cache_dir: str | None = None,
+) -> DataFrame:
+    """Checksum-verified dataset loader — the reference's
+    ``load_dataset`` contract (``polars_ts/datasets.py:10-81``): fetch
+    ``url`` into a per-user cache keyed by ``name``, verify the SHA-256
+    of the payload, and read it (parquet or csv by extension). A cached
+    file is re-verified before reuse, so a corrupted or tampered cache
+    entry re-downloads instead of silently loading.
+
+    ``file://`` URLs are copies (this container has no network);
+    http(s) goes through urllib. The integrity check is the point —
+    a dataset that does not hash to ``sha256`` raises, never loads.
+    """
+    import hashlib
+    import os
+    import shutil
+    import urllib.parse
+    import urllib.request
+
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "polars_ts_spark")
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    ext = os.path.splitext(urllib.parse.urlparse(url).path)[1] or ".parquet"
+    dest = os.path.join(cache_dir, f"{name}{ext}")
+
+    def _digest(path: str) -> str:
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    if not (os.path.exists(dest) and _digest(dest) == sha256):
+        parsed = urllib.parse.urlparse(url)
+        if parsed.scheme in ("", "file"):
+            shutil.copyfile(parsed.path or url, dest)
+        else:
+            with urllib.request.urlopen(url) as r, open(dest, "wb") as out:
+                shutil.copyfileobj(r, out)
+        got = _digest(dest)
+        if got != sha256:
+            os.remove(dest)
+            raise ValueError(
+                f"dataset {name!r}: sha256 mismatch (expected {sha256}, got {got})")
+    if ext == ".csv":
+        return spark.read.option("header", "true").option("inferSchema", "true").csv(dest)
+    return spark.read.parquet(dest)

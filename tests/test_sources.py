@@ -149,3 +149,27 @@ def test_salted_join_left_semantics_and_rejects_right(spark):
         bucketing.salted_join(big, small, ["k"], salt=0)
     with _pt.raises(ValueError):
         bucketing.salted_join(big.withColumn("__salt", F.lit(1)), small, ["k"])
+
+
+def test_load_dataset_sha256_verify_and_cache(spark, tmp_path_factory):
+    import hashlib
+
+    from polars_ts_spark.sources.datasets import load_dataset
+
+    base = str(tmp_path_factory.mktemp("dl"))
+    src = f"{SF_DIR}/region.parquet"
+    digest = hashlib.sha256(open(src, "rb").read()).hexdigest()
+    cache = os.path.join(base, "cache")
+    df = load_dataset(spark, "region", f"file://{src}", digest, cache_dir=cache)
+    assert df.count() > 0
+    cached = os.path.join(cache, "region.parquet")
+    assert os.path.exists(cached)
+    # tampered cache entry re-fetches instead of silently loading
+    with open(cached, "ab") as f:
+        f.write(b"corruption")
+    df2 = load_dataset(spark, "region", f"file://{src}", digest, cache_dir=cache)
+    assert df2.count() == df.count()
+    # wrong digest raises and removes the bad payload
+    with pytest.raises(ValueError, match="sha256 mismatch"):
+        load_dataset(spark, "region_bad", f"file://{src}", "0" * 64, cache_dir=cache)
+    assert not os.path.exists(os.path.join(cache, "region_bad.parquet"))
