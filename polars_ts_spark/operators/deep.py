@@ -419,3 +419,246 @@ class PatchTSTForecaster(_TorchWindowForecaster):
                 return self.head(z.reshape(z.shape[0], -1))
 
         return Net(self.n_heads, self.n_layers)
+
+
+# ---------------------------------------------------------------------------
+# multivariate deep forecasters (ref dl/multivariate.py:127-523):
+# several value columns forecast JOINTLY so the net can exploit
+# cross-variate correlation
+
+
+def build_multivariate_windows(
+    df: DataFrame,
+    value_cols: list[str],
+    input_size: int,
+    h: int,
+    id_col: str = ID,
+    time_col: str = TIME,
+) -> DataFrame:
+    """Sliding multivariate training windows per series, as a Catalyst
+    plan (the univariate builder with an array-of-variates payload).
+    Output [id, start, x: array<array<double>> (input_size rows, each
+    [v1..vk]), y_fut: array<array<double>> (h rows)]."""
+    require_columns(df, id_col, time_col, *value_cols)
+    vals = ", ".join(f"cast({c} as double)" for c in value_cols)
+    series = df.groupBy(id_col).agg(
+        F.expr(
+            f"transform(array_sort(collect_list(struct({time_col} as t, "
+            f"array({vals}) as v))), s -> s.v)"
+        ).alias("__vals")
+    )
+    return (
+        series.where(F.size("__vals") >= input_size + h)
+        .select(
+            id_col,
+            F.posexplode(F.expr(f"sequence(1, size(__vals) - {input_size + h - 1})"))
+            .alias("__i", "start"),
+            "__vals",
+        )
+        .select(
+            id_col,
+            (F.col("start") - 1).alias("start"),
+            F.expr(f"slice(__vals, start, {input_size})").alias("x"),
+            F.expr(f"slice(__vals, start + {input_size}, {h})").alias("y_fut"),
+        )
+    )
+
+
+def batch_forecast_multivariate(
+    df: DataFrame,
+    predict_batch,
+    value_cols: list[str],
+    input_size: int,
+    h: int,
+    id_col: str = ID,
+    time_col: str = TIME,
+) -> DataFrame:
+    """Joint h-step forecasts: per bucket of series, stack the last
+    ``input_size`` rows of every variate (leading-zero padded) into one
+    (S, input_size, n_vars) tensor and make a SINGLE ``predict_batch``
+    call -> (S, h, n_vars). Output [id, ds, <col>_hat ...]."""
+    n_vars = len(value_cols)
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, ctxs, last_ts, freqs = [], [], [], []
+        for sid, g in pdf.groupby(id_col, sort=False):
+            g = g.sort_values(time_col)
+            arr = g[value_cols].to_numpy(dtype=float)
+            ctx = np.zeros((input_size, n_vars))
+            ctx[-min(len(arr), input_size):] = arr[-input_size:]
+            ids.append(sid)
+            ctxs.append(ctx)
+            ts = pd.to_datetime(g[time_col])
+            last_ts.append(ts.iloc[-1])
+            freqs.append(ts.diff().dropna().median() if len(ts) > 1 else pd.Timedelta(days=1))
+        cols = {id_col: pd.Series([], dtype="str"),
+                time_col: pd.Series([], dtype="datetime64[us]")}
+        cols.update({f"{c}_hat": pd.Series([], dtype="float64") for c in value_cols})
+        if not ids:
+            return pd.DataFrame(cols)
+        Yhat = np.asarray(predict_batch(np.stack(ctxs)), dtype=float)  # (S, h, nv)
+        frames = []
+        for s, (sid, t0, fr) in enumerate(zip(ids, last_ts, freqs)):
+            row = {id_col: sid, time_col: [t0 + (i + 1) * fr for i in range(h)]}
+            for v, c in enumerate(value_cols):
+                row[f"{c}_hat"] = Yhat[s, :, v]
+            frames.append(pd.DataFrame(row))
+        return pd.concat(frames, ignore_index=True)
+
+    hats = ", ".join(f"`{c}_hat` double" for c in value_cols)
+    schema = f"{id_col} string, {time_col} timestamp, {hats}"
+    return for_series_batches(df, kern, schema, id_col=id_col, time_col=time_col)
+
+
+class _TorchMVWindowForecaster:
+    """Shared plumbing for the multivariate torch forecasters: windows
+    from the Spark plan (hash-sampled to ``max_windows`` for the
+    driver-side optimizer), per-variate normalization, prediction via
+    batch_forecast_multivariate with the trained net shipped in the
+    kernel closure."""
+
+    def __init__(self, h: int, input_size: int, value_cols: list[str] | None,
+                 max_epochs: int, lr: float, batch_size: int, max_windows: int,
+                 id_col: str, time_col: str):
+        self.h, self.input_size = h, input_size
+        self.value_cols = list(value_cols or [TARGET])
+        self.max_epochs, self.lr, self.batch_size = max_epochs, lr, batch_size
+        self.max_windows = max_windows
+        self.id_col, self.time_col = id_col, time_col
+        self._mean = self._std = None
+        self._model = None
+
+    def _build_net(self):  # pragma: no cover - torch absent
+        raise NotImplementedError
+
+    def fit(self, df: DataFrame):  # pragma: no cover - torch absent in container
+        torch, _nn = _torch()
+        win = build_multivariate_windows(df, self.value_cols, self.input_size,
+                                         self.h, self.id_col, self.time_col)
+        n = win.count()
+        if n == 0:
+            raise ValueError(
+                f"no training windows: series shorter than input_size+h = "
+                f"{self.input_size + self.h}")
+        if n > self.max_windows:
+            frac_mod = max(2, n // self.max_windows)
+            win = win.where(
+                F.pmod(F.xxhash64(self.id_col, "start"), F.lit(frac_mod)) == 0
+            )
+        pdf = win.select("x", "y_fut").toPandas()
+        X = np.asarray([np.asarray(r, dtype=float) for r in pdf["x"]])
+        Y = np.asarray([np.asarray(r, dtype=float) for r in pdf["y_fut"]])
+        self._mean = X.mean(axis=(0, 1), keepdims=True)
+        self._std = X.std(axis=(0, 1), keepdims=True) + 1e-8
+        Xt = torch.tensor((X - self._mean) / self._std, dtype=torch.float32)
+        Yt = torch.tensor((Y - self._mean) / self._std, dtype=torch.float32)
+        model = self._build_net()
+        opt = torch.optim.Adam(model.parameters(), lr=self.lr)
+        loss_fn = torch.nn.MSELoss()
+        ds = torch.utils.data.TensorDataset(Xt, Yt)
+        loader = torch.utils.data.DataLoader(ds, batch_size=self.batch_size, shuffle=True)
+        model.train()
+        for _ in range(self.max_epochs):
+            for xb, yb in loader:
+                opt.zero_grad()
+                loss = loss_fn(model(xb), yb)
+                loss.backward()
+                opt.step()
+        self._model = model
+        return self
+
+    def predict_batch(self, contexts: np.ndarray) -> np.ndarray:  # pragma: no cover
+        torch, _nn = _torch()
+        self._model.eval()
+        with torch.no_grad():
+            x = torch.tensor((contexts - self._mean) / self._std, dtype=torch.float32)
+            return self._model(x).numpy() * self._std + self._mean
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        if self._model is None:
+            raise RuntimeError("call fit() first")
+        return batch_forecast_multivariate(
+            df, self.predict_batch, self.value_cols, self.input_size, self.h,
+            self.id_col, self.time_col)
+
+
+class MultivariatePatchTSTForecaster(_TorchMVWindowForecaster):
+    """Channel-mixing PatchTST (ref dl/multivariate.py:127-390): every
+    patch flattens ALL variates (patch_len*n_vars -> d_model), so
+    attention mixes across channels; head emits h*n_vars jointly.
+    Requires torch."""
+
+    def __init__(self, h: int = 12, input_size: int = 32, patch_len: int = 8,
+                 value_cols: list[str] | None = None, d_model: int = 64,
+                 n_heads: int = 4, n_layers: int = 2, dropout: float = 0.1,
+                 max_epochs: int = 50, lr: float = 1e-3, batch_size: int = 32,
+                 max_windows: int = 200_000,
+                 id_col: str = ID, time_col: str = TIME):
+        super().__init__(h, input_size, value_cols, max_epochs, lr, batch_size,
+                         max_windows, id_col, time_col)
+        self.patch_len, self.d_model = patch_len, d_model
+        self.n_heads, self.n_layers, self.dropout = n_heads, n_layers, dropout
+
+    def _build_net(self):  # pragma: no cover - torch absent
+        torch, nn = _torch()
+        nv, pl_, dm = len(self.value_cols), self.patch_len, self.d_model
+        n_patches = max(self.input_size // pl_, 1)
+        h = self.h
+
+        class Net(nn.Module):
+            def __init__(self, n_heads, n_layers, dropout):
+                super().__init__()
+                self.proj = nn.Linear(pl_ * nv, dm)
+                self.pos = nn.Parameter(torch.randn(1, n_patches, dm) * 0.02)
+                layer = nn.TransformerEncoderLayer(
+                    d_model=dm, nhead=n_heads, dim_feedforward=dm * 4,
+                    dropout=dropout, batch_first=True)
+                self.encoder = nn.TransformerEncoder(layer, num_layers=n_layers)
+                self.head = nn.Linear(n_patches * dm, h * nv)
+
+            def forward(self, x):  # (b, input_size, nv) -> (b, h, nv)
+                b = x.shape[0]
+                xt = x[:, -(n_patches * pl_):, :]
+                p = xt.reshape(b, n_patches, pl_ * nv)
+                z = self.encoder(self.proj(p) + self.pos)
+                return self.head(z.reshape(b, -1)).reshape(b, h, nv)
+
+        return Net(self.n_heads, self.n_layers, self.dropout)
+
+
+class ITransformerForecaster(_TorchMVWindowForecaster):
+    """Inverted transformer (ref dl/multivariate.py:194-523): each
+    VARIATE is a token (its full history projected to d_model), so
+    attention runs across variables, not time. Requires torch."""
+
+    def __init__(self, h: int = 12, input_size: int = 32,
+                 value_cols: list[str] | None = None, d_model: int = 64,
+                 n_heads: int = 4, n_layers: int = 2, dropout: float = 0.1,
+                 max_epochs: int = 50, lr: float = 1e-3, batch_size: int = 32,
+                 max_windows: int = 200_000,
+                 id_col: str = ID, time_col: str = TIME):
+        super().__init__(h, input_size, value_cols, max_epochs, lr, batch_size,
+                         max_windows, id_col, time_col)
+        self.d_model = d_model
+        self.n_heads, self.n_layers, self.dropout = n_heads, n_layers, dropout
+
+    def _build_net(self):  # pragma: no cover - torch absent
+        torch, nn = _torch()
+        nv, dm, isz, h = len(self.value_cols), self.d_model, self.input_size, self.h
+
+        class Net(nn.Module):
+            def __init__(self, n_heads, n_layers, dropout):
+                super().__init__()
+                self.proj = nn.Linear(isz, dm)
+                self.pos = nn.Parameter(torch.randn(1, nv, dm) * 0.02)
+                layer = nn.TransformerEncoderLayer(
+                    d_model=dm, nhead=n_heads, dim_feedforward=dm * 4,
+                    dropout=dropout, batch_first=True)
+                self.encoder = nn.TransformerEncoder(layer, num_layers=n_layers)
+                self.head = nn.Linear(dm, h)
+
+            def forward(self, x):  # (b, input_size, nv) -> (b, h, nv)
+                z = self.encoder(self.proj(x.transpose(1, 2)) + self.pos)
+                return self.head(z).transpose(1, 2)
+
+        return Net(self.n_heads, self.n_layers, self.dropout)

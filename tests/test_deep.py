@@ -246,3 +246,70 @@ def test_moirai_loader_contract_with_fake_module(monkeypatch):
     out = hook(np.ones((2, 6)))
     assert seen == {"name": "sf/tiny", "pl": 3, "ns": 5}
     assert out.shape == (2, 3) and np.allclose(out, 2.0)  # median of 0..4
+
+
+def test_multivariate_window_builder_analytic(spark):
+    import datetime as dt
+
+    from polars_ts_spark.operators.deep import build_multivariate_windows
+
+    rows = [("a", dt.datetime(2024, 1, 1) + dt.timedelta(days=i),
+             float(i), float(10 * i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "unique_id string, ds timestamp, y double, y2 double")
+    win = build_multivariate_windows(df, ["y", "y2"], input_size=3, h=2)
+    got = {r["start"]: (r["x"], r["y_fut"]) for r in win.collect()}
+    assert set(got) == {0, 1}  # 6 points, window 3+2 -> 2 starts
+    x0, yf0 = got[0]
+    assert [row[0] for row in x0] == [0.0, 1.0, 2.0]
+    assert [row[1] for row in x0] == [0.0, 10.0, 20.0]
+    assert [row[0] for row in yf0] == [3.0, 4.0]
+    # series shorter than input_size + h contribute nothing (no crash)
+    short = spark.createDataFrame(rows[:3], "unique_id string, ds timestamp, y double, y2 double")
+    assert build_multivariate_windows(short, ["y", "y2"], 3, 2).count() == 0
+
+
+def test_batch_forecast_multivariate_torch_free(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from polars_ts_spark.operators.deep import batch_forecast_multivariate
+
+    rows = [(sid, dt.datetime(2024, 1, 1) + dt.timedelta(days=i),
+             float(i + off), float(2 * (i + off)))
+            for sid, off in (("a", 0), ("b", 100)) for i in range(8)]
+    df = spark.createDataFrame(rows, "unique_id string, ds timestamp, y double, y2 double")
+
+    def last_value_carry(ctx):  # (S, input, nv) -> (S, h, nv)
+        return np.repeat(ctx[:, -1:, :], 2, axis=1)
+
+    out = batch_forecast_multivariate(df, last_value_carry, ["y", "y2"],
+                                      input_size=4, h=2)
+    rows_out = {(r["unique_id"], i): (r["y_hat"], r["y2_hat"])
+                for i, r in enumerate(out.orderBy("unique_id", "ds").collect())}
+    assert len(rows_out) == 4  # 2 series x h=2
+    assert rows_out[("a", 0)] == (7.0, 14.0)
+    assert rows_out[("b", 2)] == (107.0, 214.0)
+
+
+def test_multivariate_torch_ports_guarded(spark):
+    from polars_ts_spark.operators import deep
+
+    mv = deep.MultivariatePatchTSTForecaster(h=2, input_size=8, value_cols=["y", "y2"])
+    it = deep.ITransformerForecaster(h=2, input_size=8, value_cols=["y", "y2"])
+    try:
+        import torch  # noqa: F401
+        has_torch = True
+    except ImportError:
+        has_torch = False
+    if not has_torch:
+        import datetime as dt
+        rows = [("a", dt.datetime(2024, 1, 1) + dt.timedelta(days=i), float(i), float(i))
+                for i in range(16)]
+        df = spark.createDataFrame(rows, "unique_id string, ds timestamp, y double, y2 double")
+        with pytest.raises(ImportError, match="torch"):
+            mv.fit(df)
+        with pytest.raises(ImportError, match="torch"):
+            it.fit(df)
+        with pytest.raises(RuntimeError, match="fit"):
+            mv.predict(df)
