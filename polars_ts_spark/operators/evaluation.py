@@ -249,28 +249,53 @@ def conformal_interval(
 # hierarchical reconciliation
 
 
+def _normalize_hierarchy(
+    hierarchy: dict[str, str | list[str]],
+) -> dict[str, list[str]]:
+    """child -> parent OR child -> [parents]: tree and grouped/
+    cross-sectional hierarchies in one shape (ref
+    reconciliation.py:13-38 — a node may roll up into several
+    non-nested grouping dimensions, e.g. product AND region)."""
+    return {
+        c: list(p) if isinstance(p, (list, tuple)) else [p]
+        for c, p in hierarchy.items()
+    }
+
+
+def _ancestor_pairs(hierarchy: dict[str, str | list[str]]) -> list[tuple[str, str]]:
+    """(node, ancestor) transitive closure over a tree OR grouped
+    hierarchy — BFS over all parent lists, deduplicated."""
+    g = _normalize_hierarchy(hierarchy)
+    pairs = []
+    for child in g:
+        seen: set[str] = set()
+        stack = list(g[child])
+        while stack:
+            p = stack.pop()
+            if p in seen:
+                continue
+            seen.add(p)
+            pairs.append((child, p))
+            stack.extend(g.get(p, []))
+    return pairs
+
+
 def reconcile_bottom_up(
     bottom: DataFrame,
-    hierarchy: dict[str, str],
+    hierarchy: dict[str, str | list[str]],
     id_col: str = ID,
     time_col: str = TIME,
     value_col: str = "y_hat",
 ) -> DataFrame:
     """Bottom-up: parents = sum of descendants' base forecasts
-    (reconciliation.py:41-120). The hierarchy (child -> parent) is
+    (reconciliation.py:41-120). The hierarchy (child -> parent, or
+    child -> [parents] for grouped/cross-sectional hierarchies) is
     broadcast as an edge table; totals come from a groupBy — the
     summing-matrix matmul expressed relationally, no driver linear
     algebra. Output includes bottom AND ancestor rows."""
     spark = bottom.sparkSession
     # transitive closure on the driver (hierarchies are small, §1.4)
-    anc_rows = []
-    for child in hierarchy:
-        node, seen = child, set()
-        while node in hierarchy and hierarchy[node] not in seen:
-            parent = hierarchy[node]
-            anc_rows.append((child, parent))
-            seen.add(parent)
-            node = parent
+    anc_rows = _ancestor_pairs(hierarchy)
     edges = spark.createDataFrame(anc_rows, [id_col, "__anc"])
     # bottom feeds BOTH the passthrough and the ancestor aggregation —
     # cache it or the upstream forecast plan runs once per consumer
@@ -309,26 +334,28 @@ def reconcile_top_down(
     )
 
 
-def _summing_matrix(hierarchy: dict[str, str]):
-    """S (n_nodes × n_bottom) for a child->parent tree
-    (ref reconciliation.py:297-328). Returns (S, nodes, bottoms)."""
-    nodes = sorted(set(hierarchy) | set(hierarchy.values()))
-    bottoms = sorted(set(hierarchy) - set(hierarchy.values()))
-    anc: dict[str, set[str]] = {b: {b} for b in bottoms}
-    for b in bottoms:
-        node = b
-        while node in hierarchy:
-            node = hierarchy[node]
-            anc[b].add(node)
+def _summing_matrix(hierarchy: dict[str, str | list[str]]):
+    """S (n_nodes × n_bottom) for a child->parent tree OR grouped
+    hierarchy (ref reconciliation.py:297-328) — a bottom contributes to
+    EVERY ancestor reachable through any of its parent dimensions.
+    Returns (S, nodes, bottoms)."""
+    g = _normalize_hierarchy(hierarchy)
+    parents = {p for ps in g.values() for p in ps}
+    nodes = sorted(set(g) | parents)
+    bottoms = sorted(set(g) - parents)
+    closure = {c: set() for c in g}
+    for c, a in _ancestor_pairs(g):
+        closure.setdefault(c, set()).add(a)
     S = np.zeros((len(nodes), len(bottoms)))
     for j, b in enumerate(bottoms):
+        anc_b = closure.get(b, set()) | {b}
         for i, n in enumerate(nodes):
-            if n in anc[b]:
+            if n in anc_b:
                 S[i, j] = 1.0
     return S, nodes, bottoms
 
 
-def mint_projection(hierarchy: dict[str, str], W: np.ndarray | None = None) -> tuple[np.ndarray, list[str]]:
+def mint_projection(hierarchy: dict[str, str | list[str]], W: np.ndarray | None = None) -> tuple[np.ndarray, list[str]]:
     """MinTrace projection P = S (S' W⁻¹ S)⁻¹ S' W⁻¹ (OLS when W is
     None/identity). Returns (P, node order)."""
     S, nodes, _ = _summing_matrix(hierarchy)

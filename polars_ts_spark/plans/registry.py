@@ -10974,3 +10974,53 @@ def _register_pii_scrub():
 
 
 _register_pii_scrub()
+
+
+# ---------------------------------------------------------------------------
+# Grouped / cross-sectional reconciliation (SURVEY §2.17): each supplier
+# rolls up into TWO non-nested dimensions — its nation AND a suppkey%3
+# band — both under 'total'. Bottom-up over the grouped summing matrix.
+
+def _register_reconcile_grouped():
+    from polars_ts_spark.operators import evaluation
+
+    @register(
+        "reconcile_grouped",
+        PANEL_CTE + ", " + _FREQ_CTE.format(h=7) + _NAIVE_FC_CTE + """,
+    anc AS (
+        SELECT CAST(s_suppkey AS VARCHAR) AS unique_id,
+               'n_' || CAST(s_nationkey AS VARCHAR) AS anc FROM supplier
+        UNION ALL
+        SELECT CAST(s_suppkey AS VARCHAR),
+               'band_' || CAST(s_suppkey % 3 AS VARCHAR) FROM supplier
+        UNION ALL
+        SELECT CAST(s_suppkey AS VARCHAR), 'total' FROM supplier
+    ),
+    parents AS (
+        SELECT a.anc AS unique_id, fc.ds, SUM(fc.y_hat) AS y_hat
+        FROM fc JOIN anc a USING (unique_id)
+        GROUP BY 1, 2
+    )
+    SELECT unique_id, ds, y_hat FROM fc
+    UNION ALL
+    SELECT unique_id, ds, y_hat FROM parents
+    """,
+    )
+    def q_reconcile_grouped(spark, sf_dir):
+        from polars_ts_spark.sources.datasets import load_table
+        panel = supplier_daily_panel(spark, sf_dir)
+        fc = baselines.naive_forecast(panel, h=7)
+        sup = load_table(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").cast("string").alias("sid"),
+            F.concat(F.lit("n_"), F.col("s_nationkey").cast("string")).alias("nat"),
+            F.concat(F.lit("band_"), (F.col("s_suppkey") % 3).cast("string")).alias("band"),
+        ).collect()
+        hierarchy: dict = {}
+        for r in sup:
+            hierarchy[r["sid"]] = [r["nat"], r["band"]]
+            hierarchy[r["nat"]] = "total"
+            hierarchy[r["band"]] = "total"
+        return evaluation.reconcile_bottom_up(fc, hierarchy)
+
+
+_register_reconcile_grouped()

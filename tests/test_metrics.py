@@ -81,3 +81,42 @@ def test_calibration_table(spark):
     df = df.withColumn("q_0.5", F.lit(2.5))
     rows = calibration_table(df).collect()
     assert rows[0]["nominal"] == 0.5 and rows[0]["observed"] == 0.5
+
+
+def test_grouped_hierarchy_summing_matrix_and_bottom_up(spark):
+    # grouped/cross-sectional: each bottom rolls up into TWO non-nested
+    # dimensions; every aggregate must equal the sum of its bottoms and
+    # 'total' must count each bottom exactly once (no double-count via
+    # the two paths)
+    import datetime as dt
+
+    import numpy as np
+
+    from polars_ts_spark.operators import evaluation
+
+    hierarchy = {
+        "a": ["g1", "h1"], "b": ["g1", "h2"], "c": ["g2", "h1"],
+        "g1": "total", "g2": "total", "h1": "total", "h2": "total",
+    }
+    S, nodes, bottoms = evaluation._summing_matrix(hierarchy)
+    assert bottoms == ["a", "b", "c"]
+    tot = S[nodes.index("total")]
+    assert list(tot) == [1.0, 1.0, 1.0]
+    assert list(S[nodes.index("g1")]) == [1.0, 1.0, 0.0]
+    assert list(S[nodes.index("h1")]) == [1.0, 0.0, 1.0]
+    # bottom_up over the same grouped hierarchy
+    t0 = dt.datetime(2024, 1, 1)
+    fc = spark.createDataFrame(
+        [("a", t0, 1.0), ("b", t0, 2.0), ("c", t0, 4.0)],
+        "unique_id string, ds timestamp, y_hat double")
+    out = {r["unique_id"]: r["y_hat"]
+           for r in evaluation.reconcile_bottom_up(fc, hierarchy).collect()}
+    assert out["g1"] == 3.0 and out["g2"] == 4.0
+    assert out["h1"] == 5.0 and out["h2"] == 2.0
+    assert out["total"] == 7.0  # once per bottom, not once per path
+    # MinT projection over grouped S is idempotent on coherent vectors
+    P, pnodes = evaluation.mint_projection(hierarchy)
+    y = S @ np.array([1.0, 2.0, 4.0])
+    coherent = {n: y[i] for i, n in enumerate(nodes)}
+    yp = P @ np.array([coherent[n] for n in pnodes])
+    assert np.allclose(yp, [coherent[n] for n in pnodes])
