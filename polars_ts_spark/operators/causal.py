@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from polars_ts_spark.operators.statespace import KalmanFilter
 from polars_ts_spark.panel import ID, TARGET, TIME
@@ -120,3 +121,30 @@ def causal_impact(
     out.attrs["avg_effect"] = float(effect.mean())
     out.attrs["cum_effect_total"] = float(effect.sum())
     return out
+
+
+def placebo_test(
+    df: DataFrame,
+    intervention_time,
+    placebo_time,
+    model: str = "local_trend",
+    id_col: str = ID,
+    time_col: str = TIME,
+    target_col: str = TARGET,
+) -> pd.DataFrame:
+    """Placebo significance check for ``causal_impact``
+    (causal_impact_reporting.py:116-167): re-run the counterfactual
+    pretending ``placebo_time`` (strictly before the real intervention)
+    was the intervention, using ONLY pre-intervention data — post-real
+    rows are excluded so the genuine effect cannot contaminate the
+    null. A well-specified model shows near-zero placebo effect.
+    Returns the placebo effect frame (same columns as causal_impact);
+    ``attrs['avg_effect']`` / ``attrs['cum_effect_total']`` carry the
+    summary."""
+    t_real = pd.to_datetime(intervention_time)
+    t_placebo = pd.to_datetime(placebo_time)
+    if not t_placebo < t_real:
+        raise ValueError("placebo_time must be strictly before the intervention")
+    pre_only = df.filter(F.col(time_col) < F.lit(t_real))
+    return causal_impact(pre_only, t_placebo, model=model,
+                         id_col=id_col, time_col=time_col, target_col=target_col)

@@ -11024,3 +11024,61 @@ def _register_reconcile_grouped():
 
 
 _register_reconcile_grouped()
+
+
+# ---------------------------------------------------------------------------
+# Causal placebo test (SURVEY §2.17): re-run the counterfactual at a
+# pre-intervention placebo date on pre-intervention-only data — the
+# oracle is the causal_impact machinery over the TRUNCATED panel (first
+# 80% of months) with the cut at 75% of the truncation (= 60% of the
+# full panel), built by controlled surgery on _CAUSAL_IMPACT_ORACLE.
+
+_PLACEBO_ORACLE = (
+    _CAUSAL_IMPACT_ORACLE
+    # define the real cut + truncated panel BEFORE tcut; treal's own
+    # subquery is spelled without spaces so later replaces skip it
+    .replace(
+        ",\n    tcut AS (",
+        """,
+    treal AS (
+        SELECT ds AS t0 FROM (
+            SELECT ds, ROW_NUMBER() OVER (ORDER BY ds) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM (SELECT DISTINCT ds FROM monthly m0)
+        ) WHERE rn = CAST(FLOOR(cnt*0.8) AS BIGINT) + 1
+    ),
+    monthly_t AS (
+        SELECT m.unique_id, m.ds, m.y FROM monthly m, treal
+        WHERE m.ds < treal.t0
+    ),
+    tcut AS (""",
+        1,
+    )
+    .replace("FROM (SELECT DISTINCT ds FROM monthly)",
+             "FROM (SELECT DISTINCT ds FROM monthly_t)", 1)
+    .replace("WHERE rn = CAST(FLOOR(cnt * 0.8) AS BIGINT) + 1",
+             "WHERE rn = CAST(FLOOR(cnt * 0.75) AS BIGINT) + 1", 1)
+    .replace("SELECT MIN(unique_id) AS sid FROM monthly)",
+             "SELECT MIN(unique_id) AS sid FROM monthly_t)", 1)
+    .replace("FROM monthly m, tcut, sid", "FROM monthly_t m, tcut, sid")
+)
+
+
+def _register_causal_placebo():
+    from polars_ts_spark.operators import causal
+
+    @register("causal_placebo", _PLACEBO_ORACLE)
+    def q_causal_placebo(spark, sf_dir):
+        panel = _monthly_panel_exact(spark, sf_dir)
+        times = sorted(r[0] for r in panel.select("ds").distinct().collect())
+        t_real = times[int(len(times) * 0.8)]
+        times_t = [t for t in times if t < t_real]
+        t_placebo = times_t[int(len(times_t) * 0.75)]
+        out = causal.placebo_test(panel, t_real, t_placebo)
+        sdf = spark.createDataFrame(out)
+        for c in ("counterfactual", "effect", "cum_effect"):
+            sdf = sdf.withColumn(c, F.round(c, 4))
+        return sdf
+
+
+_register_causal_placebo()

@@ -69,3 +69,32 @@ def test_enkf_tracks_level():
     xs = enkf.filter(y)
     assert abs(xs[45] - 2.0) < 0.5
     assert abs(xs[-1] - 8.0) < 0.5
+
+
+def test_placebo_test_near_zero_on_stable_series(spark):
+    # a planted stable pre-period: the placebo effect must be near zero
+    # while a REAL level shift at the true intervention is large —
+    # the significance contrast the placebo test exists to provide
+    import datetime as dt
+
+    import numpy as np
+
+    from polars_ts_spark.operators import causal
+
+    t0 = dt.datetime(2024, 1, 1)
+    rng = np.random.default_rng(7)
+    n, shift_at = 60, 45
+    y = 100 + rng.normal(scale=0.5, size=n)
+    y[shift_at:] += 25.0  # real intervention effect
+    rows = [("a", t0 + dt.timedelta(days=i), float(y[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "unique_id string, ds timestamp, y double")
+    t_real = t0 + dt.timedelta(days=shift_at)
+    t_placebo = t0 + dt.timedelta(days=30)
+    placebo = causal.placebo_test(df, t_real, t_placebo)
+    real = causal.causal_impact(df, t_real)
+    assert abs(placebo.attrs["avg_effect"]) < 2.0
+    assert real.attrs["avg_effect"] > 20.0
+    # placebo window ends BEFORE the real intervention
+    assert placebo["ds"].max() < np.datetime64(t_real)
+    with pytest.raises(ValueError, match="strictly before"):
+        causal.placebo_test(df, t_real, t_real)
