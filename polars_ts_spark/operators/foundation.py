@@ -215,3 +215,146 @@ def foundation_forecast(
     if model not in _ADAPTERS:
         raise ValueError(f"unknown foundation model {model!r}; choose from {sorted(_ADAPTERS)}")
     return _ADAPTERS[model](predict_batch=predict_batch, **kw).predict(df, h)
+
+
+# ---------------------------------------------------------------------------
+# foundation-model embeddings (ref adapters/embeddings.py:47-210):
+# fixed-length vectors per series for downstream clustering/similarity
+
+
+def batch_embed(
+    df: DataFrame,
+    embed_batch,
+    context_length: int = 64,
+    id_col: str = ID,
+    time_col: str = TIME,
+    target_col: str = TARGET,
+) -> DataFrame:
+    """Distributed embedding extraction: per bucket of series, stack the
+    last ``context_length`` observations (leading-zero padded) into one
+    (S, context_length) matrix and make a SINGLE ``embed_batch`` call
+    -> (S, d). Output [id, embedding: array<float>] — the embeddings
+    table convention, so the result feeds ``embedsim`` (cosine top-k,
+    LSH/IVF ANN, near-dup pairs) and the clusterers directly. The
+    reference returns wide ``emb_i`` columns (adapters/embeddings.py:
+    35-45); select ``F.col("embedding")[i]`` to widen."""
+    import pandas as pd
+
+    from polars_ts_spark.operators.kernel import for_series_batches
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, ctxs = [], []
+        for sid, g in pdf.groupby(id_col, sort=False):
+            g = g.sort_values(time_col)
+            y = g[target_col].to_numpy(dtype=float)
+            ctx = np.zeros(context_length)
+            ctx[-min(len(y), context_length):] = y[-context_length:]
+            ids.append(sid)
+            ctxs.append(ctx)
+        if not ids:
+            return pd.DataFrame({id_col: pd.Series([], dtype="str"),
+                                 "embedding": pd.Series([], dtype="object")})
+        E = np.asarray(embed_batch(np.vstack(ctxs)), dtype=np.float32)
+        return pd.DataFrame({id_col: ids, "embedding": [e.tolist() for e in E]})
+
+    schema = f"{id_col} string, embedding array<float>"
+    return for_series_batches(df, kern, schema, id_col=id_col, time_col=time_col)
+
+
+class _FoundationEmbedder:
+    """Shared shell for the embedding adapters: a pluggable
+    ``embed_batch`` hook runs inside the distributed plumbing above."""
+
+    _STACK = "torch"
+    _MODEL_DOC = ""
+
+    def __init__(self, model_name: str, context_length: int = 64,
+                 embed_batch=None,
+                 id_col: str = ID, time_col: str = TIME, target_col: str = TARGET):
+        self.model_name = model_name
+        self.context_length = context_length
+        self._hook = embed_batch
+        self.id_col, self.time_col, self.target_col = id_col, time_col, target_col
+
+    def _load_hook(self):  # pragma: no cover - stacks absent in CI
+        raise ImportError(
+            f"{self._STACK} is required for {type(self).__name__} "
+            f"({self._MODEL_DOC}); pass embed_batch= to plug a custom or "
+            "stub encoder into the same distributed plumbing"
+        )
+
+    def embed(self, df: DataFrame) -> DataFrame:
+        hook = self._hook or self._load_hook()
+        return batch_embed(df, hook, self.context_length,
+                           self.id_col, self.time_col, self.target_col)
+
+
+class ChronosEmbedder(_FoundationEmbedder):
+    """Chronos encoder embeddings (adapters/embeddings.py:47-127):
+    tokenize each context, run the encoder, mean-pool the hidden
+    states over time."""
+
+    _STACK = "torch + transformers"
+    _MODEL_DOC = "e.g. amazon/chronos-t5-small"
+
+    def __init__(self, model_name: str = "amazon/chronos-t5-small", **kw):
+        super().__init__(model_name, **kw)
+
+    def _load_hook(self):  # pragma: no cover - transformers absent
+        try:
+            import torch
+            from transformers import AutoModel, AutoTokenizer
+        except ImportError:
+            return super()._load_hook()
+        tok = AutoTokenizer.from_pretrained(self.model_name)
+        model = AutoModel.from_pretrained(self.model_name)
+        model.eval()
+
+        def hook(contexts: np.ndarray) -> np.ndarray:
+            inputs = tok([torch.tensor(c, dtype=torch.float32) for c in contexts],
+                         return_tensors="pt", padding=True)
+            with torch.no_grad():
+                out = model(**inputs)
+            return out.last_hidden_state.mean(dim=1).cpu().numpy()
+
+        return hook
+
+
+class MomentEmbedder(_FoundationEmbedder):
+    """MOMENT embeddings (adapters/embeddings.py:130-210): the
+    pipeline's embedding head over each context window."""
+
+    _STACK = "torch + momentfm"
+    _MODEL_DOC = "e.g. AutonLab/MOMENT-1-small"
+
+    def __init__(self, model_name: str = "AutonLab/MOMENT-1-small", **kw):
+        super().__init__(model_name, **kw)
+
+    def _load_hook(self):  # pragma: no cover - momentfm absent
+        try:
+            import torch
+            from momentfm import MOMENTPipeline
+        except ImportError:
+            return super()._load_hook()
+        model = MOMENTPipeline.from_pretrained(
+            self.model_name, model_kwargs={"task_name": "embedding"})
+        model.init()
+        model.eval()
+
+        def hook(contexts: np.ndarray) -> np.ndarray:
+            x = torch.tensor(contexts, dtype=torch.float32).unsqueeze(1)
+            with torch.no_grad():
+                out = model(x_enc=x)
+            return out.embeddings.cpu().numpy()
+
+        return hook
+
+
+def to_chronos_embeddings(df: DataFrame, embed_batch=None, **kw) -> DataFrame:
+    """Functional form of ChronosEmbedder (ref adapters/embeddings.py:47)."""
+    return ChronosEmbedder(embed_batch=embed_batch, **kw).embed(df)
+
+
+def to_moment_embeddings(df: DataFrame, embed_batch=None, **kw) -> DataFrame:
+    """Functional form of MomentEmbedder (ref adapters/embeddings.py:130)."""
+    return MomentEmbedder(embed_batch=embed_batch, **kw).embed(df)

@@ -313,3 +313,38 @@ def test_multivariate_torch_ports_guarded(spark):
             it.fit(df)
         with pytest.raises(RuntimeError, match="fit"):
             mv.predict(df)
+
+
+def test_foundation_embeddings_plumbing_and_guard(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from polars_ts_spark.operators import foundation
+
+    rows = [(sid, dt.datetime(2024, 1, 1) + dt.timedelta(days=i), float(i + off))
+            for sid, off in (("a", 0), ("b", 50)) for i in range(10)]
+    df = spark.createDataFrame(rows, "unique_id string, ds timestamp, y double")
+
+    from polars_ts_spark.operators import embedsim
+
+    def fake_encoder(ctx):  # (S, context) -> (S, DIM): stats + zero pad
+        stats = np.stack([ctx.mean(1), ctx.std(1), ctx.min(1), ctx.max(1)], axis=1)
+        return np.pad(stats, ((0, 0), (0, embedsim.DIM - 4)))
+
+    out = foundation.to_chronos_embeddings(df, embed_batch=fake_encoder,
+                                           context_length=8)
+    got = {r["unique_id"]: r["embedding"] for r in out.collect()}
+    assert set(got) == {"a", "b"} and len(got["a"]) == embedsim.DIM
+    # last-8 window of series a = 2..9 -> mean 5.5
+    assert abs(got["a"][0] - 5.5) < 1e-6
+    assert abs(got["b"][3] - 59.0) < 1e-6  # max of 52..59
+    # the result feeds embedsim directly (embeddings-table convention)
+    pairs = embedsim.cosine_dedup_pairs(
+        out.withColumnRenamed("unique_id", "vec_id"), threshold=0.0)
+    assert pairs.count() == 1  # one pair, (a, b)
+    # without the injected hook the stacks are absent -> ImportError
+    with pytest.raises(ImportError, match="transformers"):
+        foundation.to_chronos_embeddings(df).collect()
+    with pytest.raises(ImportError, match="momentfm"):
+        foundation.to_moment_embeddings(df).collect()
