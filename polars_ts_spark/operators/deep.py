@@ -464,6 +464,32 @@ def build_multivariate_windows(
     )
 
 
+def stack_contexts(
+    pdf: pd.DataFrame,
+    value_cols: list[str],
+    input_size: int,
+    id_col: str = ID,
+    time_col: str = TIME,
+):
+    """Shared per-bucket context stacking for the batched inference
+    kernels: per series, the last ``input_size`` rows of every variate,
+    leading-zero padded. Returns (ids, contexts (S, input_size, n_vars),
+    last_ts, freqs)."""
+    n_vars = len(value_cols)
+    ids, ctxs, last_ts, freqs = [], [], [], []
+    for sid, g in pdf.groupby(id_col, sort=False):
+        g = g.sort_values(time_col)
+        arr = g[value_cols].to_numpy(dtype=float)
+        ctx = np.zeros((input_size, n_vars))
+        ctx[-min(len(arr), input_size):] = arr[-input_size:]
+        ids.append(sid)
+        ctxs.append(ctx)
+        ts = pd.to_datetime(g[time_col])
+        last_ts.append(ts.iloc[-1])
+        freqs.append(ts.diff().dropna().median() if len(ts) > 1 else pd.Timedelta(days=1))
+    return ids, ctxs, last_ts, freqs
+
+
 def batch_forecast_multivariate(
     df: DataFrame,
     predict_batch,
@@ -477,20 +503,9 @@ def batch_forecast_multivariate(
     ``input_size`` rows of every variate (leading-zero padded) into one
     (S, input_size, n_vars) tensor and make a SINGLE ``predict_batch``
     call -> (S, h, n_vars). Output [id, ds, <col>_hat ...]."""
-    n_vars = len(value_cols)
-
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids, ctxs, last_ts, freqs = [], [], [], []
-        for sid, g in pdf.groupby(id_col, sort=False):
-            g = g.sort_values(time_col)
-            arr = g[value_cols].to_numpy(dtype=float)
-            ctx = np.zeros((input_size, n_vars))
-            ctx[-min(len(arr), input_size):] = arr[-input_size:]
-            ids.append(sid)
-            ctxs.append(ctx)
-            ts = pd.to_datetime(g[time_col])
-            last_ts.append(ts.iloc[-1])
-            freqs.append(ts.diff().dropna().median() if len(ts) > 1 else pd.Timedelta(days=1))
+        ids, ctxs, last_ts, freqs = stack_contexts(
+            pdf, value_cols, input_size, id_col, time_col)
         cols = {id_col: pd.Series([], dtype="str"),
                 time_col: pd.Series([], dtype="datetime64[us]")}
         cols.update({f"{c}_hat": pd.Series([], dtype="float64") for c in value_cols})
@@ -602,7 +617,12 @@ class MultivariatePatchTSTForecaster(_TorchMVWindowForecaster):
     def _build_net(self):  # pragma: no cover - torch absent
         torch, nn = _torch()
         nv, pl_, dm = len(self.value_cols), self.patch_len, self.d_model
-        n_patches = max(self.input_size // pl_, 1)
+        # ceil-patches + LEFT zero-pad (the univariate PatchTST
+        # convention): input_size that is shorter than, or not a
+        # multiple of, patch_len pads instead of crashing / silently
+        # dropping the oldest observations
+        n_patches = -(-self.input_size // pl_)
+        pad = n_patches * pl_ - self.input_size
         h = self.h
 
         class Net(nn.Module):
@@ -618,8 +638,9 @@ class MultivariatePatchTSTForecaster(_TorchMVWindowForecaster):
 
             def forward(self, x):  # (b, input_size, nv) -> (b, h, nv)
                 b = x.shape[0]
-                xt = x[:, -(n_patches * pl_):, :]
-                p = xt.reshape(b, n_patches, pl_ * nv)
+                if pad:
+                    x = torch.nn.functional.pad(x, (0, 0, pad, 0))
+                p = x.reshape(b, n_patches, pl_ * nv)
                 z = self.encoder(self.proj(p) + self.pos)
                 return self.head(z.reshape(b, -1)).reshape(b, h, nv)
 

@@ -240,21 +240,16 @@ def batch_embed(
     35-45); select ``F.col("embedding")[i]`` to widen."""
     import pandas as pd
 
+    from polars_ts_spark.operators.deep import stack_contexts
     from polars_ts_spark.operators.kernel import for_series_batches
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids, ctxs = [], []
-        for sid, g in pdf.groupby(id_col, sort=False):
-            g = g.sort_values(time_col)
-            y = g[target_col].to_numpy(dtype=float)
-            ctx = np.zeros(context_length)
-            ctx[-min(len(y), context_length):] = y[-context_length:]
-            ids.append(sid)
-            ctxs.append(ctx)
+        ids, ctxs, _ts, _fr = stack_contexts(
+            pdf, [target_col], context_length, id_col, time_col)
         if not ids:
             return pd.DataFrame({id_col: pd.Series([], dtype="str"),
                                  "embedding": pd.Series([], dtype="object")})
-        E = np.asarray(embed_batch(np.vstack(ctxs)), dtype=np.float32)
+        E = np.asarray(embed_batch(np.stack(ctxs)[:, :, 0]), dtype=np.float32)
         return pd.DataFrame({id_col: ids, "embedding": [e.tolist() for e in E]})
 
     schema = f"{id_col} string, embedding array<float>"
@@ -291,31 +286,30 @@ class _FoundationEmbedder:
 
 class ChronosEmbedder(_FoundationEmbedder):
     """Chronos encoder embeddings (adapters/embeddings.py:47-127):
-    tokenize each context, run the encoder, mean-pool the hidden
-    states over time."""
+    ``ChronosPipeline.embed`` handles the NUMERIC tokenization (Chronos
+    has no text tokenizer — quantile-binning lives in the chronos
+    package, same stack the sibling ChronosForecaster uses); the
+    encoder output is mean-pooled over time."""
 
-    _STACK = "torch + transformers"
+    _STACK = "torch + chronos"
     _MODEL_DOC = "e.g. amazon/chronos-t5-small"
 
     def __init__(self, model_name: str = "amazon/chronos-t5-small", **kw):
         super().__init__(model_name, **kw)
 
-    def _load_hook(self):  # pragma: no cover - transformers absent
+    def _load_hook(self):  # pragma: no cover - chronos absent
         try:
             import torch
-            from transformers import AutoModel, AutoTokenizer
+            from chronos import ChronosPipeline
         except ImportError:
             return super()._load_hook()
-        tok = AutoTokenizer.from_pretrained(self.model_name)
-        model = AutoModel.from_pretrained(self.model_name)
-        model.eval()
+        pipe = ChronosPipeline.from_pretrained(self.model_name)
 
         def hook(contexts: np.ndarray) -> np.ndarray:
-            inputs = tok([torch.tensor(c, dtype=torch.float32) for c in contexts],
-                         return_tensors="pt", padding=True)
+            ctx = torch.tensor(contexts, dtype=torch.float32)
             with torch.no_grad():
-                out = model(**inputs)
-            return out.last_hidden_state.mean(dim=1).cpu().numpy()
+                emb, _state = pipe.embed(ctx)  # (S, seq, d_model)
+            return emb.mean(dim=1).cpu().numpy()
 
         return hook
 
@@ -340,11 +334,22 @@ class MomentEmbedder(_FoundationEmbedder):
             self.model_name, model_kwargs={"task_name": "embedding"})
         model.init()
         model.eval()
+        # MOMENT checkpoints are trained on a FIXED seq_len (512): left-
+        # zero-pad shorter contexts and mark real steps via input_mask —
+        # feeding raw short windows is off-distribution or errors
+        seq_len = int(getattr(getattr(model, "config", None), "seq_len", 512) or 512)
 
         def hook(contexts: np.ndarray) -> np.ndarray:
-            x = torch.tensor(contexts, dtype=torch.float32).unsqueeze(1)
+            s, n = contexts.shape
+            x = np.zeros((s, seq_len), dtype=np.float32)
+            mask = np.zeros((s, seq_len), dtype=np.float32)
+            take = min(n, seq_len)
+            x[:, -take:] = contexts[:, -take:]
+            mask[:, -take:] = 1.0
+            xt = torch.tensor(x, dtype=torch.float32).unsqueeze(1)
+            mt = torch.tensor(mask, dtype=torch.float32)
             with torch.no_grad():
-                out = model(x_enc=x)
+                out = model(x_enc=xt, input_mask=mt)
             return out.embeddings.cpu().numpy()
 
         return hook

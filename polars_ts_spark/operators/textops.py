@@ -1141,15 +1141,18 @@ def lsh_dedup_keep_first(
         band_keys = minhash_band_keys(
             df, num_hashes, bands, shingle_n, text_col, id_col
         )
-    melted = band_keys.join(df.select(id_col, time_col), id_col)
+    # one row per DOCUMENT before the window: a source that delivers the
+    # same doc row twice must neither re-emit it nor make the doc
+    # compete with its own copy for rank 1 (rn=2 would mark it dropped)
+    base = df.groupBy(id_col).agg(F.min(time_col).alias(time_col))
+    melted = band_keys.join(base, id_col)
     w = Window.partitionBy("__band", "__key").orderBy(time_col, id_col)
     flagged = melted.withColumn(
         "__first", (F.row_number().over(w) == 1).cast("int")
     )
     keyed = flagged.groupBy(id_col).agg(F.min("__first").alias("__keep"))
     return (
-        df.select(id_col, time_col)
-        .join(keyed, id_col, "left")
+        base.join(keyed, id_col, "left")
         .filter(F.coalesce(F.col("__keep"), F.lit(1)) == 1)
         .select(id_col, time_col)
     )

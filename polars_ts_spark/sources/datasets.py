@@ -98,6 +98,10 @@ def load_dataset(
     import urllib.parse
     import urllib.request
 
+    if os.sep in name or (os.altsep and os.altsep in name) or ".." in name:
+        # the name becomes a cache filename; a path-like name would
+        # write/delete OUTSIDE the 0o700 cache dir
+        raise ValueError(f"dataset name must be a bare identifier, got {name!r}")
     cache_dir = cache_dir or os.path.join(
         os.path.expanduser("~"), ".cache", "polars_ts_spark")
     os.makedirs(cache_dir, mode=0o700, exist_ok=True)
@@ -116,7 +120,7 @@ def load_dataset(
         if parsed.scheme in ("", "file"):
             shutil.copyfile(parsed.path or url, dest)
         else:
-            with urllib.request.urlopen(url) as r, open(dest, "wb") as out:
+            with urllib.request.urlopen(url, timeout=60) as r, open(dest, "wb") as out:
                 shutil.copyfileobj(r, out)
         got = _digest(dest)
         if got != sha256:

@@ -362,10 +362,15 @@ def streaming_lsh_dedup_handler(
                 # earlier batches only: replays must not see their own keys
                 seen = spark.read.parquet(seen_dir).filter(F.col("batch") < batch_id)
             except AnalysisException as exc:
-                # ONLY a missing state dir means "first batch" — schema or
-                # metadata corruption of real state must fail the batch
-                # loudly, not silently disable dedup
-                if "PATH_NOT_FOUND" not in str(exc):
+                # "first batch" legitimately shows up two ways: no state
+                # dir at all (PATH_NOT_FOUND), or a dir holding only the
+                # _temporary leftovers of a torn batch-0 write
+                # (UNABLE_TO_INFER_SCHEMA — zero committed data files;
+                # the replay overwrites that partition anyway). Anything
+                # else is real state corruption and must fail the batch
+                # loudly, not silently disable dedup.
+                if not any(k in str(exc)
+                           for k in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")):
                     raise
                 seen = None
             if seen is not None:

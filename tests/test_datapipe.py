@@ -616,3 +616,18 @@ def test_curation_ops_handle_empty_corpus(spark):
     timed = empty.withColumn("ds", F.current_timestamp())
     assert textops.lsh_dedup_keep_first(timed).count() == 0
     assert textops.corpus_curation(empty).count() == 0
+
+
+def test_lsh_dedup_one_row_per_doc_even_on_duplicate_input_rows(spark):
+    # an at-least-once source can deliver the same doc row twice within
+    # one batch; a dedup operator must still emit ONE row per doc
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "2024-01-01 00:00:00"),
+        (0, "the quick brown fox jumps over the lazy dog", "2024-01-01 00:00:00"),
+        (1, "xx", "2024-01-01 00:00:01"),
+        (1, "xx", "2024-01-01 00:00:01"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "ds_s"]).withColumn(
+        "ds", F.to_timestamp("ds_s")).drop("ds_s")
+    out = textops.lsh_dedup_keep_first(docs).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1]

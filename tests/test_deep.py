@@ -344,7 +344,7 @@ def test_foundation_embeddings_plumbing_and_guard(spark):
         out.withColumnRenamed("unique_id", "vec_id"), threshold=0.0)
     assert pairs.count() == 1  # one pair, (a, b)
     # without the injected hook the stacks are absent -> ImportError
-    with pytest.raises(ImportError, match="transformers"):
+    with pytest.raises(ImportError, match="chronos"):
         foundation.to_chronos_embeddings(df).collect()
     with pytest.raises(ImportError, match="momentfm"):
         foundation.to_moment_embeddings(df).collect()

@@ -173,3 +173,15 @@ def test_load_dataset_sha256_verify_and_cache(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="sha256 mismatch"):
         load_dataset(spark, "region_bad", f"file://{src}", "0" * 64, cache_dir=cache)
     assert not os.path.exists(os.path.join(cache, "region_bad.parquet"))
+
+
+def test_load_dataset_rejects_path_like_names(spark, tmp_path_factory):
+    import hashlib
+
+    from polars_ts_spark.sources.datasets import load_dataset
+
+    src = f"{SF_DIR}/region.parquet"
+    digest = hashlib.sha256(open(src, "rb").read()).hexdigest()
+    cache = str(tmp_path_factory.mktemp("dlsafe"))
+    with pytest.raises(ValueError, match="bare identifier"):
+        load_dataset(spark, "../evil", f"file://{src}", digest, cache_dir=cache)
