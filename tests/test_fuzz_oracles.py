@@ -15,6 +15,7 @@ import tempfile
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from polars_ts_spark.operators import textops
 
@@ -72,6 +73,11 @@ CASES = [
     ("pii_scrub",
      lambda df: textops.pii_scrub(df),
      lambda: textops.pii_scrub_oracle()),
+    ("lsh_dedup_keep_first",
+     lambda df: textops.lsh_dedup_keep_first(df.withColumn(
+         "ds", F.expr("timestamp_seconds(unix_seconds("
+                      "timestamp'2024-01-01 00:00:00') + doc_id)"))),
+     lambda: textops.lsh_dedup_keep_first_oracle()),
 ]
 
 
