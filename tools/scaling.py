@@ -29,6 +29,8 @@ DEFAULT = (
     "exact_dedup",         # md5 group
     "minhash_lsh_pairs",   # explode + band self-join
     "dup_ngram_stats",     # explode + two group-bys + join
+    "lsh_dedup_keep_first",  # signature window + id join
+    "pii_scrub",           # regex projection
     "cosine_topk",         # GEMM
 )
 
