@@ -470,24 +470,33 @@ def stack_contexts(
     input_size: int,
     id_col: str = ID,
     time_col: str = TIME,
+    with_times: bool = True,
 ):
     """Shared per-bucket context stacking for the batched inference
     kernels: per series, the last ``input_size`` rows of every variate,
     leading-zero padded. Returns (ids, contexts (S, input_size, n_vars),
-    last_ts, freqs)."""
+    lengths, last_ts, freqs) — ``lengths`` is the count of REAL (non-
+    pad) trailing steps per series, which masking consumers (foundation
+    embedders) need to avoid treating pad zeros as observations.
+    ``with_times=False`` skips the datetime/frequency work (and its
+    to_datetime coercion) for consumers that only embed, not forecast."""
     n_vars = len(value_cols)
-    ids, ctxs, last_ts, freqs = [], [], [], []
+    ids, ctxs, lengths, last_ts, freqs = [], [], [], [], []
     for sid, g in pdf.groupby(id_col, sort=False):
         g = g.sort_values(time_col)
         arr = g[value_cols].to_numpy(dtype=float)
         ctx = np.zeros((input_size, n_vars))
-        ctx[-min(len(arr), input_size):] = arr[-input_size:]
+        take = min(len(arr), input_size)
+        ctx[-take:] = arr[-input_size:]
         ids.append(sid)
         ctxs.append(ctx)
-        ts = pd.to_datetime(g[time_col])
-        last_ts.append(ts.iloc[-1])
-        freqs.append(ts.diff().dropna().median() if len(ts) > 1 else pd.Timedelta(days=1))
-    return ids, ctxs, last_ts, freqs
+        lengths.append(take)
+        if with_times:
+            ts = pd.to_datetime(g[time_col])
+            last_ts.append(ts.iloc[-1])
+            freqs.append(ts.diff().dropna().median() if len(ts) > 1
+                         else pd.Timedelta(days=1))
+    return ids, ctxs, lengths, last_ts, freqs
 
 
 def batch_forecast_multivariate(
@@ -504,7 +513,7 @@ def batch_forecast_multivariate(
     (S, input_size, n_vars) tensor and make a SINGLE ``predict_batch``
     call -> (S, h, n_vars). Output [id, ds, <col>_hat ...]."""
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids, ctxs, last_ts, freqs = stack_contexts(
+        ids, ctxs, _lens, last_ts, freqs = stack_contexts(
             pdf, value_cols, input_size, id_col, time_col)
         cols = {id_col: pd.Series([], dtype="str"),
                 time_col: pd.Series([], dtype="datetime64[us]")}

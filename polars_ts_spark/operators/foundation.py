@@ -233,7 +233,11 @@ def batch_embed(
     """Distributed embedding extraction: per bucket of series, stack the
     last ``context_length`` observations (leading-zero padded) into one
     (S, context_length) matrix and make a SINGLE ``embed_batch`` call
-    -> (S, d). Output [id, embedding: array<float>] — the embeddings
+    -> (S, d). ``embed_batch(contexts, lengths)`` also receives the
+    per-series count of REAL trailing steps, so model hooks mask the
+    leading zero-padding instead of embedding it as data (short series
+    would otherwise be dominated by pad zeros).
+    Output [id, embedding: array<float>] — the embeddings
     table convention, so the result feeds ``embedsim`` (cosine top-k,
     LSH/IVF ANN, near-dup pairs) and the clusterers directly. The
     reference returns wide ``emb_i`` columns (adapters/embeddings.py:
@@ -244,12 +248,14 @@ def batch_embed(
     from polars_ts_spark.operators.kernel import for_series_batches
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids, ctxs, _ts, _fr = stack_contexts(
-            pdf, [target_col], context_length, id_col, time_col)
+        ids, ctxs, lens, _ts, _fr = stack_contexts(
+            pdf, [target_col], context_length, id_col, time_col,
+            with_times=False)
         if not ids:
             return pd.DataFrame({id_col: pd.Series([], dtype="str"),
                                  "embedding": pd.Series([], dtype="object")})
-        E = np.asarray(embed_batch(np.stack(ctxs)[:, :, 0]), dtype=np.float32)
+        E = np.asarray(embed_batch(np.stack(ctxs)[:, :, 0], np.asarray(lens)),
+                       dtype=np.float32)
         return pd.DataFrame({id_col: ids, "embedding": [e.tolist() for e in E]})
 
     schema = f"{id_col} string, embedding array<float>"
@@ -305,10 +311,12 @@ class ChronosEmbedder(_FoundationEmbedder):
             return super()._load_hook()
         pipe = ChronosPipeline.from_pretrained(self.model_name)
 
-        def hook(contexts: np.ndarray) -> np.ndarray:
-            ctx = torch.tensor(contexts, dtype=torch.float32)
+        def hook(contexts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+            ctx = contexts.astype(np.float32).copy()
+            for i, n in enumerate(lengths):  # pad -> NaN: Chronos masks ~isnan
+                ctx[i, : ctx.shape[1] - int(n)] = np.nan
             with torch.no_grad():
-                emb, _state = pipe.embed(ctx)  # (S, seq, d_model)
+                emb, _state = pipe.embed(torch.tensor(ctx))  # (S, seq, d_model)
             return emb.mean(dim=1).cpu().numpy()
 
         return hook
@@ -339,13 +347,14 @@ class MomentEmbedder(_FoundationEmbedder):
         # feeding raw short windows is off-distribution or errors
         seq_len = int(getattr(getattr(model, "config", None), "seq_len", 512) or 512)
 
-        def hook(contexts: np.ndarray) -> np.ndarray:
+        def hook(contexts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
             s, n = contexts.shape
             x = np.zeros((s, seq_len), dtype=np.float32)
             mask = np.zeros((s, seq_len), dtype=np.float32)
             take = min(n, seq_len)
             x[:, -take:] = contexts[:, -take:]
-            mask[:, -take:] = 1.0
+            for i, ln in enumerate(lengths):  # only REAL steps are observed
+                mask[i, seq_len - min(int(ln), take):] = 1.0
             xt = torch.tensor(x, dtype=torch.float32).unsqueeze(1)
             mt = torch.tensor(mask, dtype=torch.float32)
             with torch.no_grad():

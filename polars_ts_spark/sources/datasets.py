@@ -98,8 +98,11 @@ def load_dataset(
     import urllib.parse
     import urllib.request
 
-    if os.sep in name or (os.altsep and os.altsep in name) or ".." in name:
-        # the name becomes a cache filename; a path-like name would
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name) or ".." in name:
+        # the name becomes a cache filename; anything path-like (seps,
+        # '..', Windows drive-relative 'C:x' or ADS colons) would
         # write/delete OUTSIDE the 0o700 cache dir
         raise ValueError(f"dataset name must be a bare identifier, got {name!r}")
     cache_dir = cache_dir or os.path.join(

@@ -328,7 +328,8 @@ def test_foundation_embeddings_plumbing_and_guard(spark):
 
     from polars_ts_spark.operators import embedsim
 
-    def fake_encoder(ctx):  # (S, context) -> (S, DIM): stats + zero pad
+    def fake_encoder(ctx, lengths):  # (S, context) -> (S, DIM)
+        assert all(n == 8 for n in lengths)  # series longer than context
         stats = np.stack([ctx.mean(1), ctx.std(1), ctx.min(1), ctx.max(1)], axis=1)
         return np.pad(stats, ((0, 0), (0, embedsim.DIM - 4)))
 
