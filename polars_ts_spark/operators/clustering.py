@@ -679,7 +679,11 @@ def kmeans_dba(
     centroid panel cross join); only the barycenter update (k small
     centroid refits over member arrays) runs on the driver."""
     spark = df.sparkSession
-    rows = _collect_array_panel(df, id_col, time_col, target_col, "kmeans_dba")
+    rows = sorted(
+        _collect_array_panel(df, id_col, time_col, target_col, "kmeans_dba"),
+        key=lambda r: r[id_col],
+    )  # sorted ids: the LCG centroid sample indexes rows, so row order
+    # must not depend on Spark's collect order (same fix as kshape/kasba)
     ids = [r[id_col] for r in rows]
     series = {r[id_col]: np.asarray(r["vals"], float) for r in rows}
     rng = _LCG(seed)

@@ -345,8 +345,21 @@ def _bucket_topk_kernel(pdf, id_col: str, k: int, max_bucket: int):
                              "cosine": np.array([], dtype=np.float64)})
     M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
     n_splits = -(-m // max_bucket)
-    split_of = (ids.astype(np.int64) * 2654435761 % 2**31) % n_splits if n_splits > 1 \
-        else np.zeros(m, dtype=np.int64)
+    if n_splits > 1:
+        try:
+            key = ids.astype(np.int64)
+        except (ValueError, TypeError):
+            # string / non-numeric ids: deterministic md5-derived key
+            # (the int fast path stays bit-identical for numeric ids)
+            import hashlib
+
+            key = np.frombuffer(
+                b"".join(hashlib.md5(str(s).encode()).digest()[:8] for s in ids),
+                dtype=">u8",
+            ).astype(np.int64)
+        split_of = (key * 2654435761 % 2**31) % n_splits
+    else:
+        split_of = np.zeros(m, dtype=np.int64)
     out_v, out_n, out_c = [], [], []
     EXC = np.int64(-(10 ** 7))  # below any real 6dp cosine ×1e6 (>= -1e6)
     for sp in range(n_splits):
@@ -736,6 +749,7 @@ def ivf_ann_topk(
     dim: int = DIM,
     max_cell: int = 32768,
     train_cap: int = 65536,
+    warn_oversize: bool = False,
 ) -> DataFrame:
     """IVF-flat approximate top-k cosine neighbors: a coarse k-means
     quantizer partitions the corpus into ``n_cells`` inverted lists;
@@ -841,6 +855,26 @@ def ivf_ann_topk(
         )
         .withColumn("is_member", (F.col("__pos") == 0).cast("int"))
     )
+    if warn_oversize:
+        # oversized cells re-split deterministically inside the kernel
+        # (recall loss per the ANN contract) while a whole-cell oracle
+        # scans them intact — surface the parity break instead of
+        # diverging silently. Opt-in: it costs one counting pass.
+        import warnings
+
+        over = (
+            exploded.groupBy("__cell").count()
+            .filter(F.col("count") > max_cell).collect()
+        )
+        if over:
+            cells = sorted(int(r["__cell"]) for r in over)
+            warnings.warn(
+                f"ivf_ann_topk: cell(s) {cells} exceed max_cell={max_cell} and "
+                "will be re-split (deterministic recall loss vs a whole-cell "
+                "scan); raise n_cells (~sqrt(n)) or max_cell",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     cand_schema = f"vec_id {id_dtype}, neighbor_id {id_dtype}, cosine double"
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cands = (

@@ -57,8 +57,8 @@ def backtest(
     if len(times) < horizon * (n_folds + 1):
         raise ValueError("not enough timestamps for the requested folds")
     step = step or horizon
-    fold_rows = []
-    for fold in range(n_folds):
+
+    def run_fold(fold: int) -> dict:
         cut_idx = len(times) - horizon - (n_folds - 1 - fold) * step
         cut = times[cut_idx - 1]
         test_end = times[min(cut_idx + horizon - 1, len(times) - 1)]
@@ -80,7 +80,18 @@ def backtest(
             )
         row = joined.agg(*[v.alias(k) for k, v in agg.items()]).collect()[0].asDict()
         row["fold"] = fold
-        fold_rows.append(row)
+        return row
+
+    # folds are independent Spark jobs — submit them from a thread pool
+    # so the scheduler interleaves their stages instead of running
+    # n_folds sequential barriers (the reference burns a process per
+    # fold, backtest.py:207-227; job-level concurrency is the Spark
+    # equivalent). model_fn must build a fresh model per call — every
+    # registered caller does.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(n_folds, 8)) as pool:
+        fold_rows = list(pool.map(run_fold, range(n_folds)))
     folds = pd.DataFrame(fold_rows)
     summary = folds.drop(columns="fold").agg(["mean", "std"]).T.reset_index()
     summary.columns = ["metric", "mean", "std"]
@@ -169,11 +180,16 @@ class StackingForecaster:
         for n in names:
             p = self.base[n](train, holdout).withColumnRenamed("y_hat", f"__p_{n}")
             joined = joined.join(p, [self.id_col, self.time_col], "inner")
-        pdf = joined.toPandas()
-        X = pdf[[f"__p_{n}" for n in names]].to_numpy(dtype=float)
-        y = pdf[self.target_col].to_numpy(dtype=float)
-        X1 = np.column_stack([X, np.ones(len(X))])
-        self.meta = np.linalg.lstsq(X1, y, rcond=None)[0]
+        # meta-ridge needs only X'X / X'y — one distributed aggregation
+        # of (B+1)² scalars instead of collecting the n_series × holdout
+        # × B prediction frame to the driver (alpha=0: plain normal
+        # equations, the oracle's exact math; lstsq fallback inside
+        # covers a singular prediction Gram)
+        from polars_ts_spark.operators.pipeline import _ridge_fit_distributed
+
+        self.meta = _ridge_fit_distributed(
+            joined, [f"__p_{n}" for n in names], self.target_col, alpha=0.0
+        )
         return self
 
     def predict(self, df: DataFrame, h: int = 7) -> DataFrame:
@@ -892,17 +908,14 @@ def kaboudan_metric(
     train = df.filter(F.col(time_col) <= F.lit(cut))
     test = df.filter(F.col(time_col) > F.lit(cut))
 
-    def sse_of(train_df):
+    def sse_of(train_df, name: str) -> DataFrame:
         preds = model_fn(train_df, horizon)
         j = test.select(id_col, time_col, target_col).join(preds, [id_col, time_col], "inner")
-        return (
-            j.groupBy(id_col)
-            .agg(F.sum(F.pow(F.col(target_col) - F.col("y_hat"), 2)).alias("sse"))
-            .toPandas()
-            .set_index(id_col)["sse"]
+        return j.groupBy(id_col).agg(
+            F.sum(F.pow(F.col(target_col) - F.col("y_hat"), 2)).alias(name)
         )
 
-    sse = sse_of(train)
+    sse = sse_of(train, "sse")
     # Block-shuffle each series' training values (ids/timestamps fixed)
     # — fully DISTRIBUTED (no panel collect): ordering rows by
     # (md5 block key, original row index) is exactly "concatenate the
@@ -930,9 +943,16 @@ def kaboudan_metric(
         .join(src, (F.col(id_col) == F.col("__sid")) & (F.col("__rn0") == F.col("__dest")))
         .select(id_col, time_col, F.col("__val").alias(target_col))
     )
-    sse_sh = sse_of(shuffled)
-    eta = (1.0 - sse / sse_sh).clip(lower=0.0)
-    return pd.DataFrame({id_col: eta.index, "kaboudan": eta.to_numpy()})
+    # eta stays in Spark: join the two per-series SSE frames and compute
+    # the ratio as a column — only the n_series-row RESULT leaves the
+    # cluster, not two intermediate SSE round-trips (ref
+    # metrics/kaboudan.py:21-216 computes eta per series the same way)
+    sse_sh = sse_of(shuffled, "sse_sh")
+    eta = sse.join(sse_sh, id_col).select(
+        id_col,
+        F.greatest(F.lit(0.0), 1.0 - F.col("sse") / F.col("sse_sh")).alias("kaboudan"),
+    )
+    return eta.toPandas()
 
 
 # ---------------------------------------------------------------------------
@@ -940,6 +960,8 @@ def kaboudan_metric(
 
 
 def _union_all(frames: list[DataFrame]) -> DataFrame:
+    if not frames:
+        raise ValueError("_union_all: no frames to union")
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
@@ -956,6 +978,8 @@ class EnbPI:
 
     def __init__(self, model_factory, n_bootstraps: int = 10, coverage: float = 0.9, seed: int = 42,
                  id_col: str = ID, time_col: str = TIME, target_col: str = TARGET):
+        if n_bootstraps < 1:
+            raise ValueError(f"EnbPI needs n_bootstraps >= 1, got {n_bootstraps}")
         self.factory = model_factory
         self.B = n_bootstraps
         self.coverage = coverage

@@ -93,7 +93,29 @@ def _training_frame(
     return out.dropna(), feat_cols
 
 
-def _collect_xy(feat_df: DataFrame, feat_cols: list[str], target_col: str):
+# Driver-side design-matrix collects above this many total elements
+# (rows × columns) raise instead of OOMing the driver — the same 256 MB
+# order as clustering._DRIVER_ELEMS_CAP. The built-in ridge and the
+# quantile IRLS fit from distributed sufficient statistics and never
+# hit this; only arbitrary sklearn-protocol estimators (whose fit() is
+# driver numpy by contract) collect, and past the cap the honest move
+# is to refuse with guidance, not to spill.
+_XY_ELEMS_CAP = 32_000_000
+
+
+def _collect_xy(feat_df: DataFrame, feat_cols: list[str], target_col: str,
+                op_name: str = "fit"):
+    n = feat_df.count()
+    elems = n * (len(feat_cols) + 1)
+    if elems > _XY_ELEMS_CAP:
+        raise ValueError(
+            f"{op_name}: design matrix holds {elems} elements "
+            f"({n} rows x {len(feat_cols) + 1} cols), over the driver-collect "
+            f"cap ({_XY_ELEMS_CAP}). Arbitrary sklearn-protocol estimators "
+            "fit on the driver by contract; use the built-in RidgeEstimator "
+            "(distributed sufficient-statistics fit), shrink the feature set, "
+            "or fit on a bounded sample."
+        )
     pdf = feat_df.select(*feat_cols, target_col).toPandas()
     X = pdf[feat_cols].to_numpy(dtype=float)
     y = pdf[target_col].to_numpy(dtype=float)
@@ -134,7 +156,12 @@ def _ridge_fit_distributed(
     if alpha > 0:
         idx = np.arange(d)
         A[idx, idx] += alpha
-    return np.linalg.solve(A, b)
+    try:
+        return np.linalg.solve(A, b)
+    except np.linalg.LinAlgError:
+        # singular Gram (collinear features, alpha=0): minimum-norm
+        # least-squares instead of a crash — same answer when full-rank
+        return np.linalg.lstsq(A, b, rcond=None)[0]
 
 
 def _fit_estimator(est, feat_df: DataFrame, feat_cols: list[str], target_col: str):
@@ -146,7 +173,8 @@ def _fit_estimator(est, feat_df: DataFrame, feat_cols: list[str], target_col: st
     if isinstance(est, _RE):
         est.coef_ = _ridge_fit_distributed(feat_df, feat_cols, target_col, est.alpha)
         return est
-    X, y = _collect_xy(feat_df, feat_cols, target_col)
+    X, y = _collect_xy(feat_df, feat_cols, target_col,
+                       op_name=type(est).__name__ + ".fit")
     return est.fit(X, y)
 
 
@@ -410,16 +438,28 @@ class ForecastPipeline(RecursiveForecaster):
 
 class GlobalForecaster(RecursiveForecaster):
     """Pooled model with ordinal id encoding as an extra feature
-    (global_model.py:25-382). The encoding is a broadcast join of a
-    tiny id->code map; decode adds the constant per series."""
+    (global_model.py:25-382). The encoding is DISTRIBUTED end to end:
+    ``__id_code`` = row_number over the distinct-id frame (the oracle's
+    ROW_NUMBER() OVER (ORDER BY unique_id) - 1), kept as a column and
+    joined back for decode — no driver dict of n_series entries, no
+    createDataFrame re-ship, no broadcast of an unbounded map. The
+    row_number window sorts only the distinct ids (the small axis);
+    the join is a plain equi-join Catalyst/AQE sizes itself."""
+
+    def _id_code_frame(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        return (
+            df.select(self.id_col).distinct()
+            .withColumn(
+                "__id_code",
+                (F.row_number().over(Window.orderBy(self.id_col)) - 1).cast("double"),
+            )
+        )
 
     def fit(self, df: DataFrame) -> "GlobalForecaster":
-        ids = [r[0] for r in df.select(self.id_col).distinct().orderBy(self.id_col).collect()]
-        self.id_codes = {s: float(i) for i, s in enumerate(ids)}
-        code_df = df.sparkSession.createDataFrame(
-            [(s, c) for s, c in self.id_codes.items()], [self.id_col, "__id_code"]
-        )
-        df2 = df.join(F.broadcast(code_df), self.id_col)
+        self.code_df = self._id_code_frame(df)
+        df2 = df.join(self.code_df, self.id_col)
         feat_df, feat_cols = _training_frame(
             df2, self.lags, self.rolling_windows, self.rolling_aggs,
             self.calendar, self.id_col, self.time_col, self.target_col,
@@ -430,15 +470,18 @@ class GlobalForecaster(RecursiveForecaster):
         return self
 
     def predict(self, df: DataFrame, h: int = 7) -> DataFrame:
-        codes = self.id_codes
         idc = self.id_col
         est, feat_cols = self.estimator, list(self.feat_cols)
         lags, rw, ra, cal = self.lags, self.rolling_windows, self.rolling_aggs, self.calendar
         tc, yc = self.time_col, self.target_col
+        # unseen ids decode with code -1.0, the old dict-miss default
+        inp = df.join(self.code_df, idc, "left").withColumn(
+            "__id_code", F.coalesce(F.col("__id_code"), F.lit(-1.0))
+        )
 
         def kern2(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(tc)
-            code = codes.get(str(pdf[idc].iloc[0]), -1.0)
+            code = float(pdf["__id_code"].iloc[0])
             hist = list(pdf[yc].to_numpy(dtype=float))
             ts = pd.to_datetime(pdf[tc])
             freq = (ts.diff().dropna().median()) if len(ts) > 1 else pd.Timedelta(days=1)
@@ -463,7 +506,7 @@ class GlobalForecaster(RecursiveForecaster):
             return pd.DataFrame({idc: pdf[idc].iloc[0], tc: out_t, "y_hat": out_y})
 
         schema = f"{idc} string, {tc} timestamp, y_hat double"
-        return for_each_series(df, kern2, schema, id_col=idc, time_col=tc)
+        return for_each_series(inp, kern2, schema, id_col=idc, time_col=tc)
 
 
 class QuantileRegressor:
@@ -479,44 +522,107 @@ class QuantileRegressor:
         self.n_irls = n_irls
         self.id_col, self.time_col, self.target_col = id_col, time_col, target_col
 
-    def _fit_quantile(self, X: np.ndarray, y: np.ndarray, q: float) -> np.ndarray:
+    def _fit_quantiles_distributed(
+        self, feat_df: DataFrame, feat_cols: list[str]
+    ) -> dict[float, np.ndarray]:
+        """DISTRIBUTED IRLS: the design matrix never leaves the cluster.
+        Each iteration needs only weighted sufficient statistics —
+        X1'(wt·X1) and X1'(wt·y), d(d+3)/2 + 2 scalars per quantile —
+        so one Spark aggregation per iteration (covering ALL quantiles
+        at once) replaces the old full-panel collect; the driver solves
+        (d+1)×(d+1) systems, O(d³) regardless of n.
+
+        Trajectory stability across engines (the DuckDB oracle replays
+        this loop solve-by-solve): the IRLS weight map is discontinuous
+        near r = 0, so residuals are snapped to a quantization grid
+        RELATIVE to the data scale — s = the decade of mean |y| (a power
+        of 10, so engine-ulp differences in the mean cannot move it off
+        a knife edge); on the grid the weight is locally constant in r
+        and summation-order ulp noise cannot fork the trajectory.
+        s·1e-3 is epsilon-smoothing at 0.1% of the target's magnitude
+        at every scale (absolute 1e-3 degenerated for targets below
+        ~1e-2). The 1e-8 diagonal damping keeps rank-deficient designs
+        (constant series make lag columns collinear with the intercept)
+        solvable — applied to the start AND every in-loop solve, like
+        the oracle's `+ 1e-8` terms."""
         import math
 
-        X1 = np.column_stack([X, np.ones(len(X))])
-        # normal-equation start rather than lstsq's SVD: identical for
-        # full-rank designs, and an engine-replicable solve — the IRLS
-        # weight map is discontinuous near r = 0, so the DuckDB oracle
-        # must start from the same point to stay on the same trajectory.
-        # The 1e-8 ridge keeps rank-deficient designs (constant series
-        # make lag columns collinear with the intercept) solvable, like
-        # the in-loop solves already were.
-        w = np.linalg.solve(X1.T @ X1 + 1e-8 * np.eye(X1.shape[1]), X1.T @ y)
-        # Quantization grid RELATIVE to the data scale: s = the decade
-        # of mean |y| (power of 10, so engine-ulp differences in the
-        # mean cannot move it off a knife edge). The raw 1/max(|r|,eps)
-        # map is discontinuous at r = 0, so engine ulp differences in r
-        # flip tail weights by (1-q)/q and trajectories diverge
-        # chaotically; on the grid the weight is locally constant in r.
-        # Absolute 1e-3 was scale-dependent (targets below ~1e-2
-        # degenerated to a single weight); s·1e-3 is epsilon-smoothing
-        # at 0.1% of the target's magnitude at every scale.
-        m = float(np.mean(np.abs(y))) if len(y) else 0.0
-        s = 10.0 ** math.floor(math.log10(m)) if m > 0 else 1.0
-        for _ in range(self.n_irls):
-            r = y - X1 @ w
-            rc = np.floor(r / s * 1000 + 0.5) / 1000 * s
-            wt = np.where(rc >= 0, q, 1 - q) / np.maximum(np.abs(rc), 1e-3 * s)
-            A = X1.T @ (wt[:, None] * X1)
-            w = np.linalg.solve(A + 1e-8 * np.eye(X1.shape[1]), X1.T @ (wt * y))
-        return w
+        d = len(feat_cols)
+        cols = [F.col(c).cast("double") for c in feat_cols]
+        t = F.col(self.target_col).cast("double")
+        qs = self.quantiles
+        feat_df = feat_df.select(*feat_cols, self.target_col).persist()
+        try:
+            # scale decade + normal-equation start, one pass (the start
+            # solve is quantile-independent: all quantiles share it)
+            exprs = [F.avg(F.abs(t)).alias("__m"), F.count(F.lit(1)).alias("__n"),
+                     F.sum(t).alias("__ys")]
+            for i in range(d):
+                for j in range(i, d):
+                    exprs.append(F.sum(cols[i] * cols[j]).alias(f"xx_{i}_{j}"))
+                exprs.append(F.sum(cols[i]).alias(f"xs_{i}"))
+                exprs.append(F.sum(cols[i] * t).alias(f"xy_{i}"))
+            row = feat_df.agg(*exprs).collect()[0]
+            m = float(row["__m"] or 0.0)
+            s = 10.0 ** math.floor(math.log10(m)) if m > 0 else 1.0
+            A = np.zeros((d + 1, d + 1))
+            b = np.zeros(d + 1)
+            for i in range(d):
+                for j in range(i, d):
+                    A[i, j] = A[j, i] = row[f"xx_{i}_{j}"]
+                A[i, d] = A[d, i] = row[f"xs_{i}"]
+                b[i] = row[f"xy_{i}"]
+            A[d, d] = float(row["__n"])
+            b[d] = row["__ys"]
+            w0 = np.linalg.solve(A + 1e-8 * np.eye(d + 1), b)
+            weights = {q: w0 for q in qs}
+            for _ in range(self.n_irls):
+                exprs = []
+                for qi, q in enumerate(qs):
+                    wq = weights[q]
+                    # association matches the oracle's
+                    # (f0·w0 + f1·w1 + ...) + intercept
+                    pred = cols[0] * float(wq[0])
+                    for i in range(1, d):
+                        pred = pred + cols[i] * float(wq[i])
+                    pred = pred + F.lit(float(wq[d]))
+                    r = t - pred
+                    rc = F.floor(r / s * 1000 + 0.5) / 1000 * s
+                    wt = (
+                        F.when(rc >= 0, F.lit(float(q))).otherwise(F.lit(float(1 - q)))
+                        / F.greatest(F.abs(rc), F.lit(1e-3 * s))
+                    )
+                    for i in range(d):
+                        for j in range(i, d):
+                            exprs.append(F.sum(cols[i] * (wt * cols[j])).alias(f"q{qi}_xx_{i}_{j}"))
+                        exprs.append(F.sum(cols[i] * wt).alias(f"q{qi}_xs_{i}"))
+                        exprs.append(F.sum(cols[i] * (wt * t)).alias(f"q{qi}_xy_{i}"))
+                    exprs.append(F.sum(wt).alias(f"q{qi}_ws"))
+                    exprs.append(F.sum(wt * t).alias(f"q{qi}_wy"))
+                row = feat_df.agg(*exprs).collect()[0]
+                new_w = {}
+                for qi, q in enumerate(qs):
+                    A = np.zeros((d + 1, d + 1))
+                    b = np.zeros(d + 1)
+                    for i in range(d):
+                        for j in range(i, d):
+                            A[i, j] = A[j, i] = row[f"q{qi}_xx_{i}_{j}"]
+                        A[i, d] = A[d, i] = row[f"q{qi}_xs_{i}"]
+                        b[i] = row[f"q{qi}_xy_{i}"]
+                    A[d, d] = row[f"q{qi}_ws"]
+                    b[d] = row[f"q{qi}_wy"]
+                    new_w[q] = np.linalg.solve(A + 1e-8 * np.eye(d + 1), b)
+                weights = new_w
+            return weights
+        finally:
+            feat_df.unpersist()
 
     def fit(self, df: DataFrame) -> "QuantileRegressor":
         feat_df, feat_cols = _training_frame(
             df, self.lags, [], [], False, self.id_col, self.time_col, self.target_col
         )
         self.feat_cols = feat_cols
-        X, y = _collect_xy(feat_df, feat_cols, self.target_col)
-        self.weights = {q: self._fit_quantile(X, y, q) for q in self.quantiles}
+        self.weights = self._fit_quantiles_distributed(feat_df, feat_cols)
         return self
 
     def predict(self, df: DataFrame, h: int = 7) -> DataFrame:

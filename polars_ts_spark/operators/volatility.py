@@ -140,8 +140,30 @@ def garch_fit_series(r: np.ndarray, p: int = 1, q: int = 1):
     else:
         r = r - r.mean()
         var = float(np.var(r)) or 1e-8
-        x0 = np.concatenate([[var * 0.1], np.full(q, 0.1), np.full(p, 0.8 / max(p, 1))])
-        best, fbest = nelder_mead(lambda th: _garch_neg_loglik(th, r, p, q), x0, max_iter=400)
+        # multi-start Nelder-Mead: the (1+p+q)-dim GARCH likelihood has
+        # local optima (e.g. one beta absorbing all persistence), so a
+        # single start is unreliable for p,q > 1. Starts span low/high
+        # ARCH × spread/concentrated GARCH persistence, all
+        # variance-targeted (omega = var·(1 - Σa - Σb)); deterministic
+        # fixed enumeration, best final nll wins.
+        fn = lambda th: _garch_neg_loglik(th, r, p, q)  # noqa: E731
+        starts = []
+        for a_tot, b_tot in ((0.1, 0.8), (0.3, 0.5), (0.05, 0.9), (0.2, 0.2)):
+            base = np.concatenate([
+                [var * (1.0 - a_tot - b_tot)], np.full(q, a_tot / q),
+                np.full(p, b_tot / p),
+            ])
+            starts.append(base)
+            if p > 1:  # concentrated variant: all persistence on beta_1
+                conc = base.copy()
+                conc[1 + q:] = 0.0
+                conc[1 + q] = b_tot
+                starts.append(conc)
+        best, fbest = None, np.inf
+        for x0 in starts:
+            cand, fcand = nelder_mead(fn, x0, max_iter=400)
+            if fcand < fbest:
+                best, fbest = cand, fcand
         omega = float(best[0])
         alphas = best[1 : 1 + q]
         betas = best[1 + q : 1 + q + p]

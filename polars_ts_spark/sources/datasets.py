@@ -119,17 +119,26 @@ def load_dataset(
         return h.hexdigest()
 
     if not (os.path.exists(dest) and _digest(dest) == sha256):
-        parsed = urllib.parse.urlparse(url)
-        if parsed.scheme in ("", "file"):
-            shutil.copyfile(parsed.path or url, dest)
-        else:
-            with urllib.request.urlopen(url, timeout=60) as r, open(dest, "wb") as out:
-                shutil.copyfileobj(r, out)
-        got = _digest(dest)
-        if got != sha256:
-            os.remove(dest)
-            raise ValueError(
-                f"dataset {name!r}: sha256 mismatch (expected {sha256}, got {got})")
+        # fetch to a private temp file and os.replace() only after the
+        # digest verifies: an interrupted fetch can't leave a partial
+        # file at dest, and concurrent callers never read a mid-write
+        # cache entry (replace is atomic within the directory)
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        try:
+            parsed = urllib.parse.urlparse(url)
+            if parsed.scheme in ("", "file"):
+                shutil.copyfile(parsed.path or url, tmp)
+            else:
+                with urllib.request.urlopen(url, timeout=60) as r, open(tmp, "wb") as out:
+                    shutil.copyfileobj(r, out)
+            got = _digest(tmp)
+            if got != sha256:
+                raise ValueError(
+                    f"dataset {name!r}: sha256 mismatch (expected {sha256}, got {got})")
+            os.replace(tmp, dest)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
     if ext == ".csv":
         return spark.read.option("header", "true").option("inferSchema", "true").csv(dest)
     return spark.read.parquet(dest)

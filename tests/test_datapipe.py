@@ -631,3 +631,33 @@ def test_lsh_dedup_one_row_per_doc_even_on_duplicate_input_rows(spark):
         "ds", F.to_timestamp("ds_s")).drop("ds_s")
     out = textops.lsh_dedup_keep_first(docs).collect()
     assert sorted(r["doc_id"] for r in out) == [0, 1]
+
+
+def test_ivf_warns_on_oversized_cell(vecs, spark):
+    import warnings as _w
+
+    # max_cell=2 forces every populated cell over the cap -> the parity
+    # break vs a whole-cell oracle scan must be visible, not silent
+    with pytest.warns(RuntimeWarning, match="max_cell"):
+        embedsim.ivf_ann_topk(
+            vecs, k=1, n_cells=2, n_probe=2, dim=4, max_cell=2, warn_oversize=True
+        ).collect()
+    # default stays silent (no counting pass at scale)
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        embedsim.ivf_ann_topk(vecs, k=1, n_cells=2, n_probe=2, dim=4, max_cell=2).collect()
+
+
+def test_lsh_ann_string_ids_survive_bucket_resplit(spark):
+    # 6 identical vectors share every band key -> one bucket over
+    # max_bucket=4 -> the deterministic re-split used to die on
+    # ids.astype(int64) for string ids (round-6 advice)
+    rows = [(f"doc-{i}", [1.0, 0.0, 0.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = embedsim.lsh_ann_topk(df, k=2, dim=4, max_bucket=4).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["vec_id"].startswith("doc-") and r["neighbor_id"].startswith("doc-")
+        assert r["cosine"] == pytest.approx(1.0)

@@ -115,6 +115,55 @@ def test_garch_fit_recovers_persistence():
     assert np.isfinite(ll)
 
 
+def _sim_garch(omega, alphas, betas, n, seed, burn=500):
+    rng = np.random.default_rng(seed)
+    p, q = len(betas), len(alphas)
+    uncond = omega / (1 - sum(alphas) - sum(betas))
+    r = np.zeros(n + burn)
+    sig2 = np.full(n + burn, uncond)
+    z = rng.normal(0, 1, n + burn)
+    for t in range(max(p, q), n + burn):
+        s = omega
+        s += sum(alphas[i] * r[t - 1 - i] ** 2 for i in range(q))
+        s += sum(betas[j] * sig2[t - 1 - j] for j in range(p))
+        sig2[t] = s
+        r[t] = np.sqrt(s) * z[t]
+    return r[burn:]
+
+
+class TestGarchNMPlantedParams:
+    """Planted-parameter recovery fixtures for the Nelder-Mead GARCH
+    path (p,q > 1 — the grid QMLE covers only (1,1); VERDICT r6 #7, ref
+    volatility.py:25-174). Identification of individual beta lags is
+    weak in finite samples (their SUM is well-identified), so the
+    assertions pin omega/alpha/persistence and that the NM optimum is
+    at least as good as the truth in likelihood."""
+
+    def _check(self, r, p, q, omega, alphas, betas):
+        from polars_ts_spark.operators.volatility import _garch_neg_loglik
+
+        o, al, be, ll, r_dm, _ = volatility.garch_fit_series(r, p, q)
+        true_params = np.concatenate([[omega], alphas, betas])
+        nll_true = _garch_neg_loglik(true_params, r_dm, p, q)
+        assert -ll <= nll_true + 1e-6  # MLE beats (or ties) the truth
+        assert abs(o - omega) < 0.08
+        assert np.all(np.abs(np.asarray(al) - np.asarray(alphas)) < 0.08)
+        assert abs(sum(be) - sum(betas)) < 0.1
+        assert sum(al) + sum(be) < 1.0  # stationarity kept
+
+    def test_garch_p2q1_recovery(self):
+        r = _sim_garch(0.1, [0.15], [0.3, 0.4], 4000, 5)
+        self._check(r, 2, 1, 0.1, [0.15], [0.3, 0.4])
+
+    def test_garch_p1q2_recovery(self):
+        r = _sim_garch(0.1, [0.1, 0.2], [0.5], 4000, 6)
+        self._check(r, 1, 2, 0.1, [0.1, 0.2], [0.5])
+
+    def test_garch_p2q2_recovery(self):
+        r = _sim_garch(0.05, [0.1, 0.1], [0.2, 0.3], 4000, 7)
+        self._check(r, 2, 2, 0.05, [0.1, 0.1], [0.2, 0.3])
+
+
 def test_garch_operator(spark):
     rng = np.random.default_rng(3)
     ts = pd.date_range("2024-01-01", periods=300, freq="D")
@@ -260,6 +309,69 @@ class TestAutoArimaPlantedOrders:
         a = auto_arima_series(y, max_p=3, max_d=1, max_q=1)
         b = auto_arima_series(y, max_p=3, max_d=1, max_q=1)
         assert a == b
+
+    # ---- full-seasonal SARIMA(p,d,q)(P,D,Q,s) grid (VERDICT r6 #6) ----
+    # Each fixture pins the EXACT stepwise choice on a planted seasonal
+    # process (regression protection for the whole walk), with the
+    # theory-forced components called out. Divergences from
+    # statsforecast are limited to its tie-break rules (strict
+    # improvement, fixed move order) and finite-sample AIC noise in the
+    # non-forced components — e.g. a planted pure-seasonal process can
+    # pick up an incidental regular MA(1) term from seasonal aliasing.
+
+    def test_seasonal_random_walk_grid(self):
+        from polars_ts_spark.operators.arima import auto_arima_series
+        rng = np.random.default_rng(21)
+        n, s = 360, 12
+        e = rng.normal(0, 1, n)
+        y = np.zeros(n)
+        for t in range(s, n):
+            y[t] = y[t - s] + e[t]
+        order, seas = auto_arima_series(y, s=12)
+        # forced: seasonal strength >= 0.64 -> D = 1; no seasonal AR/MA
+        # remains after the seasonal difference
+        assert seas == (0, 1, 0, 12)
+        assert order == (0, 0, 1)  # incidental q=1 (finite-sample AIC)
+
+    def test_seasonal_ar_grid(self):
+        from polars_ts_spark.operators.arima import auto_arima_series
+        rng = np.random.default_rng(22)
+        n, s = 360, 12
+        e = rng.normal(0, 1, n)
+        y = np.zeros(n)
+        for t in range(s, n):
+            y[t] = 0.8 * y[t - s] + e[t]
+        order, seas = auto_arima_series(y, s=12)
+        # forced: P >= 1 (stationary seasonal AR), D = 0 (strength < .64)
+        assert seas[0] == 1 and seas[1] == 0
+        assert (order, seas) == ((2, 1, 1), (1, 0, 1, 12))  # pinned walk
+
+    def test_seasonal_ma_grid(self):
+        from polars_ts_spark.operators.arima import auto_arima_series
+        rng = np.random.default_rng(23)
+        n, s = 360, 12
+        e = rng.normal(0, 1, n + s)
+        y = e[s:] + 0.7 * e[:-s]
+        order, seas = auto_arima_series(y, s=12)
+        # forced: Q = 1, D = 0, no seasonal AR
+        assert seas == (0, 0, 1, 12)
+        assert order == (0, 0, 1)  # incidental q=1 (aliasing)
+
+    def test_multiplicative_ar_sar_grid(self):
+        from polars_ts_spark.operators.arima import auto_arima_series
+        rng = np.random.default_rng(24)
+        n, s = 360, 12
+        e = rng.normal(0, 1, n)
+        y = np.zeros(n)
+        for t in range(n):
+            y[t] = (0.6 * y[t - 1] + 0.7 * y[t - s] - 0.42 * y[t - s - 1] + e[t]
+                    if t >= s + 1 else e[t])
+        order, seas = auto_arima_series(y, s=12)
+        # forced: p >= 1 AND P >= 1 (both polynomial factors present),
+        # no differencing
+        assert order[0] >= 1 and seas[0] >= 1
+        assert order[1] == 0 and seas[1] == 0
+        assert (order, seas) == ((2, 0, 1), (1, 0, 0, 12))  # pinned walk
 
 
 def test_sarma_fit_hr_recovers_planted_seasonal_ar():

@@ -185,3 +185,22 @@ def test_load_dataset_rejects_path_like_names(spark, tmp_path_factory):
     cache = str(tmp_path_factory.mktemp("dlsafe"))
     with pytest.raises(ValueError, match="bare identifier"):
         load_dataset(spark, "../evil", f"file://{src}", digest, cache_dir=cache)
+
+
+def test_load_dataset_atomic_fetch_leaves_no_partial(spark, tmp_path_factory):
+    import hashlib
+
+    from polars_ts_spark.sources.datasets import load_dataset
+
+    base = str(tmp_path_factory.mktemp("dl_atomic"))
+    src = f"{SF_DIR}/region.parquet"
+    cache = os.path.join(base, "cache")
+    # failed verify: neither the final path nor any temp file survives
+    with pytest.raises(ValueError, match="sha256 mismatch"):
+        load_dataset(spark, "r_atomic", f"file://{src}", "0" * 64, cache_dir=cache)
+    assert os.listdir(cache) == []
+    # success: the verified payload lands atomically at the final path
+    digest = hashlib.sha256(open(src, "rb").read()).hexdigest()
+    df = load_dataset(spark, "r_atomic", f"file://{src}", digest, cache_dir=cache)
+    assert df.count() > 0
+    assert os.listdir(cache) == ["r_atomic.parquet"]
