@@ -85,10 +85,28 @@ def _cpu_calibration() -> float:
     return round(_t.perf_counter() - t0, 3)
 
 
+def _wait_for_quiet_box(threshold: float = 0.30, max_wait_s: float = 180.0):
+    """Don't time on a loaded box (round-6 ran at ~2.5x external load
+    and the numbers were useless for cross-round comparison): poll the
+    calibration probe until it drops under ``threshold`` seconds or the
+    wait budget runs out, and report what happened either way. Disable
+    with SPARK_GRAFT_NO_CALIB_GATE=1."""
+    import time as _t
+
+    probes = [_cpu_calibration()]
+    if os.environ.get("SPARK_GRAFT_NO_CALIB_GATE") == "1":
+        return probes[0], probes
+    deadline = _t.monotonic() + max_wait_s
+    while probes[-1] > threshold and _t.monotonic() < deadline:
+        _t.sleep(10.0)
+        probes.append(_cpu_calibration())
+    return probes[-1], probes
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    calib_before = _cpu_calibration()
+    calib_before, calib_probes = _wait_for_quiet_box()
     spark = get_spark("polars-ts-spark-bench")
     qs = queries()
     names = [n for n in HEADLINE if n in qs] + [
@@ -188,7 +206,8 @@ def main():
         "cold_queries": cold,
         "quality": quality,
         "spread_3runs": spread,
-        "cpu_calibration_sec": {"before": calib_before, "after": _cpu_calibration()},
+        "cpu_calibration_sec": {"before": calib_before, "after": _cpu_calibration(),
+                                "gate_probes": calib_probes},
         "notes": {
             "headline_set": "grew r5->r6: +ivf_ann_topk, +corpus_curation, "
                             "+dup_ngram_stats, +stratified_sample — compare "

@@ -1160,7 +1160,11 @@ def lsh_dedup_keep_first(
 
 def lsh_dedup_keep_first_oracle(
     num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+    ds_expr: str = "TIMESTAMP '2024-01-01' + doc_id * INTERVAL 1 SECOND",
 ) -> str:
+    """``ds_expr`` overrides the synthetic event-time column — the fuzz
+    layer passes tie-heavy expressions (many docs sharing one ds) to
+    exercise the id tie-break in the keep-first window."""
     r = num_hashes // bands
     coeffs = _perm_coeffs(num_hashes)
     h32 = duck_hash32("shingle")
@@ -1195,7 +1199,7 @@ melted AS (
 ),
 d AS (
     SELECT doc_id,
-           TIMESTAMP '2024-01-01' + doc_id * INTERVAL 1 SECOND AS ds
+           {ds_expr} AS ds
     FROM documents
 ),
 flagged AS (

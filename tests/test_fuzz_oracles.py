@@ -144,3 +144,135 @@ def test_embedding_oracles_on_random_vectors(spark, seed):
         assert found >= 4
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.parametrize("seed", [31, 59])
+def test_keep_first_dedup_adversarial_timestamp_ties(spark, seed):
+    """Many docs share one event time -> the keep-first decision falls
+    entirely on the id tie-break inside the (band, key) window; both
+    engines must walk the identical order (VERDICT r6 #8)."""
+    rows = _make_corpus(seed, n_docs=80)
+    tmp = tempfile.mkdtemp(prefix="fuzz_ties_")
+    try:
+        df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+        path = os.path.join(tmp, "documents.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        src = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+        # 3 distinct timestamps over 80 docs: maximal tie pressure
+        tied = src.withColumn(
+            "ds", F.expr("timestamp_seconds(unix_seconds("
+                         "timestamp'2024-01-01 00:00:00') + doc_id % 3)"))
+        a = normalize(textops.lsh_dedup_keep_first(tied).toPandas())
+        b = normalize(con.execute(textops.lsh_dedup_keep_first_oracle(
+            ds_expr="TIMESTAMP '2024-01-01' + (doc_id % 3) * INTERVAL 1 SECOND"
+        )).df())
+        assert len(a) == len(b) and a.equals(b), f"tie mismatch on seed {seed}"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_ivf_oracle_on_clustered_vectors(spark, seed):
+    """IVF trajectory parity on a NON-uniform corpus (mixture of
+    Gaussians -> unbalanced inverted lists), the regime the registered
+    uniform-corpus oracle never exercises (VERDICT r6 #8)."""
+    import numpy as np
+
+    from polars_ts_spark.operators import embedsim
+
+    rng = np.random.default_rng(seed)
+    dim = embedsim.DIM
+    centers = rng.normal(scale=2.0, size=(3, dim))
+    sizes = (70, 30, 10)  # deliberately skewed cells
+    vecs = np.vstack([
+        c + rng.normal(scale=0.3, size=(s, dim)) for c, s in zip(centers, sizes)
+    ]).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    tmp = tempfile.mkdtemp(prefix="fuzz_ivf_")
+    try:
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        path = os.path.join(tmp, "embeddings.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        src = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}/*.parquet')")
+        a = normalize(embedsim.ivf_ann_topk(src, k=3, n_cells=4, n_probe=2).toPandas())
+        b = normalize(con.execute(
+            embedsim.ivf_ann_oracle(k=3, n_cells=4, n_probe=2)).df())
+        assert len(a) == len(b), f"rows {len(a)} vs {len(b)}"
+        assert a.equals(b), f"ivf mismatch on seed {seed}"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.parametrize("seed", [13, 41])
+def test_reconcile_grouped_random_dag(spark, seed):
+    """Grouped reconciliation on a RANDOM multi-parent DAG vs an
+    independent pandas oracle (descendant-leaf sums) — the registered
+    oracle only covers the fixed nation×band hierarchy (VERDICT r6 #8)."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_ts_spark.operators import evaluation
+
+    rng = random.Random(seed)
+    n_bottom = rng.randint(6, 12)
+    groups_a = [f"ga_{i}" for i in range(rng.randint(2, 3))]
+    groups_b = [f"gb_{i}" for i in range(rng.randint(2, 4))]
+    hierarchy, parents_of = {}, {}
+    for i in range(n_bottom):
+        ps = [rng.choice(groups_a), rng.choice(groups_b)]
+        hierarchy[f"b{i}"] = ps
+        parents_of[f"b{i}"] = ps
+    for g in groups_a + groups_b:
+        hierarchy[g] = "total"
+    ts = pd.date_range("2024-01-01", periods=3, freq="D")
+    fc_rows = [(f"b{i}", t, round(rng.uniform(-5, 20), 2))
+               for i in range(n_bottom) for t in ts]
+    fc = spark.createDataFrame(pd.DataFrame(fc_rows, columns=["unique_id", "ds", "y_hat"]))
+    got = evaluation.reconcile_bottom_up(fc, hierarchy).toPandas()
+    # pandas oracle: every node's value = sum of its bottom descendants
+    base = pd.DataFrame(fc_rows, columns=["unique_id", "ds", "y_hat"])
+    expect = [base]
+    for g in groups_a + groups_b:
+        members = [b for b, ps in parents_of.items() if g in ps]
+        sub = base[base["unique_id"].isin(members)].groupby("ds", as_index=False)["y_hat"].sum()
+        sub.insert(0, "unique_id", g)
+        expect.append(sub)
+    tot = base.groupby("ds", as_index=False)["y_hat"].sum()
+    tot.insert(0, "unique_id", "total")
+    expect.append(tot)
+    want = pd.concat(expect, ignore_index=True)
+    a, b = normalize(got), normalize(want)
+    assert len(a) == len(b) and a.equals(b), f"reconcile mismatch on seed {seed}"
+
+
+@pytest.mark.parametrize("seed", [3, 19, 37])
+def test_causal_placebo_null_vs_real_effect(spark, seed):
+    """Randomized placebo sanity: with a planted step effect AFTER the
+    real intervention, the placebo run (pre-only data, earlier pseudo
+    intervention) must stay near zero while causal_impact sees the
+    step — the property the placebo test exists to certify."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_ts_spark.operators import causal
+
+    rng = np.random.default_rng(seed)
+    n = 120
+    ts = pd.date_range("2024-01-01", periods=n, freq="D")
+    y = 50.0 + rng.normal(0, 1.0, n)
+    t_real = ts[90]
+    y[90:] += 25.0  # planted effect
+    df = spark.createDataFrame(pd.DataFrame({"unique_id": "s", "ds": ts, "y": y}))
+    real = causal.causal_impact(df, t_real)
+    plc = causal.placebo_test(df, t_real, ts[60])
+    # local_trend extrapolates a small estimated drift over the placebo
+    # window, so "near zero" means a few sigma of cumulative drift —
+    # an order of magnitude under the planted step of 25
+    assert abs(real.attrs["avg_effect"]) > 5 * abs(plc.attrs["avg_effect"])
+    assert abs(plc.attrs["avg_effect"]) < 4.0
