@@ -64,6 +64,12 @@ HEADLINE = [
     "event_window_agg",
     "kmedoids_dtw",
     "regime_detect",
+    # round-7: the newly distributed fit layer (IRLS sufficient-stats
+    # aggs; pooled id-code ridge; distributed meta-fit) — headline set
+    # grew again, compare totals on the shared-query subset
+    "quantile_regression",
+    "global_forecast",
+    "stacking_forecast",
 ]
 
 
@@ -209,10 +215,12 @@ def main():
         "cpu_calibration_sec": {"before": calib_before, "after": _cpu_calibration(),
                                 "gate_probes": calib_probes},
         "notes": {
-            "headline_set": "grew r5->r6: +ivf_ann_topk, +corpus_curation, "
-                            "+dup_ngram_stats, +stratified_sample — compare "
-                            "totals on the shared-query subset, not headline "
-                            "sums",
+            "headline_set": "grew r6->r7: +quantile_regression, "
+                            "+global_forecast, +stacking_forecast (the newly "
+                            "distributed fit layer; r5->r6 added ivf_ann_topk, "
+                            "corpus_curation, dup_ngram_stats, "
+                            "stratified_sample) — compare totals on the "
+                            "shared-query subset, not headline sums",
             "regime_detect": "query redefined in r6 (exact-cents monthly panel, "
                              "6 fixed EM iterations, was daily/50) — its delta vs "
                              "r5 is a definition change, not a kernel speedup",

@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 from polars_ts_spark.operators.statespace import KalmanFilter
 from polars_ts_spark.panel import ID, TARGET, TIME
 
+# same 256 MB-order driver cap as clustering._DRIVER_ELEMS_CAP: the
+# synthetic-control donor matrix is driver-side by design, so past the
+# cap we refuse with guidance instead of OOMing
+_DRIVER_ELEMS_CAP = 32_000_000
+
 
 def _simplex_project(v: np.ndarray) -> np.ndarray:
     """Euclidean projection onto the probability simplex."""
@@ -61,8 +66,30 @@ def synthetic_control(
     target_col: str = TARGET,
 ) -> pd.DataFrame:
     """Counterfactual for `treated_id` from donor pool = all other
-    series. Returns [ds, actual, counterfactual, effect, period]."""
-    pdf = panel.select(id_col, time_col, target_col).toPandas()
+    series. Returns [ds, actual, counterfactual, effect, period].
+
+    The donor matrix (n_series × T) is driver-side BY DESIGN (the
+    projected-gradient weight solve is the reference's shape,
+    synthetic_control.py:200-300) — so the collect is size-gated like
+    the clusterers': past the cap the honest move is to refuse with
+    guidance (pre-select a donor pool), not to spill. The 100 TB route
+    is the sufficient-statistics form (grad = X'X·w − X'y over the pre
+    period, two aggregations), which changes the float trajectory and
+    is therefore not the oracle-gated default."""
+    src = panel.select(id_col, time_col, target_col).persist()
+    try:
+        n_elems = src.count()
+        if n_elems > _DRIVER_ELEMS_CAP:
+            raise ValueError(
+                f"synthetic_control: panel holds {n_elems} observations, over "
+                f"the driver-collect cap ({_DRIVER_ELEMS_CAP}). The donor-weight "
+                "solve is driver-side by design; pre-select a donor pool "
+                "(filter the panel to candidate donors) or downsample the "
+                "pre-period before calling."
+            )
+        pdf = src.toPandas()
+    finally:
+        src.unpersist()
     pdf[time_col] = pd.to_datetime(pdf[time_col])
     wide = pdf.pivot_table(index=time_col, columns=id_col, values=target_col).sort_index()
     wide = wide.dropna()
@@ -95,10 +122,19 @@ def causal_impact(
     state-space model on the PRE period only, forecast the post
     period, report pointwise + cumulative effects. Single series (or
     first series of the panel)."""
-    pdf = df.select(id_col, time_col, target_col).toPandas()
-    pdf[time_col] = pd.to_datetime(pdf[time_col])
-    sid = sorted(pdf[id_col].unique())[0]
-    s = pdf[pdf[id_col] == sid].sort_values(time_col)
+    # single-series analysis: pick the first series IN SPARK and collect
+    # only its rows — collecting the whole panel to use one series is
+    # the scale-latent pattern the fit layer just shed (min over a
+    # string column is the lexicographic first id, matching the old
+    # sorted(unique)[0])
+    sid = df.agg(F.min(F.col(id_col).cast("string"))).first()[0]
+    s = (
+        df.filter(F.col(id_col).cast("string") == sid)
+        .select(id_col, time_col, target_col)
+        .toPandas()
+    )
+    s[time_col] = pd.to_datetime(s[time_col])
+    s = s.sort_values(time_col)
     t0 = pd.to_datetime(intervention_time)
     pre = s[s[time_col] < t0]
     post = s[s[time_col] >= t0]

@@ -959,6 +959,11 @@ def kaboudan_metric(
 # EnbPI bootstrap-ensemble intervals (conformal.py:190-416)
 
 
+# driver cap on EnbPI's pooled OOB residual multiset (same 256 MB order
+# as the other driver-by-design gates)
+_ENBPI_RESID_CAP = 32_000_000
+
+
 def _union_all(frames: list[DataFrame]) -> DataFrame:
     if not frames:
         raise ValueError("_union_all: no frames to union")
@@ -1020,8 +1025,30 @@ class EnbPI:
         preds = _union_all([p for _, p in fitted]).groupBy(
             self.id_col, self.time_col
         ).agg(F.avg("y_hat").alias("__ens"))
-        pdf = test.join(preds, [self.id_col, self.time_col], "left").toPandas()
-        self.residuals = list((pdf[self.target_col] - pdf["__ens"]).abs().dropna())
+        # the pooled OOB residual list is n_series × holdout scalars —
+        # driver-side BY DESIGN (update() appends online observations to
+        # the same multiset), so it is size-gated like the other
+        # driver-by-design stages: past the cap, refuse with guidance
+        # (at that scale the right tool is a mergeable quantile sketch,
+        # which would forfeit the exact finite-sample order statistic)
+        resid = (
+            test.join(preds, [self.id_col, self.time_col], "left")
+            .select(F.abs(F.col(self.target_col) - F.col("__ens")).alias("__r"))
+            .dropna()
+            .persist()
+        )
+        try:
+            n = resid.count()
+            if n > _ENBPI_RESID_CAP:
+                raise ValueError(
+                    f"EnbPI: {n} pooled OOB residuals exceed the driver cap "
+                    f"({_ENBPI_RESID_CAP}). Shrink the holdout, fit on a "
+                    "series sample, or switch to a per-series conformal "
+                    "interval (conformal_interval), which stays distributed."
+                )
+            self.residuals = [r["__r"] for r in resid.collect()]
+        finally:
+            resid.unpersist()
         return self
 
     def update(self, actual: float, predicted: float) -> None:

@@ -145,9 +145,27 @@ class RocketClassifier:
         self.id_col, self.time_col, self.target_col = id_col, time_col, target_col
 
     def _features(self, df: DataFrame) -> pd.DataFrame:
-        return rocket_features(
+        # the kernel transform is distributed; only the n_series ×
+        # n_feats matrix lands on the driver for the ridge solve —
+        # size-gated like the clusterers' collects (clustering.py
+        # _DRIVER_ELEMS_CAP): past the cap, refuse with guidance
+        feats = rocket_features(
             df, self.n_kernels, self.seed, self.id_col, self.time_col, self.target_col
-        ).toPandas().set_index(self.id_col).sort_index()
+        ).persist()
+        try:
+            n_series = feats.count()
+            n_elems = n_series * (2 * self.n_kernels + 1)
+            if n_elems > 32_000_000:
+                raise ValueError(
+                    f"RocketClassifier: feature matrix holds {n_elems} elements "
+                    f"({n_series} series x {2 * self.n_kernels} features), over "
+                    "the driver-collect cap. The one-vs-rest ridge is "
+                    "driver-side by design; reduce n_kernels or classify a "
+                    "sample of series."
+                )
+            return feats.toPandas().set_index(self.id_col).sort_index()
+        finally:
+            feats.unpersist()
 
     def fit(self, df: DataFrame, labels: DataFrame) -> "RocketClassifier":
         feats = self._features(df)

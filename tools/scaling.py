@@ -32,6 +32,11 @@ DEFAULT = (
     "lsh_dedup_keep_first",  # signature window + id join
     "pii_scrub",           # regex projection
     "cosine_topk",         # GEMM
+    # round-7: the newly DISTRIBUTED fit layer — cost should be
+    # dominated by fixed per-aggregation overhead, near-flat in rows
+    "quantile_regression",  # 11 sufficient-stats aggs (IRLS)
+    "global_forecast",      # id-code join + ridge stats agg + decode
+    "stacking_forecast",    # 2 base fits + meta stats agg
 )
 
 
