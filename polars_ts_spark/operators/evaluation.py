@@ -177,8 +177,16 @@ class StackingForecaster:
         test = df.filter(F.col(self.time_col) > F.lit(cut))
         joined = test.select(self.id_col, self.time_col, self.target_col)
         names = list(self.base)
+        # base-model fits are independent Spark jobs — submit them from
+        # a thread pool (the backtest/EnbPI pattern) so their stages
+        # interleave instead of running B sequential barriers
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(names), 8)) as pool:
+            preds = dict(zip(names, pool.map(
+                lambda n: self.base[n](train, holdout), names)))
         for n in names:
-            p = self.base[n](train, holdout).withColumnRenamed("y_hat", f"__p_{n}")
+            p = preds[n].withColumnRenamed("y_hat", f"__p_{n}")
             joined = joined.join(p, [self.id_col, self.time_col], "inner")
         # meta-ridge needs only X'X / X'y — one distributed aggregation
         # of (B+1)² scalars instead of collecting the n_series × holdout
@@ -194,9 +202,13 @@ class StackingForecaster:
 
     def predict(self, df: DataFrame, h: int = 7) -> DataFrame:
         names = list(self.base)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(names), 8)) as pool:
+            preds = dict(zip(names, pool.map(lambda n: self.base[n](df, h), names)))
         out = None
         for n in names:
-            p = self.base[n](df, h).withColumnRenamed("y_hat", f"__p_{n}")
+            p = preds[n].withColumnRenamed("y_hat", f"__p_{n}")
             out = p if out is None else out.join(p, [self.id_col, self.time_col], "inner")
         expr = sum(F.col(f"__p_{n}") * float(self.meta[i]) for i, n in enumerate(names)) + float(self.meta[-1])
         return out.select(self.id_col, self.time_col, expr.alias("y_hat"))

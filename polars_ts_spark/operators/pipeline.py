@@ -551,7 +551,13 @@ class QuantileRegressor:
         cols = [F.col(c).cast("double") for c in feat_cols]
         t = F.col(self.target_col).cast("double")
         qs = self.quantiles
-        feat_df = feat_df.select(*feat_cols, self.target_col).persist()
+        # the IRLS loop re-aggregates this frame n_irls+1 times; cache
+        # it in a handful of partitions so each pass costs a few tasks,
+        # not a full shuffle-width of them (the frame is the projected
+        # feature panel — at 100 TB raise the partition count with it)
+        feat_df = (
+            feat_df.select(*feat_cols, self.target_col).coalesce(8).persist()
+        )
         try:
             # scale decade + normal-equation start, one pass (the start
             # solve is quantile-independent: all quantiles share it)
