@@ -70,6 +70,9 @@ HEADLINE = [
     "quantile_regression",
     "global_forecast",
     "stacking_forecast",
+    # round-7 curation additions
+    "gopher_repetition",
+    "benchmark_decontaminate",
 ]
 
 

@@ -1029,6 +1029,169 @@ GROUP BY doc_id
 # deterministic stratified sampling (per-stratum md5-rank quota)
 
 
+def _gram_frame(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, gram) with one row per OCCURRENCE (not distinct): word
+    n-grams by the corpus' single-space tokenization, same short-doc
+    guard as word_shingles."""
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    starts = F.sequence(F.lit(1), n_tok - F.lit(n) + F.lit(1))
+    grams_arr = F.when(
+        n_tok >= F.lit(n),
+        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
+
+
+def gopher_repetition(
+    df: DataFrame,
+    top_n: int = 2,
+    dup_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INTRA-document repetition quality signals — the published Gopher
+    repetition filters (Rae et al. 2021 §A1.1; the cross-document
+    relative is ``dup_ngram_stats``): the fraction of all ``top_n``-gram
+    occurrences taken by the single most frequent one (boilerplate /
+    keyword stuffing), and the fraction of ``dup_n``-gram occurrences
+    whose gram repeats within the document (loops, copy-paste spans).
+    Output [doc_id, n_tokens, top_bigram_frac, dup_trigram_frac] for
+    documents with at least one ``dup_n``-gram.
+
+    Plan: two explodes -> per-(doc, gram) counts (map-side combinable)
+    -> per-doc max/sum -> one doc-key equi-join. Every stage is linear
+    in total gram count and all keys carry the doc id, so a corpus
+    pre-partitioned by document colocates the whole DAG — no cross-doc
+    traffic at any width."""
+    def per_doc(n: int, top_name: str, dup_name: str) -> DataFrame:
+        pdg = (
+            _gram_frame(df, n, text_col, id_col)
+            .groupBy(id_col, "gram").agg(F.count("*").alias("occ"))
+        )
+        return pdg.groupBy(id_col).agg(
+            (F.max("occ") / F.sum("occ")).alias(top_name),
+            (F.sum(F.when(F.col("occ") >= 2, F.col("occ")).otherwise(F.lit(0)))
+             / F.sum("occ")).alias(dup_name),
+        )
+
+    top = per_doc(top_n, "top_bigram_frac", "__d2").drop("__d2")
+    dup = per_doc(dup_n, "__t3", "dup_trigram_frac").drop("__t3")
+    n_tokens = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
+    )
+    return (
+        dup.join(top, id_col, "left")
+        .join(n_tokens, id_col)
+        .select(id_col, "n_tokens", "top_bigram_frac", "dup_trigram_frac")
+    )
+
+
+def gopher_repetition_oracle(top_n: int = 2, dup_n: int = 3) -> str:
+    def pdg(n: int) -> str:
+        return f"""(
+    SELECT doc_id, gram, COUNT(*) AS occ FROM (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i + {n - 1}], ' ')
+                       FOR i IN range(1, greatest(len(toks) - {n} + 2, 1))]) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ) GROUP BY doc_id, gram
+)"""
+
+    return f"""
+WITH topg AS (
+    SELECT doc_id, CAST(MAX(occ) AS DOUBLE) / SUM(occ) AS top_bigram_frac
+    FROM {pdg(top_n)} GROUP BY doc_id
+),
+dupg AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN occ >= 2 THEN occ ELSE 0 END) AS DOUBLE)
+               / SUM(occ) AS dup_trigram_frac
+    FROM {pdg(dup_n)} GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+       t.top_bigram_frac, g.dup_trigram_frac
+FROM dupg g
+LEFT JOIN topg t ON t.doc_id = g.doc_id
+JOIN documents d ON d.doc_id = g.doc_id
+"""
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Test-set decontamination — the standard n-gram-overlap check a
+    training pipeline runs against every evaluation benchmark before a
+    corpus ships: a document is CONTAMINATED when any of its word
+    ``n``-grams appears in any benchmark document. Output
+    [doc_id, n_grams, hit_grams, contaminated] for EVERY corpus doc
+    (docs too short to produce a gram have n_grams = 0 and pass clean —
+    a decontaminator must never flag what it cannot hash).
+
+    Plan: the benchmark gram set is distinct + broadcast (benchmarks
+    are small by definition — thousands of docs vs the corpus'
+    billions); the corpus side is one explode -> broadcast left join ->
+    per-doc agg, all linear with NO corpus-side shuffle before the
+    final doc-key aggregation. At 100 TB the join key becomes
+    xxhash64(gram) — fixed-width, same plan."""
+    bench_grams = (
+        _gram_frame(benchmark, n, text_col, id_col)
+        .select("gram").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    g = _gram_frame(df, n, text_col, id_col)
+    per_doc = (
+        g.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("hit_grams"),
+        )
+    )
+    return (
+        df.select(id_col).join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("hit_grams"), F.lit(0)).cast("long").alias("hit_grams"),
+            (F.coalesce(F.col("hit_grams"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_oracle(n: int = 8, benchmark_sql: str = "documents") -> str:
+    """``benchmark_sql`` is any relation with (doc_id, text)."""
+    def grams(src: str) -> str:
+        return f"""(
+    SELECT doc_id,
+           unnest([array_to_string(toks[i:i + {n - 1}], ' ')
+                   FOR i IN range(1, greatest(len(toks) - {n} + 2, 1))]) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src})
+)"""
+
+    return f"""
+WITH bg AS (SELECT DISTINCT gram FROM {grams(benchmark_sql)}),
+g AS (SELECT * FROM {grams('documents')}),
+per_doc AS (
+    SELECT g.doc_id, COUNT(*) AS n_grams,
+           SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS hit_grams
+    FROM g LEFT JOIN bg ON bg.gram = g.gram
+    GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.hit_grams, 0) AS BIGINT) AS hit_grams,
+       CAST(CASE WHEN COALESCE(p.hit_grams, 0) > 0 THEN 1 ELSE 0 END AS INT)
+           AS contaminated
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
 def stratified_sample(
     df: DataFrame,
     frac: float = 0.25,

@@ -11082,3 +11082,50 @@ def _register_causal_placebo():
 
 
 _register_causal_placebo()
+
+
+# ---------------------------------------------------------------------------
+# Round 7: intra-document repetition quality signals (the published
+# Gopher repetition filters — top-bigram mass + repeated-trigram mass;
+# the cross-document relative is dup_ngram_stats) and benchmark
+# decontamination (flag corpus docs sharing any word 8-gram with a
+# benchmark set — here a deterministic doc_id % 97 stand-in benchmark).
+
+
+def _register_gopher_repetition():
+    from polars_ts_spark.operators import textops
+
+    @register(
+        "gopher_repetition",
+        "WITH r AS (" + textops.gopher_repetition_oracle() + ") "
+        "SELECT doc_id, n_tokens, ROUND(top_bigram_frac, 6) AS top_bigram_frac, "
+        "ROUND(dup_trigram_frac, 6) AS dup_trigram_frac FROM r",
+    )
+    def q_gopher_repetition(spark, sf_dir):
+        out = textops.gopher_repetition(_docs(spark, sf_dir))
+        return out.select(
+            "doc_id", "n_tokens",
+            F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+            F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+        )
+
+
+_register_gopher_repetition()
+
+
+def _register_decontaminate():
+    from polars_ts_spark.operators import textops
+
+    @register(
+        "benchmark_decontaminate",
+        textops.decontaminate_oracle(
+            benchmark_sql="(SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0)"
+        ),
+    )
+    def q_benchmark_decontaminate(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        return textops.decontaminate(docs, bench)
+
+
+_register_decontaminate()

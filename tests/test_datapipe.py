@@ -661,3 +661,32 @@ def test_lsh_ann_string_ids_survive_bucket_resplit(spark):
     for r in out:
         assert r["vec_id"].startswith("doc-") and r["neighbor_id"].startswith("doc-")
         assert r["cosine"] == pytest.approx(1.0)
+
+
+def test_gopher_repetition_planted(spark):
+    docs = spark.createDataFrame([
+        (0, "spam spam spam spam spam spam"),           # one bigram repeated
+        (1, "the quick brown fox jumps over dogs"),     # all grams unique
+        (2, "ab"),                                      # too short for a trigram
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.gopher_repetition(docs).collect()}
+    assert 2 not in out  # no trigram -> no repetition signal
+    assert out[0]["top_bigram_frac"] == pytest.approx(1.0)   # 5x "spam spam"
+    assert out[0]["dup_trigram_frac"] == pytest.approx(1.0)  # 4x "spam spam spam"
+    assert out[1]["top_bigram_frac"] == pytest.approx(1.0 / 6.0)
+    assert out[1]["dup_trigram_frac"] == 0.0
+
+
+def test_decontaminate_planted(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"])
+    docs = spark.createDataFrame([
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota"),  # overlaps
+        (1, "one two three four five six seven eight nine"),        # clean
+        (2, "short doc"),                                           # no 8-gram
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.decontaminate(docs, bench).collect()}
+    assert out[0]["contaminated"] == 1 and out[0]["hit_grams"] == 1
+    assert out[1]["contaminated"] == 0 and out[1]["n_grams"] == 2
+    assert out[2]["contaminated"] == 0 and out[2]["n_grams"] == 0  # kept, clean

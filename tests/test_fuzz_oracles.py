@@ -78,6 +78,13 @@ CASES = [
          "ds", F.expr("timestamp_seconds(unix_seconds("
                       "timestamp'2024-01-01 00:00:00') + doc_id)"))),
      lambda: textops.lsh_dedup_keep_first_oracle()),
+    ("gopher_repetition",
+     lambda df: textops.gopher_repetition(df),
+     lambda: textops.gopher_repetition_oracle()),
+    ("benchmark_decontaminate",
+     lambda df: textops.decontaminate(df, df.filter(F.col("doc_id") % 7 == 0)),
+     lambda: textops.decontaminate_oracle(
+         benchmark_sql="(SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0)")),
 ]
 
 
