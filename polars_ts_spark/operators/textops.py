@@ -1059,30 +1059,34 @@ def gopher_repetition(
     Output [doc_id, n_tokens, top_bigram_frac, dup_trigram_frac] for
     documents with at least one ``dup_n``-gram.
 
-    Plan: two explodes -> per-(doc, gram) counts (map-side combinable)
-    -> per-doc max/sum -> one doc-key equi-join. Every stage is linear
-    in total gram count and all keys carry the doc id, so a corpus
-    pre-partitioned by document colocates the whole DAG — no cross-doc
-    traffic at any width."""
-    def per_doc(n: int, top_name: str, dup_name: str) -> DataFrame:
-        pdg = (
-            _gram_frame(df, n, text_col, id_col)
-            .groupBy(id_col, "gram").agg(F.count("*").alias("occ"))
+    Plan: ONE tagged gram pass (both n's unioned with a length tag) ->
+    per-(doc, n, gram) counts (map-side combinable) -> per-(doc, n)
+    signal aggregates -> one per-doc conditional pivot — three linear
+    aggregations, zero joins (n_tokens falls out of the dup_n-gram
+    count: a doc with t tokens has t-dup_n+1 of them). Every key
+    carries the doc id, so a corpus pre-partitioned by document
+    colocates the whole DAG — no cross-doc traffic at any width."""
+    both = (
+        _gram_frame(df, top_n, text_col, id_col).withColumn("__n", F.lit(top_n))
+        .unionByName(
+            _gram_frame(df, dup_n, text_col, id_col).withColumn("__n", F.lit(dup_n))
         )
-        return pdg.groupBy(id_col).agg(
-            (F.max("occ") / F.sum("occ")).alias(top_name),
-            (F.sum(F.when(F.col("occ") >= 2, F.col("occ")).otherwise(F.lit(0)))
-             / F.sum("occ")).alias(dup_name),
-        )
-
-    top = per_doc(top_n, "top_bigram_frac", "__d2").drop("__d2")
-    dup = per_doc(dup_n, "__t3", "dup_trigram_frac").drop("__t3")
-    n_tokens = df.select(
-        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
+    )
+    pdg = both.groupBy(id_col, "__n", "gram").agg(F.count("*").alias("occ"))
+    sig = pdg.groupBy(id_col, "__n").agg(
+        (F.max("occ") / F.sum("occ")).alias("__top"),
+        (F.sum(F.when(F.col("occ") >= 2, F.col("occ")).otherwise(F.lit(0)))
+         / F.sum("occ")).alias("__dup"),
+        F.sum("occ").alias("__cnt"),
+    )
+    out = sig.groupBy(id_col).agg(
+        F.max(F.when(F.col("__n") == top_n, F.col("__top"))).alias("top_bigram_frac"),
+        F.max(F.when(F.col("__n") == dup_n, F.col("__dup"))).alias("dup_trigram_frac"),
+        (F.max(F.when(F.col("__n") == dup_n, F.col("__cnt"))) + F.lit(dup_n - 1))
+        .cast("int").alias("n_tokens"),
     )
     return (
-        dup.join(top, id_col, "left")
-        .join(n_tokens, id_col)
+        out.filter(F.col("dup_trigram_frac").isNotNull())
         .select(id_col, "n_tokens", "top_bigram_frac", "dup_trigram_frac")
     )
 
@@ -1135,31 +1139,36 @@ def decontaminate(
 
     Plan: the benchmark gram set is distinct + broadcast (benchmarks
     are small by definition — thousands of docs vs the corpus'
-    billions); the corpus side is one explode -> broadcast left join ->
-    per-doc agg, all linear with NO corpus-side shuffle before the
-    final doc-key aggregation. At 100 TB the join key becomes
-    xxhash64(gram) — fixed-width, same plan."""
+    billions); the corpus side is one explode_outer (a NULL-gram row
+    keeps gram-less docs in band, so no re-join of the corpus id list)
+    -> broadcast left join -> per-doc agg: the corpus is scanned once
+    and never shuffled before the final doc-key aggregation. At 100 TB
+    the join key becomes xxhash64(gram) — fixed-width, same plan."""
     bench_grams = (
         _gram_frame(benchmark, n, text_col, id_col)
         .select("gram").distinct()
         .withColumn("__hit", F.lit(1))
     )
-    g = _gram_frame(df, n, text_col, id_col)
-    per_doc = (
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    starts = F.sequence(F.lit(1), n_tok - F.lit(n) + F.lit(1))
+    grams_arr = F.when(
+        n_tok >= F.lit(n),
+        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    g = df.select(F.col(id_col), F.explode_outer(grams_arr).alias("gram"))
+    return (
         g.join(F.broadcast(bench_grams), "gram", "left")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_grams"),
+            F.count("gram").alias("n_grams"),  # skips the NULL sentinel
             F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("hit_grams"),
         )
-    )
-    return (
-        df.select(id_col).join(per_doc, id_col, "left")
         .select(
             id_col,
-            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
-            F.coalesce(F.col("hit_grams"), F.lit(0)).cast("long").alias("hit_grams"),
-            (F.coalesce(F.col("hit_grams"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("hit_grams").cast("long").alias("hit_grams"),
+            (F.col("hit_grams") > 0).cast("int").alias("contaminated"),
         )
     )
 
