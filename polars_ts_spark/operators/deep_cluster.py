@@ -38,12 +38,14 @@ from polars_ts_spark.panel import ID, TARGET, TIME
 def _series_matrix(df: DataFrame, id_col: str, time_col: str, target_col: str):
     """(ids, X) with each z-normalized series resampled by truncation/
     zero-pad to the median length — the common fixed-width input the
-    reference's `_prepare_data` builds (deep_cluster.py:150-170)."""
+    reference's `_prepare_data` builds (deep_cluster.py:150-170).
+    Uses the clusterers' size-gated collector (refuse-with-guidance
+    past the driver cap) — the encoder refit is driver-side by design,
+    but the collect must not OOM silently."""
+    from polars_ts_spark.operators.clustering import _collect_array_panel
+
     rows = sorted(
-        df.groupBy(F.col(id_col).cast("string").alias(id_col))
-        .agg(F.expr(f"transform(array_sort(collect_list(struct({time_col} as t, "
-                    f"cast({target_col} as double) as v))), s -> s.v)").alias("vals"))
-        .collect(),
+        _collect_array_panel(df, id_col, time_col, target_col, "series_matrix"),
         key=lambda r: r[id_col],
     )  # sorted ids: row order (hence any index-seeded init) must not
     # depend on Spark's collect order
