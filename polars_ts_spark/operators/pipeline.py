@@ -341,8 +341,8 @@ class DirectForecaster(RecursiveForecaster):
         )
         self.feat_cols = feat_cols
         w = FT.series_window(self.id_col, self.time_col)
-        self.models = []
-        for step in range(1, h + 1):
+
+        def fit_step(step: int):
             shifted = feat_df.withColumn("__target", F.lead(self.target_col, step - 1).over(w))
             # model k sees the future covariate's value AT the predicted
             # step, not at the feature row (ref multistep.py:355-360)
@@ -350,7 +350,15 @@ class DirectForecaster(RecursiveForecaster):
                 shifted = shifted.withColumn(c, F.lead(c, step - 1).over(w))
             shifted = shifted.dropna()
             est = self.estimator.clone() if hasattr(self.estimator, "clone") else RidgeEstimator()
-            self.models.append(_fit_estimator(est, shifted, feat_cols, "__target"))
+            return _fit_estimator(est, shifted, feat_cols, "__target")
+
+        # the h per-horizon fits are independent sufficient-stats jobs —
+        # submit them concurrently so their stages interleave instead of
+        # h sequential barriers (the EnbPI/backtest pattern)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(h, 8)) as pool:
+            self.models = list(pool.map(fit_step, range(1, h + 1)))
         return self
 
     def predict(self, df: DataFrame, h: int | None = None,
