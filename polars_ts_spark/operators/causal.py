@@ -22,10 +22,12 @@ from pyspark.sql import functions as F
 from polars_ts_spark.operators.statespace import KalmanFilter
 from polars_ts_spark.panel import ID, TARGET, TIME
 
-# same 256 MB-order driver cap as clustering._DRIVER_ELEMS_CAP: the
-# synthetic-control donor matrix is driver-side by design, so past the
-# cap we refuse with guidance instead of OOMing
-_DRIVER_ELEMS_CAP = 32_000_000
+# driver cap on the synthetic-control panel collect, in ROWS: each
+# collected row is (id string, timestamp, double) ≈ 4 double-widths of
+# driver memory, so 8M rows is the same 256 MB order as
+# clustering._DRIVER_ELEMS_CAP's 32M bare doubles. Driver-side by
+# design — past the cap we refuse with guidance instead of OOMing.
+_DRIVER_ROWS_CAP = 8_000_000
 
 
 def _simplex_project(v: np.ndarray) -> np.ndarray:
@@ -78,11 +80,11 @@ def synthetic_control(
     is therefore not the oracle-gated default."""
     src = panel.select(id_col, time_col, target_col).persist()
     try:
-        n_elems = src.count()
-        if n_elems > _DRIVER_ELEMS_CAP:
+        n_rows = src.count()
+        if n_rows > _DRIVER_ROWS_CAP:
             raise ValueError(
-                f"synthetic_control: panel holds {n_elems} observations, over "
-                f"the driver-collect cap ({_DRIVER_ELEMS_CAP}). The donor-weight "
+                f"synthetic_control: panel holds {n_rows} observations, over "
+                f"the driver-collect cap ({_DRIVER_ROWS_CAP}). The donor-weight "
                 "solve is driver-side by design; pre-select a donor pool "
                 "(filter the panel to candidate donors) or downsample the "
                 "pre-period before calling."
@@ -124,12 +126,13 @@ def causal_impact(
     first series of the panel)."""
     # single-series analysis: pick the first series IN SPARK and collect
     # only its rows — collecting the whole panel to use one series is
-    # the scale-latent pattern the fit layer just shed (min over a
-    # string column is the lexicographic first id, matching the old
-    # sorted(unique)[0])
-    sid = df.agg(F.min(F.col(id_col).cast("string"))).first()[0]
+    # the scale-latent pattern the fit layer just shed. min() on the
+    # NATIVE column keeps the old sorted(unique)[0] choice for numeric
+    # and string ids alike (a string cast would reorder numeric ids:
+    # min("10","2") = "10").
+    sid = df.agg(F.min(F.col(id_col))).first()[0]
     s = (
-        df.filter(F.col(id_col).cast("string") == sid)
+        df.filter(F.col(id_col) == F.lit(sid))
         .select(id_col, time_col, target_col)
         .toPandas()
     )

@@ -90,7 +90,7 @@ def backtest(
     # registered caller does.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(n_folds, 8)) as pool:
+    with ThreadPoolExecutor(max_workers=max(1, min(n_folds, 8))) as pool:
         fold_rows = list(pool.map(run_fold, range(n_folds)))
     folds = pd.DataFrame(fold_rows)
     summary = folds.drop(columns="fold").agg(["mean", "std"]).T.reset_index()
@@ -182,7 +182,7 @@ class StackingForecaster:
         # interleave instead of running B sequential barriers
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(len(names), 8)) as pool:
+        with ThreadPoolExecutor(max_workers=max(1, min(len(names), 8))) as pool:
             preds = dict(zip(names, pool.map(
                 lambda n: self.base[n](train, holdout), names)))
         for n in names:
@@ -192,7 +192,11 @@ class StackingForecaster:
         # of (B+1)² scalars instead of collecting the n_series × holdout
         # × B prediction frame to the driver (alpha=0: plain normal
         # equations, the oracle's exact math; lstsq fallback inside
-        # covers a singular prediction Gram)
+        # covers a singular prediction Gram). Known tradeoff vs the old
+        # raw-matrix SVD: normal equations square the condition number,
+        # so NEAR-collinear base models (two bases agreeing to ~1e-9)
+        # can produce large opposite-sign meta weights — if you stack
+        # near-duplicates, drop one or pass a small ridge alpha here.
         from polars_ts_spark.operators.pipeline import _ridge_fit_distributed
 
         self.meta = _ridge_fit_distributed(
@@ -204,7 +208,7 @@ class StackingForecaster:
         names = list(self.base)
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(len(names), 8)) as pool:
+        with ThreadPoolExecutor(max_workers=max(1, min(len(names), 8))) as pool:
             preds = dict(zip(names, pool.map(lambda n: self.base[n](df, h), names)))
         out = None
         for n in names:
@@ -971,9 +975,11 @@ def kaboudan_metric(
 # EnbPI bootstrap-ensemble intervals (conformal.py:190-416)
 
 
-# driver cap on EnbPI's pooled OOB residual multiset (same 256 MB order
-# as the other driver-by-design gates)
-_ENBPI_RESID_CAP = 32_000_000
+# driver cap on EnbPI's pooled OOB residual multiset, in rows: the
+# residuals travel as one Arrow-batched double column, but the python
+# list that update() appends to costs ~28 bytes per float, so 8M keeps
+# the resident multiset at the same 256 MB order as the other gates
+_ENBPI_RESID_CAP = 8_000_000
 
 
 def _union_all(frames: list[DataFrame]) -> DataFrame:
@@ -1058,7 +1064,9 @@ class EnbPI:
                     "series sample, or switch to a per-series conformal "
                     "interval (conformal_interval), which stays distributed."
                 )
-            self.residuals = [r["__r"] for r in resid.collect()]
+            # Arrow transfer (toPandas), not .collect(): Row objects
+            # cost ~100 B each, the Arrow column ~8 B per residual
+            self.residuals = resid.toPandas()["__r"].tolist()
         finally:
             resid.unpersist()
         return self

@@ -357,7 +357,7 @@ class DirectForecaster(RecursiveForecaster):
         # h sequential barriers (the EnbPI/backtest pattern)
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(h, 8)) as pool:
+        with ThreadPoolExecutor(max_workers=max(1, min(h, 8))) as pool:
             self.models = list(pool.map(fit_step, range(1, h + 1)))
         return self
 
@@ -466,7 +466,12 @@ class GlobalForecaster(RecursiveForecaster):
         )
 
     def fit(self, df: DataFrame) -> "GlobalForecaster":
-        self.code_df = self._id_code_frame(df)
+        # persist + materialize the (tiny) code frame so the encoding is
+        # FROZEN at fit time: an unpinned lazy plan would re-derive the
+        # codes from the source at predict, and one id appended to the
+        # source between fit and predict would shift every later code
+        self.code_df = self._id_code_frame(df).persist()
+        self.code_df.count()
         df2 = df.join(self.code_df, self.id_col)
         feat_df, feat_cols = _training_frame(
             df2, self.lags, self.rolling_windows, self.rolling_aggs,
@@ -561,10 +566,16 @@ class QuantileRegressor:
         qs = self.quantiles
         # the IRLS loop re-aggregates this frame n_irls+1 times; cache
         # it in a handful of partitions so each pass costs a few tasks,
-        # not a full shuffle-width of them (the frame is the projected
-        # feature panel — at 100 TB raise the partition count with it)
+        # not a full shuffle-width of them. repartition, NOT coalesce:
+        # coalesce would collapse the upstream window computation into
+        # the same 8 tasks, while a repartition keeps the feature build
+        # at full width and only narrows the cached result. At 100 TB
+        # raise the count with the data (it only bounds per-pass task
+        # overhead, not correctness).
+        n_cache_parts = max(1, min(8, feat_df.sparkSession.sparkContext.defaultParallelism))
         feat_df = (
-            feat_df.select(*feat_cols, self.target_col).coalesce(8).persist()
+            feat_df.select(*feat_cols, self.target_col)
+            .repartition(n_cache_parts).persist()
         )
         try:
             # scale decade + normal-equation start, one pass (the start
@@ -577,6 +588,11 @@ class QuantileRegressor:
                 exprs.append(F.sum(cols[i]).alias(f"xs_{i}"))
                 exprs.append(F.sum(cols[i] * t).alias(f"xy_{i}"))
             row = feat_df.agg(*exprs).collect()[0]
+            if not row["__n"]:
+                raise ValueError(
+                    "QuantileRegressor: no training rows after lag "
+                    "alignment — every series is shorter than max(lags)"
+                )
             m = float(row["__m"] or 0.0)
             s = 10.0 ** math.floor(math.log10(m)) if m > 0 else 1.0
             A = np.zeros((d + 1, d + 1))

@@ -1029,10 +1029,13 @@ GROUP BY doc_id
 # deterministic stratified sampling (per-stratum md5-rank quota)
 
 
-def _gram_frame(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+def _gram_frame(
+    df: DataFrame, n: int, text_col: str, id_col: str, outer: bool = False
+) -> DataFrame:
     """(id, gram) with one row per OCCURRENCE (not distinct): word
     n-grams by the corpus' single-space tokenization, same short-doc
-    guard as word_shingles."""
+    guard as word_shingles. ``outer=True`` keeps gram-less docs in band
+    as a single NULL-gram sentinel row (explode_outer)."""
     toks = F.split(F.col(text_col), " ")
     n_tok = F.size(toks)
     starts = F.sequence(F.lit(1), n_tok - F.lit(n) + F.lit(1))
@@ -1040,7 +1043,8 @@ def _gram_frame(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
         n_tok >= F.lit(n),
         F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " ")),
     ).otherwise(F.expr("array()").cast("array<string>"))
-    return df.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
+    exploder = F.explode_outer if outer else F.explode
+    return df.select(F.col(id_col), exploder(grams_arr).alias("gram"))
 
 
 def gopher_repetition(
@@ -1149,14 +1153,7 @@ def decontaminate(
         .select("gram").distinct()
         .withColumn("__hit", F.lit(1))
     )
-    toks = F.split(F.col(text_col), " ")
-    n_tok = F.size(toks)
-    starts = F.sequence(F.lit(1), n_tok - F.lit(n) + F.lit(1))
-    grams_arr = F.when(
-        n_tok >= F.lit(n),
-        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " ")),
-    ).otherwise(F.expr("array()").cast("array<string>"))
-    g = df.select(F.col(id_col), F.explode_outer(grams_arr).alias("gram"))
+    g = _gram_frame(df, n, text_col, id_col, outer=True)
     return (
         g.join(F.broadcast(bench_grams), "gram", "left")
         .groupBy(id_col)
