@@ -433,3 +433,18 @@ def test_backtest_folds_run_concurrently(linear_panel):
 def test_enbpi_rejects_zero_bootstraps():
     with pytest.raises(ValueError, match="n_bootstraps >= 1"):
         E.EnbPI(lambda: None, n_bootstraps=0)
+
+
+def test_enbpi_residual_gate(linear_panel, monkeypatch):
+    monkeypatch.setattr(E, "_ENBPI_RESID_CAP", 1)
+    m = E.EnbPI(lambda: P.RecursiveForecaster(lags=[1]), n_bootstraps=2)
+    with pytest.raises(ValueError, match="driver cap"):
+        m.fit(linear_panel)
+
+
+def test_synthetic_control_gate(linear_panel, monkeypatch):
+    from polars_ts_spark.operators import causal
+
+    monkeypatch.setattr(causal, "_DRIVER_ROWS_CAP", 1)
+    with pytest.raises(ValueError, match="driver-collect cap"):
+        causal.synthetic_control(linear_panel, "s1", "2024-03-01")
