@@ -386,3 +386,60 @@ def streaming_lsh_dedup_handler(
             keys.unpersist()
 
     return handle
+
+
+def streaming_decontaminate(
+    stream_df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming benchmark decontamination — the streaming twin of
+    ``textops.decontaminate``: as documents arrive, flag any that share
+    a word ``n``-gram with the STATIC benchmark set. A stream-static
+    broadcast join needs NO state store at all (the benchmark gram set
+    is a fixed broadcast side), so this runs at any stream rate with
+    bounded memory; exactly the per-doc [n_grams, hit_grams,
+    contaminated] columns of the batch op, computed per micro-batch.
+
+    STATELESS by construction: a streaming groupBy would demand a
+    watermark and update mode, but a document's grams all live in its
+    own row — so the benchmark gram set (driver-bounded by the
+    benchmark contract) is broadcast as a python set and a mapInPandas
+    pass computes the per-doc counts row-locally. Append mode, no
+    shuffle, no state store, works at any stream rate."""
+    from polars_ts_spark.operators.textops import _gram_frame
+
+    spark = benchmark.sparkSession
+    bench = {
+        r["gram"]
+        for r in _gram_frame(benchmark, n, text_col, id_col)
+        .select("gram").distinct().collect()
+    }
+    bc = spark.sparkContext.broadcast(bench)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grams = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_g, hits = [], []
+            for text in pdf[text_col].astype(str):
+                toks = text.split(" ")
+                doc = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                n_g.append(len(doc))
+                hits.append(sum(1 for x in doc if x in grams))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_grams": pd.Series(n_g, dtype="int64"),
+                "hit_grams": pd.Series(hits, dtype="int64"),
+                "contaminated": pd.Series(
+                    [1 if h > 0 else 0 for h in hits], dtype="int32"),
+            })
+
+    id_dtype = dict(stream_df.dtypes)[id_col]
+    return stream_df.select(id_col, text_col).mapInPandas(
+        score,
+        schema=f"{id_col} {id_dtype}, n_grams long, hit_grams long, contaminated int",
+    )

@@ -356,3 +356,54 @@ def test_stateless_curation_projections_run_on_streams(spark):
         assert textops.text_stats(stream).isStreaming
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_decontaminate_matches_batch_twin(spark):
+    """Real Structured Streaming run of the stateless decontamination:
+    parquet source -> broadcast benchmark gram set via mapInPandas ->
+    memory sink, append mode. Per-doc output must equal the batch twin
+    textops.decontaminate over the same corpus."""
+    import pandas as pd
+
+    from polars_ts_spark.operators.textops import decontaminate
+    from polars_ts_spark.streaming.structured import streaming_decontaminate
+
+    tmp = tempfile.mkdtemp(prefix="stream_decon_")
+    try:
+        pdf = pd.DataFrame({
+            "doc_id": range(4),
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta iota",  # hit
+                "one two three four five six seven eight nine",        # clean
+                "tiny",                                                # no 8-gram
+                "alpha beta gamma delta epsilon zeta eta theta",       # exact bench
+            ],
+        })
+        df = spark.createDataFrame(pdf)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        bench = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [100],
+            "text": ["alpha beta gamma delta epsilon zeta eta theta"],
+        }))
+        schema = spark.read.parquet(tmp).schema
+        stream = spark.readStream.schema(schema).parquet(tmp)
+        q = (
+            streaming_decontaminate(stream, bench)
+            .writeStream.format("memory")
+            .queryName("decon_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        res = spark.sql("SELECT * FROM decon_stream").toPandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        batch = decontaminate(df, bench).toPandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            res.astype({"contaminated": "int64"}),
+            batch.astype({"contaminated": "int64"}),
+        )
+        assert res["contaminated"].tolist() == [1, 0, 0, 1]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
