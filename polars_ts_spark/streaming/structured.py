@@ -412,11 +412,19 @@ def streaming_decontaminate(
     from polars_ts_spark.operators.textops import _gram_frame
 
     spark = benchmark.sparkSession
-    bench = {
-        r["gram"]
-        for r in _gram_frame(benchmark, n, text_col, id_col)
-        .select("gram").distinct().collect()
-    }
+    bg = _gram_frame(benchmark, n, text_col, id_col).select("gram").distinct().persist()
+    try:
+        n_grams = bg.count()
+        if n_grams > 8_000_000:  # the house driver-cap order (~256 MB of grams)
+            raise ValueError(
+                f"streaming_decontaminate: benchmark expands to {n_grams} "
+                "distinct grams, over the broadcast cap. Decontaminate "
+                "against one benchmark at a time, or use the batch "
+                "textops.decontaminate whose gram set stays distributed."
+            )
+        bench = {r["gram"] for r in bg.collect()}
+    finally:
+        bg.unpersist()
     bc = spark.sparkContext.broadcast(bench)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
