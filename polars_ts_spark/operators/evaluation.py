@@ -53,6 +53,8 @@ def backtest(
     ``model_fn(train_df, h) -> forecast_df [id, ds, y_hat]``. Folds cut
     on the distinct sorted timestamps (collected — timestamps are the
     small dimension). Returns (fold_scores, summary)."""
+    if n_folds < 1:
+        raise ValueError(f"backtest needs n_folds >= 1, got {n_folds}")
     times = [r[0] for r in df.select(time_col).distinct().orderBy(time_col).collect()]
     if len(times) < horizon * (n_folds + 1):
         raise ValueError("not enough timestamps for the requested folds")
@@ -167,6 +169,8 @@ class StackingForecaster:
 
     def __init__(self, base_models: dict[str, Callable[[DataFrame, int], DataFrame]],
                  id_col: str = ID, time_col: str = TIME, target_col: str = TARGET):
+        if not base_models:
+            raise ValueError("StackingForecaster needs at least one base model")
         self.base = base_models
         self.id_col, self.time_col, self.target_col = id_col, time_col, target_col
 

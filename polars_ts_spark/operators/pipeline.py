@@ -331,6 +331,8 @@ class DirectForecaster(RecursiveForecaster):
     1-shot models."""
 
     def fit(self, df: DataFrame, h: int = 7) -> "DirectForecaster":
+        if h < 1:
+            raise ValueError(f"DirectForecaster needs h >= 1, got {h}")
         require_columns(df, self.id_col, self.time_col, self.target_col,
                         *(self.past_covariates or []), *(self.future_covariates or []))
         self.h = h
@@ -466,12 +468,14 @@ class GlobalForecaster(RecursiveForecaster):
         )
 
     def fit(self, df: DataFrame) -> "GlobalForecaster":
-        # persist + materialize the (tiny) code frame so the encoding is
-        # FROZEN at fit time: an unpinned lazy plan would re-derive the
-        # codes from the source at predict, and one id appended to the
-        # source between fit and predict would shift every later code
-        self.code_df = self._id_code_frame(df).persist()
-        self.code_df.count()
+        # localCheckpoint the (tiny) code frame so the encoding is
+        # FROZEN at fit time: an unpinned lazy plan (even a persisted
+        # one — evicted cache blocks recompute from source) would
+        # re-derive the codes at predict, and one id appended to the
+        # source between fit and predict would shift every later code.
+        # localCheckpoint truncates the lineage entirely: a lost block
+        # is an error, never a silent recompute against mutated data.
+        self.code_df = self._id_code_frame(df).localCheckpoint(eager=True)
         df2 = df.join(self.code_df, self.id_col)
         feat_df, feat_cols = _training_frame(
             df2, self.lags, self.rolling_windows, self.rolling_aggs,

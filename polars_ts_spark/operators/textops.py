@@ -1126,6 +1126,14 @@ JOIN documents d ON d.doc_id = g.doc_id
 """
 
 
+# cap on the benchmark's distinct gram set (shared by the batch and
+# streaming decontaminators): word 8-grams average ~50 chars, ~100 B as
+# python/broadcast strings, so 2M grams is the house 256 MB driver
+# order. Benchmarks are small by contract; past the cap the honest move
+# is to refuse with guidance.
+_BENCH_GRAMS_CAP = 2_000_000
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,
@@ -1151,8 +1159,18 @@ def decontaminate(
     bench_grams = (
         _gram_frame(benchmark, n, text_col, id_col)
         .select("gram").distinct()
-        .withColumn("__hit", F.lit(1))
+        .persist()
     )
+    n_bench = bench_grams.count()
+    if n_bench > _BENCH_GRAMS_CAP:
+        bench_grams.unpersist()
+        raise ValueError(
+            f"decontaminate: benchmark expands to {n_bench} distinct grams, "
+            f"over the broadcast cap ({_BENCH_GRAMS_CAP}). Decontaminate "
+            "against one benchmark (or shard of it) at a time and OR the "
+            "contaminated flags."
+        )
+    bench_grams = bench_grams.withColumn("__hit", F.lit(1))
     g = _gram_frame(df, n, text_col, id_col, outer=True)
     return (
         g.join(F.broadcast(bench_grams), "gram", "left")

@@ -162,10 +162,12 @@ def garch_fit_series(r: np.ndarray, p: int = 1, q: int = 1):
         best, fbest = None, np.inf
         for x0 in starts:
             cand, fcand = nelder_mead(fn, x0, max_iter=400)
-            # `best is None` keeps the first candidate even when every
-            # nll is NaN (NaN < anything is False) — degrade to NaN
-            # parameters like the old single-start path, never crash
-            if best is None or fcand < fbest:
+            # NaN handling must work BOTH ways: keep the first candidate
+            # when every nll is NaN (degrade like the old single-start
+            # path, never crash), but also let a later FINITE candidate
+            # evict a NaN best — `fcand < NaN` is False, so without the
+            # isnan escape one bad start would poison the whole fit
+            if best is None or np.isnan(fbest) or fcand < fbest:
                 best, fbest = cand, fcand
         omega = float(best[0])
         alphas = best[1 : 1 + q]

@@ -411,16 +411,18 @@ def streaming_decontaminate(
     shuffle, no state store, works at any stream rate."""
     from polars_ts_spark.operators.textops import _gram_frame
 
+    from polars_ts_spark.operators.textops import _BENCH_GRAMS_CAP
+
     spark = benchmark.sparkSession
     bg = _gram_frame(benchmark, n, text_col, id_col).select("gram").distinct().persist()
     try:
         n_grams = bg.count()
-        if n_grams > 8_000_000:  # the house driver-cap order (~256 MB of grams)
+        if n_grams > _BENCH_GRAMS_CAP:  # shared with the batch twin: ~100 B/gram
             raise ValueError(
                 f"streaming_decontaminate: benchmark expands to {n_grams} "
-                "distinct grams, over the broadcast cap. Decontaminate "
-                "against one benchmark at a time, or use the batch "
-                "textops.decontaminate whose gram set stays distributed."
+                f"distinct grams, over the broadcast cap ({_BENCH_GRAMS_CAP}). "
+                "Decontaminate against one benchmark (or shard of it) at a "
+                "time and OR the contaminated flags."
             )
         bench = {r["gram"] for r in bg.collect()}
     finally:
@@ -433,7 +435,10 @@ def streaming_decontaminate(
             if not len(pdf):
                 continue
             n_g, hits = [], []
-            for text in pdf[text_col].astype(str):
+            # NULL text = zero grams, clean — the batch twin's NULL
+            # sentinel semantics (astype(str) alone would tokenize the
+            # literal 'None')
+            for text in pdf[text_col].fillna("").astype(str):
                 toks = text.split(" ")
                 doc = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
                 n_g.append(len(doc))
