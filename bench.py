@@ -73,6 +73,7 @@ HEADLINE = [
     # round-7 curation additions
     "gopher_repetition",
     "benchmark_decontaminate",
+    "trim_duplicate_spans",
 ]
 
 

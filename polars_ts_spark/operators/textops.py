@@ -1126,6 +1126,103 @@ JOIN documents d ON d.doc_id = g.doc_id
 """
 
 
+def trim_duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-SPAN removal — the transform counterpart of
+    ``dup_ngram_stats`` (which only measures): token spans covered by a
+    word ``n``-gram occurring in >= ``min_docs`` distinct documents are
+    DELETED from every document except the gram's canonical owner (the
+    min-id document containing it), the simplified span-granular dedup
+    of the published substring-deduplication recipe (Lee et al. 2021 —
+    remove repeated spans, keep one occurrence). Deterministic: no
+    hashing, ownership by min id. Output [doc_id, n_tokens,
+    masked_tokens, text_trimmed] for EVERY document — docs shorter than
+    ``n`` tokens (no span signal) pass through untouched.
+
+    Plan: positional gram explode -> per-gram (distinct-doc count,
+    min-id owner) aggregate -> equi-join back on the gram -> covered
+    token positions exploded and collected per doc -> one left join to
+    the corpus rebuilds the text with a filter() lambda over the token
+    array. Linear in total gram occurrences; the only wide key is the
+    gram itself (xxhash64 it at 100 TB, the dup_ngram_stats note)."""
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    starts = F.sequence(F.lit(1), n_tok - F.lit(n) + F.lit(1))
+    grams_arr = F.when(
+        n_tok >= F.lit(n),
+        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    g = df.select(
+        F.col(id_col), F.posexplode(grams_arr).alias("__p0", "gram")
+    ).withColumn("__pos", F.col("__p0") + 1).drop("__p0")  # 1-based start
+    stats = g.groupBy("gram").agg(
+        F.countDistinct(id_col).alias("__docs"),
+        F.min(id_col).alias("__owner"),
+    )
+    covered = (
+        g.join(stats, "gram")
+        .filter((F.col("__docs") >= min_docs) & (F.col(id_col) != F.col("__owner")))
+        .select(id_col, F.explode(
+            F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
+        ).alias("__tix"))
+        .groupBy(id_col)
+        .agg(F.collect_set("__tix").alias("__mask"))
+    )
+    toks_c = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        toks_c,
+        lambda _t, i: ~F.array_contains(
+            F.coalesce(F.col("__mask"), F.expr("array()").cast("array<int>")),
+            i + 1,
+        ),
+    )
+    return (
+        df.join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(toks_c).cast("long").alias("n_tokens"),
+            F.size(F.coalesce(F.col("__mask"), F.expr("array()").cast("array<int>")))
+            .cast("long").alias("masked_tokens"),
+            F.array_join(kept, " ").alias("text_trimmed"),
+        )
+    )
+
+
+def trim_duplicate_spans_oracle(n: int = 8, min_docs: int = 2) -> str:
+    return f"""
+WITH toksrc AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+    SELECT doc_id, i AS pos, array_to_string(toks[i:i + {n - 1}], ' ') AS gram
+    FROM toksrc,
+         UNNEST(generate_series(1, greatest(len(toks) - {n - 1}, 0))) AS t(i)
+), stats AS (
+    SELECT gram, COUNT(DISTINCT doc_id) AS docs, MIN(doc_id) AS owner
+    FROM g GROUP BY gram
+), covered AS (
+    SELECT DISTINCT g.doc_id, tix
+    FROM g JOIN stats s ON s.gram = g.gram,
+         UNNEST(generate_series(g.pos, g.pos + {n - 1})) AS u(tix)
+    WHERE s.docs >= {min_docs} AND g.doc_id <> s.owner
+), mask AS (
+    SELECT doc_id, list(tix) AS m FROM covered GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(m.m), 0) AS BIGINT) AS masked_tokens,
+       COALESCE(array_to_string(
+           [t.toks[i] FOR i IN range(1, len(t.toks) + 1)
+            IF m.m IS NULL OR NOT list_contains(m.m, i)], ' '), '')
+           AS text_trimmed  -- DuckDB stringifies [] to NULL; Spark to ''
+FROM toksrc t LEFT JOIN mask m ON m.doc_id = t.doc_id
+"""
+
+
 # cap on the benchmark's distinct gram set (shared by the batch and
 # streaming decontaminators): word 8-grams average ~50 chars, ~100 B as
 # python/broadcast strings, so 2M grams is the house 256 MB driver

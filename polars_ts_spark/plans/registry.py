@@ -11129,3 +11129,14 @@ def _register_decontaminate():
 
 
 _register_decontaminate()
+
+
+def _register_trim_duplicate_spans():
+    from polars_ts_spark.operators import textops
+
+    @register("trim_duplicate_spans", textops.trim_duplicate_spans_oracle())
+    def q_trim_duplicate_spans(spark, sf_dir):
+        return textops.trim_duplicate_spans(_docs(spark, sf_dir))
+
+
+_register_trim_duplicate_spans()

@@ -690,3 +690,22 @@ def test_decontaminate_planted(spark):
     assert out[0]["contaminated"] == 1 and out[0]["hit_grams"] == 1
     assert out[1]["contaminated"] == 0 and out[1]["n_grams"] == 2
     assert out[2]["contaminated"] == 0 and out[2]["n_grams"] == 0  # kept, clean
+
+
+def test_trim_duplicate_spans_planted(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+    docs = spark.createDataFrame([
+        (0, shared + " tail0"),          # owner (min id) keeps the span
+        (5, "head5 " + shared),          # non-owner: span trimmed
+        (7, "one two three four five six seven eight nine"),  # unique
+        (9, "short doc"),                # no 8-gram -> untouched
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.trim_duplicate_spans(docs).collect()}
+    assert out[0]["text_trimmed"] == shared + " tail0"
+    assert out[0]["masked_tokens"] == 0
+    # doc 5 contains TWO duplicated 8-grams? no — only the shared one
+    # starting at pos 2; its 8 tokens go, 'head5' stays
+    assert out[5]["text_trimmed"] == "head5"
+    assert out[5]["masked_tokens"] == 8
+    assert out[7]["masked_tokens"] == 0 and out[9]["masked_tokens"] == 0
+    assert out[9]["text_trimmed"] == "short doc"

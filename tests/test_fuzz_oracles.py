@@ -81,6 +81,9 @@ CASES = [
     ("gopher_repetition",
      lambda df: textops.gopher_repetition(df),
      lambda: textops.gopher_repetition_oracle()),
+    ("trim_duplicate_spans",
+     lambda df: textops.trim_duplicate_spans(df),
+     lambda: textops.trim_duplicate_spans_oracle()),
     ("benchmark_decontaminate",
      lambda df: textops.decontaminate(df, df.filter(F.col("doc_id") % 7 == 0)),
      lambda: textops.decontaminate_oracle(
