@@ -74,6 +74,7 @@ HEADLINE = [
     "gopher_repetition",
     "benchmark_decontaminate",
     "trim_duplicate_spans",
+    "domain_stats",
 ]
 
 

@@ -1126,6 +1126,86 @@ JOIN documents d ON d.doc_id = g.doc_id
 """
 
 
+def domain_stats(
+    df: DataFrame,
+    max_share: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain frequency stats over the URLs inside documents — the
+    domain-cap curation signal (flag documents whose source domain is
+    over-represented in the corpus; the blocklist/frequency-cap step of
+    published web-corpus recipes). A document's domain set is every
+    registrable host in its http(s) URLs (same RE2/Java-common pattern
+    family as ``pii_scrub``); a domain is OVER-REPRESENTED when it
+    appears in more than ``max_share`` of all documents. Output
+    [doc_id, n_domains, max_domain_share, over_cap] for every doc —
+    URL-less docs have n_domains = 0, share 0.0, and pass clean.
+
+    Plan: regexp host extraction (projection) -> explode distinct
+    (doc, domain) -> per-domain doc counts vs one corpus-count scalar
+    broadcast join -> per-doc max share. Linear; the only key is the
+    domain (a tiny cardinality axis at any corpus size)."""
+    # host of each http(s) URL: scheme://HOST[/...], lowercased
+    hosts = F.expr(
+        f"transform(regexp_extract_all({text_col}, "
+        f"'https?://([^/\\\\s]+)', 1), h -> lower(h))"
+    )
+    d = (
+        df.select(F.col(id_col), F.explode(hosts).alias("domain"))
+        .distinct()
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("__nd"))
+    dom_counts = (
+        d.groupBy("domain").agg(F.count(F.lit(1)).alias("__docs_with"))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("__share", F.col("__docs_with") / F.col("__nd"))
+    )
+    per_doc = (
+        d.join(dom_counts.select("domain", "__share"), "domain")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_domains"),
+            F.max("__share").alias("max_domain_share"),
+        )
+    )
+    return (
+        df.select(id_col).join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_domains"), F.lit(0)).cast("long").alias("n_domains"),
+            F.coalesce(F.col("max_domain_share"), F.lit(0.0)).alias("max_domain_share"),
+            (F.coalesce(F.col("max_domain_share"), F.lit(0.0)) > max_share)
+            .cast("int").alias("over_cap"),
+        )
+    )
+
+
+def domain_stats_oracle(max_share: float = 0.05, table: str = "documents") -> str:
+    return f"""
+WITH d AS (
+    SELECT DISTINCT doc_id, lower(dom) AS domain
+    FROM (SELECT doc_id,
+                 unnest(regexp_extract_all(text, 'https?://([^/\\s]+)', 1)) AS dom
+          FROM {table})
+), nd AS (SELECT COUNT(*) AS n FROM {table}),
+dc AS (
+    SELECT domain, CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(nd.n) AS share
+    FROM d CROSS JOIN nd GROUP BY domain
+),
+per_doc AS (
+    SELECT d.doc_id, COUNT(*) AS n_domains, MAX(dc.share) AS mshare
+    FROM d JOIN dc USING (domain) GROUP BY d.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(p.n_domains, 0) AS BIGINT) AS n_domains,
+       COALESCE(p.mshare, 0.0) AS max_domain_share,
+       CAST(CASE WHEN COALESCE(p.mshare, 0.0) > {max_share} THEN 1 ELSE 0 END
+            AS INT) AS over_cap
+FROM {table} t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+"""
+
+
 def trim_duplicate_spans(
     df: DataFrame,
     n: int = 8,

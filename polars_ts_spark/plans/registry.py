@@ -11140,3 +11140,41 @@ def _register_trim_duplicate_spans():
 
 
 _register_trim_duplicate_spans()
+
+
+def _register_domain_stats():
+    from polars_ts_spark.operators import textops
+
+    # the synthetic corpus has no URLs: plant a deterministic, SKEWED
+    # domain per doc on BOTH sides — even doc_ids share 5 hot domains
+    # (~10% corpus share each, over the 5% cap), odd ids spread over
+    # ~500 cold ones, and every 11th doc has no URL at all
+    _DOM_SPARK = (
+        "CASE WHEN doc_id % 11 = 0 THEN text ELSE concat(text, "
+        "' via https://d', CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 5 "
+        "ELSE doc_id % 997 END AS STRING), '.example.org/page') END"
+    )
+    _DOM_DUCK = (
+        "(CASE WHEN doc_id % 11 = 0 THEN text ELSE text || "
+        "' via https://d' || CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 5 "
+        "ELSE doc_id % 997 END AS VARCHAR) || '.example.org/page' END)"
+    )
+
+    @register(
+        "domain_stats",
+        "SELECT doc_id, n_domains, ROUND(max_domain_share, 6) AS "
+        "max_domain_share, over_cap FROM (" + textops.domain_stats_oracle(
+            table=f"(SELECT doc_id, {_DOM_DUCK} AS text FROM documents)"
+        ) + ") r",
+    )
+    def q_domain_stats(spark, sf_dir):
+        docs = _docs(spark, sf_dir).withColumn("text", F.expr(_DOM_SPARK))
+        out = textops.domain_stats(docs)
+        return out.select(
+            "doc_id", "n_domains",
+            F.round("max_domain_share", 6).alias("max_domain_share"),
+            "over_cap",
+        )
+
+
+_register_domain_stats()

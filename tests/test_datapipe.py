@@ -709,3 +709,18 @@ def test_trim_duplicate_spans_planted(spark):
     assert out[5]["masked_tokens"] == 8
     assert out[7]["masked_tokens"] == 0 and out[9]["masked_tokens"] == 0
     assert out[9]["text_trimmed"] == "short doc"
+
+
+def test_domain_stats_planted(spark):
+    docs = spark.createDataFrame([
+        (0, "see https://Hot.example.com/a and http://hot.example.com/b"),
+        (1, "also https://hot.example.com/c here"),
+        (2, "rare https://cold.example.org/x"),
+        (3, "no urls at all"),
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.domain_stats(docs, max_share=0.4).collect()}
+    # hot.example.com (case-folded) is in 2/4 docs = 0.5 share > 0.4
+    assert out[0]["n_domains"] == 1 and out[0]["over_cap"] == 1
+    assert out[1]["over_cap"] == 1
+    assert out[2]["over_cap"] == 0 and out[2]["max_domain_share"] == 0.25
+    assert out[3]["n_domains"] == 0 and out[3]["over_cap"] == 0

@@ -81,6 +81,12 @@ CASES = [
     ("gopher_repetition",
      lambda df: textops.gopher_repetition(df),
      lambda: textops.gopher_repetition_oracle()),
+    ("domain_stats",
+     lambda df: textops.domain_stats(df.withColumn(
+         "text", F.expr("concat(text, ' https://d', CAST(doc_id % 5 AS STRING), '.ex.org/p')"))),
+     lambda: textops.domain_stats_oracle(
+         table="(SELECT doc_id, text || ' https://d' || CAST(doc_id % 5 AS VARCHAR)"
+               " || '.ex.org/p' AS text FROM documents)")),
     ("trim_duplicate_spans",
      lambda df: textops.trim_duplicate_spans(df),
      lambda: textops.trim_duplicate_spans_oracle()),
