@@ -369,3 +369,123 @@ def sample_video_frames(
             })
 
     return df.mapInPandas(kernel, VIDEO_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio plumbing: decode -> frame features (the audio leg of the
+# image/audio/video mandate; same honest-stub pattern as decode_image)
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("samples", ArrayType(FloatType())),
+    ]
+)
+
+_FAKE_SR, _FAKE_N = 16_000, 64
+
+
+def _fake_audio_decode(payload: bytes) -> tuple[int, np.ndarray]:
+    """STUB audio decoder: a deterministic pseudo-waveform from
+    md5(payload) — byte b becomes the centered sample (b - 128)/128,
+    tiled to 64 samples. Exact in float32 (integer numerator, power-of-2
+    denominator), so the SQL oracle replays it without quantization
+    games. Signature (bytes -> (sample_rate, float32 mono)) is the
+    decoder contract; _wav_decode is the real-codec implementation."""
+    h = hashlib.md5(payload).digest()
+    b = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
+    s = (b - 128.0) / 128.0
+    reps = int(np.ceil(_FAKE_N / len(s)))
+    return _FAKE_SR, np.tile(s, reps)[:_FAKE_N].astype(np.float32)
+
+
+def _wav_decode(payload: bytes) -> tuple[int, np.ndarray]:
+    """Real-codec decoder for PCM WAV via the stdlib ``wave`` module
+    (no external deps): 16-bit samples -> float32 in [-1, 1), channels
+    mono-mixed by mean."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        sr = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width != 2:
+        raise ValueError(f"_wav_decode handles 16-bit PCM, got {8 * width}-bit")
+    a = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if n_ch > 1:
+        a = a.reshape(-1, n_ch).mean(axis=1)
+    return sr, a.astype(np.float32)
+
+
+def _resolve_audio_decoder(decoder):
+    """decoder: 'stub' | 'wav' | callable(bytes) -> (sr, float32[])."""
+    if callable(decoder):
+        return decoder
+    if decoder == "stub":
+        return _fake_audio_decode
+    if decoder == "wav":
+        return _wav_decode
+    raise ValueError(f"unknown audio decoder {decoder!r}")
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id", decoder="stub") -> DataFrame:
+    """Decode binary payloads to mono waveforms via mapInPandas
+    (Arrow-batched). Output [doc_id, sample_rate, n_samples, samples]."""
+    decode = _resolve_audio_decoder(decoder)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srs, ns, ss = [], [], []
+            for p in pdf["payload"]:
+                sr, a = decode(bytes(p))
+                srs.append(sr)
+                ns.append(len(a))
+                ss.append(a.tolist())
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "sample_rate": srs,
+                "n_samples": ns,
+                "samples": ss,
+            })
+
+    return df.mapInPandas(kernel, AUDIO_SCHEMA)
+
+
+def audio_features(decoded: DataFrame, frame: int = 16) -> DataFrame:
+    """Frame-level waveform features: RMS energy per non-overlapping
+    ``frame``-sample window plus the global zero-crossing rate —
+    the standard decode -> featurize hop for audio curation (silence /
+    clipping / activity filters). Output [doc_id, features] with
+    features = [rms_0, ..., rms_{n_frames-1}, zcr].
+
+    Pure Spark expressions over the samples array (higher-order
+    functions — no second python hop after the decode kernel)."""
+    n_frames = F.floor(F.col("n_samples") / frame).cast("int")
+    rms = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda j: F.sqrt(
+            F.aggregate(
+                F.slice(F.col("samples"), j * frame + 1, frame),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ) / frame
+        ),
+    )
+    zc = (
+        F.aggregate(
+            F.expr("zip_with(slice(samples, 1, n_samples - 1), "
+                   "slice(samples, 2, n_samples - 1), "
+                   "(a, b) -> CASE WHEN CAST(a AS DOUBLE) * CAST(b AS DOUBLE) < 0 "
+                   "THEN 1 ELSE 0 END)"),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double") / (F.col("n_samples") - 1)
+    )
+    return decoded.select(
+        "doc_id",
+        F.concat(rms, F.array(zc)).alias("features"),
+    )

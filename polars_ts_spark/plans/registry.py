@@ -11178,3 +11178,51 @@ def _register_domain_stats():
 
 
 _register_domain_stats()
+
+
+def _register_audio_features():
+    from polars_ts_spark.operators import multimodal
+
+    # the audio decode stub is md5-deterministic AND exact in float
+    # arithmetic (integer numerators over power-of-2 denominators), so
+    # the whole decode -> frame-RMS -> zero-crossing pipeline replays in
+    # SQL with no quantization games: byte b -> sample (b-128)/128,
+    # v² values are exact multiples of 2^-14, frame sums/averages exact.
+    _AUDIO_ORACLE = """
+    WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    bytes AS (
+        SELECT doc_id, i.i,
+               16 * (strpos('0123456789abcdef', substring(hx, 2 * i.i + 1, 1)) - 1)
+                 + (strpos('0123456789abcdef', substring(hx, 2 * i.i + 2, 1)) - 1) AS b
+        FROM d, (SELECT UNNEST(generate_series(0, 15)) AS i) i
+    ),
+    s AS (
+        SELECT b.doc_id, k.k,
+               CAST(CAST(b.b - 128 AS FLOAT) / CAST(128.0 AS FLOAT) AS DOUBLE) AS v
+        FROM (SELECT UNNEST(generate_series(0, 63)) AS k) k
+        JOIN bytes b ON b.i = k.k % 16
+    ),
+    rms AS (
+        SELECT doc_id, CAST(FLOOR(k / 16) AS INT) AS j, SQRT(AVG(v * v)) AS r
+        FROM s GROUP BY 1, 2
+    ),
+    zc AS (
+        SELECT a.doc_id, SUM(CASE WHEN a.v * b.v < 0 THEN 1 ELSE 0 END) / 63.0 AS z
+        FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+        GROUP BY 1
+    )
+    SELECT doc_id, CAST(j AS INT) AS pos, ROUND(r, 6) AS feature FROM rms
+    UNION ALL
+    SELECT doc_id, CAST(4 AS INT), ROUND(z, 6) FROM zc
+    """
+
+    @register("audio_frame_features", _AUDIO_ORACLE)
+    def q_audio_frame_features(spark, sf_dir):
+        payload = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+        feats = multimodal.audio_features(multimodal.decode_audio(payload))
+        return feats.select(
+            "doc_id", F.posexplode("features").alias("pos", "feature")
+        ).withColumn("feature", F.round("feature", 6))
+
+
+_register_audio_features()
