@@ -222,10 +222,11 @@ def main():
         "notes": {
             "headline_set": "grew r6->r7: +quantile_regression, "
                             "+global_forecast, +stacking_forecast (the newly "
-                            "distributed fit layer; r5->r6 added ivf_ann_topk, "
-                            "corpus_curation, dup_ngram_stats, "
-                            "stratified_sample) — compare totals on the "
-                            "shared-query subset, not headline sums",
+                            "distributed fit layer), +gopher_repetition, "
+                            "+benchmark_decontaminate, +trim_duplicate_spans, "
+                            "+domain_stats (new curation ops) — compare "
+                            "totals on the shared-query subset, not headline "
+                            "sums",
             "regime_detect": "query redefined in r6 (exact-cents monthly panel, "
                              "6 fixed EM iterations, was daily/50) — its delta vs "
                              "r5 is a definition change, not a kernel speedup",
