@@ -75,6 +75,10 @@ HEADLINE = [
     "benchmark_decontaminate",
     "trim_duplicate_spans",
     "domain_stats",
+    # round-8: the shard-and-OR decontamination recipe (3 corpus passes
+    # by construction — its cost pins what the over-cap guidance asks
+    # users to pay)
+    "decontaminate_sharded",
 ]
 
 
@@ -96,7 +100,12 @@ def _cpu_calibration() -> float:
     return round(_t.perf_counter() - t0, 3)
 
 
-def _wait_for_quiet_box(threshold: float = 0.30, max_wait_s: float = 180.0):
+# a quiet box runs the GEMM probe in ~0.2 s; anything past this is
+# external load that would contaminate whatever query runs next
+_PROBE_QUIET = 0.30
+
+
+def _wait_for_quiet_box(threshold: float = _PROBE_QUIET, max_wait_s: float = 180.0):
     """Don't time on a loaded box (round-6 ran at ~2.5x external load
     and the numbers were useless for cross-round comparison): poll the
     calibration probe until it drops under ``threshold`` seconds or the
@@ -150,26 +159,70 @@ def main():
     # report a spread so host noise can't read as regression
     RERUN3 = {"forecast_metrics", "kmedoids_dtw", "lsh_ann_topk", "ivf_ann_topk",
               "corpus_curation"}
+    # round-8 (VERDICT r7 #1): the suite-start gate alone could not stop
+    # a MID-suite load spike from writing 2-2.5x phantom regressions
+    # into BENCH_r07 (kalman/arima/recursive on byte-identical code).
+    # Every sample is now BRACKETED by calibration probes — a sample
+    # only counts as clean when both its pre- and post-probe are quiet
+    # (the post-probe of sample k is the pre-probe of sample k+1, so
+    # the overhead is one ~0.2 s GEMM per sample). A query with no
+    # clean sample gets up to 2 extra passes behind a bounded
+    # wait-for-quiet; if it STILL has none it is flagged hot in the
+    # output instead of masquerading as a regression.
+    gate_on = os.environ.get("SPARK_GRAFT_NO_CALIB_GATE") != "1"
+    # clean threshold is ADAPTIVE: 1.5x the quiet-gate baseline (the
+    # min probe seen while waiting for a quiet start), floored at
+    # 0.40 s — a fixed 0.30 sat ON the quiet box's jitter band
+    # (0.20-0.38 observed back-to-back) and flagged false hots, while
+    # real spikes probe 0.5-1.6 s
+    probe_thr = max(0.40, 1.5 * min(calib_probes))
+    MAX_EXTRA = 2
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    probe_trail: dict[str, list[float]] = {}
+    hot_queries: list[str] = []
+    last_probe = calib_before
+
+    def _one_sample(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        # several operators cache intermediates (pairwise grouped
+        # arrays, reconcile bottoms); drop them between queries so
+        # accumulated blocks don't GC-pressure later measurements
+        spark.catalog.clearCache()
+        return dt
+
     for name in names:
         runs_here = 3 if name in RERUN3 else RUNS
-        samples = []
+        samples: list[tuple[float, bool]] = []  # (sec, bracketed-by-quiet-probes)
+        probes = [last_probe]
         for run in range(runs_here):
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
+            pre = probes[-1]
+            dt = _one_sample(name)
+            post = _cpu_calibration() if gate_on else 0.0
+            probes.append(post)
+            samples.append((dt, pre <= probe_thr and post <= probe_thr))
             if run == 0:
                 cold[name] = round(dt, 3)
-            samples.append(dt)
-            # several operators cache intermediates (pairwise grouped
-            # arrays, reconcile bottoms); drop them between queries so
-            # accumulated blocks don't GC-pressure later measurements
-            spark.catalog.clearCache()
-        timings[name] = round(min(samples), 3)
-        if name in RERUN3:
-            spread[name] = [round(s, 3) for s in sorted(samples)]
+        extra = 0
+        while gate_on and not any(c for _, c in samples) and extra < MAX_EXTRA:
+            pre, waited = _wait_for_quiet_box(max_wait_s=120.0)
+            probes.extend(waited)
+            dt = _one_sample(name)
+            post = _cpu_calibration()
+            probes.append(post)
+            samples.append((dt, pre <= probe_thr and post <= probe_thr))
+            extra += 1
+        clean = [dt for dt, c in samples if c]
+        timings[name] = round(min(clean or [dt for dt, _ in samples]), 3)
+        if not clean and gate_on:
+            hot_queries.append(name)
+        if name in RERUN3 or extra:
+            spread[name] = sorted(round(dt, 3) for dt, _ in samples)
+        probe_trail[name] = [round(p, 3) for p in probes]
+        last_probe = probes[-1]
     total = round(sum(timings.values()), 3)
     # approximate-path quality at bench scale: recall of the LSH/ANN
     # scale paths against their exact baselines (VERDICT r3 #4) —
@@ -205,7 +258,7 @@ def main():
         quality["error"] = str(exc)[:200]
     # report BOTH the warm min-of-N headline and the first-run (cold)
     # total, so the number stays comparable to single-run harnesses
-    print(json.dumps({
+    record = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -216,26 +269,45 @@ def main():
         "cold_total": round(sum(cold.values()), 3),
         "cold_queries": cold,
         "quality": quality,
-        "spread_3runs": spread,
+        "spread_runs": spread,
+        "hot_queries": hot_queries,
+        "probe_clean_threshold_sec": round(probe_thr, 3),
+        "probe_trail_sec": probe_trail,
         "cpu_calibration_sec": {"before": calib_before, "after": _cpu_calibration(),
                                 "gate_probes": calib_probes},
         "notes": {
-            "headline_set": "grew r6->r7: +quantile_regression, "
-                            "+global_forecast, +stacking_forecast (the newly "
-                            "distributed fit layer), +gopher_repetition, "
-                            "+benchmark_decontaminate, +trim_duplicate_spans, "
-                            "+domain_stats (new curation ops) — compare "
+            "headline_set": "grew r7->r8: +decontaminate_sharded (shard-and-OR "
+                            "recipe, 3 corpus passes by design) — compare "
                             "totals on the shared-query subset, not headline "
                             "sums",
-            "regime_detect": "query redefined in r6 (exact-cents monthly panel, "
-                             "6 fixed EM iterations, was daily/50) — its delta vs "
-                             "r5 is a definition change, not a kernel speedup",
-            "corpus_curation": "new in r6: a COMPOSED pipeline (minhash-LSH "
-                               "dedup + component propagation + quality/language/"
-                               "token scans) — its cost is the sum of its stages, "
-                               "~half of it the minhash pass already timed above",
+            "probe_gate": "every sample is bracketed by ~0.2 s GEMM probes "
+                          "(probe_trail_sec); a sample counts only when both "
+                          "probes ran under probe_clean_threshold_sec "
+                          "(adaptive: 1.5x quiet-gate baseline, floor "
+                          "0.40), queries with no clean sample after 2 "
+                          "extra gated passes are listed in hot_queries — BENCH_r07's kalman/arima/recursive "
+                          "2-2.5x 'regressions' were mid-suite load spikes "
+                          "this gate now catches",
+            "corpus_curation": "a COMPOSED pipeline (minhash-LSH dedup + "
+                               "component propagation + quality/language/"
+                               "token scans) — its cost is the sum of its "
+                               "stages, ~half the minhash pass timed above",
         },
-    }))
+    }
+    # the full record goes to a FILE: the driver keeps only a stdout
+    # tail, which truncated BENCH_r07 mid-object (the warm map was
+    # lost) — a file write survives any stdout capture window
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "BENCH_LOCAL.json"))
+    try:
+        with open(out_path, "w") as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
+        record["file"] = out_path
+    except OSError:
+        pass  # a read-only checkout still gets the stdout line
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -465,17 +465,25 @@ def audio_features(decoded: DataFrame, frame: int = 16) -> DataFrame:
     Pure Spark expressions over the samples array (higher-order
     functions — no second python hop after the decode kernel)."""
     n_frames = F.floor(F.col("n_samples") / frame).cast("int")
-    rms = F.transform(
-        F.sequence(F.lit(0), n_frames - 1),
-        lambda j: F.sqrt(
-            F.aggregate(
-                F.slice(F.col("samples"), j * frame + 1, frame),
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            ) / frame
+    # a clip shorter than one frame has n_frames = 0: an unguarded
+    # sequence(0, -1) is DESCENDING [0, -1] and would emit two bogus
+    # RMS entries (one via a negative-index slice) — emit none instead
+    rms = F.when(
+        n_frames >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_frames - 1),
+            lambda j: F.sqrt(
+                F.aggregate(
+                    F.slice(F.col("samples"), j * frame + 1, frame),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                ) / frame
+            ),
         ),
-    )
-    zc = (
+    ).otherwise(F.expr("array()").cast("array<double>"))
+    # a 0/1-sample clip has no sample pairs: zero crossings, not 0/0
+    zc = F.when(
+        F.col("n_samples") > 1,
         F.aggregate(
             F.expr("zip_with(slice(samples, 1, n_samples - 1), "
                    "slice(samples, 2, n_samples - 1), "
@@ -483,8 +491,8 @@ def audio_features(decoded: DataFrame, frame: int = 16) -> DataFrame:
                    "THEN 1 ELSE 0 END)"),
             F.lit(0),
             lambda acc, x: acc + x,
-        ).cast("double") / (F.col("n_samples") - 1)
-    )
+        ).cast("double") / (F.col("n_samples") - 1),
+    ).otherwise(F.lit(0.0))
     return decoded.select(
         "doc_id",
         F.concat(rms, F.array(zc)).alias("features"),

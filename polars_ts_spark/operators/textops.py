@@ -625,6 +625,25 @@ FROM reach GROUP BY node
 """
 
 
+def quality_score_expr(text_col: str = "text"):
+    """The text_stats composite quality score as a standalone Column —
+    reusable where the fixed text_stats projection would drop columns a
+    caller must keep (the streaming curation pipeline needs it next to
+    the event-time column). Bit-identical to text_stats' score."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    avg_len = (n_chars - (n_tokens - 1)) / n_tokens
+    stop_ratio = n_stop / n_tokens
+    return (
+        F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * 0.4
+        + F.least(F.lit(1.0), avg_len / F.lit(8.0)) * 0.3
+        + F.least(F.lit(1.0), stop_ratio * F.lit(5.0)) * 0.3
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc token/char statistics and a composite quality score.
     Output [doc_id, n_tokens, n_chars_obs, avg_token_len,
@@ -637,11 +656,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     avg_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars excl. separators
     stop_ratio = n_stop / n_tokens
-    quality = (
-        F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * 0.4
-        + F.least(F.lit(1.0), avg_len / F.lit(8.0)) * 0.3
-        + F.least(F.lit(1.0), stop_ratio * F.lit(5.0)) * 0.3
-    )
+    quality = quality_score_expr(text_col)
     return df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
@@ -1069,7 +1084,17 @@ def gopher_repetition(
     aggregations, zero joins (n_tokens falls out of the dup_n-gram
     count: a doc with t tokens has t-dup_n+1 of them). Every key
     carries the doc id, so a corpus pre-partitioned by document
-    colocates the whole DAG — no cross-doc traffic at any width."""
+    colocates the whole DAG — no cross-doc traffic at any width.
+
+    DEVIATION from the paper: Rae et al. measure the fraction of
+    CHARACTERS inside duplicated grams; this op measures the fraction
+    of gram OCCURRENCES. The published thresholds (e.g. 0.20 for the
+    top 2-gram) do NOT transfer — calibrate on your own corpus."""
+    if top_n == dup_n:
+        # the two legs are tagged by gram length; equal n's would merge
+        # under one tag and double every occurrence count
+        raise ValueError(
+            f"gopher_repetition: top_n and dup_n must differ (got {top_n})")
     both = (
         _gram_frame(df, top_n, text_col, id_col).withColumn("__n", F.lit(top_n))
         .unionByName(
@@ -1304,10 +1329,13 @@ FROM toksrc t LEFT JOIN mask m ON m.doc_id = t.doc_id
 
 
 # cap on the benchmark's distinct gram set (shared by the batch and
-# streaming decontaminators): word 8-grams average ~50 chars, ~100 B as
-# python/broadcast strings, so 2M grams is the house 256 MB driver
-# order. Benchmarks are small by contract; past the cap the honest move
-# is to refuse with guidance.
+# streaming decontaminators): the batch twin broadcasts the gram frame
+# JVM-side (word 8-grams ~50 chars -> ~100 B each, 2M ~ 200 MB, the
+# house 256 MB broadcast order); the streaming twin broadcasts a sorted
+# int64 array of 60-bit gram hashes (16 MB at the cap) so its python
+# workers never hold the strings. Benchmarks are small by contract;
+# past the cap the honest move is to refuse with guidance — see
+# decontaminate_sharded for the packaged shard-and-OR recipe.
 _BENCH_GRAMS_CAP = 2_000_000
 
 
@@ -1336,16 +1364,19 @@ def decontaminate(
     bench_grams = (
         _gram_frame(benchmark, n, text_col, id_col)
         .select("gram").distinct()
-        .persist()
     )
-    n_bench = bench_grams.count()
-    if n_bench > _BENCH_GRAMS_CAP:
-        bench_grams.unpersist()
+    # cap probe WITHOUT persist (a cached RDD here would leak for the
+    # session lifetime — the returned plan is lazy, so there is no
+    # hook to unpersist on): benchmarks are small by contract, so one
+    # recompute of the gram frame in the join below is cheaper than
+    # holding executor storage forever
+    if bench_grams.limit(_BENCH_GRAMS_CAP + 1).count() > _BENCH_GRAMS_CAP:
         raise ValueError(
-            f"decontaminate: benchmark expands to {n_bench} distinct grams, "
-            f"over the broadcast cap ({_BENCH_GRAMS_CAP}). Decontaminate "
-            "against one benchmark (or shard of it) at a time and OR the "
-            "contaminated flags."
+            f"decontaminate: benchmark expands to more than "
+            f"{_BENCH_GRAMS_CAP} distinct grams (the broadcast cap). "
+            "Decontaminate against one benchmark (or shard of it) at a "
+            "time and OR the contaminated flags — see "
+            "decontaminate_sharded."
         )
     bench_grams = bench_grams.withColumn("__hit", F.lit(1))
     g = _gram_frame(df, n, text_col, id_col, outer=True)
@@ -1360,6 +1391,67 @@ def decontaminate(
             id_col,
             F.col("n_grams").cast("long").alias("n_grams"),
             F.col("hit_grams").cast("long").alias("hit_grams"),
+            (F.col("hit_grams") > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sharded(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    n_shards: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The shard-and-OR recipe the over-cap refusal in ``decontaminate``
+    prescribes, packaged and parity-tested: shard the benchmark GRAM SET
+    by hash into ``n_shards`` DISJOINT slices (sharding by benchmark
+    document would double-count hit_grams for grams shared across
+    benchmark docs), decontaminate the corpus against each slice, and
+    combine — n_grams is shard-invariant (max), hit_grams sums across
+    disjoint slices, contaminated is the OR. Row-identical to the
+    unsharded op (tests/test_datapipe.py asserts it); each slice's
+    broadcast is ~1/n_shards of the full gram set, so a benchmark that
+    refuses unsharded fits at ceil(n_grams / cap) shards. Cost: one
+    corpus gram scan per shard — linear, embarrassingly parallel, and
+    at 100 TB each shard pass is the same broadcast-join plan as the
+    unsharded op."""
+    if n_shards < 1:
+        raise ValueError(f"decontaminate_sharded: n_shards must be >= 1, got {n_shards}")
+    parts = []
+    for s in range(n_shards):
+        bg = (
+            _gram_frame(benchmark, n, text_col, id_col)
+            .select("gram").distinct()
+            .filter(F.pmod(F.xxhash64("gram"), F.lit(n_shards)) == s)
+        )
+        if bg.limit(_BENCH_GRAMS_CAP + 1).count() > _BENCH_GRAMS_CAP:
+            raise ValueError(
+                f"decontaminate_sharded: shard {s}/{n_shards} still exceeds "
+                f"the {_BENCH_GRAMS_CAP}-gram broadcast cap — raise n_shards."
+            )
+        bg = bg.withColumn("__hit", F.lit(1))
+        g = _gram_frame(df, n, text_col, id_col, outer=True)
+        parts.append(
+            g.join(F.broadcast(bg), "gram", "left")
+            .groupBy(id_col)
+            .agg(
+                F.count("gram").alias("n_grams"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("hit_grams"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.max("n_grams").cast("long").alias("n_grams"),
+            F.sum("hit_grams").cast("long").alias("hit_grams"),
+        )
+        .select(
+            id_col, "n_grams", "hit_grams",
             (F.col("hit_grams") > 0).cast("int").alias("contaminated"),
         )
     )

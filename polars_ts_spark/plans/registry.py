@@ -11226,3 +11226,27 @@ def _register_audio_features():
 
 
 _register_audio_features()
+
+
+# ---- round 8: the shard-and-OR decontamination recipe, oracle-backed —
+# row-identical to benchmark_decontaminate by construction (disjoint
+# hash shards of the gram set; n_grams invariant, hit_grams additive),
+# so it shares that query's oracle SQL verbatim.
+
+
+def _register_decontaminate_sharded():
+    from polars_ts_spark.operators import textops
+
+    @register(
+        "decontaminate_sharded",
+        textops.decontaminate_oracle(
+            benchmark_sql="(SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0)"
+        ),
+    )
+    def q_decontaminate_sharded(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        return textops.decontaminate_sharded(docs, bench, n_shards=3)
+
+
+_register_decontaminate_sharded()

@@ -122,14 +122,23 @@ def load_dataset(
         # fetch to a private temp file and os.replace() only after the
         # digest verifies: an interrupted fetch can't leave a partial
         # file at dest, and concurrent callers never read a mid-write
-        # cache entry (replace is atomic within the directory)
-        tmp = f"{dest}.tmp.{os.getpid()}"
+        # cache entry (replace is atomic within the directory). mkstemp
+        # gives a name unique PER CALL (a pid-suffixed name collides
+        # when two threads of one process fetch the same missing
+        # dataset: one thread's cleanup could delete the tmp the other
+        # is still verifying)
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(
+            prefix=f"{name}.tmp.", dir=os.path.dirname(dest))
         try:
             parsed = urllib.parse.urlparse(url)
             if parsed.scheme in ("", "file"):
+                os.close(fd)
                 shutil.copyfile(parsed.path or url, tmp)
             else:
-                with urllib.request.urlopen(url, timeout=60) as r, open(tmp, "wb") as out:
+                with urllib.request.urlopen(url, timeout=60) as r, os.fdopen(
+                        fd, "wb") as out:
                     shutil.copyfileobj(r, out)
             got = _digest(tmp)
             if got != sha256:
@@ -137,8 +146,10 @@ def load_dataset(
                     f"dataset {name!r}: sha256 mismatch (expected {sha256}, got {got})")
             os.replace(tmp, dest)
         finally:
-            if os.path.exists(tmp):
+            try:
                 os.remove(tmp)
+            except FileNotFoundError:
+                pass  # the success path already os.replace()d it away
     if ext == ".csv":
         return spark.read.option("header", "true").option("inferSchema", "true").csv(dest)
     return spark.read.parquet(dest)

@@ -406,31 +406,55 @@ def streaming_decontaminate(
     STATELESS by construction: a streaming groupBy would demand a
     watermark and update mode, but a document's grams all live in its
     own row — so the benchmark gram set (driver-bounded by the
-    benchmark contract) is broadcast as a python set and a mapInPandas
-    pass computes the per-doc counts row-locally. Append mode, no
-    shuffle, no state store, works at any stream rate."""
-    from polars_ts_spark.operators.textops import _gram_frame
+    benchmark contract) is broadcast and a mapInPandas pass computes
+    the per-doc counts row-locally. Append mode, no shuffle, no state
+    store, works at any stream rate.
 
-    from polars_ts_spark.operators.textops import _BENCH_GRAMS_CAP
+    The broadcast carries 60-bit md5-prefix HASHES of the grams (a
+    sorted int64 numpy array probed by searchsorted), not the gram
+    strings: 2 M python strs cost ~400-600 MB per executor python
+    worker, the hash array 16 MB. The hash is computed Spark-side
+    (``conv(substring(md5(gram),1,15),16,10)``) and reproduced in the
+    kernel with hashlib over the same UTF-8 bytes; collision odds at
+    the 2 M cap are ~2e-6 per benchmark, and a collision can only
+    over-flag (never under-flag) a document."""
+    import numpy as np
+
+    from polars_ts_spark.operators.textops import _BENCH_GRAMS_CAP, _gram_frame
 
     spark = benchmark.sparkSession
-    bg = _gram_frame(benchmark, n, text_col, id_col).select("gram").distinct().persist()
+    bg = (
+        _gram_frame(benchmark, n, text_col, id_col)
+        .select(
+            F.expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) as bigint)")
+            .alias("gh")
+        )
+        .distinct()
+        .persist()
+    )
     try:
         n_grams = bg.count()
-        if n_grams > _BENCH_GRAMS_CAP:  # shared with the batch twin: ~100 B/gram
+        if n_grams > _BENCH_GRAMS_CAP:
             raise ValueError(
                 f"streaming_decontaminate: benchmark expands to {n_grams} "
                 f"distinct grams, over the broadcast cap ({_BENCH_GRAMS_CAP}). "
                 "Decontaminate against one benchmark (or shard of it) at a "
                 "time and OR the contaminated flags."
             )
-        bench = {r["gram"] for r in bg.collect()}
+        bench = np.sort(
+            bg.toPandas()["gh"].to_numpy(dtype="int64", na_value=0))
     finally:
         bg.unpersist()
     bc = spark.sparkContext.broadcast(bench)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        grams = bc.value
+        import hashlib
+
+        hashes = bc.value
+
+        def gh(gram: str) -> int:
+            return int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16)
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -442,7 +466,16 @@ def streaming_decontaminate(
                 toks = text.split(" ")
                 doc = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
                 n_g.append(len(doc))
-                hits.append(sum(1 for x in doc if x in grams))
+                if doc and len(hashes):
+                    hs = np.fromiter((gh(x) for x in doc), dtype="int64",
+                                     count=len(doc))
+                    # clamp: hs beyond hashes[-1] lands at len(hashes);
+                    # comparing against hashes[-1] there never matches
+                    idx = np.minimum(np.searchsorted(hashes, hs),
+                                     len(hashes) - 1)
+                    hits.append(int((hashes[idx] == hs).sum()))
+                else:
+                    hits.append(0)
             yield pd.DataFrame({
                 id_col: pdf[id_col],
                 "n_grams": pd.Series(n_g, dtype="int64"),
@@ -455,4 +488,91 @@ def streaming_decontaminate(
     return stream_df.select(id_col, text_col).mapInPandas(
         score,
         schema=f"{id_col} {id_dtype}, n_grams long, hit_grams long, contaminated int",
+    )
+
+
+def streaming_curation_pipeline(
+    stream_df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    quality_min: float = 0.5,
+    watermark: str = "10 seconds",
+    window: str = "1 minute",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "ts",
+) -> DataFrame:
+    """The composed end-to-end streaming curation graph (round-8
+    directive #8) — dedup -> decontaminate -> quality flags -> windowed
+    corpus rollup, ONE readStream plan with ONE watermark:
+
+    1. **dedup**: ``dropDuplicatesWithinWatermark`` on the text — the
+       idiomatic Spark streaming exact-dedup. State is BOUNDED by the
+       watermark horizon (a key is evictable once the watermark passes
+       its arrival), so it runs forever at any rate; keep-first within
+       the horizon, same as the batch keep-first contract.
+    2. **decontaminate**: the benchmark gram set (cap-checked like the
+       batch twin) is collapsed to a single-row ARRAY on the static
+       side and equi-joined in (stream-static broadcast join — no
+       state, watermark-preserving); per-doc hits are an
+       ``array_intersect`` of expression-built grams. At the 2 M-gram
+       cap prefer ``streaming_decontaminate``'s sorted-hash kernel —
+       array_intersect rebuilds its probe set per row; this leg is for
+       benchmark-shard-sized sets composed into a larger graph.
+    3. **quality**: textops' composite quality score, pure projection.
+    4. **rollup**: per event-time window [n_docs, n_contaminated,
+       n_quality_ok, total_tokens], append mode — a window emits
+       exactly once, when the watermark passes its end (late rows
+       inside the horizon still land in their window first).
+
+    Output [window_start, window_end, n_docs, n_contaminated,
+    n_quality_ok, total_tokens]."""
+    from polars_ts_spark.operators.textops import (
+        _BENCH_GRAMS_CAP, _gram_frame, quality_score_expr)
+
+    bg = _gram_frame(benchmark, n, text_col, id_col).select("gram").distinct()
+    if bg.limit(_BENCH_GRAMS_CAP + 1).count() > _BENCH_GRAMS_CAP:
+        raise ValueError(
+            "streaming_curation_pipeline: benchmark expands to more than "
+            f"{_BENCH_GRAMS_CAP} distinct grams (the broadcast cap) — shard "
+            "the benchmark and OR the flags (decontaminate_sharded recipe).")
+    bench_arr = bg.agg(F.collect_set("gram").alias("__bench")).withColumn(
+        "__k", F.lit(1))
+
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+
+    deduped = (
+        stream_df.withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark([text_col])
+    )
+    flagged = (
+        deduped.withColumn("__k", F.lit(1))
+        .join(F.broadcast(bench_arr), "__k")
+        .withColumn(
+            "__contam",
+            (F.size(F.array_intersect(grams, F.col("__bench"))) > 0).cast("int"))
+        .withColumn(
+            "__q_ok",
+            (quality_score_expr(text_col) >= quality_min).cast("int"))
+    )
+    return (
+        flagged.groupBy(F.window(time_col, window))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__contam").alias("n_contaminated"),
+            F.sum("__q_ok").alias("n_quality_ok"),
+            F.sum(F.size(toks)).alias("total_tokens"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_docs", "n_contaminated", "n_quality_ok", "total_tokens",
+        )
     )

@@ -765,3 +765,73 @@ def test_audio_stub_deterministic(spark):
            for r in multimodal.decode_audio(p).collect()}
     assert out[0] == out[1] != out[2]
     assert len(out[0]) == 64 and all(-1.0 <= v < 1.0 for v in out[0])
+
+
+def test_audio_features_short_clips(spark):
+    """Round-8 advice: clips shorter than one frame must emit ZERO rms
+    entries (not two bogus ones from a descending sequence), and a
+    1-sample clip must report zcr 0.0, not NULL from a 0 denominator."""
+    rows = [
+        (0, 8000, 5, [0.1, -0.2, 0.3, -0.4, 0.5]),  # 5 < frame=16
+        (1, 8000, 1, [0.7]),                        # single sample
+        (2, 8000, 0, []),                           # empty clip
+        (3, 8000, 16, [0.5] * 16),                  # exactly one frame
+    ]
+    dec = spark.createDataFrame(
+        rows, "doc_id long, sample_rate int, n_samples int, samples array<float>")
+    out = {r["doc_id"]: r["features"]
+           for r in multimodal.audio_features(dec, frame=16).collect()}
+    # features = rms_0..rms_{n_frames-1} + [zcr]
+    assert len(out[0]) == 1 and out[0][0] is not None  # zcr only, 4 sign flips
+    assert out[0][0] == pytest.approx(1.0)
+    assert out[1] == [0.0]                             # 1 sample: zcr 0, no frames
+    assert out[2] == [0.0]                             # empty: zcr 0, no frames
+    assert len(out[3]) == 2
+    assert out[3][0] == pytest.approx(0.5) and out[3][1] == 0.0
+
+
+def test_gopher_repetition_equal_ns_refused(spark):
+    docs = spark.createDataFrame([(0, "a b c d")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="must differ"):
+        textops.gopher_repetition(docs, top_n=3, dup_n=3)
+
+
+def test_decontaminate_sharded_matches_unsharded(spark):
+    """The shard-and-OR recipe the over-cap refusal prescribes must be
+    row-identical to the unsharded op (round-8 directive #7)."""
+    bench = spark.createDataFrame([
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "one two three four five six seven eight nine ten"),
+    ], ["doc_id", "text"])
+    docs = spark.createDataFrame([
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa tail"),
+        (1, "x one two three four five six seven eight nine ten y"),
+        (2, "fully clean words with no benchmark overlap at all here now"),
+        (3, "short"),
+        (4, None),
+    ], "doc_id long, text string")
+    base = sorted(
+        tuple(r) for r in textops.decontaminate(docs, bench).collect())
+    for n_shards in (1, 3):
+        sharded = sorted(
+            tuple(r) for r in
+            textops.decontaminate_sharded(docs, bench, n_shards=n_shards).collect())
+        assert sharded == base
+    # doc 0 has 4 hit 8-grams (a 11-token doc vs a 10-token benchmark
+    # doc shares grams at offsets 0..2... verify hit counting summed
+    # correctly across disjoint shards rather than OR-collapsed
+    by_id = {r[0]: r for r in base}
+    assert by_id[0][2] >= 1 and by_id[0][3] == 1
+    assert by_id[4][1] == 0 and by_id[4][3] == 0  # NULL text: clean
+
+
+def test_decontaminate_no_lingering_cache(spark):
+    """Round-8 advice: the batch decontaminator must not leak a cached
+    RDD for the session lifetime (its returned plan is lazy, so there
+    is no unpersist hook — it must simply never persist)."""
+    bench = spark.createDataFrame([(0, "a b c d e f g h")], ["doc_id", "text"])
+    docs = spark.createDataFrame([(1, "a b c d e f g h i")], ["doc_id", "text"])
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    textops.decontaminate(docs, bench).collect()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after == before

@@ -292,3 +292,68 @@ def test_causal_placebo_null_vs_real_effect(spark, seed):
     # an order of magnitude under the planted step of 25
     assert abs(real.attrs["avg_effect"]) > 5 * abs(plc.attrs["avg_effect"])
     assert abs(plc.attrs["avg_effect"]) < 4.0
+
+
+@pytest.mark.parametrize("seed", [7, 13, 29])
+def test_trim_duplicate_spans_adversarial(spark, seed):
+    """Round-8 directive #6: the subtlest curation semantics under
+    adversarial corpora — pure single-token repetitions (every 8-gram
+    of the doc identical and self-overlapping), the planted gram
+    repeated back-to-back inside the OWNER doc, grams wrapped in
+    multiple consecutive spaces (empty tokens from split), docs at
+    exactly n and n-1 tokens, and chains where one doc holds grams
+    owned by two different owners. Checked two ways: DuckDB-oracle
+    parity and internal invariants (mask <= tokens; trimmed length =
+    n_tokens - masked_tokens)."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    vocab = [f"t{i}" for i in range(6)]  # tiny vocab -> heavy gram collisions
+    gram_a = " ".join(f"a{i}" for i in range(8))
+    gram_b = " ".join(f"b{i}" for i in range(8))
+    rows = []
+    for d in range(40):
+        kind = rng.random()
+        if kind < 0.15:
+            text = " ".join([rng.choice(vocab)] * rng.randint(8, 30))
+        elif kind < 0.30:
+            text = " ".join([gram_a] * rng.randint(1, 3))
+        elif kind < 0.40:
+            text = ("  " + gram_a) if rng.random() < 0.5 else gram_a.replace(
+                " ", "  ", 1)
+        elif kind < 0.50:
+            text = " ".join(rng.choice(vocab) for _ in range(rng.choice([7, 8])))
+        elif kind < 0.60:
+            text = gram_a + " bridge " + gram_b  # two owners' grams, one doc
+        else:
+            toks = [rng.choice(vocab) for _ in range(rng.randint(8, 25))]
+            if rng.random() < 0.5:
+                p = rng.randrange(len(toks))
+                toks[p:p] = rng.choice([gram_a, gram_b]).split(" ")
+            text = " ".join(toks)
+        rows.append((d, text))
+    tmp = tempfile.mkdtemp(prefix="fuzz_trim_")
+    try:
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        path = os.path.join(tmp, "documents.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        src = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+        out = textops.trim_duplicate_spans(src)
+        a = normalize(out.toPandas())
+        b = normalize(con.execute(textops.trim_duplicate_spans_oracle()).df())
+        assert len(a) == len(b) == len(rows)
+        assert a.equals(b), (
+            f"trim mismatch on seed {seed}\n"
+            f"spark:\n{a[(a != b).any(axis=1)].head(3)}\n"
+            f"oracle:\n{b[(a != b).any(axis=1)].head(3)}")
+        # invariants straight off the Spark result (untouched by the
+        # normalize/round pipeline)
+        for r in out.collect():
+            assert 0 <= r["masked_tokens"] <= r["n_tokens"], r
+            kept = len(r["text_trimmed"].split(" ")) if r["text_trimmed"] else 0
+            assert kept == r["n_tokens"] - r["masked_tokens"], r
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -2,6 +2,7 @@
 buffers, and the Structured Streaming state recursion (run with a file
 stream + availableNow trigger, results collected from a memory sink)."""
 
+import os
 import shutil
 import tempfile
 
@@ -407,3 +408,84 @@ def test_streaming_decontaminate_matches_batch_twin(spark):
         assert res["contaminated"].tolist() == [1, 0, 0, 1]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_curation_pipeline_composed(spark):
+    """Round-8 directive #8: ONE readStream graph composing watermarked
+    exact dedup (dropDuplicatesWithinWatermark — bounded state) ->
+    benchmark decontamination (stream-static broadcast join) -> quality
+    flags -> per-window rollup in append mode, fed 3 micro-batches
+    (maxFilesPerTrigger=1) including a LATE row inside the watermark
+    and a cross-micro-batch duplicate. Expected values composed
+    independently from the batch ops."""
+    import pandas as pd
+
+    from polars_ts_spark.operators import textops
+    from polars_ts_spark.streaming.structured import streaming_curation_pipeline
+
+    base = tempfile.mkdtemp(prefix="stream_curation_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    T = pd.Timestamp("2024-01-01 10:00:00")
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    good = ("the cat sat on the mat and it was a very good day for all of "
+            "us to be here with some friends and family members around the "
+            "house and the garden in the sun with a book about the sea")
+    def at(**kw):
+        return (T + pd.Timedelta(**kw)).to_pydatetime()
+
+    rows1 = [
+        (0, bench_text + " extra", at(seconds=5)),    # window A, contaminated
+        (2, "aa bb", at(seconds=20)),                 # window A, low quality
+        (4, good + " window b tail", at(seconds=70)),  # window B
+    ]
+    rows2 = [
+        (3, good, at(seconds=50)),                    # window A, LATE (batch 2)
+        (1, bench_text + " extra", at(seconds=45)),   # dup of doc 0 text
+        (5, "xx " + bench_text, at(seconds=90)),      # window B, contaminated
+    ]
+    rows3 = [  # sentinel pushes the watermark past windows A and B
+        (9, "sentinel future doc closes the watermark", at(minutes=30)),
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+    try:
+        for i, rows in enumerate((rows1, rows2, rows3)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                os.path.join(src, f"f{i}"))
+        bench = spark.createDataFrame(
+            [(100, bench_text)], "doc_id long, text string")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        out = streaming_curation_pipeline(
+            stream, bench, watermark="2 minutes", window="1 minute")
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory").queryName("curation_pipeline")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        res = {
+            r["window_start"]: r
+            for r in spark.sql("SELECT * FROM curation_pipeline").collect()
+        }
+        # expected, composed from the BATCH ops: doc 1 deduped away
+        # (same text as doc 0, same window), flags from text_stats
+        batch = spark.createDataFrame(rows1 + rows2, schema)
+        qscore = {r["doc_id"]: r["quality_score"]
+                  for r in textops.text_stats(batch).collect()}
+        ntok = {d: len(t.split(" ")) for d, t, _ in rows1 + rows2}
+        win_a, win_b = T.to_pydatetime(), (T + pd.Timedelta(minutes=1)).to_pydatetime()
+        assert set(res) == {win_a, win_b}  # sentinel window never finalizes
+        a, b = res[win_a], res[win_b]
+        assert a["n_docs"] == 3 and a["n_contaminated"] == 1
+        assert a["n_quality_ok"] == sum(
+            int(qscore[d] >= 0.5) for d in (0, 2, 3))
+        assert a["total_tokens"] == ntok[0] + ntok[2] + ntok[3]
+        assert b["n_docs"] == 2 and b["n_contaminated"] == 1
+        assert b["n_quality_ok"] == sum(int(qscore[d] >= 0.5) for d in (4, 5))
+        assert b["total_tokens"] == ntok[4] + ntok[5]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -37,6 +37,16 @@ DEFAULT = (
     "quantile_regression",  # 11 sufficient-stats aggs (IRLS)
     "global_forecast",      # id-code join + ridge stats agg + decode
     "stacking_forecast",    # 2 base fits + meta stats agg
+    # round-8 (VERDICT r7 #3): the five r7 curation ops at all three
+    # sfs — trim_duplicate_spans is the one to watch (per-gram
+    # positional explode: gram occurrences grow linearly with corpus
+    # tokens, but the covered-position explode is where a pathological
+    # dup-heavy corpus could go super-linear)
+    "gopher_repetition",        # tagged gram pass, 3 doc-keyed aggs
+    "benchmark_decontaminate",  # broadcast gram join, one corpus scan
+    "trim_duplicate_spans",     # positional explode + owner join
+    "domain_stats",             # host extract + two linear aggs
+    "audio_frame_features",     # mapInPandas decode + array exprs
 )
 
 
