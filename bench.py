@@ -77,8 +77,12 @@ HEADLINE = [
     "domain_stats",
     # round-8: the shard-and-OR decontamination recipe (3 corpus passes
     # by construction — its cost pins what the over-cap guidance asks
-    # users to pay)
+    # users to pay), the CCNet-style bigram-LM perplexity scorer, and
+    # DSIR importance weighting (both pure count-agg + broadcast-join
+    # plans)
     "decontaminate_sharded",
+    "ngram_lm_score",
+    "dsir_importance",
 ]
 
 
@@ -277,7 +281,8 @@ def main():
                                 "gate_probes": calib_probes},
         "notes": {
             "headline_set": "grew r7->r8: +decontaminate_sharded (shard-and-OR "
-                            "recipe, 3 corpus passes by design) — compare "
+                            "recipe, 3 corpus passes by design), "
+                            "+ngram_lm_score, +dsir_importance — compare "
                             "totals on the shared-query subset, not headline "
                             "sums",
             "probe_gate": "every sample is bracketed by ~0.2 s GEMM probes "

@@ -1725,3 +1725,201 @@ SELECT doc_id,
        {cur} AS clean_text
 FROM {table_sql}
 """
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    alpha: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style n-gram language-model quality scoring (Wenzek et
+    al. 2020 — the published pipeline scores every document's
+    perplexity under a KenLM trained on clean text and buckets the
+    corpus by it; the reference repo has no LM scorer, this is part of
+    the LLM-data-pipeline extension surface): train an add-``alpha``
+    smoothed BIGRAM model on ``reference`` (default: the corpus
+    itself) purely as count aggregates, then score every document by
+    per-bigram cross-entropy and perplexity,
+    P(w2|w1) = (c(w1 w2) + alpha) / (c(w1) + alpha * V).
+    Output [doc_id, n_bigrams, cross_entropy, perplexity] for every
+    doc with at least one bigram (a 1-token doc has no LM signal).
+
+    Plan: reference -> two gram-count aggregates (bigram + unigram —
+    VOCABULARY-sized, orders of magnitude below corpus size, so AQE
+    broadcasts the scoring joins at any corpus scale) and a one-row
+    vocab-size frame kept lazy via cross-join (no driver action);
+    corpus -> one positional bigram explode -> two left equi-joins ->
+    per-doc AVG. Zero UDFs, zero collects; every stage is linear in
+    gram occurrences and the only wide shuffle key is the doc id of
+    the final aggregation."""
+    ref = reference if reference is not None else df
+    uni = (
+        ref.select(F.explode(F.split(F.col(text_col), " ")).alias("__w"))
+        .groupBy("__w").agg(F.count("*").alias("__c1"))
+    )
+    vsize = uni.agg(F.count("*").cast("double").alias("__v"))
+    bi = (
+        _gram_frame(ref, 2, text_col, id_col)
+        .groupBy("gram").agg(F.count("*").alias("__c2"))
+    )
+    g = _gram_frame(df, 2, text_col, id_col).withColumn(
+        "__w1", F.split(F.col("gram"), " ").getItem(0))
+    logp = F.log(
+        (F.coalesce(F.col("__c2"), F.lit(0)) + F.lit(float(alpha)))
+        / (F.coalesce(F.col("__c1"), F.lit(0)) + F.lit(float(alpha)) * F.col("__v"))
+    )
+    return (
+        g.join(bi, "gram", "left")
+        .join(uni, g["__w1"] == uni["__w"], "left")
+        .crossJoin(vsize)
+        .select(F.col(id_col), logp.alias("__logp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            (-F.avg("__logp")).alias("cross_entropy"),
+        )
+        .select(
+            id_col, "n_bigrams", "cross_entropy",
+            F.exp("cross_entropy").alias("perplexity"),
+        )
+    )
+
+
+def ngram_lm_score_oracle(alpha: float = 0.1, reference_sql: str = "documents") -> str:
+    def grams(src: str) -> str:
+        return f"""(
+    SELECT doc_id,
+           unnest([array_to_string(toks[i:i + 1], ' ')
+                   FOR i IN range(1, greatest(len(toks), 1))]) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src})
+)"""
+
+    return f"""
+WITH uni AS (
+    SELECT w, COUNT(*) AS c1 FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM {reference_sql}
+    ) GROUP BY w
+),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+bi AS (SELECT gram, COUNT(*) AS c2 FROM {grams(reference_sql)} GROUP BY gram),
+g AS (
+    SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1
+    FROM {grams('documents')}
+),
+s AS (
+    SELECT g.doc_id,
+           ln((COALESCE(bi.c2, 0) + {alpha})
+              / (COALESCE(uni.c1, 0) + {alpha} * v.v)) AS logp
+    FROM g LEFT JOIN bi ON bi.gram = g.gram
+           LEFT JOIN uni ON uni.w = g.w1, v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       -AVG(logp) AS cross_entropy,
+       EXP(-AVG(logp)) AS perplexity
+FROM s GROUP BY doc_id
+"""
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling — the published recipe for picking raw-corpus
+    documents that look like a small TARGET domain): featurize every
+    document as a bag of HASHED uni+bigrams (md5-prefix hash mod
+    ``n_buckets`` — deterministic and engine-replicable), fit two
+    add-``alpha`` multinomials over the buckets (target vs raw), and
+    weight each doc by its log-likelihood ratio
+    log w(x) = sum_b count_x(b) * [log p_target(b) - log p_raw(b)].
+    Select by top-k or Gumbel-resample on log_weight downstream
+    (stratified_sample composes for the quota draw). Output
+    [doc_id, n_features, log_weight] for every doc with >= 1 token.
+
+    Plan: both multinomials are bucket-count aggregates (at most
+    ``n_buckets`` rows each — broadcast-sized by construction at ANY
+    corpus scale); totals ride one-row cross-joins (lazy, no driver
+    action); the corpus side is one gram explode -> hash -> broadcast
+    join -> per-doc sum. Zero UDFs, zero collects, linear in gram
+    occurrences — the same shape that scales the decontaminator."""
+    bucket = F.expr(
+        f"pmod(cast(conv(substring(md5(gram), 1, 15), 16, 10) as bigint), "
+        f"{int(n_buckets)})")
+
+    def feats(src: DataFrame) -> DataFrame:
+        return (
+            _gram_frame(src, 1, text_col, id_col)
+            .unionByName(_gram_frame(src, 2, text_col, id_col))
+            .select(F.col(id_col), bucket.alias("__b"))
+        )
+
+    a = float(alpha)
+    tgt = feats(target).groupBy("__b").agg(F.count("*").alias("__ct"))
+    raw = feats(df).groupBy("__b").agg(F.count("*").alias("__cr"))
+    tot = (
+        tgt.agg(F.sum("__ct").cast("double").alias("__t"))
+        .crossJoin(raw.agg(F.sum("__cr").cast("double").alias("__r")))
+    )
+    lam = (
+        raw.join(tgt, "__b", "left")
+        .crossJoin(tot)
+        .select(
+            "__b",
+            (F.log((F.coalesce(F.col("__ct"), F.lit(0)) + a)
+                   / (F.col("__t") + a * n_buckets))
+             - F.log((F.col("__cr") + a) / (F.col("__r") + a * n_buckets))
+             ).alias("__lam"),
+        )
+    )
+    return (
+        feats(df).join(lam, "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_features"),
+            F.sum("__lam").alias("log_weight"),
+        )
+    )
+
+
+def dsir_importance_oracle(
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    target_sql: str = "documents",
+) -> str:
+    def feats(src: str) -> str:
+        return f"""(
+    SELECT doc_id,
+           (('0x' || substr(md5(gram), 1, 15))::BIGINT % {n_buckets}) AS b
+    FROM (
+        SELECT doc_id, unnest(toks) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src})
+        UNION ALL
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i + 1], ' ')
+                       FOR i IN range(1, greatest(len(toks), 1))]) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src})
+    )
+)"""
+
+    return f"""
+WITH tgt AS (SELECT b, COUNT(*) AS ct FROM {feats(target_sql)} GROUP BY b),
+raw AS (SELECT b, COUNT(*) AS cr FROM {feats('documents')} GROUP BY b),
+tot AS (SELECT (SELECT CAST(SUM(ct) AS DOUBLE) FROM tgt) AS t,
+               (SELECT CAST(SUM(cr) AS DOUBLE) FROM raw) AS r),
+lam AS (
+    SELECT raw.b,
+           ln((COALESCE(tgt.ct, 0) + {alpha}) / (tot.t + {alpha} * {n_buckets}))
+           - ln((raw.cr + {alpha}) / (tot.r + {alpha} * {n_buckets})) AS lam
+    FROM raw LEFT JOIN tgt ON tgt.b = raw.b, tot
+)
+SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+       SUM(lam.lam) AS log_weight
+FROM {feats('documents')} f JOIN lam ON lam.b = f.b
+GROUP BY f.doc_id
+"""

@@ -11250,3 +11250,60 @@ def _register_decontaminate_sharded():
 
 
 _register_decontaminate_sharded()
+
+
+# ---- round 8: CCNet-style bigram-LM perplexity scoring (Wenzek et
+# al. 2020 quality signal) — pure count aggregates + joins, so the
+# oracle is fully independent (re-derives the LM from relational
+# semantics, no state replay).
+
+
+def _register_ngram_lm_score():
+    from polars_ts_spark.operators import textops
+
+    @register(
+        "ngram_lm_score",
+        "SELECT doc_id, n_bigrams, ROUND(cross_entropy, 6) AS cross_entropy, "
+        "ROUND(perplexity, 6) AS perplexity FROM ("
+        + textops.ngram_lm_score_oracle() + ") r",
+    )
+    def q_ngram_lm_score(spark, sf_dir):
+        out = textops.ngram_lm_score(_docs(spark, sf_dir))
+        return out.select(
+            "doc_id", "n_bigrams",
+            F.round("cross_entropy", 6).alias("cross_entropy"),
+            F.round("perplexity", 6).alias("perplexity"),
+        )
+
+
+_register_ngram_lm_score()
+
+
+# ---- round 8: DSIR importance weighting (Xie et al. 2023) — the
+# target here is a deterministic doc_id % 13 slice of the corpus, the
+# same stand-in pattern the decontaminator uses. md5 bucketing is the
+# operator's documented algorithm (replication-class device); the
+# multinomial ratio math on top is ordinary relational aggregation.
+
+
+def _register_dsir_importance():
+    from polars_ts_spark.operators import textops
+
+    @register(
+        "dsir_importance",
+        "SELECT doc_id, n_features, ROUND(log_weight, 6) AS log_weight FROM ("
+        + textops.dsir_importance_oracle(
+            target_sql="(SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0)"
+        ) + ") r",
+    )
+    def q_dsir_importance(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        target = docs.filter(F.col("doc_id") % 13 == 0)
+        out = textops.dsir_importance(docs, target)
+        return out.select(
+            "doc_id", "n_features",
+            F.round("log_weight", 6).alias("log_weight"),
+        )
+
+
+_register_dsir_importance()

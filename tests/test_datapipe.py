@@ -835,3 +835,66 @@ def test_decontaminate_no_lingering_cache(spark):
     textops.decontaminate(docs, bench).collect()
     after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert after == before
+
+
+def test_ngram_lm_score_planted(spark):
+    """A repetitive document must score LOWER perplexity than a
+    one-of-everything document under a self-trained bigram LM, and the
+    smoothed probabilities must reproduce a hand computation."""
+    import math
+
+    docs = spark.createDataFrame([
+        (0, "a b a b a b a b"),       # one dominant bigram pattern
+        (1, "q w e r t y u i"),       # every bigram unique
+        (2, "solo"),                  # 1 token: no bigram, excluded
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.ngram_lm_score(docs).collect()}
+    assert 2 not in out
+    assert out[0]["n_bigrams"] == 7 and out[1]["n_bigrams"] == 7
+    assert out[0]["perplexity"] < out[1]["perplexity"]
+    # hand-check one probability: V = 11 distinct tokens over the
+    # corpus (a, b, q..i, solo), c("a b") = 4, c(a) = 4
+    p_ba = (4 + 0.1) / (4 + 0.1 * 11)
+    # doc 0 logps: 4x ln P(b|a), 3x ln P(a|b), c("b a") = 3, c(b) = 4
+    p_ab = (3 + 0.1) / (4 + 0.1 * 11)
+    ce = -(4 * math.log(p_ba) + 3 * math.log(p_ab)) / 7
+    assert abs(out[0]["cross_entropy"] - ce) < 1e-9
+    assert abs(out[0]["perplexity"] - math.exp(ce)) < 1e-9
+
+
+def test_ngram_lm_score_external_reference(spark):
+    """Scoring against a SEPARATE reference corpus: tokens unseen in
+    the reference get the alpha-floor probability, so an out-of-domain
+    doc scores far higher perplexity than an in-domain one."""
+    ref = spark.createDataFrame(
+        [(100, "the cat sat on the mat the cat ran")], ["doc_id", "text"])
+    docs = spark.createDataFrame([
+        (0, "the cat sat on the mat"),   # in-domain
+        (1, "zz yy xx ww vv uu"),        # fully out-of-domain
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r
+           for r in textops.ngram_lm_score(docs, reference=ref).collect()}
+    # out-of-domain bigrams all get the alpha floor (ppl = V = 6);
+    # in-domain lands near 2 on this tiny reference
+    assert out[0]["perplexity"] * 2 < out[1]["perplexity"]
+    assert out[1]["perplexity"] == pytest.approx(6.0)
+
+
+def test_dsir_importance_planted(spark):
+    """Docs sharing the target's vocabulary must out-weight docs from a
+    disjoint vocabulary — the DSIR selection property."""
+    target = spark.createDataFrame([
+        (100, "physics energy quantum field theory model"),
+        (101, "quantum energy state field physics model"),
+    ], ["doc_id", "text"])
+    docs = spark.createDataFrame([
+        (0, "quantum field theory energy model physics"),   # in-domain
+        (1, "recipe butter flour sugar oven cake baking"),  # out-of-domain
+        (2, "physics cake quantum butter energy sugar"),    # mixed
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           textops.dsir_importance(docs, target, n_buckets=1000).collect()}
+    assert out[0]["log_weight"] > out[2]["log_weight"] > out[1]["log_weight"]
+    # 6 tokens + 5 bigrams for docs 0/2; doc 1 has 7 tokens -> 13
+    assert out[0]["n_features"] == 11 and out[2]["n_features"] == 11
+    assert out[1]["n_features"] == 13

@@ -94,6 +94,21 @@ CASES = [
      lambda df: textops.decontaminate(df, df.filter(F.col("doc_id") % 7 == 0)),
      lambda: textops.decontaminate_oracle(
          benchmark_sql="(SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0)")),
+    ("ngram_lm_score",
+     lambda df: textops.ngram_lm_score(df).selectExpr(
+         "doc_id", "n_bigrams", "round(cross_entropy, 6) AS cross_entropy",
+         "round(perplexity, 6) AS perplexity"),
+     lambda: "SELECT doc_id, n_bigrams, ROUND(cross_entropy, 6) AS "
+             "cross_entropy, ROUND(perplexity, 6) AS perplexity FROM ("
+             + textops.ngram_lm_score_oracle() + ") r"),
+    ("dsir_importance",
+     lambda df: textops.dsir_importance(
+         df, df.filter(F.col("doc_id") % 7 == 0)).selectExpr(
+         "doc_id", "n_features", "round(log_weight, 6) AS log_weight"),
+     lambda: "SELECT doc_id, n_features, ROUND(log_weight, 6) AS log_weight "
+             "FROM (" + textops.dsir_importance_oracle(
+                 target_sql="(SELECT doc_id, text FROM documents "
+                            "WHERE doc_id % 7 = 0)") + ") r"),
 ]
 
 
