@@ -147,6 +147,9 @@ def main():
     warm.repartition(32, "k").groupBy("k").applyInPandas(
         lambda pdf: pdf, schema="k long, v double"
     ).write.format("noop").mode("overwrite").save()
+    # re-probe AFTER the warmups: calib_before is tens of seconds stale
+    # by now, and a spike that started during warmup would otherwise
+    # slip inside the first query's bracket unseen
     # two passes per query, keep the min: steady-state timing that a
     # transient external load spike (or first-touch page-cache misses)
     # can't distort — measured variance between back-to-back cold runs
@@ -179,14 +182,19 @@ def main():
     # 0.40 s — a fixed 0.30 sat ON the quiet box's jitter band
     # (0.20-0.38 observed back-to-back) and flagged false hots, while
     # real spikes probe 0.5-1.6 s
-    probe_thr = max(0.40, 1.5 * min(calib_probes))
+    # clamp to [0.40, 0.60]: if the START gate itself timed out hot
+    # (baseline probe way above quiet), deriving the threshold from it
+    # would disable mid-suite detection exactly when the box is loaded
+    # — cap at 0.60 so a persistently loaded run flags its queries hot
+    # instead of trusting them
+    probe_thr = min(max(0.40, 1.5 * min(calib_probes)), 0.60)
     MAX_EXTRA = 2
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     probe_trail: dict[str, list[float]] = {}
     hot_queries: list[str] = []
-    last_probe = calib_before
+    last_probe = _cpu_calibration() if gate_on else 0.0
 
     def _one_sample(name: str) -> float:
         t0 = time.perf_counter()
@@ -212,7 +220,11 @@ def main():
                 cold[name] = round(dt, 3)
         extra = 0
         while gate_on and not any(c for _, c in samples) and extra < MAX_EXTRA:
-            pre, waited = _wait_for_quiet_box(max_wait_s=120.0)
+            # wait on the SAME threshold the sample is judged by — the
+            # 0.30 default is stricter than probe_thr and would burn
+            # the full wait budget on a box idling in the jitter band
+            pre, waited = _wait_for_quiet_box(threshold=probe_thr,
+                                              max_wait_s=120.0)
             probes.extend(waited)
             dt = _one_sample(name)
             post = _cpu_calibration()

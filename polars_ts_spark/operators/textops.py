@@ -1845,9 +1845,12 @@ def dsir_importance(
     Plan: both multinomials are bucket-count aggregates (at most
     ``n_buckets`` rows each — broadcast-sized by construction at ANY
     corpus scale); totals ride one-row cross-joins (lazy, no driver
-    action); the corpus side is one gram explode -> hash -> broadcast
-    join -> per-doc sum. Zero UDFs, zero collects, linear in gram
-    occurrences — the same shape that scales the decontaminator."""
+    action); the scoring side is a gram explode -> hash -> broadcast
+    join -> per-doc sum. The RAW corpus is scanned twice (once for its
+    multinomial counts, once for scoring — inherent to estimating the
+    raw distribution from the same data); at scale, persist or
+    checkpoint the featurized frame to share the explode between the
+    two passes. Zero UDFs, zero collects, linear in gram occurrences."""
     bucket = F.expr(
         f"pmod(cast(conv(substring(md5(gram), 1, 15), 16, 10) as bigint), "
         f"{int(n_buckets)})")

@@ -137,9 +137,12 @@ def load_dataset(
                 os.close(fd)
                 shutil.copyfile(parsed.path or url, tmp)
             else:
-                with urllib.request.urlopen(url, timeout=60) as r, os.fdopen(
-                        fd, "wb") as out:
-                    shutil.copyfileobj(r, out)
+                # adopt fd into the with FIRST: if urlopen raises, the
+                # raw descriptor would otherwise leak (ints aren't
+                # GC-closed), accumulating fds across retries
+                with os.fdopen(fd, "wb") as out:
+                    with urllib.request.urlopen(url, timeout=60) as r:
+                        shutil.copyfileobj(r, out)
             got = _digest(tmp)
             if got != sha256:
                 raise ValueError(

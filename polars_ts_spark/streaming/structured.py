@@ -560,7 +560,13 @@ def streaming_curation_pipeline(
             (F.size(F.array_intersect(grams, F.col("__bench"))) > 0).cast("int"))
         .withColumn(
             "__q_ok",
-            (quality_score_expr(text_col) >= quality_min).cast("int"))
+            # NULL text must be not-ok, gated EXPLICITLY: least()
+            # skips NULL operands, so the raw score expression hands a
+            # null-text doc a nonsense 0.59 instead of NULL
+            F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+                F.coalesce(
+                    (quality_score_expr(text_col) >= quality_min).cast("int"),
+                    F.lit(0))))
     )
     return (
         flagged.groupBy(F.window(time_col, window))
@@ -568,7 +574,9 @@ def streaming_curation_pipeline(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__contam").alias("n_contaminated"),
             F.sum("__q_ok").alias("n_quality_ok"),
-            F.sum(F.size(toks)).alias("total_tokens"),
+            # size(split(NULL)) is -1 under non-ANSI Spark: a null-text
+            # doc must contribute 0 tokens, not decrement the window
+            F.sum(F.greatest(F.size(toks), F.lit(0))).alias("total_tokens"),
         )
         .select(
             F.col("window.start").alias("window_start"),

@@ -443,6 +443,7 @@ def test_streaming_curation_pipeline_composed(spark):
         (3, good, at(seconds=50)),                    # window A, LATE (batch 2)
         (1, bench_text + " extra", at(seconds=45)),   # dup of doc 0 text
         (5, "xx " + bench_text, at(seconds=90)),      # window B, contaminated
+        (6, None, at(seconds=95)),                    # window B, NULL text
     ]
     rows3 = [  # sentinel pushes the watermark past windows A and B
         (9, "sentinel future doc closes the watermark", at(minutes=30)),
@@ -476,7 +477,7 @@ def test_streaming_curation_pipeline_composed(spark):
         batch = spark.createDataFrame(rows1 + rows2, schema)
         qscore = {r["doc_id"]: r["quality_score"]
                   for r in textops.text_stats(batch).collect()}
-        ntok = {d: len(t.split(" ")) for d, t, _ in rows1 + rows2}
+        ntok = {d: len(t.split(" ")) for d, t, _ in rows1 + rows2 if t}
         win_a, win_b = T.to_pydatetime(), (T + pd.Timedelta(minutes=1)).to_pydatetime()
         assert set(res) == {win_a, win_b}  # sentinel window never finalizes
         a, b = res[win_a], res[win_b]
@@ -484,7 +485,9 @@ def test_streaming_curation_pipeline_composed(spark):
         assert a["n_quality_ok"] == sum(
             int(qscore[d] >= 0.5) for d in (0, 2, 3))
         assert a["total_tokens"] == ntok[0] + ntok[2] + ntok[3]
-        assert b["n_docs"] == 2 and b["n_contaminated"] == 1
+        # NULL-text doc 6 counts as a doc but contributes 0 tokens,
+        # 0 contamination, 0 quality-ok (not a -1 from size(split(NULL)))
+        assert b["n_docs"] == 3 and b["n_contaminated"] == 1
         assert b["n_quality_ok"] == sum(int(qscore[d] >= 0.5) for d in (4, 5))
         assert b["total_tokens"] == ntok[4] + ntok[5]
     finally:
