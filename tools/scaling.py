@@ -47,6 +47,9 @@ DEFAULT = (
     "trim_duplicate_spans",     # positional explode + owner join
     "domain_stats",             # host extract + two linear aggs
     "audio_frame_features",     # mapInPandas decode + array exprs
+    # round-8 additions
+    "ngram_lm_score",           # LM count aggs + broadcast joins
+    "dsir_importance",          # hashed-gram multinomial ratio
 )
 
 
