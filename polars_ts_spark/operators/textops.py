@@ -1746,14 +1746,18 @@ def ngram_lm_score(
     Output [doc_id, n_bigrams, cross_entropy, perplexity] for every
     doc with at least one bigram (a 1-token doc has no LM signal).
 
-    Plan: reference -> two gram-count aggregates (bigram + unigram —
-    VOCABULARY-sized, orders of magnitude below corpus size, so AQE
-    broadcasts the scoring joins at any corpus scale) and a one-row
+    Plan: reference -> two gram-count aggregates plus a one-row
     vocab-size frame kept lazy via cross-join (no driver action);
     corpus -> one positional bigram explode -> two left equi-joins ->
     per-doc AVG. Zero UDFs, zero collects; every stage is linear in
-    gram occurrences and the only wide shuffle key is the doc id of
-    the final aggregation."""
+    gram occurrences and the only unavoidable wide key is the doc id
+    of the final aggregation. Scale honesty: the UNIGRAM table is
+    vocabulary-bounded (AQE broadcasts it at any corpus scale), but a
+    web-scale BIGRAM table can reach billions of rows — there AQE
+    falls back to a shuffled equi-join on the gram key, which stays
+    linear (the decontaminator's corpus-side shape); for a bounded
+    memory model at any scale, use ``dsir_importance``-style hashed
+    buckets as the LM feature space instead."""
     ref = reference if reference is not None else df
     uni = (
         ref.select(F.explode(F.split(F.col(text_col), " ")).alias("__w"))
