@@ -83,6 +83,7 @@ HEADLINE = [
     "decontaminate_sharded",
     "ngram_lm_score",
     "dsir_importance",
+    "perplexity_buckets",
 ]
 
 
@@ -294,7 +295,8 @@ def main():
         "notes": {
             "headline_set": "grew r7->r8: +decontaminate_sharded (shard-and-OR "
                             "recipe, 3 corpus passes by design), "
-                            "+ngram_lm_score, +dsir_importance — compare "
+                            "+ngram_lm_score, +dsir_importance, "
+                            "+perplexity_buckets — compare "
                             "totals on the shared-query subset, not headline "
                             "sums",
             "probe_gate": "every sample is bracketed by ~0.2 s GEMM probes "

@@ -1930,3 +1930,58 @@ SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
 FROM {feats('documents')} f JOIN lam ON lam.b = f.b
 GROUP BY f.doc_id
 """
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    n_buckets: int = 3,
+    alpha: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The CCNet head/middle/tail corpus split (Wenzek et al. 2020
+    §4.4 — the selection step that CONSUMES the LM scorer): per
+    predicted language, rank documents by their ``ngram_lm_score``
+    perplexity and cut into ``n_buckets`` equal-frequency buckets
+    (bucket 1 = head = lowest perplexity = cleanest). Output
+    [doc_id, lang_pred, perplexity, bucket].
+
+    Ranking is on perplexity ROUNDED to 6 dp with a doc-id tie-break:
+    cross-engine float noise in the LM average must not flip adjacent
+    ranks at bucket boundaries. Scale: the exact-rank window sorts one
+    task per language key — fine to tens of millions of docs per
+    language; at 100 TB compute the bucket CUTOFFS on a sample (the
+    published CCNet trains cutoffs on held-out data) and assign by
+    comparison, a pure projection with this op as the exact contract
+    it approximates."""
+    from pyspark.sql import Window
+
+    scored = ngram_lm_score(df, reference, alpha, text_col, id_col)
+    lang = language_id(df, text_col, id_col).select(id_col, "lang_pred")
+    s = scored.join(lang, id_col).withColumn("__p6", F.round("perplexity", 6))
+    w = Window.partitionBy("lang_pred").orderBy("__p6", id_col)
+    n = F.count("*").over(Window.partitionBy("lang_pred"))
+    return s.select(
+        F.col(id_col),
+        F.col("lang_pred"),
+        F.col("__p6").alias("perplexity"),
+        F.ceil(F.lit(float(n_buckets)) * F.row_number().over(w) / n)
+        .cast("int").alias("bucket"),
+    )
+
+
+def perplexity_buckets_oracle(n_buckets: int = 3, alpha: float = 0.1) -> str:
+    return f"""
+WITH ppl AS ({ngram_lm_score_oracle(alpha)}),
+lang AS ({language_id_oracle()}),
+j AS (
+    SELECT p.doc_id, l.lang_pred, ROUND(p.perplexity, 6) AS p6
+    FROM ppl p JOIN lang l ON l.doc_id = p.doc_id
+)
+SELECT doc_id, lang_pred, p6 AS perplexity,
+       CAST(CEIL({float(n_buckets)} * ROW_NUMBER() OVER (
+                PARTITION BY lang_pred ORDER BY p6, doc_id)
+            / COUNT(*) OVER (PARTITION BY lang_pred)) AS INT) AS bucket
+FROM j
+"""

@@ -11307,3 +11307,18 @@ def _register_dsir_importance():
 
 
 _register_dsir_importance()
+
+
+# ---- round 8: the CCNet head/middle/tail selection step over the LM
+# scorer — per-language equal-frequency perplexity buckets.
+
+
+def _register_perplexity_buckets():
+    from polars_ts_spark.operators import textops
+
+    @register("perplexity_buckets", textops.perplexity_buckets_oracle())
+    def q_perplexity_buckets(spark, sf_dir):
+        return textops.perplexity_buckets(_docs(spark, sf_dir))
+
+
+_register_perplexity_buckets()

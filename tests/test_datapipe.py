@@ -898,3 +898,23 @@ def test_dsir_importance_planted(spark):
     # 6 tokens + 5 bigrams for docs 0/2; doc 1 has 7 tokens -> 13
     assert out[0]["n_features"] == 11 and out[2]["n_features"] == 11
     assert out[1]["n_features"] == 13
+
+
+def test_perplexity_buckets_planted(spark):
+    """Repetitive (low-perplexity) docs land in the head bucket,
+    one-of-everything docs in the tail, per language partition."""
+    docs = spark.createDataFrame(
+        [(i, "spam ham spam ham spam ham spam ham") for i in range(2)]
+        + [(10 + i, t) for i, t in enumerate(
+            ["alpha beta gamma delta epsilon zeta",
+             "one two three four five six",
+             "red green blue cyan magenta yellow",
+             "north south east west up down"])],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.perplexity_buckets(docs).collect()}
+    assert len(out) == 6
+    # all one predicted language here -> one partition of 6 docs,
+    # buckets 1..3 with 2 docs each
+    from collections import Counter
+    assert Counter(r["bucket"] for r in out.values()) == {1: 2, 2: 2, 3: 2}
+    assert out[0]["bucket"] == 1 and out[1]["bucket"] == 1  # repetitive = head

@@ -101,6 +101,9 @@ CASES = [
      lambda: "SELECT doc_id, n_bigrams, ROUND(cross_entropy, 6) AS "
              "cross_entropy, ROUND(perplexity, 6) AS perplexity FROM ("
              + textops.ngram_lm_score_oracle() + ") r"),
+    ("perplexity_buckets",
+     lambda df: textops.perplexity_buckets(df),
+     lambda: textops.perplexity_buckets_oracle()),
     ("dsir_importance",
      lambda df: textops.dsir_importance(
          df, df.filter(F.col("doc_id") % 7 == 0)).selectExpr(

@@ -50,6 +50,7 @@ DEFAULT = (
     # round-8 additions
     "ngram_lm_score",           # LM count aggs + broadcast joins
     "dsir_importance",          # hashed-gram multinomial ratio
+    "perplexity_buckets",       # LM + per-language rank window
 )
 
 
