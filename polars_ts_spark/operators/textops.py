@@ -1947,27 +1947,28 @@ def perplexity_buckets(
     (bucket 1 = head = lowest perplexity = cleanest). Output
     [doc_id, lang_pred, perplexity, bucket].
 
-    Ranking is on perplexity ROUNDED to 6 dp with a doc-id tie-break:
-    cross-engine float noise in the LM average must not flip adjacent
-    ranks at bucket boundaries. Scale: the exact-rank window sorts one
-    task per language key — fine to tens of millions of docs per
-    language; at 100 TB compute the bucket CUTOFFS on a sample (the
-    published CCNet trains cutoffs on held-out data) and assign by
-    comparison, a pure projection with this op as the exact contract
-    it approximates."""
-    from pyspark.sql import Window
-
+    Buckets use standard NTILE semantics (earlier buckets fill
+    first), so a language with fewer docs than ``n_buckets`` puts its
+    docs in the HEAD buckets — a "keep bucket 1" selection keeps small
+    languages instead of silently dropping them (a ceil(k*r/n) rank
+    formula would do the opposite). Ranking is on perplexity ROUNDED
+    to 6 dp with a doc-id tie-break, which makes boundary ties
+    deterministic and shrinks — though cannot fully eliminate — the
+    chance that cross-engine float noise in the LM average flips
+    adjacent ranks. Scale: the exact-rank window sorts one task per
+    language key — fine to tens of millions of docs per language; at
+    100 TB compute the bucket CUTOFFS on a sample (the published CCNet
+    trains cutoffs on held-out data) and assign by comparison, a pure
+    projection with this op as the exact contract it approximates."""
     scored = ngram_lm_score(df, reference, alpha, text_col, id_col)
     lang = language_id(df, text_col, id_col).select(id_col, "lang_pred")
     s = scored.join(lang, id_col).withColumn("__p6", F.round("perplexity", 6))
     w = Window.partitionBy("lang_pred").orderBy("__p6", id_col)
-    n = F.count("*").over(Window.partitionBy("lang_pred"))
     return s.select(
         F.col(id_col),
         F.col("lang_pred"),
         F.col("__p6").alias("perplexity"),
-        F.ceil(F.lit(float(n_buckets)) * F.row_number().over(w) / n)
-        .cast("int").alias("bucket"),
+        F.ntile(int(n_buckets)).over(w).cast("int").alias("bucket"),
     )
 
 
@@ -1980,8 +1981,7 @@ j AS (
     FROM ppl p JOIN lang l ON l.doc_id = p.doc_id
 )
 SELECT doc_id, lang_pred, p6 AS perplexity,
-       CAST(CEIL({float(n_buckets)} * ROW_NUMBER() OVER (
-                PARTITION BY lang_pred ORDER BY p6, doc_id)
-            / COUNT(*) OVER (PARTITION BY lang_pred)) AS INT) AS bucket
+       CAST(NTILE({int(n_buckets)}) OVER (
+                PARTITION BY lang_pred ORDER BY p6, doc_id) AS INT) AS bucket
 FROM j
 """

@@ -918,3 +918,15 @@ def test_perplexity_buckets_planted(spark):
     from collections import Counter
     assert Counter(r["bucket"] for r in out.values()) == {1: 2, 2: 2, 3: 2}
     assert out[0]["bucket"] == 1 and out[1]["bucket"] == 1  # repetitive = head
+
+
+def test_perplexity_buckets_small_language_gets_head(spark):
+    """A language partition with fewer docs than n_buckets must fill
+    the HEAD buckets (NTILE semantics) — a keep-bucket-1 selection
+    must not silently drop small languages (round-8 review)."""
+    docs = spark.createDataFrame(
+        [(0, "der die das und der die das und der die")]  # lone de doc
+        + [(10 + i, f"the and w{i} is the w{i} and it w{i} of") for i in range(6)],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.perplexity_buckets(docs).collect()}
+    assert out[0]["lang_pred"] == "de" and out[0]["bucket"] == 1
