@@ -930,3 +930,27 @@ def test_perplexity_buckets_small_language_gets_head(spark):
         ["doc_id", "text"])
     out = {r["doc_id"]: r for r in textops.perplexity_buckets(docs).collect()}
     assert out[0]["lang_pred"] == "de" and out[0]["bucket"] == 1
+
+
+def test_decontaminate_cap_refusals(spark, monkeypatch):
+    """Over-cap benchmarks must refuse with the shard-and-OR guidance
+    (batch), and a shard that still exceeds the cap must ask for more
+    shards (sharded) — exercised by shrinking the cap, since a real
+    2M-gram benchmark has no place in a unit test."""
+    monkeypatch.setattr(textops, "_BENCH_GRAMS_CAP", 2)
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h i j k l")], ["doc_id", "text"])  # 5 8-grams
+    docs = spark.createDataFrame([(0, "a b c d e f g h x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="decontaminate_sharded"):
+        textops.decontaminate(docs, bench).collect()
+    with pytest.raises(ValueError, match="raise n_shards"):
+        textops.decontaminate_sharded(docs, bench, n_shards=1)
+    # enough shards -> the same benchmark goes through
+    out = {r["doc_id"]: r for r in
+           textops.decontaminate_sharded(docs, bench, n_shards=8).collect()}
+    assert out[0]["contaminated"] == 1
+    # the streaming twin shares the cap (imported at call time, so the
+    # monkeypatch reaches it) and refuses before touching the stream
+    from polars_ts_spark.streaming.structured import streaming_decontaminate
+    with pytest.raises(ValueError, match="streaming_decontaminate"):
+        streaming_decontaminate(docs, bench)
