@@ -584,3 +584,115 @@ def streaming_curation_pipeline(
             "n_docs", "n_contaminated", "n_quality_ok", "total_tokens",
         )
     )
+
+
+def streaming_lm_score(
+    stream_df: DataFrame,
+    reference: DataFrame,
+    alpha: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of ``textops.ngram_lm_score`` — the online
+    quality filter a live ingestion pipeline runs: score every arriving
+    document's bigram cross-entropy/perplexity under an add-``alpha``
+    LM trained ONCE on the static ``reference`` corpus. STATELESS: the
+    LM is a fixed broadcast (sorted 60-bit md5-prefix hash arrays for
+    bigram and unigram counts + the vocab size — the
+    ``streaming_decontaminate`` memory model, ~16 B per distinct gram),
+    and a mapInPandas pass scores each row locally. Append mode, no
+    shuffle, no state store.
+
+    Same cap and guidance as the decontaminators: a reference whose
+    distinct-bigram table exceeds the broadcast cap must move to
+    hashed-bucket features (``dsir_importance``'s space) instead.
+    Hash collisions (~2e-6 at the cap) can only nudge a probability,
+    never drop a document. Output [doc_id, n_bigrams, cross_entropy,
+    perplexity] for docs with >= 1 bigram, the batch twin's contract."""
+    import numpy as np
+
+    from polars_ts_spark.operators.textops import _BENCH_GRAMS_CAP, _gram_frame
+
+    spark = reference.sparkSession
+    h = "cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint)"
+    bi = (
+        _gram_frame(reference, 2, text_col, id_col)
+        .groupBy("gram").agg(F.count("*").alias("c"))
+        .select(F.expr(h.format(col="gram")).alias("gh"), "c")
+        .persist()
+    )
+    try:
+        n_bi = bi.count()
+        if n_bi > _BENCH_GRAMS_CAP:
+            raise ValueError(
+                f"streaming_lm_score: reference expands to {n_bi} distinct "
+                f"bigrams, over the broadcast cap ({_BENCH_GRAMS_CAP}). Use "
+                "hashed-bucket LM features (dsir_importance's space) for "
+                "web-scale references."
+            )
+        bpdf = bi.toPandas()
+    finally:
+        bi.unpersist()
+    uni = (
+        reference.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+        .select(F.expr(h.format(col="w")).alias("gh"), "c")
+    )
+    updf = uni.toPandas()
+    v = float(len(updf))
+
+    def pack(pdf):
+        order = np.argsort(pdf["gh"].to_numpy(dtype="int64"))
+        return (pdf["gh"].to_numpy(dtype="int64")[order],
+                pdf["c"].to_numpy(dtype="int64")[order])
+
+    bc = spark.sparkContext.broadcast((pack(bpdf), pack(updf), v))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        (bh, bcnt), (uh, ucnt), vsize = bc.value
+        a = float(alpha)
+
+        def gh(gram: str) -> int:
+            return int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16)
+
+        def count_of(hs, keys, cnts):
+            if not len(keys):
+                return np.zeros(len(hs), dtype="int64")
+            idx = np.minimum(np.searchsorted(keys, hs), len(keys) - 1)
+            return np.where(keys[idx] == hs, cnts[idx], 0)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, nb, ce = [], [], []
+            for doc, text in zip(pdf[id_col], pdf[text_col].fillna("").astype(str)):
+                toks = text.split(" ")
+                if len(toks) < 2:
+                    continue
+                b = np.fromiter(
+                    (gh(" ".join(toks[i:i + 2])) for i in range(len(toks) - 1)),
+                    dtype="int64", count=len(toks) - 1)
+                u = np.fromiter(
+                    (gh(toks[i]) for i in range(len(toks) - 1)),
+                    dtype="int64", count=len(toks) - 1)
+                c2 = count_of(b, bh, bcnt)
+                c1 = count_of(u, uh, ucnt)
+                logp = np.log((c2 + a) / (c1 + a * vsize))
+                ids.append(doc)
+                nb.append(len(b))
+                ce.append(float(-logp.mean()))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                "n_bigrams": pd.Series(nb, dtype="int64"),
+                "cross_entropy": pd.Series(ce, dtype="float64"),
+                "perplexity": pd.Series(np.exp(ce), dtype="float64"),
+            })
+
+    id_dtype = dict(stream_df.dtypes)[id_col]
+    return stream_df.select(id_col, text_col).mapInPandas(
+        score,
+        schema=f"{id_col} {id_dtype}, n_bigrams long, "
+               "cross_entropy double, perplexity double",
+    )

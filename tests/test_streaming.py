@@ -492,3 +492,49 @@ def test_streaming_curation_pipeline_composed(spark):
         assert b["total_tokens"] == ntok[4] + ntok[5]
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_lm_score_matches_batch_twin(spark):
+    """The stateless streaming LM scorer must reproduce the batch
+    ngram_lm_score (reference-trained) on a replayed corpus — hashed
+    counts and kernel float order only move last bits, so compare at
+    6 dp like the oracle gate."""
+    from polars_ts_spark.operators.textops import ngram_lm_score
+    from polars_ts_spark.streaming.structured import streaming_lm_score
+
+    tmp = tempfile.mkdtemp(prefix="stream_lm_")
+    try:
+        ref = spark.createDataFrame(
+            [(100, "the cat sat on the mat the cat ran off"),
+             (101, "a dog sat on a rug and a dog ran")],
+            ["doc_id", "text"])
+        rows = [
+            (0, "the cat sat on the mat"),
+            (1, "zz yy xx ww vv uu"),
+            (2, "a dog ran off"),
+            (3, "solo"),           # 1 token: no bigram, dropped
+            (4, None),             # NULL text: dropped (no bigram)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = spark.readStream.schema(schema).parquet(tmp)
+        q = (
+            streaming_lm_score(stream, ref)
+            .writeStream.format("memory").queryName("lm_stream")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: (r["n_bigrams"], round(r["cross_entropy"], 6),
+                          round(r["perplexity"], 6))
+            for r in spark.sql("SELECT * FROM lm_stream").collect()
+        }
+        want = {
+            r["doc_id"]: (r["n_bigrams"], round(r["cross_entropy"], 6),
+                          round(r["perplexity"], 6))
+            for r in ngram_lm_score(df, reference=ref).collect()
+        }
+        assert got == want and set(got) == {0, 1, 2}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
