@@ -388,6 +388,43 @@ def streaming_lsh_dedup_handler(
     return handle
 
 
+def _hash60(col):
+    """The repo-wide 60-bit md5-prefix hash as a column expression —
+    `cast(conv(substring(md5(x),1,15),16,10) as bigint)`, the same
+    device `textops.spark_hash60` uses. Computed JVM-side."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _gram_hash_arr(text_col: str, n: int):
+    """60-bit md5-prefix hashes of the word ``n``-grams of
+    ``text_col`` as an ``array<bigint>`` column built ENTIRELY
+    Spark-side (round-9 directive #1): tokenization, gram assembly,
+    and hashing all run as JVM expressions inside the streaming
+    projection, so the Python kernel downstream never touches a
+    string — it only searchsorts int64 arrays. NULL or too-short text
+    yields an EMPTY array (the batch twins' zero-gram semantics:
+    ``size(split(NULL))`` is -1, which fails the ``>= n`` gate)."""
+    toks = F.split(F.col(text_col), " ")
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: _hash60(F.array_join(F.slice(toks, i, n), " ")),
+    )
+    return F.when(F.size(toks) >= n, hashes).otherwise(
+        F.expr("array()").cast("array<bigint>"))
+
+
+def _segment_bounds(arrs) -> "tuple":
+    """(lens, bounds) for a list of per-row int64 arrays: ``lens[i]``
+    is row i's array length, ``bounds`` the flat-offset prefix sums
+    (len(arrs)+1 entries) into ``np.concatenate(arrs)``."""
+    import numpy as np
+
+    lens = np.fromiter((len(a) for a in arrs), dtype="int64", count=len(arrs))
+    bounds = np.zeros(len(arrs) + 1, dtype="int64")
+    np.cumsum(lens, out=bounds[1:])
+    return lens, bounds
+
+
 def streaming_decontaminate(
     stream_df: DataFrame,
     benchmark: DataFrame,
@@ -413,11 +450,15 @@ def streaming_decontaminate(
     The broadcast carries 60-bit md5-prefix HASHES of the grams (a
     sorted int64 numpy array probed by searchsorted), not the gram
     strings: 2 M python strs cost ~400-600 MB per executor python
-    worker, the hash array 16 MB. The hash is computed Spark-side
-    (``conv(substring(md5(gram),1,15),16,10)``) and reproduced in the
-    kernel with hashlib over the same UTF-8 bytes; collision odds at
-    the 2 M cap are ~2e-6 per benchmark, and a collision can only
-    over-flag (never under-flag) a document."""
+    worker, the hash array 16 MB. BOTH sides hash Spark-side
+    (``conv(substring(md5(gram),1,15),16,10)`` — the corpus side as an
+    ``array<bigint>`` expression column built before mapInPandas,
+    round-9 directive #1), so the kernel is pure vectorized numpy
+    (one concatenate + one searchsorted per Arrow batch, zero per-gram
+    Python) and hash parity is by construction, not by reimplementing
+    md5 in the worker. Collision odds at the 2 M cap are ~2e-6 per
+    benchmark, and a collision can only over-flag (never under-flag)
+    a document."""
     import numpy as np
 
     from polars_ts_spark.operators.textops import _BENCH_GRAMS_CAP, _gram_frame
@@ -448,44 +489,39 @@ def streaming_decontaminate(
     bc = spark.sparkContext.broadcast(bench)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         hashes = bc.value
-
-        def gh(gram: str) -> int:
-            return int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16)
 
         for pdf in batches:
             if not len(pdf):
                 continue
-            n_g, hits = [], []
-            # NULL text = zero grams, clean — the batch twin's NULL
-            # sentinel semantics (astype(str) alone would tokenize the
-            # literal 'None')
-            for text in pdf[text_col].fillna("").astype(str):
-                toks = text.split(" ")
-                doc = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-                n_g.append(len(doc))
-                if doc and len(hashes):
-                    hs = np.fromiter((gh(x) for x in doc), dtype="int64",
-                                     count=len(doc))
-                    # clamp: hs beyond hashes[-1] lands at len(hashes);
-                    # comparing against hashes[-1] there never matches
-                    idx = np.minimum(np.searchsorted(hashes, hs),
-                                     len(hashes) - 1)
-                    hits.append(int((hashes[idx] == hs).sum()))
-                else:
-                    hits.append(0)
+            # whole-batch vectorized probe: one concatenate + one
+            # searchsorted; per-doc hit counts recovered from the
+            # prefix-sum of the flat hit mask (exact integer math —
+            # zero-gram docs fall out as empty segments)
+            arrs = [np.asarray(a, dtype="int64") for a in pdf["__gh"]]
+            lens, bounds = _segment_bounds(arrs)
+            if bounds[-1] and len(hashes):
+                flat = np.concatenate(arrs)
+                # clamp: flat beyond hashes[-1] lands at len(hashes);
+                # comparing against hashes[-1] there never matches
+                idx = np.minimum(np.searchsorted(hashes, flat),
+                                 len(hashes) - 1)
+                csum = np.zeros(bounds[-1] + 1, dtype="int64")
+                np.cumsum(hashes[idx] == flat, out=csum[1:])
+                hits = csum[bounds[1:]] - csum[bounds[:-1]]
+            else:
+                hits = np.zeros(len(arrs), dtype="int64")
             yield pd.DataFrame({
                 id_col: pdf[id_col],
-                "n_grams": pd.Series(n_g, dtype="int64"),
+                "n_grams": pd.Series(lens, dtype="int64"),
                 "hit_grams": pd.Series(hits, dtype="int64"),
-                "contaminated": pd.Series(
-                    [1 if h > 0 else 0 for h in hits], dtype="int32"),
+                "contaminated": pd.Series((hits > 0).astype("int32")),
             })
 
     id_dtype = dict(stream_df.dtypes)[id_col]
-    return stream_df.select(id_col, text_col).mapInPandas(
+    return stream_df.select(
+        id_col, _gram_hash_arr(text_col, n).alias("__gh")
+    ).mapInPandas(
         score,
         schema=f"{id_col} {id_dtype}, n_grams long, hit_grams long, contaminated int",
     )
@@ -603,42 +639,56 @@ def streaming_lm_score(
     and a mapInPandas pass scores each row locally. Append mode, no
     shuffle, no state store.
 
-    Same cap and guidance as the decontaminators: a reference whose
-    distinct-bigram table exceeds the broadcast cap must move to
-    hashed-bucket features (``dsir_importance``'s space) instead.
-    Hash collisions (~2e-6 at the cap) can only nudge a probability,
-    never drop a document. Output [doc_id, n_bigrams, cross_entropy,
-    perplexity] for docs with >= 1 bigram, the batch twin's contract."""
+    Same cap and guidance as the decontaminators — checked on BOTH LM
+    tables (the bigram table AND the unigram/vocabulary table, round-9
+    directive #2: an adversarial reference of many 1-token docs can
+    have a huge vocabulary with few bigrams): a reference whose tables
+    exceed the broadcast cap must move to hashed-bucket features
+    (``dsir_importance``'s space) instead. The corpus side hashes its
+    bigram/context-unigram arrays Spark-side as expression columns
+    before mapInPandas (round-9 directive #1), so the kernel is pure
+    vectorized numpy — two searchsorted probes + one segment-sum per
+    Arrow batch, zero per-gram Python — and hash parity with the
+    broadcast tables is by construction. Hash collisions (~2e-6 at
+    the cap) can only nudge a probability, never drop a document.
+    Output [doc_id, n_bigrams, cross_entropy, perplexity] for docs
+    with >= 1 bigram, the batch twin's contract."""
     import numpy as np
 
     from polars_ts_spark.operators.textops import _BENCH_GRAMS_CAP, _gram_frame
 
     spark = reference.sparkSession
-    h = "cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint)"
-    bi = (
+
+    def counts_or_refuse(frame: DataFrame, what: str, guidance: str):
+        f = frame.persist()
+        try:
+            n_rows = f.count()
+            if n_rows > _BENCH_GRAMS_CAP:
+                raise ValueError(
+                    f"streaming_lm_score: reference expands to {n_rows} "
+                    f"distinct {what}, over the broadcast cap "
+                    f"({_BENCH_GRAMS_CAP}). {guidance}"
+                )
+            return f.toPandas()
+        finally:
+            f.unpersist()
+
+    bpdf = counts_or_refuse(
         _gram_frame(reference, 2, text_col, id_col)
         .groupBy("gram").agg(F.count("*").alias("c"))
-        .select(F.expr(h.format(col="gram")).alias("gh"), "c")
-        .persist()
+        .select(_hash60(F.col("gram")).alias("gh"), "c"),
+        "bigrams",
+        "Use hashed-bucket LM features (dsir_importance's space) for "
+        "web-scale references.",
     )
-    try:
-        n_bi = bi.count()
-        if n_bi > _BENCH_GRAMS_CAP:
-            raise ValueError(
-                f"streaming_lm_score: reference expands to {n_bi} distinct "
-                f"bigrams, over the broadcast cap ({_BENCH_GRAMS_CAP}). Use "
-                "hashed-bucket LM features (dsir_importance's space) for "
-                "web-scale references."
-            )
-        bpdf = bi.toPandas()
-    finally:
-        bi.unpersist()
-    uni = (
+    updf = counts_or_refuse(
         reference.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .groupBy("w").agg(F.count("*").alias("c"))
-        .select(F.expr(h.format(col="w")).alias("gh"), "c")
+        .select(_hash60(F.col("w")).alias("gh"), "c"),
+        "unigrams (vocabulary)",
+        "A vocabulary this size needs hashed-bucket LM features "
+        "(dsir_importance's space).",
     )
-    updf = uni.toPandas()
     v = float(len(updf))
 
     def pack(pdf):
@@ -649,13 +699,8 @@ def streaming_lm_score(
     bc = spark.sparkContext.broadcast((pack(bpdf), pack(updf), v))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         (bh, bcnt), (uh, ucnt), vsize = bc.value
         a = float(alpha)
-
-        def gh(gram: str) -> int:
-            return int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16)
 
         def count_of(hs, keys, cnts):
             if not len(keys):
@@ -666,32 +711,39 @@ def streaming_lm_score(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids, nb, ce = [], [], []
-            for doc, text in zip(pdf[id_col], pdf[text_col].fillna("").astype(str)):
-                toks = text.split(" ")
-                if len(toks) < 2:
-                    continue
-                b = np.fromiter(
-                    (gh(" ".join(toks[i:i + 2])) for i in range(len(toks) - 1)),
-                    dtype="int64", count=len(toks) - 1)
-                u = np.fromiter(
-                    (gh(toks[i]) for i in range(len(toks) - 1)),
-                    dtype="int64", count=len(toks) - 1)
-                c2 = count_of(b, bh, bcnt)
-                c1 = count_of(u, uh, ucnt)
-                logp = np.log((c2 + a) / (c1 + a * vsize))
-                ids.append(doc)
-                nb.append(len(b))
-                ce.append(float(-logp.mean()))
+            barrs = [np.asarray(x, dtype="int64") for x in pdf["__bh"]]
+            uarrs = [np.asarray(x, dtype="int64") for x in pdf["__uh"]]
+            lens, bounds = _segment_bounds(barrs)
+            keep = lens > 0
+            if not keep.any():
+                continue
+            logp = np.log(
+                (count_of(np.concatenate(barrs), bh, bcnt) + a)
+                / (count_of(np.concatenate(uarrs), uh, ucnt) + a * vsize))
+            # per-doc sums via reduceat over the KEPT segment starts:
+            # zero-length docs are skipped, so consecutive kept starts
+            # bound exactly one doc's grams (strictly increasing)
+            segs = np.add.reduceat(logp, bounds[:-1][keep])
+            ce = -segs / lens[keep]
             yield pd.DataFrame({
-                id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
-                "n_bigrams": pd.Series(nb, dtype="int64"),
+                id_col: pdf[id_col].to_numpy()[keep],
+                "n_bigrams": pd.Series(lens[keep], dtype="int64"),
                 "cross_entropy": pd.Series(ce, dtype="float64"),
                 "perplexity": pd.Series(np.exp(ce), dtype="float64"),
             })
 
+    toks = F.split(F.col(text_col), " ")
+    empty = F.expr("array()").cast("array<bigint>")
+    # bigram hashes + their CONTEXT-unigram hashes (tokens 1..len-1),
+    # both as JVM expression columns — the kernel never sees a string
+    ctx_hashes = F.slice(
+        F.transform(toks, _hash60), F.lit(1), F.size(toks) - 1)
     id_dtype = dict(stream_df.dtypes)[id_col]
-    return stream_df.select(id_col, text_col).mapInPandas(
+    return stream_df.select(
+        F.col(id_col),
+        _gram_hash_arr(text_col, 2).alias("__bh"),
+        F.when(F.size(toks) >= 2, ctx_hashes).otherwise(empty).alias("__uh"),
+    ).mapInPandas(
         score,
         schema=f"{id_col} {id_dtype}, n_bigrams long, "
                "cross_entropy double, perplexity double",

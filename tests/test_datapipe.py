@@ -954,3 +954,25 @@ def test_decontaminate_cap_refusals(spark, monkeypatch):
     from polars_ts_spark.streaming.structured import streaming_decontaminate
     with pytest.raises(ValueError, match="streaming_decontaminate"):
         streaming_decontaminate(docs, bench)
+
+
+def test_streaming_lm_score_cap_refusals(spark, monkeypatch):
+    """BOTH broadcast LM tables are cap-gated (round-9 directive #2):
+    a reference of many 1-token docs has a huge VOCABULARY with zero
+    bigrams, so the bigram cap alone would wave it through and the
+    unigram collect would blow the driver. Exercised by shrinking the
+    cap; both refusals fire before any stream is touched."""
+    from polars_ts_spark.streaming.structured import streaming_lm_score
+
+    monkeypatch.setattr(textops, "_BENCH_GRAMS_CAP", 2)
+    docs = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    # 5 distinct unigrams, 0 bigrams -> the UNIGRAM gate must fire
+    ref_vocab = spark.createDataFrame(
+        [(100 + i, f"w{i}") for i in range(5)], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="unigrams"):
+        streaming_lm_score(docs, ref_vocab)
+    # 4 distinct bigrams -> the BIGRAM gate fires first
+    ref_bi = spark.createDataFrame(
+        [(100, "a b c d e")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="bigrams"):
+        streaming_lm_score(docs, ref_bi)
