@@ -192,6 +192,7 @@ def main():
     MAX_EXTRA = 2
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    cold_dirty: list[str] = []
     spread: dict[str, list[float]] = {}
     probe_trail: dict[str, list[float]] = {}
     hot_queries: list[str] = []
@@ -219,6 +220,12 @@ def main():
             samples.append((dt, pre <= probe_thr and post <= probe_thr))
             if run == 0:
                 cold[name] = round(dt, 3)
+                # cold numbers are ALWAYS run 0 (first-touch semantics)
+                # so they can't be re-sampled behind the gate — flag the
+                # load-contaminated ones instead, so cross-round cold
+                # comparisons can exclude them (ADVICE r8)
+                if gate_on and not samples[0][1]:
+                    cold_dirty.append(name)
         extra = 0
         while gate_on and not any(c for _, c in samples) and extra < MAX_EXTRA:
             # wait on the SAME threshold the sample is judged by — the
@@ -285,6 +292,7 @@ def main():
         "agg": "min",
         "cold_total": round(sum(cold.values()), 3),
         "cold_queries": cold,
+        "cold_dirty_queries": cold_dirty,
         "quality": quality,
         "spread_runs": spread,
         "hot_queries": hot_queries,

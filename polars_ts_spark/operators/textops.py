@@ -1791,7 +1791,11 @@ def ngram_lm_score(
     )
 
 
-def ngram_lm_score_oracle(alpha: float = 0.1, reference_sql: str = "documents") -> str:
+def ngram_lm_score_oracle(
+    alpha: float = 0.1,
+    reference_sql: str = "documents",
+    corpus_sql: str = "documents",
+) -> str:
     def grams(src: str) -> str:
         return f"""(
     SELECT doc_id,
@@ -1810,7 +1814,7 @@ v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
 bi AS (SELECT gram, COUNT(*) AS c2 FROM {grams(reference_sql)} GROUP BY gram),
 g AS (
     SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1
-    FROM {grams('documents')}
+    FROM {grams(corpus_sql)}
 ),
 s AS (
     SELECT g.doc_id,
@@ -1967,7 +1971,9 @@ def perplexity_buckets(
     return s.select(
         F.col(id_col),
         F.col("lang_pred"),
-        F.col("__p6").alias("perplexity"),
+        # rank on the 6-dp tie-break key, but EMIT the raw score —
+        # callers must not receive a silently quantized perplexity
+        F.col("perplexity"),
         F.ntile(int(n_buckets)).over(w).cast("int").alias("bucket"),
     )
 
@@ -1977,11 +1983,318 @@ def perplexity_buckets_oracle(n_buckets: int = 3, alpha: float = 0.1) -> str:
 WITH ppl AS ({ngram_lm_score_oracle(alpha)}),
 lang AS ({language_id_oracle()}),
 j AS (
-    SELECT p.doc_id, l.lang_pred, ROUND(p.perplexity, 6) AS p6
+    SELECT p.doc_id, l.lang_pred, p.perplexity,
+           ROUND(p.perplexity, 6) AS p6
     FROM ppl p JOIN lang l ON l.doc_id = p.doc_id
 )
-SELECT doc_id, lang_pred, p6 AS perplexity,
+SELECT doc_id, lang_pred, perplexity,
        CAST(NTILE({int(n_buckets)}) OVER (
                 PARTITION BY lang_pred ORDER BY p6, doc_id) AS INT) AS bucket
 FROM j
+"""
+
+
+def dsir_resample(
+    df: DataFrame,
+    k: int = 100,
+    temperature: float | None = 1.0,
+    seed: int = 7,
+    weight_col: str = "log_weight",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The DSIR SELECTION step (Xie et al. 2023 §3 — the published
+    recipe resamples k documents without replacement with probability
+    proportional to their importance weights; round-9 directive #3
+    packages the draw that ``dsir_importance`` previously pointed
+    users at hand-composing): Gumbel-top-k over ``weight_col``,
+    key = w / temperature + Gumbel(0,1), which samples WITHOUT
+    replacement from softmax(w / temperature) — the standard
+    Gumbel-max coupling. ``temperature=None`` (or <= 0) degenerates
+    to the deterministic top-k by weight. Output
+    [doc_id, <weight_col>, gumbel_key, sample_rank] for the k kept
+    docs.
+
+    Deterministic and engine-replicable like ``stratified_sample``:
+    the Gumbel noise is seeded per doc from a 52-bit md5-prefix hash
+    of ``id:seed`` — u = (h + 0.5) / 2^52 is an EXACT dyadic rational
+    in both engines (52 bits fit a double losslessly, u in (0,1) by
+    construction), g = -ln(-ln(u)). Ranking uses the 6-dp-rounded key
+    with a doc-id tie-break (cross-engine ln() noise is ~1 ulp); the
+    RAW key is emitted. Scale: ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject — a per-partition top-k heap merged on the
+    driver, no global sort shuffle; the only window runs over the k
+    survivors."""
+    s = F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.lit(str(int(seed))))
+    h = F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    if temperature is None or float(temperature) <= 0:
+        key = F.col(weight_col).cast("double")
+    else:
+        key = (F.col(weight_col) / F.lit(float(temperature))
+               - F.log(-F.log(u)))
+    keyed = df.select(
+        F.col(id_col), F.col(weight_col), key.alias("gumbel_key"),
+        F.round(key, 6).alias("__rk"))
+    topk = keyed.orderBy(F.col("__rk").desc(), F.col(id_col)).limit(int(k))
+    w = Window.orderBy(F.col("__rk").desc(), F.col(id_col))
+    return (
+        topk.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .drop("__rk")
+    )
+
+
+def dsir_resample_oracle(
+    src_sql: str,
+    k: int = 100,
+    temperature: float | None = 1.0,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin of ``dsir_resample`` over ``src_sql`` rows of
+    [doc_id, log_weight]."""
+    two52 = float(1 << 52)
+    u = (f"((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{int(seed)}'), "
+         f"1, 13))::BIGINT + 0.5) / {two52!r})")
+    if temperature is None or float(temperature) <= 0:
+        key = "CAST(log_weight AS DOUBLE)"
+    else:
+        key = f"(log_weight / {float(temperature)!r} - ln(-ln({u})))"
+    return f"""
+WITH keyed AS (
+    SELECT doc_id, log_weight, {key} AS gumbel_key
+    FROM ({src_sql})
+),
+ranked AS (
+    SELECT doc_id, log_weight, gumbel_key,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY ROUND(gumbel_key, 6) DESC, doc_id) AS INT)
+               AS sample_rank
+    FROM keyed
+)
+SELECT doc_id, log_weight, gumbel_key, sample_rank
+FROM ranked WHERE sample_rank <= {int(k)}
+"""
+
+
+def perplexity_buckets_from_cutoffs(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    n_buckets: int = 3,
+    alpha: float = 0.1,
+    sample_mod: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The 100 TB variant of ``perplexity_buckets`` (round-9 directive
+    #4 — the plan the exact op's docstring promises): train the
+    per-language bucket CUTOFFS on a deterministic md5 sample
+    (``hash(doc_id) % sample_mod == 0``, ~1/sample_mod of the corpus),
+    then ASSIGN every document by comparison against the cutoffs — a
+    pure broadcast-join projection with no corpus-wide rank window.
+    The published CCNet pipeline does exactly this (cutoffs from
+    held-out data, assignment by threshold). Output
+    [doc_id, lang_pred, perplexity, bucket], ``perplexity`` raw.
+
+    Cutoff i (i = 1..n_buckets-1) is the inverse-empirical-CDF
+    (type-1, no interpolation) quantile of the sample's 6-dp
+    perplexity at rank ceil(n_s * i / n_buckets) — pure integer rank
+    selection, so both engines pick the identical sample row and the
+    cutoffs are bit-equal by construction. Assignment:
+    bucket = 1 + #{i : p6 > cutoff_i} (ties stay in the lower
+    bucket). A language with NO sampled docs gets bucket 1 for all
+    its docs — the exact op's small-language-keeps-head semantics.
+    Agreement with the exact NTILE op is sampling-bounded (measured
+    in tests and COVERAGE.md); disagreement is confined to docs
+    within the cutoffs' sampling error of a bucket boundary.
+
+    Scale: the exact op sorts one window per language key; this one
+    replaces that with (a) the same rank window over ONLY the sample
+    and (b) an n_buckets-1-row-per-language broadcast join — the
+    assignment never shuffles the corpus."""
+    scored = ngram_lm_score(df, reference, alpha, text_col, id_col)
+    lang = language_id(df, text_col, id_col).select(id_col, "lang_pred")
+    s = scored.join(lang, id_col).withColumn("__p6", F.round("perplexity", 6))
+    draw = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+               16, 10).cast("bigint"),
+        F.lit(int(sample_mod)))
+    samp = s.filter(draw == 0)
+    wr = Window.partitionBy("lang_pred").orderBy("__p6", id_col)
+    wc = Window.partitionBy("lang_pred")
+    nb = int(n_buckets)
+    ranked = samp.select(
+        "lang_pred", "__p6",
+        F.row_number().over(wr).alias("__r"),
+        F.count("*").over(wc).alias("__n"))
+    cuts = (
+        ranked.withColumn(
+            "__i", F.explode(F.array([F.lit(i) for i in range(1, nb)])))
+        .filter(F.col("__r")
+                == F.ceil(F.col("__n") * F.col("__i") / F.lit(nb)))
+        .select("lang_pred", "__i", F.col("__p6").alias("__cut"))
+    )
+    return (
+        s.join(F.broadcast(cuts), "lang_pred", "left")
+        .groupBy(id_col, "lang_pred", "perplexity", "__p6")
+        .agg(F.sum(F.when(F.col("__p6") > F.col("__cut"), 1)
+                   .otherwise(0)).alias("__above"))
+        .select(
+            F.col(id_col), F.col("lang_pred"), F.col("perplexity"),
+            (F.lit(1) + F.coalesce(F.col("__above"), F.lit(0)))
+            .cast("int").alias("bucket"),
+        )
+    )
+
+
+def perplexity_buckets_from_cutoffs_oracle(
+    n_buckets: int = 3,
+    alpha: float = 0.1,
+    sample_mod: int = 4,
+) -> str:
+    nb = int(n_buckets)
+    return f"""
+WITH ppl AS ({ngram_lm_score_oracle(alpha)}),
+lang AS ({language_id_oracle()}),
+j AS (
+    SELECT p.doc_id, l.lang_pred, p.perplexity,
+           ROUND(p.perplexity, 6) AS p6
+    FROM ppl p JOIN lang l ON l.doc_id = p.doc_id
+),
+samp AS (
+    SELECT * FROM j
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {int(sample_mod)}) = 0
+),
+ranked AS (
+    SELECT lang_pred, p6,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang_pred ORDER BY p6, doc_id) AS r,
+           COUNT(*) OVER (PARTITION BY lang_pred) AS n
+    FROM samp
+),
+cuts AS (
+    SELECT lang_pred, i, p6 AS cut
+    FROM ranked, (SELECT unnest(range(1, {nb})) AS i)
+    WHERE r = CEIL(n * i / {float(nb)!r})
+)
+SELECT j.doc_id, j.lang_pred, j.perplexity,
+       CAST(1 + COALESCE(
+           SUM(CASE WHEN j.p6 > c.cut THEN 1 ELSE 0 END), 0) AS INT)
+           AS bucket
+FROM j LEFT JOIN cuts c ON c.lang_pred = j.lang_pred
+GROUP BY j.doc_id, j.lang_pred, j.perplexity, j.p6
+"""
+
+
+def corpus_curation_v2(
+    df: DataFrame,
+    quality_min: float = 0.5,
+    keep_buckets: int = 2,
+    n_buckets: int = 3,
+    alpha: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kw,
+) -> DataFrame:
+    """``corpus_curation`` extended with the CCNet LM-quality leg
+    (round-9 directive #5), mirroring the published pipeline order
+    (Wenzek et al. 2020: dedup -> LM score -> perplexity bucket ->
+    filter): near-dup dedup keeps each cluster's canonical doc, the
+    add-alpha bigram LM (trained on the KEPT corpus — self-trained,
+    where CCNet trains on a clean held-out reference; pass a cleaner
+    corpus via the LM by composing ``ngram_lm_score`` directly) scores
+    every kept doc, docs are NTILE-bucketed per language, and the
+    rollup keeps docs in the head ``keep_buckets`` buckets that also
+    pass the heuristic quality floor. Docs too short to score (no
+    bigram) are excluded — unscorable docs are unfilterable. Output
+    [lang_pred, bucket, n_docs, total_bpe_tokens, total_chars] —
+    COUNT and integer SUMs only, so partition order cannot move a
+    bit."""
+    clusters = dedup_clusters(df, id_col=id_col, **lsh_kw)
+    kept = df.join(
+        clusters.filter(F.col("is_canonical")).select(id_col), id_col)
+    buck = perplexity_buckets(
+        kept, None, n_buckets, alpha, text_col, id_col
+    ).select(id_col, "lang_pred", "bucket")
+    quality = text_stats(kept, text_col, id_col).select(id_col, "quality_score")
+    toks = token_counts(kept, text_col, id_col)
+    return (
+        toks.join(quality, id_col).join(buck, id_col)
+        .filter((F.col("quality_score") >= quality_min)
+                & (F.col("bucket") <= int(keep_buckets)))
+        .groupBy("lang_pred", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def corpus_curation_v2_oracle(
+    quality_min: float = 0.5,
+    keep_buckets: int = 2,
+    n_buckets: int = 3,
+    alpha: float = 0.1,
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> str:
+    """Composes the dedup-cluster, LM-score (trained AND scored on the
+    kept docs), language-ID, quality and token-count oracles."""
+    clusters = dedup_clusters_oracle(
+        minhash_lsh_oracle(num_hashes, bands, threshold, shingle_n)
+    )
+    ppl = ngram_lm_score_oracle(
+        alpha, reference_sql="kept", corpus_sql="kept")
+    return f"""
+WITH clusters AS (
+{clusters}
+),
+kept AS (
+    SELECT d.doc_id, d.text FROM documents d
+    JOIN clusters c ON c.doc_id = d.doc_id AND c.is_canonical
+),
+ppl AS ({ppl}),
+ltoks AS (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM kept
+),
+{language_id_oracle_scored_ctes("ltoks")},
+b AS (
+    SELECT p.doc_id, l.lang_pred,
+           CAST(NTILE({int(n_buckets)}) OVER (
+               PARTITION BY l.lang_pred
+               ORDER BY ROUND(p.perplexity, 6), p.doc_id) AS INT) AS bucket
+    FROM ppl p JOIN lang l ON l.doc_id = p.doc_id
+),
+q AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_obs,
+           len(list_filter(string_split(text, ' '),
+               x -> list_contains({list(STOPWORDS)}, x))) AS n_stop
+    FROM kept
+),
+quality AS (
+    SELECT doc_id,
+           least(1.0, n_tokens / 50.0) * 0.4
+           + least(1.0, ((n_chars_obs - (n_tokens - 1)) / n_tokens) / 8.0) * 0.3
+           + least(1.0, (n_stop / n_tokens) * 5.0) * 0.3 AS quality_score
+    FROM q
+),
+toks AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE.replace("'", "''")}')) AS INT)
+               AS bpe_tokens,
+           length(text) AS n_chars
+    FROM kept
+)
+SELECT lang_pred, bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM toks
+JOIN quality USING (doc_id)
+JOIN b USING (doc_id)
+WHERE quality_score >= {quality_min} AND bucket <= {int(keep_buckets)}
+GROUP BY lang_pred, bucket
 """

@@ -11316,9 +11316,96 @@ _register_dsir_importance()
 def _register_perplexity_buckets():
     from polars_ts_spark.operators import textops
 
-    @register("perplexity_buckets", textops.perplexity_buckets_oracle())
+    @register(
+        "perplexity_buckets",
+        "SELECT doc_id, lang_pred, ROUND(perplexity, 6) AS perplexity, "
+        "bucket FROM (" + textops.perplexity_buckets_oracle() + ") r",
+    )
     def q_perplexity_buckets(spark, sf_dir):
-        return textops.perplexity_buckets(_docs(spark, sf_dir))
+        out = textops.perplexity_buckets(_docs(spark, sf_dir))
+        return out.select(
+            "doc_id", "lang_pred",
+            F.round("perplexity", 6).alias("perplexity"), "bucket")
 
 
 _register_perplexity_buckets()
+
+
+# ---- round 9: the DSIR SELECTION step (Xie et al. 2023 §3) —
+# Gumbel-top-k resample over the importance weights. Composed with
+# dsir_importance (weights rounded to 6 dp on BOTH sides first, so the
+# only cross-engine noise left is ~1 ulp of ln()); the md5-seeded
+# Gumbel draw is the operator's documented algorithm.
+
+
+def _register_dsir_resample():
+    from polars_ts_spark.operators import textops
+
+    dsir_src = (
+        "SELECT doc_id, ROUND(log_weight, 6) AS log_weight FROM ("
+        + textops.dsir_importance_oracle(
+            target_sql="(SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0)"
+        ) + ") r"
+    )
+
+    @register(
+        "dsir_resample",
+        "SELECT doc_id, log_weight, ROUND(gumbel_key, 6) AS gumbel_key, "
+        "sample_rank FROM ("
+        + textops.dsir_resample_oracle(dsir_src, k=50, temperature=1.0, seed=7)
+        + ") r",
+    )
+    def q_dsir_resample(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        target = docs.filter(F.col("doc_id") % 13 == 0)
+        w6 = textops.dsir_importance(docs, target).select(
+            "doc_id", F.round("log_weight", 6).alias("log_weight"))
+        out = textops.dsir_resample(w6, k=50, temperature=1.0, seed=7)
+        return out.select(
+            "doc_id", "log_weight",
+            F.round("gumbel_key", 6).alias("gumbel_key"), "sample_rank")
+
+
+_register_dsir_resample()
+
+
+# ---- round 9: the sampled-cutoff variant of perplexity_buckets —
+# the 100 TB assignment path (cutoffs trained on a deterministic md5
+# sample, assignment as a broadcast-join projection).
+
+
+def _register_perplexity_buckets_sampled():
+    from polars_ts_spark.operators import textops
+
+    @register(
+        "perplexity_buckets_sampled",
+        "SELECT doc_id, lang_pred, ROUND(perplexity, 6) AS perplexity, "
+        "bucket FROM ("
+        + textops.perplexity_buckets_from_cutoffs_oracle(sample_mod=4) + ") r",
+    )
+    def q_perplexity_buckets_sampled(spark, sf_dir):
+        out = textops.perplexity_buckets_from_cutoffs(
+            _docs(spark, sf_dir), sample_mod=4)
+        return out.select(
+            "doc_id", "lang_pred",
+            F.round("perplexity", 6).alias("perplexity"), "bucket")
+
+
+_register_perplexity_buckets_sampled()
+
+
+# ---- round 9: corpus_curation_v2 — the composed curation DAG gains
+# the CCNet LM leg (dedup -> LM score -> per-language perplexity
+# bucket -> filter), integer-only rollup.
+
+
+def _register_corpus_curation_v2():
+    from polars_ts_spark.operators import textops
+
+    @register("corpus_curation_v2", textops.corpus_curation_v2_oracle())
+    def q_corpus_curation_v2(spark, sf_dir):
+        return textops.corpus_curation_v2(
+            _docs(spark, sf_dir), quality_min=0.5, keep_buckets=2)
+
+
+_register_corpus_curation_v2()

@@ -147,6 +147,13 @@ def load_dataset(
             if got != sha256:
                 raise ValueError(
                     f"dataset {name!r}: sha256 mismatch (expected {sha256}, got {got})")
+            # mkstemp creates 0600 and os.replace preserves it — give
+            # the verified cache entry the umask-standard mode instead,
+            # so shared caches stay group/world-readable like any
+            # open()-created file would be
+            umask = os.umask(0)
+            os.umask(umask)
+            os.chmod(tmp, 0o666 & ~umask)
             os.replace(tmp, dest)
         finally:
             try:

@@ -976,3 +976,121 @@ def test_streaming_lm_score_cap_refusals(spark, monkeypatch):
         [(100, "a b c d e")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="bigrams"):
         streaming_lm_score(docs, ref_bi)
+
+
+def test_dsir_resample_planted(spark):
+    """Gumbel-top-k selection step: deterministic across calls, exact
+    top-k in the temperature->0 / None limits, weight-dominated at low
+    temperature, rank keys monotone."""
+    import math
+
+    rows = [(i, float(w)) for i, w in enumerate(
+        [9.0, 7.5, 6.0, 4.5, 3.0, 1.5, 0.0, -1.5, -3.0, -4.5])]
+    df = spark.createDataFrame(rows, ["doc_id", "log_weight"])
+    a = textops.dsir_resample(df, k=4, temperature=1.0, seed=7).collect()
+    b = textops.dsir_resample(df, k=4, temperature=1.0, seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    assert sorted(r["sample_rank"] for r in a) == [1, 2, 3, 4]
+    keys = [r["gumbel_key"] for r in sorted(a, key=lambda r: r["sample_rank"])]
+    assert all(round(x, 6) >= round(y, 6) for x, y in zip(keys, keys[1:]))
+    # the emitted key is the RAW value: reproduce one doc's key exactly
+    import hashlib
+    r0 = sorted(a, key=lambda r: r["sample_rank"])[0]
+    h = int(hashlib.md5(f"{r0['doc_id']}:7".encode()).hexdigest()[:13], 16)
+    u = (h + 0.5) / float(1 << 52)
+    assert r0["gumbel_key"] == pytest.approx(
+        r0["log_weight"] / 1.0 - math.log(-math.log(u)), rel=1e-12)
+    # temperature=None -> plain top-k by weight
+    det = textops.dsir_resample(df, k=3, temperature=None).collect()
+    assert {r["doc_id"] for r in det} == {0, 1, 2}
+    assert [r["doc_id"] for r in sorted(det, key=lambda r: r["sample_rank"])] \
+        == [0, 1, 2]
+    # at temperature 0.01 the weight term is ~150x any Gumbel draw here
+    cold = textops.dsir_resample(df, k=3, temperature=0.01, seed=11).collect()
+    assert {r["doc_id"] for r in cold} == {0, 1, 2}
+    # k > n keeps everything with contiguous ranks
+    allr = textops.dsir_resample(df, k=100, temperature=1.0).collect()
+    assert sorted(r["sample_rank"] for r in allr) == list(range(1, 11))
+
+
+def test_perplexity_buckets_sampled_agreement(spark):
+    """The sampled-cutoff assignment must agree with the exact NTILE
+    op away from bucket boundaries: assignment is monotone in the
+    6-dp perplexity per language, disagreements are confined to +-1
+    bucket, and the agreement fraction is sampling-bounded."""
+    # 120 docs, one predicted language, perplexity spread planted by
+    # repetition level (more repetition of a common bigram = lower
+    # perplexity under the self-trained LM)
+    docs = spark.createDataFrame(
+        [(i, ("the cat " * (1 + i % 12) + f"w{i} x{i} y{i} z{i}").strip())
+         for i in range(120)],
+        ["doc_id", "text"])
+    exact = {r["doc_id"]: r for r in textops.perplexity_buckets(docs).collect()}
+    samp = {r["doc_id"]: r
+            for r in textops.perplexity_buckets_from_cutoffs(
+                docs, sample_mod=2).collect()}
+    assert set(exact) == set(samp)
+    for d in exact:
+        assert samp[d]["lang_pred"] == exact[d]["lang_pred"]
+        assert samp[d]["perplexity"] == pytest.approx(
+            exact[d]["perplexity"], rel=1e-9)  # same raw score
+        assert abs(samp[d]["bucket"] - exact[d]["bucket"]) <= 1
+    agree = sum(int(samp[d]["bucket"] == exact[d]["bucket"]) for d in exact)
+    assert agree / len(exact) >= 0.8
+    # monotone: sort by (lang, p6, id) -> bucket never decreases
+    rows = sorted(samp.values(),
+                  key=lambda r: (r["lang_pred"], round(r["perplexity"], 6),
+                                 r["doc_id"]))
+    for x, y in zip(rows, rows[1:]):
+        if x["lang_pred"] == y["lang_pred"]:
+            assert x["bucket"] <= y["bucket"]
+
+
+def test_perplexity_buckets_sampled_unsampled_language(spark):
+    """A language whose docs all miss the md5 sample draw has no
+    cutoffs -> ALL its docs land in bucket 1 (the exact op's
+    small-language-keeps-head semantics, not a silent drop)."""
+    import hashlib
+
+    def drawn(doc_id: int, mod: int) -> bool:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h % mod == 0
+
+    # find German doc ids that are NOT in the sample at mod=4
+    de_ids = [i for i in range(1000, 1100) if not drawn(i, 4)][:3]
+    en_ids = list(range(200, 260))
+    docs = spark.createDataFrame(
+        [(i, "der die das und der die das oder") for i in de_ids]
+        + [(i, f"the and of w{i} the is x{i} and") for i in en_ids],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r
+           for r in textops.perplexity_buckets_from_cutoffs(
+               docs, sample_mod=4).collect()}
+    for i in de_ids:
+        assert out[i]["lang_pred"] == "de" and out[i]["bucket"] == 1
+
+
+def test_corpus_curation_v2_planted(spark):
+    """The LM leg actually filters: tail-bucket docs are excluded from
+    the rollup, and the kept token totals match a hand-composed run of
+    the constituent batch ops."""
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the cat ran " * 3) for i in range(4)]
+        + [(10 + i,
+            f"the q{i} j{i} of z{i} vex{i} and b{i} k{i} w{i} gn{i} x{i} "
+            f"m{i} p{i} r{i} s{i} t{i} u{i} v{i} y{i} aa{i} bb{i}")
+           for i in range(8)],
+        ["doc_id", "text"])
+    out = textops.corpus_curation_v2(
+        docs, quality_min=0.0, keep_buckets=1, n_buckets=3).collect()
+    # hand-compose: canonical kept docs -> buckets -> keep bucket 1
+    clusters = textops.dedup_clusters(docs)
+    kept = docs.join(
+        clusters.filter(F.col("is_canonical")).select("doc_id"), "doc_id")
+    buck = {r["doc_id"]: r for r in textops.perplexity_buckets(kept).collect()}
+    toks = {r["doc_id"]: r for r in textops.token_counts(kept).collect()}
+    keep_ids = [d for d, r in buck.items() if r["bucket"] == 1]
+    assert keep_ids  # the repetitive head exists
+    want_tokens = sum(toks[d]["bpe_tokens"] for d in keep_ids)
+    assert sum(r["total_bpe_tokens"] for r in out) == want_tokens
+    assert all(r["bucket"] == 1 for r in out)
