@@ -534,6 +534,9 @@ def streaming_curation_pipeline(
     quality_min: float = 0.5,
     watermark: str = "10 seconds",
     window: str = "1 minute",
+    lm_reference: DataFrame | None = None,
+    lm_ppl_max: float = 1000.0,
+    alpha: float = 0.1,
     text_col: str = "text",
     id_col: str = "doc_id",
     time_col: str = "ts",
@@ -556,15 +559,47 @@ def streaming_curation_pipeline(
        array_intersect rebuilds its probe set per row; this leg is for
        benchmark-shard-sized sets composed into a larger graph.
     3. **quality**: textops' composite quality score, pure projection.
-    4. **rollup**: per event-time window [n_docs, n_contaminated,
-       n_quality_ok, total_tokens], append mode — a window emits
-       exactly once, when the watermark passes its end (late rows
-       inside the horizon still land in their window first).
+    4. **LM quality (optional, round-9 directive #5)**: pass
+       ``lm_reference`` to add the CCNet LM leg — the
+       ``streaming_lm_score`` kernel (vectorized, stateless, LM
+       broadcast as sorted hash arrays) scores every arriving doc
+       BEFORE the watermark/dedup stages (a mapInPandas projection
+       preserves the event-time column, so the watermark is applied
+       to its output), and the rollup gains
+       ``n_lm_ok = #{perplexity <= lm_ppl_max}``; docs too short to
+       score (no bigram, incl. NULL text) count as not-ok.
+    5. **rollup**: per event-time window [n_docs, n_contaminated,
+       n_quality_ok, (n_lm_ok,) total_tokens], append mode — a window
+       emits exactly once, when the watermark passes its end (late
+       rows inside the horizon still land in their window first).
 
     Output [window_start, window_end, n_docs, n_contaminated,
-    n_quality_ok, total_tokens]."""
+    n_quality_ok, (n_lm_ok,) total_tokens]."""
     from polars_ts_spark.operators.textops import (
         _BENCH_GRAMS_CAP, _gram_frame, quality_score_expr)
+
+    if lm_reference is not None:
+        import numpy as np
+
+        bc_lm = _lm_broadcast(
+            lm_reference, text_col, id_col, "streaming_curation_pipeline")
+        passthrough = list(stream_df.columns)
+        out_schema = ", ".join(
+            f"{c} {t}" for c, t in stream_df.dtypes) + ", __ppl double"
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            lm = bc_lm.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                _, ce = _lm_ce_rows(pdf["__bh"], pdf["__uh"], lm, alpha)
+                out = pdf[passthrough].copy()
+                out["__ppl"] = np.exp(ce)  # NaN for unscoreable docs
+                yield out
+
+        stream_df = stream_df.select(
+            "*", *_lm_hash_cols(text_col)
+        ).mapInPandas(score, schema=out_schema)
 
     bg = _gram_frame(benchmark, n, text_col, id_col).select("gram").distinct()
     if bg.limit(_BENCH_GRAMS_CAP + 1).count() > _BENCH_GRAMS_CAP:
@@ -604,20 +639,28 @@ def streaming_curation_pipeline(
                     (quality_score_expr(text_col) >= quality_min).cast("int"),
                     F.lit(0))))
     )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__contam").alias("n_contaminated"),
+        F.sum("__q_ok").alias("n_quality_ok"),
+        # size(split(NULL)) is -1 under non-ANSI Spark: a null-text
+        # doc must contribute 0 tokens, not decrement the window
+        F.sum(F.greatest(F.size(toks), F.lit(0))).alias("total_tokens"),
+    ]
+    out_cols = ["n_docs", "n_contaminated", "n_quality_ok", "total_tokens"]
+    if lm_reference is not None:
+        # NaN (unscoreable) fails the <= comparison -> counts 0
+        aggs.insert(3, F.sum(
+            F.when(F.col("__ppl") <= F.lit(float(lm_ppl_max)), 1)
+            .otherwise(0)).alias("n_lm_ok"))
+        out_cols.insert(3, "n_lm_ok")
     return (
         flagged.groupBy(F.window(time_col, window))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("__contam").alias("n_contaminated"),
-            F.sum("__q_ok").alias("n_quality_ok"),
-            # size(split(NULL)) is -1 under non-ANSI Spark: a null-text
-            # doc must contribute 0 tokens, not decrement the window
-            F.sum(F.greatest(F.size(toks), F.lit(0))).alias("total_tokens"),
-        )
+        .agg(*aggs)
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
-            "n_docs", "n_contaminated", "n_quality_ok", "total_tokens",
+            *out_cols,
         )
     )
 
@@ -655,6 +698,44 @@ def streaming_lm_score(
     with >= 1 bigram, the batch twin's contract."""
     import numpy as np
 
+    bc = _lm_broadcast(reference, text_col, id_col, "streaming_lm_score")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens, ce = _lm_ce_rows(pdf["__bh"], pdf["__uh"], lm, alpha)
+            keep = lens > 0
+            if not keep.any():
+                continue
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy()[keep],
+                "n_bigrams": pd.Series(lens[keep], dtype="int64"),
+                "cross_entropy": pd.Series(ce[keep], dtype="float64"),
+                "perplexity": pd.Series(np.exp(ce[keep]), dtype="float64"),
+            })
+
+    id_dtype = dict(stream_df.dtypes)[id_col]
+    return stream_df.select(
+        F.col(id_col), *_lm_hash_cols(text_col)
+    ).mapInPandas(
+        score,
+        schema=f"{id_col} {id_dtype}, n_bigrams long, "
+               "cross_entropy double, perplexity double",
+    )
+
+
+def _lm_broadcast(reference, text_col, id_col, caller: str):
+    """Train the add-alpha bigram LM count tables on ``reference`` and
+    broadcast them as sorted int64 hash/count arrays
+    ((bh, bcnt), (uh, ucnt), vocab_size). BOTH tables are cap-gated
+    (round-9 directive #2): an adversarial reference of many 1-token
+    docs has a huge VOCABULARY with few bigrams, so the bigram gate
+    alone would wave it through and the unigram collect would blow
+    the driver."""
+    import numpy as np
+
     from polars_ts_spark.operators.textops import _BENCH_GRAMS_CAP, _gram_frame
 
     spark = reference.sparkSession
@@ -665,7 +746,7 @@ def streaming_lm_score(
             n_rows = f.count()
             if n_rows > _BENCH_GRAMS_CAP:
                 raise ValueError(
-                    f"streaming_lm_score: reference expands to {n_rows} "
+                    f"{caller}: reference expands to {n_rows} "
                     f"distinct {what}, over the broadcast cap "
                     f"({_BENCH_GRAMS_CAP}). {guidance}"
                 )
@@ -689,62 +770,58 @@ def streaming_lm_score(
         "A vocabulary this size needs hashed-bucket LM features "
         "(dsir_importance's space).",
     )
-    v = float(len(updf))
 
     def pack(pdf):
         order = np.argsort(pdf["gh"].to_numpy(dtype="int64"))
         return (pdf["gh"].to_numpy(dtype="int64")[order],
                 pdf["c"].to_numpy(dtype="int64")[order])
 
-    bc = spark.sparkContext.broadcast((pack(bpdf), pack(updf), v))
+    return spark.sparkContext.broadcast(
+        (pack(bpdf), pack(updf), float(len(updf))))
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        (bh, bcnt), (uh, ucnt), vsize = bc.value
-        a = float(alpha)
 
-        def count_of(hs, keys, cnts):
-            if not len(keys):
-                return np.zeros(len(hs), dtype="int64")
-            idx = np.minimum(np.searchsorted(keys, hs), len(keys) - 1)
-            return np.where(keys[idx] == hs, cnts[idx], 0)
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            barrs = [np.asarray(x, dtype="int64") for x in pdf["__bh"]]
-            uarrs = [np.asarray(x, dtype="int64") for x in pdf["__uh"]]
-            lens, bounds = _segment_bounds(barrs)
-            keep = lens > 0
-            if not keep.any():
-                continue
-            logp = np.log(
-                (count_of(np.concatenate(barrs), bh, bcnt) + a)
-                / (count_of(np.concatenate(uarrs), uh, ucnt) + a * vsize))
-            # per-doc sums via reduceat over the KEPT segment starts:
-            # zero-length docs are skipped, so consecutive kept starts
-            # bound exactly one doc's grams (strictly increasing)
-            segs = np.add.reduceat(logp, bounds[:-1][keep])
-            ce = -segs / lens[keep]
-            yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy()[keep],
-                "n_bigrams": pd.Series(lens[keep], dtype="int64"),
-                "cross_entropy": pd.Series(ce, dtype="float64"),
-                "perplexity": pd.Series(np.exp(ce), dtype="float64"),
-            })
-
+def _lm_hash_cols(text_col: str) -> list:
+    """The two JVM-side expression columns the LM kernels consume:
+    ``__bh`` (bigram hashes) and ``__uh`` (their CONTEXT-unigram
+    hashes, tokens 1..len-1) — the kernel never sees a string."""
     toks = F.split(F.col(text_col), " ")
     empty = F.expr("array()").cast("array<bigint>")
-    # bigram hashes + their CONTEXT-unigram hashes (tokens 1..len-1),
-    # both as JVM expression columns — the kernel never sees a string
     ctx_hashes = F.slice(
         F.transform(toks, _hash60), F.lit(1), F.size(toks) - 1)
-    id_dtype = dict(stream_df.dtypes)[id_col]
-    return stream_df.select(
-        F.col(id_col),
+    return [
         _gram_hash_arr(text_col, 2).alias("__bh"),
         F.when(F.size(toks) >= 2, ctx_hashes).otherwise(empty).alias("__uh"),
-    ).mapInPandas(
-        score,
-        schema=f"{id_col} {id_dtype}, n_bigrams long, "
-               "cross_entropy double, perplexity double",
-    )
+    ]
+
+
+def _lm_ce_rows(bh_cells, uh_cells, lm, alpha: float):
+    """Vectorized per-row cross-entropy under the broadcast LM:
+    returns (lens, ce) with ``ce[i] = NaN`` for rows with no bigram.
+    One searchsorted probe per table + one segment reduceat per Arrow
+    batch — zero per-gram Python."""
+    import numpy as np
+
+    (bh, bcnt), (uh, ucnt), vsize = lm
+    a = float(alpha)
+
+    def count_of(hs, keys, cnts):
+        if not len(keys):
+            return np.zeros(len(hs), dtype="int64")
+        idx = np.minimum(np.searchsorted(keys, hs), len(keys) - 1)
+        return np.where(keys[idx] == hs, cnts[idx], 0)
+
+    barrs = [np.asarray(x, dtype="int64") for x in bh_cells]
+    uarrs = [np.asarray(x, dtype="int64") for x in uh_cells]
+    lens, bounds = _segment_bounds(barrs)
+    ce = np.full(len(barrs), np.nan)
+    keep = lens > 0
+    if keep.any():
+        logp = np.log(
+            (count_of(np.concatenate(barrs), bh, bcnt) + a)
+            / (count_of(np.concatenate(uarrs), uh, ucnt) + a * vsize))
+        # per-doc sums via reduceat over the KEPT segment starts:
+        # zero-length docs are skipped, so consecutive kept starts
+        # bound exactly one doc's grams (strictly increasing)
+        segs = np.add.reduceat(logp, bounds[:-1][keep])
+        ce[keep] = -segs / lens[keep]
+    return lens, ce

@@ -538,3 +538,81 @@ def test_streaming_lm_score_matches_batch_twin(spark):
         assert got == want and set(got) == {0, 1, 2}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_curation_pipeline_lm_leg(spark):
+    """Round-9 directive #5: the composed streaming curation graph
+    gains the CCNet LM leg — arriving docs are scored by the
+    broadcast bigram LM BEFORE the watermark/dedup stages and the
+    windowed rollup adds n_lm_ok. Expected counts composed from the
+    BATCH ngram_lm_score over the same corpus; unscoreable docs
+    (1-token, NULL text) count as not-ok."""
+    import pandas as pd
+
+    from polars_ts_spark.operators.textops import ngram_lm_score
+    from polars_ts_spark.streaming.structured import streaming_curation_pipeline
+
+    base = tempfile.mkdtemp(prefix="stream_curation_lm_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    T = pd.Timestamp("2024-01-01 10:00:00")
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    lm_ref = spark.createDataFrame(
+        [(200, "the cat sat on the mat the cat ran off and the dog sat"),
+         (201, "a dog sat on a rug and a dog ran off to the mat")],
+        ["doc_id", "text"])
+
+    def at(**kw):
+        return (T + pd.Timedelta(**kw)).to_pydatetime()
+
+    rows1 = [
+        (0, "the cat sat on the mat", at(seconds=5)),     # window A, in-LM
+        (1, "zz yy xx ww vv uu", at(seconds=20)),         # window A, OOV
+        (2, "solo", at(seconds=40)),                      # window A, unscoreable
+    ]
+    rows2 = [
+        (3, "a dog ran off", at(seconds=70)),             # window B, in-LM
+        (4, None, at(seconds=80)),                        # window B, NULL text
+        (5, "the cat sat on the mat", at(seconds=30)),    # dup of 0 (window A)
+    ]
+    rows3 = [(9, "sentinel future doc closes the watermark", at(minutes=30))]
+    schema = "doc_id long, text string, ts timestamp"
+    try:
+        for i, rows in enumerate((rows1, rows2, rows3)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                os.path.join(src, f"f{i}"))
+        bench = spark.createDataFrame(
+            [(100, bench_text)], "doc_id long, text string")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        # threshold chosen between the in-LM and OOV perplexities
+        batch = spark.createDataFrame(rows1 + rows2, schema)
+        ppl = {r["doc_id"]: r["perplexity"]
+               for r in ngram_lm_score(batch, reference=lm_ref).collect()}
+        assert ppl[0] < ppl[1]  # in-LM text scores cleaner than OOV
+        thr = (ppl[0] + ppl[1]) / 2
+        out = streaming_curation_pipeline(
+            stream, bench, watermark="2 minutes", window="1 minute",
+            lm_reference=lm_ref, lm_ppl_max=thr)
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory").queryName("curation_lm")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        res = {r["window_start"]: r
+               for r in spark.sql("SELECT * FROM curation_lm").collect()}
+        win_a = T.to_pydatetime()
+        win_b = (T + pd.Timedelta(minutes=1)).to_pydatetime()
+        assert set(res) == {win_a, win_b}
+        a, b = res[win_a], res[win_b]
+        # window A: docs 0, 1, 2 (dup 5 removed); only doc 0 passes the LM
+        assert a["n_docs"] == 3 and a["n_lm_ok"] == 1
+        # window B: docs 3 (passes) and 4 (NULL -> unscoreable -> not ok)
+        assert b["n_docs"] == 2 and b["n_lm_ok"] == int(ppl[3] <= thr)
+        assert ppl[3] <= thr  # the in-LM doc does pass
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
