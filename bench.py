@@ -84,6 +84,16 @@ HEADLINE = [
     "ngram_lm_score",
     "dsir_importance",
     "perplexity_buckets",
+    # round-9: the DSIR Gumbel-top-k selection step, the sampled-cutoff
+    # perplexity bucketing (the 100 TB assignment path — broadcast-join
+    # projection, no corpus-wide rank window), the composed CCNet-order
+    # curation DAG, GPT-style sequence packing (one exchange + in-shard
+    # window), and C4 line-level cleaning (zero-shuffle projection)
+    "dsir_resample",
+    "perplexity_buckets_sampled",
+    "corpus_curation_v2",
+    "sequence_pack",
+    "c4_line_filters",
 ]
 
 

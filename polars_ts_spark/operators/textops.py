@@ -27,6 +27,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -2297,4 +2299,193 @@ JOIN quality USING (doc_id)
 JOIN b USING (doc_id)
 WHERE quality_score >= {quality_min} AND bucket <= {int(keep_buckets)}
 GROUP BY lang_pred, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# round 9: training-batch assembly — concat-and-chunk sequence packing
+
+
+def sequence_pack(
+    df: DataFrame,
+    window: int = 2048,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing (the batch-assembly
+    step of a pretraining pipeline; ref data model: the reference stops
+    at per-doc token accounting — `token_counts` — this op extends it
+    to window placement): documents are dealt into ``n_shards``
+    deterministic shards by md5(doc_id) (uniform — no skew by
+    construction), shuffled WITHIN the shard by the same seedless
+    md5-rank device as ``stratified_sample`` (training wants a
+    randomized document order, and the draw must be reproducible across
+    engines and partitionings), then concatenated and chunked into
+    fixed ``window``-token sequences. Token counts are whitespace
+    tokens (the ``text_stats`` convention). Output per doc:
+    [doc_id, shard, n_tokens, start_offset, first_window, last_window]
+    where windows are shard-local indices and a doc spanning a chunk
+    boundary reports every window it touches.
+
+    Plan: ONE hash exchange on the shard key + one in-shard sort (the
+    cumulative-sum window); no joins, no UDFs, no collects. At 100 TB
+    set ``n_shards`` ~ O(cluster cores): each shard sorts
+    corpus/n_shards docs — embarrassingly parallel, and the md5 shard
+    key cannot skew. The shard is also the natural unit a downstream
+    writer emits as one training-data file."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.md5(F.col(id_col).cast("string"))
+    shard = F.expr(
+        f"pmod(cast(conv(substring(md5(cast({id_col} as string)), 1, 15), "
+        f"16, 10) as bigint), {int(n_shards)})")
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        df.select(
+            F.col(id_col),
+            shard.alias("shard"),
+            n_tokens.cast("long").alias("n_tokens"),
+            key.alias("__key"),
+        )
+        .select(
+            id_col, "shard", "n_tokens",
+            (cum - F.col("n_tokens")).alias("start_offset"),
+            F.floor((cum - F.col("n_tokens")) / window)
+            .cast("long").alias("first_window"),
+            F.floor((cum - 1) / window).cast("long").alias("last_window"),
+        )
+    )
+
+
+def sequence_pack_oracle(
+    window: int = 2048, n_shards: int = 8, table: str = "documents"
+) -> str:
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % {int(n_shards)}) AS shard,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS k
+    FROM {table}
+),
+c AS (
+    SELECT doc_id, shard, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+    FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       cum - n_tokens AS start_offset,
+       CAST(FLOOR((cum - n_tokens) / {int(window)}) AS BIGINT) AS first_window,
+       CAST(FLOOR((cum - 1) / {int(window)}) AS BIGINT) AS last_window
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# round 9: C4-style line-level cleaning (Raffel et al. 2020, JMLR 21(140)
+# §2.2 — the published C4 recipe; ref parity: the reference's curation
+# surface stops at doc-level quality scores, this is the line-level leg
+# a web-scale corpus needs before them)
+
+
+def c4_line_filters(
+    df: DataFrame,
+    line_sep: str = "\n",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    require_terminal_punct: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4 line-level cleaning: split each document on ``line_sep``,
+    KEEP a line iff it has >= ``min_words_per_line`` whitespace words,
+    (optionally) ends in terminal punctuation (. ! ? "), and does not
+    mention javascript (case-insensitive); KEEP the document iff it
+    contains neither 'lorem ipsum' (case-insensitive) nor '{{', and at
+    least ``min_lines`` lines survive. Every input doc is emitted with
+    its verdict (filter on ``kept`` downstream): [doc_id, n_lines,
+    n_lines_kept, kept, clean_text] where clean_text re-joins the kept
+    lines with ``line_sep``. ``require_terminal_punct=False`` fits
+    corpora whose lines are not sentence-like (this repo's synthetic
+    corpus has no punctuation; production web text wants the default).
+
+    Plan: pure column expressions over one array — higher-order
+    ``filter`` + ``array_join``, whole-stage codegen, zero shuffles,
+    zero UDFs. At 100 TB this is a single scan; the only cost knob is
+    line count per doc, and the array never leaves the row."""
+    if min_words_per_line < 1:
+        raise ValueError(
+            f"min_words_per_line must be >= 1, got {min_words_per_line}")
+
+    # Spark's split() takes a REGEX — escape the separator so its
+    # semantics stay literal like DuckDB's string_split; limit -1
+    # keeps trailing empty lines, matching string_split
+    sep_re = re.escape(line_sep)
+
+    def line_ok(line):
+        ok = (
+            (F.size(F.split(line, " ")) >= int(min_words_per_line))
+            & ~F.contains(F.lower(line), F.lit("javascript"))
+        )
+        if require_terminal_punct:
+            ok = ok & F.substring(line, -1, 1).isin(".", "!", "?", '"')
+        return ok
+
+    lines = F.split(F.col(text_col), sep_re, -1)
+    kept_lines = F.filter(lines, line_ok)
+    doc_ok = (
+        ~F.contains(F.lower(F.col(text_col)), F.lit("lorem ipsum"))
+        & ~F.contains(F.col(text_col), F.lit("{"))
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept_lines).alias("n_lines_kept"),
+        (doc_ok & (F.size(kept_lines) >= int(min_lines))).alias("kept"),
+        F.array_join(kept_lines, line_sep).alias("clean_text"),
+    )
+
+
+def c4_line_filters_oracle(
+    line_sep: str = "\n",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    require_terminal_punct: bool = True,
+    table: str = "documents",
+) -> str:
+    sep = line_sep.replace("'", "''")
+    cond = (
+        f"len(string_split(l, ' ')) >= {int(min_words_per_line)} "
+        f"AND NOT contains(lower(l), 'javascript')"
+    )
+    if require_terminal_punct:
+        cond += " AND list_contains(['.', '!', '?', '\"'], l[-1:])"
+    return f"""
+WITH t AS (
+    SELECT doc_id, text,
+           string_split(text, '{sep}') AS lines,
+           list_filter(string_split(text, '{sep}'), l -> {cond}) AS kept_lines
+    FROM {table}
+)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(kept_lines) AS INT) AS n_lines_kept,
+       (NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{{')
+        AND len(kept_lines) >= {int(min_lines)}) AS kept,
+       COALESCE(array_to_string(kept_lines, '{sep}'), '') AS clean_text
+FROM t
 """

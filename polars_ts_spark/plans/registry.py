@@ -11409,3 +11409,45 @@ def _register_corpus_curation_v2():
 
 
 _register_corpus_curation_v2()
+
+
+# ---- round 9: training-batch assembly + C4 line-level cleaning.
+# sequence_pack: GPT-style concat-and-chunk window placement — md5
+# shard + in-shard md5-rank order + cumulative-sum chunking; the
+# oracle re-derives it with ordinary window functions (independent
+# apart from the documented md5 draw device, as with
+# stratified_sample). c4_line_filters: the published C4 recipe
+# (Raffel et al. 2020 §2.2) split/filter/rejoin — the registered
+# query splits on the token ' line ' (this corpus has no newlines or
+# punctuation, so the production '\n' + terminal-punct defaults would
+# degenerate to 1-line docs with nothing kept; the defaults are
+# exercised by the unit/fuzz layer on synthetic multi-line docs).
+
+
+def _register_sequence_pack():
+    from polars_ts_spark.operators import textops
+
+    @register("sequence_pack",
+              textops.sequence_pack_oracle(window=512, n_shards=4))
+    def q_sequence_pack(spark, sf_dir):
+        return textops.sequence_pack(_docs(spark, sf_dir),
+                                     window=512, n_shards=4)
+
+
+_register_sequence_pack()
+
+
+def _register_c4_line_filters():
+    from polars_ts_spark.operators import textops
+
+    @register("c4_line_filters",
+              textops.c4_line_filters_oracle(
+                  line_sep=" line ", min_words_per_line=3, min_lines=2,
+                  require_terminal_punct=False))
+    def q_c4_line_filters(spark, sf_dir):
+        return textops.c4_line_filters(
+            _docs(spark, sf_dir), line_sep=" line ", min_words_per_line=3,
+            min_lines=2, require_terminal_punct=False)
+
+
+_register_c4_line_filters()

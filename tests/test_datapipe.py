@@ -1094,3 +1094,89 @@ def test_corpus_curation_v2_planted(spark):
     want_tokens = sum(toks[d]["bpe_tokens"] for d in keep_ids)
     assert sum(r["total_bpe_tokens"] for r in out) == want_tokens
     assert all(r["bucket"] == 1 for r in out)
+
+
+def test_sequence_pack_planted(spark):
+    """Concat-and-chunk invariants: per-shard offsets tile [0, total)
+    with no gaps or overlaps, window indices follow from the offsets,
+    boundary-straddling docs span both windows, and the placement is
+    deterministic and n_shards=1 gives one global stream."""
+    import hashlib
+
+    rows = [(i, " ".join(f"t{j}" for j in range(n)))
+            for i, n in enumerate([3, 5, 8, 2, 7, 4, 6, 1, 9, 5])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textops.sequence_pack(df, window=6, n_shards=2).collect()
+    assert len(out) == 10
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= {0, 1}
+    for shard, docs_ in by_shard.items():
+        docs_.sort(key=lambda r: r["start_offset"])
+        pos = 0
+        for r in docs_:
+            assert r["start_offset"] == pos  # contiguous, no gaps
+            assert r["first_window"] == pos // 6
+            assert r["last_window"] == (pos + r["n_tokens"] - 1) // 6
+            pos += r["n_tokens"]
+        # shard membership is the documented md5 device
+        for r in docs_:
+            h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16)
+            assert h % 2 == shard
+    # a doc crossing a window boundary reports every window it touches
+    spans = [r for r in out if r["last_window"] > r["first_window"]]
+    assert spans
+    # deterministic across runs
+    again = textops.sequence_pack(df, window=6, n_shards=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # n_shards=1: one stream covering exactly total_tokens
+    one = textops.sequence_pack(df, window=6, n_shards=1).collect()
+    total = sum(r["n_tokens"] for r in one)
+    assert {r["shard"] for r in one} == {0}
+    assert max(r["start_offset"] + r["n_tokens"] for r in one) == total
+    with pytest.raises(ValueError):
+        textops.sequence_pack(df, window=0)
+    with pytest.raises(ValueError):
+        textops.sequence_pack(df, n_shards=0)
+
+
+def test_c4_line_filters_planted(spark):
+    """The published C4 rules on a hand-built multi-line corpus:
+    terminal punctuation, min words per line, javascript lines,
+    lorem-ipsum and brace pages, min surviving lines per doc."""
+    rows = [
+        # doc 0: 3 good lines -> kept, clean_text re-joined
+        (0, "this is a good line.\nanother fine long line here!\n"
+            "is this a keeper line?"),
+        # doc 1: one line lacks terminal punct, one too short -> 1 left < 2
+        (1, "this line has no terminal punct\nshort line.\n"
+            "the only surviving proper line."),
+        # doc 2: javascript mention kills the middle line -> 2 kept
+        (2, "enable javascript to view this.\nthis page works without it.\n"
+            "plain text should always render fine."),
+        # doc 3: lorem ipsum page -> dropped regardless of lines
+        (3, "lorem ipsum dolor sit amet line.\nanother decent line right here.\n"
+            "and one more to be safe here."),
+        # doc 4: brace page (code) -> dropped
+        (4, "function f() { return 1; }\nthis would otherwise be kept fine.\n"
+            "so would this final line here."),
+        # doc 5: trailing separator -> empty last line, dropped quietly
+        (5, "first acceptable line is here.\nsecond acceptable line is here.\n"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.c4_line_filters(
+        df, min_words_per_line=4, min_lines=2).collect()}
+    assert out[0]["kept"] and out[0]["n_lines_kept"] == 3
+    assert out[0]["clean_text"] == rows[0][1]
+    assert not out[1]["kept"] and out[1]["n_lines_kept"] == 1
+    assert out[1]["clean_text"] == "the only surviving proper line."
+    assert out[2]["kept"] and out[2]["n_lines_kept"] == 2
+    assert "javascript" not in out[2]["clean_text"]
+    assert not out[3]["kept"] and out[3]["n_lines_kept"] == 3  # page rule
+    assert not out[4]["kept"]
+    assert out[5]["kept"] and out[5]["n_lines"] == 3  # trailing empty counted
+    assert out[5]["n_lines_kept"] == 2
+    # min_words gate is validated
+    with pytest.raises(ValueError):
+        textops.c4_line_filters(df, min_words_per_line=0)

@@ -112,6 +112,17 @@ CASES = [
              "FROM (" + textops.dsir_importance_oracle(
                  target_sql="(SELECT doc_id, text FROM documents "
                             "WHERE doc_id % 7 = 0)") + ") r"),
+    ("sequence_pack",
+     lambda df: textops.sequence_pack(df, window=16, n_shards=3),
+     lambda: textops.sequence_pack_oracle(window=16, n_shards=3)),
+    ("c4_line_filters",
+     # split on a vocab word so the random corpus yields multi-line docs
+     lambda df: textops.c4_line_filters(
+         df, line_sep=" w1 ", min_words_per_line=2, min_lines=1,
+         require_terminal_punct=False),
+     lambda: textops.c4_line_filters_oracle(
+         line_sep=" w1 ", min_words_per_line=2, min_lines=1,
+         require_terminal_punct=False)),
 ]
 
 

@@ -51,6 +51,12 @@ DEFAULT = (
     "ngram_lm_score",           # LM count aggs + broadcast joins
     "dsir_importance",          # hashed-gram multinomial ratio
     "perplexity_buckets",       # LM + per-language rank window
+    # round-9 additions
+    "dsir_resample",            # Gumbel-top-k (TakeOrderedAndProject)
+    "perplexity_buckets_sampled",  # sampled cutoffs + broadcast assign
+    "corpus_curation_v2",       # composed CCNet-order DAG
+    "sequence_pack",            # md5 shard + in-shard cumsum window
+    "c4_line_filters",          # zero-shuffle line-level projection
 )
 
 
