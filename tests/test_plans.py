@@ -263,3 +263,36 @@ def test_lsh_dedup_keep_first_no_cartesian(spark):
         "ds", F.expr("timestamp_seconds(1700000000 + doc_id)"))
     plan = _plan(textops.lsh_dedup_keep_first(docs))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_sequence_pack_single_exchange(spark):
+    """sequence_pack: ONE hash exchange (the shard key) feeding the
+    in-shard cumulative-sum window; no joins, no Python stages, and
+    only doc_id+text reach the parquet scan."""
+    from polars_ts_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(textops.sequence_pack(docs, window=512, n_shards=4))
+    # formatted mode: node headers are "(n) Exchange"
+    n_exchange = sum(ln.strip().endswith("Exchange") for ln in plan.splitlines())
+    assert n_exchange == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    scan = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "text" in scan and "doc_id" in scan
+    for col in ("lang", "source", "n_chars"):
+        assert col not in scan, f"unused column {col} not pruned from the scan"
+
+
+def test_c4_line_filters_pure_projection(spark):
+    """c4_line_filters is a per-row projection: zero shuffles, zero
+    joins, zero Python stages — the line array never leaves the row."""
+    from polars_ts_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(textops.c4_line_filters(
+        docs, line_sep=" line ", min_words_per_line=3, min_lines=2,
+        require_terminal_punct=False))
+    assert _shuffle_exchanges(plan) == 0, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
