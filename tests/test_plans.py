@@ -296,3 +296,28 @@ def test_c4_line_filters_pure_projection(spark):
     assert _shuffle_exchanges(plan) == 0, plan
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dsir_resample_takeordered_no_global_sort(spark):
+    """dsir_resample: orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition heaps, no global sort shuffle); the rank window runs
+    over the k survivors only."""
+    from polars_ts_spark.operators import textops
+
+    w = spark.createDataFrame(
+        [(i, float(i % 17)) for i in range(1000)], ["doc_id", "log_weight"])
+    plan = _plan(textops.dsir_resample(w, k=50, temperature=1.0, seed=7))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan  # no global sort
+
+
+def test_perplexity_buckets_sampled_no_corpus_rank_window(spark):
+    """The sampled-cutoff bucketing assigns by broadcast-join
+    comparison: the only rank window runs on the md5 SAMPLE (for the
+    cutoffs), never over the full corpus, and the assignment join
+    broadcasts the per-language cutoff table."""
+    from polars_ts_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(textops.perplexity_buckets_from_cutoffs(docs, sample_mod=4))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
