@@ -115,26 +115,64 @@ def _cpu_calibration() -> float:
     return round(_t.perf_counter() - t0, 3)
 
 
+_BW_BUF = None
+
+
+def _bw_calibration() -> float:
+    """Memory-bandwidth probe: three copies of a 128 MB array (~0.11 s
+    on this box quiet). The GEMM probe is COMPUTE-bound and
+    under-detects co-tenant load that saturates memory bandwidth or
+    throttles sustained multi-core work — observed in round 9, where
+    three back-to-back full suites ran 1.1x/1.5x/1.6x the round-8
+    shared-query total while every GEMM bracket stayed under
+    threshold. A streaming copy is the complementary signal; both
+    probes must be quiet for a sample to count."""
+    global _BW_BUF
+    import time as _t
+
+    import numpy as _np
+
+    if _BW_BUF is None:
+        _BW_BUF = _np.random.default_rng(0).normal(size=16 * 1024 * 1024)
+        _ = _BW_BUF.copy()  # touch destination pages once, off the clock
+    t0 = _t.perf_counter()
+    for _ in range(3):
+        dst = _BW_BUF.copy()
+    _ = float(dst[-1])
+    return round(_t.perf_counter() - t0, 3)
+
+
 # a quiet box runs the GEMM probe in ~0.2 s; anything past this is
 # external load that would contaminate whatever query runs next
 _PROBE_QUIET = 0.30
+# quiet-box bandwidth probe is ~0.11 s
+_BW_QUIET = 0.18
 
 
-def _wait_for_quiet_box(threshold: float = _PROBE_QUIET, max_wait_s: float = 180.0):
+def _probe_pair() -> tuple[float, float]:
+    """(GEMM, bandwidth) probe pair — both must be quiet for a sample
+    to count; each detects load the other misses."""
+    return (_cpu_calibration(), _bw_calibration())
+
+
+def _wait_for_quiet_box(threshold: float = _PROBE_QUIET,
+                        bw_threshold: float = _BW_QUIET,
+                        max_wait_s: float = 180.0):
     """Don't time on a loaded box (round-6 ran at ~2.5x external load
     and the numbers were useless for cross-round comparison): poll the
-    calibration probe until it drops under ``threshold`` seconds or the
-    wait budget runs out, and report what happened either way. Disable
-    with SPARK_GRAFT_NO_CALIB_GATE=1."""
+    (GEMM, bandwidth) probe pair until BOTH drop under their
+    thresholds or the wait budget runs out, and report what happened
+    either way. Disable with SPARK_GRAFT_NO_CALIB_GATE=1."""
     import time as _t
 
-    probes = [_cpu_calibration()]
+    probes = [_probe_pair()]
     if os.environ.get("SPARK_GRAFT_NO_CALIB_GATE") == "1":
         return probes[0], probes
     deadline = _t.monotonic() + max_wait_s
-    while probes[-1] > threshold and _t.monotonic() < deadline:
+    while ((probes[-1][0] > threshold or probes[-1][1] > bw_threshold)
+           and _t.monotonic() < deadline):
         _t.sleep(10.0)
-        probes.append(_cpu_calibration())
+        probes.append(_probe_pair())
     return probes[-1], probes
 
 
@@ -198,15 +236,29 @@ def main():
     # would disable mid-suite detection exactly when the box is loaded
     # — cap at 0.60 so a persistently loaded run flags its queries hot
     # instead of trusting them
-    probe_thr = min(max(0.40, 1.5 * min(calib_probes)), 0.60)
+    probe_thr = min(max(0.40, 1.5 * min(p[0] for p in calib_probes)), 0.60)
+    # the bandwidth probe gets the same adaptive treatment: 1.5x the
+    # quiet-gate baseline, floored at 0.16 (quiet ~0.11 s), capped at
+    # 0.30 so a persistently saturated memory bus flags queries hot
+    bw_thr = min(max(0.16, 1.5 * min(p[1] for p in calib_probes)), 0.30)
+
+    def _quiet(p: tuple[float, float]) -> bool:
+        # the gating criterion: GEMM only (see the sampling loop note)
+        return p[0] <= probe_thr
+
+    def _bw_quiet(p: tuple[float, float]) -> bool:
+        return p[1] <= bw_thr
+
     MAX_EXTRA = 2
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     cold_dirty: list[str] = []
+    bw_dirty: list[str] = []
     spread: dict[str, list[float]] = {}
     probe_trail: dict[str, list[float]] = {}
+    bw_trail: dict[str, list[float]] = {}
     hot_queries: list[str] = []
-    last_probe = _cpu_calibration() if gate_on else 0.0
+    last_probe = _probe_pair() if gate_on else (0.0, 0.0)
 
     def _one_sample(name: str) -> float:
         t0 = time.perf_counter()
@@ -220,14 +272,21 @@ def main():
 
     for name in names:
         runs_here = 3 if name in RERUN3 else RUNS
-        samples: list[tuple[float, bool]] = []  # (sec, bracketed-by-quiet-probes)
+        # (sec, gemm-bracket clean, bw-bracket clean). The GEMM probe
+        # GATES (re-sample + hot_queries); the bandwidth probe only
+        # DIAGNOSES (bw_dirty_queries) — it runs next to a resident
+        # Spark JVM whose background memory traffic it also sees, so
+        # letting it trigger 120 s re-sample waits stalled the whole
+        # suite when first tried
+        samples: list[tuple[float, bool, bool]] = []
         probes = [last_probe]
         for run in range(runs_here):
             pre = probes[-1]
             dt = _one_sample(name)
-            post = _cpu_calibration() if gate_on else 0.0
+            post = _probe_pair() if gate_on else (0.0, 0.0)
             probes.append(post)
-            samples.append((dt, pre <= probe_thr and post <= probe_thr))
+            samples.append((dt, _quiet(pre) and _quiet(post),
+                            _bw_quiet(pre) and _bw_quiet(post)))
             if run == 0:
                 cold[name] = round(dt, 3)
                 # cold numbers are ALWAYS run 0 (first-touch semantics)
@@ -237,25 +296,31 @@ def main():
                 if gate_on and not samples[0][1]:
                     cold_dirty.append(name)
         extra = 0
-        while gate_on and not any(c for _, c in samples) and extra < MAX_EXTRA:
+        while gate_on and not any(c for _, c, _b in samples) and extra < MAX_EXTRA:
             # wait on the SAME threshold the sample is judged by — the
             # 0.30 default is stricter than probe_thr and would burn
             # the full wait budget on a box idling in the jitter band
             pre, waited = _wait_for_quiet_box(threshold=probe_thr,
+                                              bw_threshold=bw_thr,
                                               max_wait_s=120.0)
             probes.extend(waited)
             dt = _one_sample(name)
-            post = _cpu_calibration()
+            post = _probe_pair()
             probes.append(post)
-            samples.append((dt, pre <= probe_thr and post <= probe_thr))
+            samples.append((dt, _quiet(pre) and _quiet(post),
+                            _bw_quiet(pre) and _bw_quiet(post)))
             extra += 1
-        clean = [dt for dt, c in samples if c]
-        timings[name] = round(min(clean or [dt for dt, _ in samples]), 3)
+        clean = [(dt, b) for dt, c, b in samples if c]
+        best = min(clean or [(dt, b) for dt, _, b in samples])
+        timings[name] = round(best[0], 3)
         if not clean and gate_on:
             hot_queries.append(name)
+        if gate_on and not best[1]:
+            bw_dirty.append(name)
         if name in RERUN3 or extra:
-            spread[name] = sorted(round(dt, 3) for dt, _ in samples)
-        probe_trail[name] = [round(p, 3) for p in probes]
+            spread[name] = sorted(round(dt, 3) for dt, _, _b in samples)
+        probe_trail[name] = [round(p[0], 3) for p in probes]
+        bw_trail[name] = [round(p[1], 3) for p in probes]
         last_probe = probes[-1]
     total = round(sum(timings.values()), 3)
     # approximate-path quality at bench scale: recall of the LSH/ANN
@@ -303,13 +368,20 @@ def main():
         "cold_total": round(sum(cold.values()), 3),
         "cold_queries": cold,
         "cold_dirty_queries": cold_dirty,
+        "bw_dirty_queries": bw_dirty,
         "quality": quality,
         "spread_runs": spread,
         "hot_queries": hot_queries,
         "probe_clean_threshold_sec": round(probe_thr, 3),
+        "bw_clean_threshold_sec": round(bw_thr, 3),
         "probe_trail_sec": probe_trail,
-        "cpu_calibration_sec": {"before": calib_before, "after": _cpu_calibration(),
-                                "gate_probes": calib_probes},
+        "bw_trail_sec": bw_trail,
+        "cpu_calibration_sec": {"before": calib_before[0],
+                                "bw_before": calib_before[1],
+                                "after": _cpu_calibration(),
+                                "bw_after": _bw_calibration(),
+                                "gate_probes": [p[0] for p in calib_probes],
+                                "bw_gate_probes": [p[1] for p in calib_probes]},
         "notes": {
             "headline_set": "grew r7->r8: +decontaminate_sharded (shard-and-OR "
                             "recipe, 3 corpus passes by design), "
@@ -317,14 +389,22 @@ def main():
                             "+perplexity_buckets — compare "
                             "totals on the shared-query subset, not headline "
                             "sums",
-            "probe_gate": "every sample is bracketed by ~0.2 s GEMM probes "
-                          "(probe_trail_sec); a sample counts only when both "
-                          "probes ran under probe_clean_threshold_sec "
-                          "(adaptive: 1.5x quiet-gate baseline, floor "
-                          "0.40), queries with no clean sample after 2 "
-                          "extra gated passes are listed in hot_queries — BENCH_r07's kalman/arima/recursive "
-                          "2-2.5x 'regressions' were mid-suite load spikes "
-                          "this gate now catches",
+            "probe_gate": "every sample is bracketed by a ~0.2 s GEMM probe "
+                          "(probe_trail_sec, threshold "
+                          "probe_clean_threshold_sec; gates re-sampling, "
+                          "no-clean-sample queries land in hot_queries) AND "
+                          "a ~0.11 s 128 MB memory-bandwidth probe "
+                          "(bw_trail_sec, threshold bw_clean_threshold_sec, "
+                          "new r9 — compute-only probes under-detected "
+                          "bandwidth/IO-shaped co-tenant load that ran "
+                          "shared queries 1.1-1.6x while GEMM stayed "
+                          "quiet). The bw probe DIAGNOSES only: queries "
+                          "whose reported sample had a bw-hot bracket are "
+                          "listed in bw_dirty_queries for cross-round "
+                          "discounting, but do not trigger re-sample waits "
+                          "(the probe also sees the resident JVM's own "
+                          "memory traffic, so gating on it stalls the "
+                          "suite)",
             "corpus_curation": "a COMPOSED pipeline (minhash-LSH dedup + "
                                "component propagation + quality/language/"
                                "token scans) — its cost is the sum of its "
