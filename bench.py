@@ -94,6 +94,9 @@ HEADLINE = [
     "corpus_curation_v2",
     "sequence_pack",
     "c4_line_filters",
+    # round-9 (cont.): the no-split next-fit packing (per-shard
+    # sequential kernel — the shard count is the parallelism knob)
+    "sequence_pack_bins",
 ]
 
 

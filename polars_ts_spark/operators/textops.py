@@ -2489,3 +2489,131 @@ SELECT doc_id,
        COALESCE(array_to_string(kept_lines, '{sep}'), '') AS clean_text
 FROM t
 """
+
+
+def sequence_pack_bins(
+    df: DataFrame,
+    window: int = 2048,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """No-split sequence packing (greedy next-fit): the packing mode
+    fine-tuning pipelines use when a document must never straddle a
+    window boundary. Documents are sharded and ordered exactly like
+    ``sequence_pack`` (md5 shard, seedless in-shard md5-rank shuffle),
+    then each shard's stream is cut into maximal prefix segments whose
+    token sum fits ``window``; a document longer than the window gets
+    a bin of its own with ``truncated=true`` (production truncates it
+    to the window). Output per doc: [doc_id, shard, n_tokens, bin,
+    pos_in_bin, truncated] with shard-local bin indices.
+
+    Plan: one hash exchange on the shard key into an applyInPandas
+    kernel. Next-fit is inherently sequential WITHIN a shard — that is
+    the semantics, not an implementation accident — so the shard count
+    is the parallelism knob, as in ``sequence_pack``. The kernel is
+    O(bins log docs), not O(docs): a numpy cumulative sum plus one
+    searchsorted per emitted bin; no per-document Python loop."""
+    import numpy as np
+    import pandas as pd
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = F.expr(
+        f"pmod(cast(conv(substring(md5(cast({id_col} as string)), 1, 15), "
+        f"16, 10) as bigint), {int(n_shards)})")
+    base = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("__key"),
+    )
+    win = int(window)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__key", id_col], kind="mergesort")
+        toks = pdf["n_tokens"].to_numpy(dtype="int64")
+        n = len(toks)
+        cum = toks.cumsum()
+        bins = np.empty(n, dtype="int64")
+        pos = np.empty(n, dtype="int64")
+        i, b = 0, 0
+        while i < n:
+            target = (cum[i - 1] if i else 0) + win
+            j = int(np.searchsorted(cum, target, side="right"))
+            if j <= i:  # next doc alone exceeds the window
+                j = i + 1
+            bins[i:j] = b
+            pos[i:j] = np.arange(j - i)
+            b += 1
+            i = j
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(),
+            "shard": pdf["shard"].to_numpy(),
+            "n_tokens": toks,
+            "bin": bins,
+            "pos_in_bin": pos,
+            "truncated": toks > win,
+        })
+
+    out_schema = (f"{id_col} long, shard long, n_tokens long, "
+                  f"bin long, pos_in_bin long, truncated boolean")
+    return base.groupBy("shard").applyInPandas(_pack, schema=out_schema)
+
+
+def sequence_pack_bins_oracle(
+    window: int = 2048, n_shards: int = 8, table: str = "documents"
+) -> str:
+    """Recursive-CTE replay of the next-fit segmentation: each step
+    extends the shard's packing by one bin whose end row is the max
+    rank whose cumulative token count still fits (or the single next
+    row when it alone overflows)."""
+    w = int(window)
+    return f"""
+WITH RECURSIVE t AS (
+    SELECT doc_id,
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % {int(n_shards)}) AS shard,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS k
+    FROM {table}
+),
+o AS (
+    SELECT doc_id, shard, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS rn,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+    FROM t
+),
+seg AS (
+    SELECT shard, CAST(-1 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS start_rn,
+           CAST(0 AS BIGINT) AS end_rn, CAST(0 AS BIGINT) AS end_cum
+    FROM (SELECT DISTINCT shard FROM o)
+    UNION ALL
+    SELECT s.shard, s.bin + 1, s.end_rn + 1,
+           GREATEST(s.end_rn + 1,
+                    COALESCE((SELECT MAX(o.rn) FROM o
+                              WHERE o.shard = s.shard
+                                AND o.cum <= s.end_cum + {w}),
+                             CAST(0 AS BIGINT))),
+           (SELECT o.cum FROM o
+            WHERE o.shard = s.shard
+              AND o.rn = GREATEST(s.end_rn + 1,
+                                  COALESCE((SELECT MAX(o2.rn) FROM o o2
+                                            WHERE o2.shard = s.shard
+                                              AND o2.cum <= s.end_cum + {w}),
+                                           CAST(0 AS BIGINT))))
+    FROM seg s
+    WHERE s.end_rn < (SELECT MAX(o.rn) FROM o WHERE o.shard = s.shard)
+)
+SELECT o.doc_id, o.shard, o.n_tokens, s.bin,
+       o.rn - s.start_rn AS pos_in_bin,
+       (o.n_tokens > {w}) AS truncated
+FROM o JOIN seg s
+  ON s.shard = o.shard AND o.rn BETWEEN s.start_rn AND s.end_rn
+WHERE s.bin >= 0
+"""

@@ -11451,3 +11451,23 @@ def _register_c4_line_filters():
 
 
 _register_c4_line_filters()
+
+
+# ---- round 9 (cont.): no-split packing — greedy next-fit bins, the
+# fine-tuning variant of sequence_pack (docs never straddle windows;
+# window=64 at this corpus' 54-token average exercises both the
+# multi-doc-bin and the oversize-truncated-singleton paths). Oracle:
+# recursive-CTE replay of the per-shard segmentation.
+
+
+def _register_sequence_pack_bins():
+    from polars_ts_spark.operators import textops
+
+    @register("sequence_pack_bins",
+              textops.sequence_pack_bins_oracle(window=64, n_shards=4))
+    def q_sequence_pack_bins(spark, sf_dir):
+        return textops.sequence_pack_bins(_docs(spark, sf_dir),
+                                          window=64, n_shards=4)
+
+
+_register_sequence_pack_bins()

@@ -1180,3 +1180,41 @@ def test_c4_line_filters_planted(spark):
     # min_words gate is validated
     with pytest.raises(ValueError):
         textops.c4_line_filters(df, min_words_per_line=0)
+
+
+def test_sequence_pack_bins_planted(spark):
+    """Next-fit invariants: every doc placed once, bins are contiguous
+    prefix segments in the md5-shuffled order, no bin exceeds the
+    window except oversize singletons (flagged truncated), and the
+    greedy is MAXIMAL: the first doc of bin k+1 never fits in bin k."""
+    rows = [(i, " ".join(f"t{j}" for j in range(n)))
+            for i, n in enumerate([3, 9, 2, 8, 5, 12, 1, 7, 4, 6])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textops.sequence_pack_bins(df, window=8, n_shards=2).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(10))
+    by = {}
+    for r in out:
+        by.setdefault((r["shard"], r["bin"]), []).append(r)
+    for (shard, b), docs_ in by.items():
+        docs_.sort(key=lambda r: r["pos_in_bin"])
+        assert [r["pos_in_bin"] for r in docs_] == list(range(len(docs_)))
+        tot = sum(r["n_tokens"] for r in docs_)
+        if tot > 8:  # oversize bins are exactly one truncated doc
+            assert len(docs_) == 1 and docs_[0]["truncated"]
+        else:
+            assert not any(r["truncated"] for r in docs_)
+    # greedy maximality per shard
+    for shard in {s for s, _ in by}:
+        bins = sorted(b for s, b in by if s == shard)
+        assert bins == list(range(len(bins)))  # dense bin ids
+        for b1, b2 in zip(bins, bins[1:]):
+            tot1 = sum(r["n_tokens"] for r in by[(shard, b1)])
+            first2 = min(by[(shard, b2)], key=lambda r: r["pos_in_bin"])
+            assert tot1 + first2["n_tokens"] > 8, (shard, b1)
+    # deterministic
+    again = textops.sequence_pack_bins(df, window=8, n_shards=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError):
+        textops.sequence_pack_bins(df, window=0)
+    with pytest.raises(ValueError):
+        textops.sequence_pack_bins(df, n_shards=0)

@@ -115,6 +115,9 @@ CASES = [
     ("sequence_pack",
      lambda df: textops.sequence_pack(df, window=16, n_shards=3),
      lambda: textops.sequence_pack_oracle(window=16, n_shards=3)),
+    ("sequence_pack_bins",
+     lambda df: textops.sequence_pack_bins(df, window=16, n_shards=3),
+     lambda: textops.sequence_pack_bins_oracle(window=16, n_shards=3)),
     ("c4_line_filters",
      # split on a vocab word so the random corpus yields multi-line docs
      lambda df: textops.c4_line_filters(

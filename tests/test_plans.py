@@ -321,3 +321,17 @@ def test_perplexity_buckets_sampled_no_corpus_rank_window(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(textops.perplexity_buckets_from_cutoffs(docs, sample_mod=4))
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_sequence_pack_bins_single_exchange_kernel(spark):
+    """sequence_pack_bins: one hash exchange into the per-shard
+    packing kernel — no joins, and the sequential work is confined to
+    the applyInPandas stage (the semantics are per-shard sequential)."""
+    from polars_ts_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(textops.sequence_pack_bins(docs, window=64, n_shards=4))
+    n_exchange = sum(ln.strip().endswith("Exchange") for ln in plan.splitlines())
+    assert n_exchange == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "applyInPandas" in plan

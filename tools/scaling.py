@@ -56,6 +56,7 @@ DEFAULT = (
     "perplexity_buckets_sampled",  # sampled cutoffs + broadcast assign
     "corpus_curation_v2",       # composed CCNet-order DAG
     "sequence_pack",            # md5 shard + in-shard cumsum window
+    "sequence_pack_bins",       # per-shard next-fit kernel
     "c4_line_filters",          # zero-shuffle line-level projection
 )
 
