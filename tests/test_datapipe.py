@@ -1218,3 +1218,42 @@ def test_sequence_pack_bins_planted(spark):
         textops.sequence_pack_bins(df, window=0)
     with pytest.raises(ValueError):
         textops.sequence_pack_bins(df, n_shards=0)
+
+
+def test_packing_and_c4_edge_cases(spark):
+    """Adversarial edges: empty text (split yields one empty token),
+    a doc exactly at the window, all-oversize corpora, and a single-doc
+    shard — both packers and the line filter must stay total and
+    deterministic."""
+    rows = [
+        (0, ""),                                  # 1 token ('' splits to [''])
+        (1, " ".join(["t"] * 8)),                 # exactly the window
+        (2, " ".join(["t"] * 9)),                 # just over
+        (3, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           textops.sequence_pack_bins(df, window=8, n_shards=1).collect()}
+    assert len(out) == 4
+    assert out[0]["n_tokens"] == 1 and not out[0]["truncated"]
+    assert out[1]["n_tokens"] == 8 and not out[1]["truncated"]
+    assert out[2]["truncated"]  # 9 > 8: singleton truncated bin
+    bins2 = [r for r in out.values()
+             if r["bin"] == out[2]["bin"]]
+    assert len(bins2) == 1
+    # concat-and-chunk stays total on the same corpus
+    packed = textops.sequence_pack(df, window=8, n_shards=1).collect()
+    assert sorted(r["doc_id"] for r in packed) == [0, 1, 2, 3]
+    assert max(r["start_offset"] + r["n_tokens"] for r in packed) \
+        == sum(r["n_tokens"] for r in packed)
+    # c4 on empty/one-token docs: nothing explodes, everything dropped
+    c4 = {r["doc_id"]: r for r in textops.c4_line_filters(
+        df, min_words_per_line=2, min_lines=1).collect()}
+    assert not c4[0]["kept"] and c4[0]["clean_text"] == ""
+    assert not c4[3]["kept"]
+    # all-oversize corpus: every bin is a truncated singleton
+    big = spark.createDataFrame(
+        [(i, " ".join(["t"] * 20)) for i in range(6)], ["doc_id", "text"])
+    allbig = textops.sequence_pack_bins(big, window=8, n_shards=2).collect()
+    assert all(r["truncated"] for r in allbig)
+    assert len({(r["shard"], r["bin"]) for r in allbig}) == 6
