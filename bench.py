@@ -97,6 +97,14 @@ HEADLINE = [
     # round-9 (cont.): the no-split next-fit packing (per-shard
     # sequential kernel — the shard count is the parallelism knob)
     "sequence_pack_bins",
+    # round-10: the sampled-cutoff + held-out-LM curation leg (the
+    # 100 TB path for the composed DAG), the full C4+CCNet recipe
+    # (line filter -> dedup -> LM -> sampled bucket -> rollup), and
+    # the sequence-packing writer legs (per-window doc-span manifests)
+    "corpus_curation_v2_sampled",
+    "corpus_curation_v3",
+    "sequence_pack_manifest",
+    "sequence_pack_bins_manifest",
 ]
 
 
@@ -159,22 +167,30 @@ def _probe_pair() -> tuple[float, float]:
 
 
 def _wait_for_quiet_box(threshold: float = _PROBE_QUIET,
-                        bw_threshold: float = _BW_QUIET,
-                        max_wait_s: float = 180.0):
+                        bw_threshold: float | None = _BW_QUIET,
+                        max_wait_s: float = 180.0,
+                        poll_s: float = 10.0):
     """Don't time on a loaded box (round-6 ran at ~2.5x external load
     and the numbers were useless for cross-round comparison): poll the
-    (GEMM, bandwidth) probe pair until BOTH drop under their
-    thresholds or the wait budget runs out, and report what happened
-    either way. Disable with SPARK_GRAFT_NO_CALIB_GATE=1."""
+    (GEMM, bandwidth) probe pair until quiet or the wait budget runs
+    out, and report what happened either way. ``bw_threshold=None``
+    waits on GEMM alone — the GEMM-triggered re-sample loop uses that
+    (ADVICE r9: a resident-JVM-noisy bw probe must not burn the wait
+    budget of a wait the GEMM probe asked for). Disable with
+    SPARK_GRAFT_NO_CALIB_GATE=1."""
     import time as _t
 
     probes = [_probe_pair()]
     if os.environ.get("SPARK_GRAFT_NO_CALIB_GATE") == "1":
         return probes[0], probes
     deadline = _t.monotonic() + max_wait_s
-    while ((probes[-1][0] > threshold or probes[-1][1] > bw_threshold)
-           and _t.monotonic() < deadline):
-        _t.sleep(10.0)
+
+    def _hot(p):
+        return p[0] > threshold or (
+            bw_threshold is not None and p[1] > bw_threshold)
+
+    while _hot(probes[-1]) and _t.monotonic() < deadline:
+        _t.sleep(poll_s)
         probes.append(_probe_pair())
     return probes[-1], probes
 
@@ -253,6 +269,17 @@ def main():
         return p[1] <= bw_thr
 
     MAX_EXTRA = 2
+    # round-10 (VERDICT r9 #1): the bw probe now GATES too, but only
+    # BETWEEN queries — the r9 record had 54/56 queries bw_dirty and
+    # was useless for cross-round comparison, while gating bw
+    # mid-query stalls on the resident JVM's own memory traffic. The
+    # inter-query wait runs when the carried bracket probe is hot on
+    # EITHER axis, bounded per query AND suite-wide so a persistently
+    # loaded box degrades to the r9 diagnose-only behavior instead of
+    # hanging.
+    BW_WAIT_QUERY_S = 90.0
+    bw_wait_budget_s = 480.0
+    MAX_EXTRA_BW = 1
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     cold_dirty: list[str] = []
@@ -273,14 +300,24 @@ def main():
         spark.catalog.clearCache()
         return dt
 
+    import time as _t
+
     for name in names:
         runs_here = 3 if name in RERUN3 else RUNS
         # (sec, gemm-bracket clean, bw-bracket clean). The GEMM probe
-        # GATES (re-sample + hot_queries); the bandwidth probe only
-        # DIAGNOSES (bw_dirty_queries) — it runs next to a resident
-        # Spark JVM whose background memory traffic it also sees, so
-        # letting it trigger 120 s re-sample waits stalled the whole
-        # suite when first tried
+        # gates re-sampling + hot_queries; the bandwidth probe gates
+        # the INTER-query wait here (the JVM is idle between queries,
+        # so a hot bw probe is external load, not self-traffic) and
+        # one bounded extra pass below — mid-query it stays
+        # diagnose-only (bw_dirty_queries)
+        if gate_on and bw_wait_budget_s > 0 and (
+                not _quiet(last_probe) or not _bw_quiet(last_probe)):
+            t0w = _t.monotonic()
+            last_probe, waited = _wait_for_quiet_box(
+                threshold=probe_thr, bw_threshold=bw_thr,
+                max_wait_s=min(BW_WAIT_QUERY_S, bw_wait_budget_s),
+                poll_s=6.0)
+            bw_wait_budget_s -= _t.monotonic() - t0w
         samples: list[tuple[float, bool, bool]] = []
         probes = [last_probe]
         for run in range(runs_here):
@@ -302,9 +339,12 @@ def main():
         while gate_on and not any(c for _, c, _b in samples) and extra < MAX_EXTRA:
             # wait on the SAME threshold the sample is judged by — the
             # 0.30 default is stricter than probe_thr and would burn
-            # the full wait budget on a box idling in the jitter band
+            # the full wait budget on a box idling in the jitter band.
+            # bw_threshold=None: this wait was triggered by the GEMM
+            # gate, so it terminates on GEMM quiet alone (ADVICE r9 —
+            # a resident-JVM-noisy bw probe must not burn 120 s here)
             pre, waited = _wait_for_quiet_box(threshold=probe_thr,
-                                              bw_threshold=bw_thr,
+                                              bw_threshold=None,
                                               max_wait_s=120.0)
             probes.extend(waited)
             dt = _one_sample(name)
@@ -313,14 +353,41 @@ def main():
             samples.append((dt, _quiet(pre) and _quiet(post),
                             _bw_quiet(pre) and _bw_quiet(post)))
             extra += 1
+        # round-10: if every gemm-clean sample is bw-dirty, spend one
+        # bounded extra pass behind a bw-inclusive wait (inter-sample,
+        # JVM idle) — this is what turns a transient co-tenant spike
+        # into a clean record instead of a bw_dirty flag
+        extra_bw = 0
+        while (gate_on and bw_wait_budget_s > 0
+               and any(c for _, c, _b in samples)
+               and not any(c and b for _, c, b in samples)
+               and extra_bw < MAX_EXTRA_BW):
+            t0w = _t.monotonic()
+            pre, waited = _wait_for_quiet_box(
+                threshold=probe_thr, bw_threshold=bw_thr,
+                max_wait_s=min(BW_WAIT_QUERY_S, bw_wait_budget_s),
+                poll_s=6.0)
+            bw_wait_budget_s -= _t.monotonic() - t0w
+            probes.extend(waited)
+            dt = _one_sample(name)
+            post = _probe_pair()
+            probes.append(post)
+            samples.append((dt, _quiet(pre) and _quiet(post),
+                            _bw_quiet(pre) and _bw_quiet(post)))
+            extra_bw += 1
         clean = [(dt, b) for dt, c, b in samples if c]
-        best = min(clean or [(dt, b) for dt, _, b in samples])
+        # among gemm-clean samples prefer a bw-clean bracket even when
+        # a bw-dirty one ran marginally faster — the reported number
+        # must be comparable across rounds, and a dirty-bracket min is
+        # exactly the contamination the r9 record drowned in
+        clean_bw = [s for s in clean if s[1]]
+        best = min(clean_bw or clean or [(dt, b) for dt, _, b in samples])
         timings[name] = round(best[0], 3)
         if not clean and gate_on:
             hot_queries.append(name)
         if gate_on and not best[1]:
             bw_dirty.append(name)
-        if name in RERUN3 or extra:
+        if name in RERUN3 or extra or extra_bw:
             spread[name] = sorted(round(dt, 3) for dt, _, _b in samples)
         probe_trail[name] = [round(p[0], 3) for p in probes]
         bw_trail[name] = [round(p[1], 3) for p in probes]
@@ -401,13 +468,19 @@ def main():
                           "new r9 — compute-only probes under-detected "
                           "bandwidth/IO-shaped co-tenant load that ran "
                           "shared queries 1.1-1.6x while GEMM stayed "
-                          "quiet). The bw probe DIAGNOSES only: queries "
-                          "whose reported sample had a bw-hot bracket are "
-                          "listed in bw_dirty_queries for cross-round "
-                          "discounting, but do not trigger re-sample waits "
-                          "(the probe also sees the resident JVM's own "
-                          "memory traffic, so gating on it stalls the "
-                          "suite)",
+                          "quiet). Round 10: the bw probe gates "
+                          "INTER-query waits (the JVM is idle between "
+                          "queries, so a hot bw probe there is external "
+                          "load, not self-traffic) plus one bounded extra "
+                          "pass for queries whose gemm-clean samples are "
+                          "all bw-dirty; both waits draw from a suite-wide "
+                          "~480 s budget so a persistently loaded box "
+                          "degrades to the r9 diagnose-only behavior "
+                          "(bw_dirty_queries) instead of stalling. "
+                          "GEMM-triggered re-sample waits terminate on "
+                          "GEMM quiet alone (ADVICE r9). Among gemm-clean "
+                          "samples the reported min prefers a bw-clean "
+                          "bracket",
             "corpus_curation": "a COMPOSED pipeline (minhash-LSH dedup + "
                                "component propagation + quality/language/"
                                "token scans) — its cost is the sum of its "

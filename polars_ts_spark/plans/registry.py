@@ -11471,3 +11471,179 @@ def _register_sequence_pack_bins():
 
 
 _register_sequence_pack_bins()
+
+
+# ---- round 10: corpus_curation_v2's scale leg (VERDICT r9 #2) — the
+# held-out LM reference (the published CCNet behavior: the LM trains
+# on clean text, not on the corpus being filtered) + sampled-cutoff
+# bucketing (cutoffs from a 1/4 md5 sample, assignment a
+# broadcast-join projection — no corpus-wide rank window; the exact
+# NTILE leg is a near-global sort on a single skewed key when one web
+# language dominates at 100 TB).
+
+_V2_REF_SQL = "(SELECT doc_id, text FROM documents WHERE doc_id % 7 < 3)"
+
+
+def _v2_reference(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .filter(F.col("doc_id") % 7 < 3).select("doc_id", "text"))
+
+
+def _register_corpus_curation_v2_sampled():
+    from polars_ts_spark.operators import textops
+
+    @register(
+        "corpus_curation_v2_sampled",
+        textops.corpus_curation_v2_oracle(
+            reference_sql=_V2_REF_SQL, use_sampled_cutoffs=True,
+            sample_mod=4))
+    def q_corpus_curation_v2_sampled(spark, sf_dir):
+        return textops.corpus_curation_v2(
+            _docs(spark, sf_dir), quality_min=0.5, keep_buckets=2,
+            reference=_v2_reference(spark, sf_dir),
+            use_sampled_cutoffs=True, sample_mod=4)
+
+
+_register_corpus_curation_v2_sampled()
+
+
+# ---- round 10: the full composed recipe (VERDICT r9 #6) — the
+# published C4 order runs LINE filtering before dedup/quality
+# (Raffel et al. 2020), then the CCNet legs (held-out LM + sampled
+# cutoffs): line-filter -> near-dup dedup -> LM score -> sampled
+# perplexity bucket -> quality/budget rollup, every stage scoring
+# clean_text.
+
+_V3_LINE_FILTER = dict(line_sep=" line ", min_words_per_line=3,
+                       min_lines=2, require_terminal_punct=False)
+
+
+def _register_corpus_curation_v3():
+    from polars_ts_spark.operators import textops
+
+    @register(
+        "corpus_curation_v3",
+        textops.corpus_curation_v2_oracle(
+            reference_sql=_V2_REF_SQL, use_sampled_cutoffs=True,
+            sample_mod=4, line_filter=_V3_LINE_FILTER))
+    def q_corpus_curation_v3(spark, sf_dir):
+        return textops.corpus_curation_v2(
+            _docs(spark, sf_dir), quality_min=0.5, keep_buckets=2,
+            reference=_v2_reference(spark, sf_dir),
+            use_sampled_cutoffs=True, sample_mod=4,
+            line_filter=_V3_LINE_FILTER)
+
+
+_register_corpus_curation_v3()
+
+
+# ---- round 10: the sequence-packing WRITER legs (VERDICT r9 #4) —
+# not just placement indices but the per-window doc-span manifest a
+# trainer actually reads. The manifest is serialized
+# 'doc_id:tok_start:tok_end' per span (the structured array<struct>
+# variant is sequence_pack_windows, unit-tested — the gate compares
+# scalar columns). Plan: sequence_pack_manifest is ONE exchange — the
+# (shard, window) groupBy reuses the shard hash partitioning
+# (plan-test-pinned); the bins manifest pays a second aggregate
+# exchange because the applyInPandas kernel output carries no
+# partitioning metadata. The collect_list stays bounded by `window`
+# entries at any corpus scale in both.
+
+
+def _register_sequence_pack_manifest():
+    from polars_ts_spark.operators import textops
+
+    @register("sequence_pack_manifest",
+              textops.sequence_pack_manifest_oracle(window=512, n_shards=4))
+    def q_sequence_pack_manifest(spark, sf_dir):
+        return textops.sequence_pack_manifest(_docs(spark, sf_dir),
+                                              window=512, n_shards=4)
+
+
+_register_sequence_pack_manifest()
+
+
+def _register_sequence_pack_bins_manifest():
+    from polars_ts_spark.operators import textops
+
+    @register("sequence_pack_bins_manifest",
+              textops.sequence_pack_bins_manifest_oracle(
+                  window=64, n_shards=4))
+    def q_sequence_pack_bins_manifest(spark, sf_dir):
+        return textops.sequence_pack_bins_manifest(_docs(spark, sf_dir),
+                                                   window=64, n_shards=4)
+
+
+_register_sequence_pack_bins_manifest()
+
+
+# ---- round 10: the two-step DSIR recipe pinned as a UNIT (VERDICT
+# r9 #7 — Xie et al. 2023 §2-3: estimate importance weights, then
+# select k docs). This composition exercises the temperature=None
+# branch (deterministic top-k by weight — the epsilon->0 limit of the
+# Gumbel draw), which no other registered query covers; the
+# stochastic Gumbel branch is pinned by `dsir_resample`.
+
+
+def _register_dsir_pipeline():
+    from polars_ts_spark.operators import textops
+
+    _src = (
+        "SELECT doc_id, ROUND(log_weight, 6) AS log_weight FROM ("
+        + textops.dsir_importance_oracle(
+            target_sql="(SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0)"
+        ) + ") r"
+    )
+
+    @register(
+        "dsir_pipeline",
+        "SELECT doc_id, log_weight, ROUND(gumbel_key, 6) AS gumbel_key, "
+        "sample_rank FROM ("
+        + textops.dsir_resample_oracle(_src, k=64, temperature=None, seed=7)
+        + ") r",
+    )
+    def q_dsir_pipeline(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        target = docs.filter(F.col("doc_id") % 13 == 0)
+        w6 = textops.dsir_importance(docs, target).select(
+            "doc_id", F.round("log_weight", 6).alias("log_weight"))
+        out = textops.dsir_resample(w6, k=64, temperature=None, seed=7)
+        return out.select(
+            "doc_id", "log_weight",
+            F.round("gumbel_key", 6).alias("gumbel_key"), "sample_rank")
+
+
+_register_dsir_pipeline()
+
+
+# ---- round 10: the INDEPENDENT-oracle conversion for the DSIR math
+# (VERDICT r9 #3) — over the first-character-collapsed corpus the md5
+# bucket map at n_buckets=1048576 is injective (test-asserted), so
+# the oracle re-derives the importance weights by grouping the RAW
+# GRAMS — no hash anywhere in the SQL. Agreement validates the
+# multinomial log-likelihood-ratio math itself.
+
+
+def _register_dsir_importance_smallvocab():
+    from polars_ts_spark.operators import textops
+
+    @register(
+        "dsir_importance_smallvocab",
+        "SELECT doc_id, n_features, ROUND(log_weight, 6) AS log_weight FROM ("
+        + textops.dsir_importance_smallvocab_oracle(
+            n_buckets=1_048_576, target_pred="doc_id % 13 = 0") + ") r",
+    )
+    def q_dsir_importance_smallvocab(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        first_chars = F.array_join(
+            F.transform(F.split(F.col("text"), " "),
+                        lambda t: F.substring(t, 1, 1)), " ")
+        small = docs.select("doc_id", first_chars.alias("text"))
+        target = small.filter(F.col("doc_id") % 13 == 0)
+        out = textops.dsir_importance(small, target, n_buckets=1_048_576)
+        return out.select(
+            "doc_id", "n_features",
+            F.round("log_weight", 6).alias("log_weight"))
+
+
+_register_dsir_importance_smallvocab()

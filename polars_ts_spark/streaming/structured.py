@@ -537,6 +537,7 @@ def streaming_curation_pipeline(
     lm_reference: DataFrame | None = None,
     lm_ppl_max: float = 1000.0,
     alpha: float = 0.1,
+    line_filter: dict | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     time_col: str = "ts",
@@ -545,6 +546,11 @@ def streaming_curation_pipeline(
     directive #8) — dedup -> decontaminate -> quality flags -> windowed
     corpus rollup, ONE readStream plan with ONE watermark:
 
+    0. **line filter (optional, round-10 directive #6)**: pass a
+       ``line_filter`` kwargs dict to run C4 line-level cleaning first
+       (the published C4 order): docs failing the doc-level verdict
+       are dropped and all later stages — the dedup key included —
+       see ``clean_text``. Stateless projection, watermark-safe.
     1. **dedup**: ``dropDuplicatesWithinWatermark`` on the text — the
        idiomatic Spark streaming exact-dedup. State is BOUNDED by the
        watermark horizon (a key is evictable once the watermark passes
@@ -576,7 +582,21 @@ def streaming_curation_pipeline(
     Output [window_start, window_end, n_docs, n_contaminated,
     n_quality_ok, (n_lm_ok,) total_tokens]."""
     from polars_ts_spark.operators.textops import (
-        _BENCH_GRAMS_CAP, _gram_frame, quality_score_expr)
+        _BENCH_GRAMS_CAP, _gram_frame, c4_line_filters, quality_score_expr)
+
+    if line_filter is not None:
+        # round-10 directive #6 — the published C4 order runs line
+        # filtering FIRST (Raffel et al. 2020): a pure stateless
+        # projection + filter, so it is watermark-safe; every later
+        # stage (dedup key, LM score, quality, token count) sees the
+        # CLEANED text. The event-time column rides the passthrough.
+        extra = [c for c in stream_df.columns
+                 if c not in (id_col, text_col)]
+        lf = c4_line_filters(
+            stream_df, text_col=text_col, id_col=id_col,
+            passthrough=tuple(extra), **line_filter)
+        stream_df = lf.filter(F.col("kept")).select(
+            F.col(id_col), F.col("clean_text").alias(text_col), *extra)
 
     if lm_reference is not None:
         import numpy as np

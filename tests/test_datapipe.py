@@ -1257,3 +1257,92 @@ def test_packing_and_c4_edge_cases(spark):
     allbig = textops.sequence_pack_bins(big, window=8, n_shards=2).collect()
     assert all(r["truncated"] for r in allbig)
     assert len({(r["shard"], r["bin"]) for r in allbig}) == 6
+
+
+def test_sequence_pack_bins_string_id(spark):
+    """ADVICE r9: the bins kernel hardcoded a bigint id in its output
+    schema — any non-bigint id_col (the API accepts arbitrary ones)
+    failed or miscast. Pin the string-id path end to end."""
+    rows = [(f"doc-{i}", " ".join(["t"] * (3 + i))) for i in range(10)]
+    df = spark.createDataFrame(rows, ["name", "text"])
+    out = textops.sequence_pack_bins(
+        df, window=8, n_shards=2, id_col="name").collect()
+    assert sorted(r["name"] for r in out) == sorted(r[0] for r in rows)
+    assert all(isinstance(r["name"], str) for r in out)
+    # and the placement is still a valid next-fit packing
+    from collections import defaultdict
+    bins = defaultdict(list)
+    for r in out:
+        bins[(r["shard"], r["bin"])].append(r)
+    for members in bins.values():
+        total = sum(r["n_tokens"] for r in members)
+        assert total <= 8 or (len(members) == 1 and members[0]["truncated"])
+
+
+def test_sequence_pack_windows_writer(spark):
+    """The structured writer leg: per-window doc-span arrays must tile
+    each window exactly — spans are contiguous from offset 0, disjoint,
+    bounded by the window length, and every window except each shard's
+    last is exactly full. Token mass is conserved against the corpus."""
+    rows = [(i, " ".join([f"w{j}" for j in range(5 + (i * 7) % 23)]))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    W = 16
+    wins = textops.sequence_pack_windows(df, window=W, n_shards=3).collect()
+    total_tokens = sum(len(t.split(" ")) for _, t in rows)
+    assert sum(r["n_tokens_filled"] for r in wins) == total_tokens
+    last_window = {}
+    for r in wins:
+        last_window[r["shard"]] = max(
+            last_window.get(r["shard"], -1), r["window_id"])
+    for r in wins:
+        docs = r["docs"]
+        assert 1 <= len(docs) <= W  # bounded array
+        # contiguous tiling from 0
+        pos = 0
+        for d in docs:
+            assert d["win_off"] == pos
+            span = d["doc_tok_end"] - d["doc_tok_start"]
+            assert span >= 1
+            pos += span
+        assert pos == r["n_tokens_filled"] <= W
+        if r["window_id"] != last_window[r["shard"]]:
+            assert pos == W  # every non-final window is exactly full
+    # the manifest variant serializes the same placement
+    man = {(r["shard"], r["window_id"]): r for r in
+           textops.sequence_pack_manifest(df, window=W, n_shards=3).collect()}
+    assert set(man) == {(r["shard"], r["window_id"]) for r in wins}
+    for r in wins:
+        m = man[(r["shard"], r["window_id"])]
+        assert m["n_docs"] == len(r["docs"])
+        assert m["n_tokens_filled"] == r["n_tokens_filled"]
+        entries = [f'{d["doc_id"]}:{d["doc_tok_start"]}:{d["doc_tok_end"]}'
+                   for d in r["docs"]]
+        assert m["manifest"] == " ".join(entries)
+
+
+def test_sequence_pack_bins_manifest_consistency(spark):
+    """The bins manifest aggregates exactly the kernel's bins: doc
+    order inside each manifest follows pos_in_bin, token sums match,
+    and a truncated bin is a singleton."""
+    rows = [(i, " ".join(["t"] * (4 + (i * 5) % 30))) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bins = textops.sequence_pack_bins(df, window=16, n_shards=2).collect()
+    man = {(r["shard"], r["bin"]): r for r in
+           textops.sequence_pack_bins_manifest(
+               df, window=16, n_shards=2).collect()}
+    from collections import defaultdict
+    grouped = defaultdict(list)
+    for r in bins:
+        grouped[(r["shard"], r["bin"])].append(r)
+    assert set(man) == set(grouped)
+    for key, members in grouped.items():
+        members.sort(key=lambda r: r["pos_in_bin"])
+        m = man[key]
+        assert m["n_docs"] == len(members)
+        assert m["n_tokens_filled"] == sum(r["n_tokens"] for r in members)
+        assert m["truncated"] == any(r["truncated"] for r in members)
+        if m["truncated"]:
+            assert len(members) == 1
+        assert m["manifest"] == " ".join(
+            f'{r["doc_id"]}:{r["n_tokens"]}' for r in members)

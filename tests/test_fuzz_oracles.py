@@ -389,3 +389,130 @@ def test_trim_duplicate_spans_adversarial(spark, seed):
             assert kept == r["n_tokens"] - r["masked_tokens"], r
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_c4_and_dedup_null_text_parity(spark):
+    """ADVICE r9: the fuzz corpus never generates NULL text, which
+    left a latent c4 NULL divergence unexercised (the oracle used to
+    COALESCE clean_text to '' while Spark emits NULL). Pin the parity
+    on a corpus WITH NULL text for the two ops whose oracles touch
+    the raw text column directly."""
+    rows = [(0, "a b c d e"), (1, None), (2, "a b c d e"), (3, None),
+            (4, "x w1 y z w1 q r"), (5, "")]
+    tmp = tempfile.mkdtemp(prefix="fuzz_null_")
+    try:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        path = os.path.join(tmp, "documents.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        sdf = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+        pairs = [
+            ("c4_line_filters",
+             textops.c4_line_filters(sdf, line_sep=" w1 ",
+                                     min_words_per_line=2, min_lines=1,
+                                     require_terminal_punct=False),
+             textops.c4_line_filters_oracle(line_sep=" w1 ",
+                                            min_words_per_line=2,
+                                            min_lines=1,
+                                            require_terminal_punct=False)),
+            ("exact_dedup", textops.exact_dedup(sdf),
+             textops.EXACT_DEDUP_ORACLE),
+        ]
+        for name, s, sql in pairs:
+            # Spark->pandas renders a NULL boolean as None, DuckDB as
+            # NaN — same value, different stringification; unify it
+            # (the driver gate never sees NULL text on real corpora)
+            a = normalize(s.toPandas()).replace({"None": "nan"})
+            b = normalize(con.execute(sql).df()).replace({"None": "nan"})
+            assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
+            assert a.equals(b), f"{name}: NULL-text divergence\n{a}\n{b}"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_exact_dedup_independent_oracle_collision_free(spark):
+    """The round-10 EXACT_DEDUP_ORACLE groups by raw TEXT (independent
+    of the md5 device the Spark plan shuffles on); the identification
+    is valid iff md5 is injective on the corpus texts. Assert that
+    directly on every shipped corpus AND on fuzz corpora with planted
+    exact dups (where the grouping equality itself is already fuzzed
+    by test_text_oracles_on_random_corpus)."""
+    for sf in ("0.001", "0.01", "0.1"):
+        n_text, n_md5 = duckdb.sql(
+            "SELECT COUNT(DISTINCT text), COUNT(DISTINCT md5(text)) "
+            f"FROM '/root/testdata/sf{sf}/documents.parquet'").fetchone()
+        assert n_text == n_md5, f"md5 collision at sf{sf}"
+    for seed in (11, 23):
+        rows = _make_corpus(seed)
+        n_text = len({t for _, t, _ in rows})
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        n_md5 = con.execute("SELECT COUNT(DISTINCT md5(text)) FROM t").fetchone()[0]
+        assert n_text == n_md5, f"md5 collision in fuzz corpus seed {seed}"
+
+
+def test_dsir_smallvocab_bucket_injective():
+    """Pins the premise of dsir_importance_smallvocab's INDEPENDENT
+    oracle (VERDICT r9 #3): on the first-character-collapsed corpus
+    the md5 bucket map at n_buckets=1048576 is injective over the
+    observed uni+bigram set at ALL THREE shipped sfs, so the hashed
+    multinomials equal the exact gram multinomials and the hash-free
+    oracle identifies the operator's output."""
+    for sf in ("0.001", "0.01", "0.1"):
+        n_grams, n_buckets = duckdb.sql(f"""
+WITH toks AS (
+  SELECT list_transform(string_split(text, ' '), t -> substr(t, 1, 1)) AS ts
+  FROM '/root/testdata/sf{sf}/documents.parquet'
+),
+g AS (
+  SELECT DISTINCT unnest(ts) AS g FROM toks
+  UNION
+  SELECT DISTINCT array_to_string(ts[i:i + 1], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 1))) AS t(i)
+)
+SELECT COUNT(*),
+       COUNT(DISTINCT (('0x' || substr(md5(g), 1, 15))::BIGINT % 1048576))
+FROM g""").fetchone()
+        assert n_grams == n_buckets, (
+            f"bucket collision at sf{sf}: {n_grams} grams -> "
+            f"{n_buckets} buckets")
+
+
+def test_doc_fingerprint_hash_injective_on_corpus():
+    """Supports doc_fingerprint's oracle epistemics (VERDICT r9 #3,
+    'collision-free corpora'): the 60-bit rolling hash is injective on
+    the corpus' character-k-gram set at all three sfs, so MIN(hash)
+    identifies a unique argmin gram per doc — fingerprint equality is
+    gram equality, and the explode + MIN on top of the documented hash
+    spec is ordinary relational math. Also asserts the semantic
+    consequence directly: docs sharing a fingerprint share their
+    argmin k-gram."""
+    for sf in ("0.001", "0.01", "0.1"):
+        n_grams, n_hashes = duckdb.sql(f"""
+WITH g AS (
+  SELECT DISTINCT substr(text, i, 8) AS gram
+  FROM '/root/testdata/sf{sf}/documents.parquet',
+       UNNEST(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
+)
+SELECT COUNT(*),
+       COUNT(DISTINCT ('0x' || substr(md5(gram), 1, 15))::BIGINT)
+FROM g""").fetchone()
+        assert n_grams == n_hashes, f"hash60 collision at sf{sf}"
+    # fingerprint equality <=> argmin-gram equality on the sf0.01 corpus
+    bad = duckdb.sql("""
+WITH g AS (
+  SELECT doc_id, substr(text, i, 8) AS gram,
+         ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT AS h
+  FROM '/root/testdata/sf0.01/documents.parquet',
+       UNNEST(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
+),
+fp AS (
+  SELECT doc_id, MIN(h) AS fingerprint, arg_min(gram, h) AS min_gram
+  FROM g GROUP BY doc_id
+)
+SELECT COUNT(*) FROM fp a JOIN fp b
+  ON a.fingerprint = b.fingerprint AND a.min_gram <> b.min_gram""").fetchone()[0]
+    assert bad == 0

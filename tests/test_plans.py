@@ -335,3 +335,41 @@ def test_sequence_pack_bins_single_exchange_kernel(spark):
     assert n_exchange == 1, plan
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan or "applyInPandas" in plan
+
+
+def test_sequence_pack_manifest_single_exchange(spark):
+    """The manifest writer leg stays at ONE exchange: the
+    (shard, window_id) groupBy reuses the sequence_pack shard hash
+    partitioning (shard is a subset of the grouping key, so rows of a
+    window are already co-located), and the span explode is a pure
+    generator projection — no joins anywhere."""
+    from polars_ts_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(textops.sequence_pack_manifest(docs, window=512, n_shards=4))
+    n_exchange = sum(ln.strip().endswith("Exchange") for ln in plan.splitlines())
+    assert n_exchange == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_corpus_curation_v2_sampled_no_corpus_ntile(spark):
+    """VERDICT r9 #2: with use_sampled_cutoffs the composed curation
+    DAG must NOT contain the per-language corpus-wide NTILE rank
+    window (the one scale-killer shape when a single web language
+    dominates) — the only rank window runs over the md5 sample and
+    the assignment is a broadcast join."""
+    from pyspark.sql import functions as F
+
+    from polars_ts_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 7 < 3).select("doc_id", "text")
+    plan = _plan(textops.corpus_curation_v2(
+        docs, reference=ref, use_sampled_cutoffs=True, sample_mod=4))
+    assert "ntile" not in plan.lower(), plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+    # the exact leg keeps its NTILE — the contract the sampled path
+    # approximates
+    exact = _plan(textops.corpus_curation_v2(docs))
+    assert "ntile" in exact.lower()

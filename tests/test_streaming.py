@@ -616,3 +616,86 @@ def test_streaming_curation_pipeline_lm_leg(spark):
         assert ppl[3] <= thr  # the in-LM doc does pass
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_curation_pipeline_line_filter_leg(spark):
+    """Round-10 directive #6: the composed streaming graph gains the
+    C4 line-filter leg in the published order — line cleaning FIRST,
+    so the dedup key, quality score and token rollup all see
+    clean_text. Asserts: a doc failing the doc-level verdict is
+    dropped, a NULL-text doc is dropped (NULL verdict is not true),
+    and two docs whose RAW texts differ but whose CLEANED texts
+    coincide dedup to one."""
+    import pandas as pd
+
+    from polars_ts_spark.operators import textops
+    from polars_ts_spark.streaming.structured import streaming_curation_pipeline
+
+    base = tempfile.mkdtemp(prefix="stream_curation_c4_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    T = pd.Timestamp("2024-01-01 10:00:00")
+
+    def at(**kw):
+        return (T + pd.Timedelta(**kw)).to_pydatetime()
+
+    rows1 = [
+        (0, "aa bb cc line dd", at(seconds=5)),   # A: clean -> 'aa bb cc'
+        (1, "x line y", at(seconds=20)),          # A: no line survives -> drop
+        (2, "aa bb cc line zz", at(seconds=30)),  # A: SAME clean text as 0
+    ]
+    rows2 = [
+        (3, None, at(seconds=40)),                # NULL text -> dropped
+        (4, "pp qq line rr ss", at(seconds=70)),  # B: both lines survive
+    ]
+    rows3 = [(9, "sentinel future doc closes the watermark", at(minutes=30))]
+    schema = "doc_id long, text string, ts timestamp"
+    LF = dict(line_sep=" line ", min_words_per_line=2, min_lines=1,
+              require_terminal_punct=False)
+    try:
+        for i, rows in enumerate((rows1, rows2, rows3)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                os.path.join(src, f"f{i}"))
+        bench = spark.createDataFrame(
+            [(100, "rr ss")], "doc_id long, text string")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        out = streaming_curation_pipeline(
+            stream, bench, n=2, watermark="2 minutes", window="1 minute",
+            line_filter=LF)
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory").queryName("curation_c4")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        res = {r["window_start"]: r
+               for r in spark.sql("SELECT * FROM curation_c4").collect()}
+        win_a = T.to_pydatetime()
+        win_b = (T + pd.Timedelta(minutes=1)).to_pydatetime()
+        assert set(res) == {win_a, win_b}
+        a, b = res[win_a], res[win_b]
+        # window A: doc 1 dropped by the line filter, doc 2's CLEANED
+        # text duplicates doc 0's -> one survivor
+        assert a["n_docs"] == 1
+        assert a["total_tokens"] == 3  # 'aa bb cc'
+        assert a["n_contaminated"] == 0
+        # window B: doc 3 (NULL) dropped, doc 4 kept with its rejoined
+        # clean text; its 'rr ss' bigram hits the benchmark
+        assert b["n_docs"] == 1
+        assert b["total_tokens"] == 5  # 'pp qq line rr ss'
+        assert b["n_contaminated"] == 1
+        # the batch twin agrees on the clean texts the stream scored
+        batch = spark.createDataFrame(rows1 + rows2, schema)
+        clean = {r["doc_id"]: r for r in textops.c4_line_filters(
+            batch, **LF).collect()}
+        assert clean[0]["kept"] and clean[0]["clean_text"] == "aa bb cc"
+        assert not clean[1]["kept"]
+        assert clean[2]["clean_text"] == clean[0]["clean_text"]
+        assert clean[3]["kept"] is None
+        assert clean[4]["kept"] and clean[4]["clean_text"] == "pp qq line rr ss"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -58,7 +58,29 @@ DEFAULT = (
     "sequence_pack",            # md5 shard + in-shard cumsum window
     "sequence_pack_bins",       # per-shard next-fit kernel
     "c4_line_filters",          # zero-shuffle line-level projection
+    # round-10 additions
+    "corpus_curation_v2_sampled",   # held-out LM + sampled cutoffs
+    "corpus_curation_v3",           # C4 line filter -> full CCNet DAG
+    "sequence_pack_manifest",       # writer leg, 1 exchange
+    "sequence_pack_bins_manifest",  # writer leg over the bins kernel
 )
+
+
+# the documents-backed queries eligible for the 100x tier
+_DOCS_ONLY = {
+    "exact_dedup", "minhash_lsh_pairs", "dup_ngram_stats",
+    "lsh_dedup_keep_first", "pii_scrub", "gopher_repetition",
+    "benchmark_decontaminate", "trim_duplicate_spans", "domain_stats",
+    "ngram_lm_score", "dsir_importance", "perplexity_buckets",
+    "dsir_resample", "perplexity_buckets_sampled", "corpus_curation_v2",
+    "sequence_pack", "sequence_pack_bins", "c4_line_filters",
+    "corpus_curation", "decontaminate_sharded", "stratified_sample",
+    "text_stats", "language_id", "token_counts", "doc_fingerprint",
+    "simhash_pairs", "ngram_jaccard_pairs", "exact_dedup_keep_first",
+    "corpus_curation_v2_sampled", "corpus_curation_v3",
+    "sequence_pack_manifest", "sequence_pack_bins_manifest",
+    "dsir_pipeline", "dsir_importance_smallvocab",
+}
 
 
 def main():
@@ -73,19 +95,37 @@ def main():
     warm.repartition(32, "k").groupBy("k").applyInPandas(
         lambda p: p, schema="k long, v double"
     ).write.format("noop").mode("overwrite").save()
+    # round-10 (VERDICT r9 #5): the shipped sfs grow `documents` only
+    # 10x — set SPARK_GRAFT_SCALE100_DIR to a dir holding the
+    # 100x-docs corpus (tools/make_scale_corpus.py) to add a "100x"
+    # column for the documents-backed queries. Queries that read other
+    # tables skip it (the dir only carries documents.parquet).
+    tiers: list[tuple[str, str]] = [
+        (sf, f"/root/testdata/sf{sf}") for sf in SFS]
+    x100 = os.environ.get("SPARK_GRAFT_SCALE100_DIR")
+    if x100 and os.path.exists(os.path.join(x100, "documents.parquet")):
+        tiers.append(("100x", x100))
     out: dict[str, dict[str, float]] = {}
     for name in names:
         out[name] = {}
-        for sf in SFS:
-            sf_dir = f"/root/testdata/sf{sf}"
+        for label, sf_dir in tiers:
+            if label == "100x":
+                have = {f.split(".")[0] for f in os.listdir(sf_dir)}
+                need_other = name not in _DOCS_ONLY
+                if need_other and not {"lineitem", "events"} <= have:
+                    continue
             samples = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - t0)
-                spark.catalog.clearCache()
-            out[name][sf] = round(min(samples), 3)
-    print(json.dumps({"sec_by_sf": out, "sfs": SFS}))
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    samples.append(time.perf_counter() - t0)
+                    spark.catalog.clearCache()
+            except Exception as exc:  # non-documents query on the 100x dir
+                out[name][label] = f"err: {str(exc)[:80]}"
+                continue
+            out[name][label] = round(min(samples), 3)
+    print(json.dumps({"sec_by_sf": out, "sfs": [t[0] for t in tiers]}))
 
 
 if __name__ == "__main__":
