@@ -280,6 +280,12 @@ def main():
     BW_WAIT_QUERY_S = 90.0
     bw_wait_budget_s = 480.0
     MAX_EXTRA_BW = 1
+    # the GEMM re-sample waits get a suite-wide budget too (round-10):
+    # without one, a box that stays GEMM-hot costs up to 2 x 120 s of
+    # waiting PER QUERY — 4 h worst case over a 60-query suite. Once
+    # the budget is gone, re-samples still run (they're cheap), only
+    # the waits stop.
+    gemm_wait_budget_s = 900.0
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     cold_dirty: list[str] = []
@@ -343,9 +349,11 @@ def main():
             # bw_threshold=None: this wait was triggered by the GEMM
             # gate, so it terminates on GEMM quiet alone (ADVICE r9 —
             # a resident-JVM-noisy bw probe must not burn 120 s here)
-            pre, waited = _wait_for_quiet_box(threshold=probe_thr,
-                                              bw_threshold=None,
-                                              max_wait_s=120.0)
+            t0w = _t.monotonic()
+            pre, waited = _wait_for_quiet_box(
+                threshold=probe_thr, bw_threshold=None,
+                max_wait_s=min(120.0, max(0.0, gemm_wait_budget_s)))
+            gemm_wait_budget_s -= _t.monotonic() - t0w
             probes.extend(waited)
             dt = _one_sample(name)
             post = _probe_pair()

@@ -699,3 +699,80 @@ def test_streaming_curation_pipeline_line_filter_leg(spark):
         assert clean[4]["kept"] and clean[4]["clean_text"] == "pp qq line rr ss"
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_curation_pipeline_full_order(spark):
+    """line_filter + lm_reference COMPOSED in one graph — the complete
+    published order (C4 line cleaning -> LM scoring -> dedup ->
+    decontaminate -> rollup): the LM must score the CLEANED text, so a
+    doc whose junk lines would have wrecked its perplexity passes the
+    LM gate once the line filter strips them."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from polars_ts_spark.operators.textops import c4_line_filters, ngram_lm_score
+    from polars_ts_spark.streaming.structured import streaming_curation_pipeline
+
+    base = tempfile.mkdtemp(prefix="stream_curation_full_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    T = pd.Timestamp("2024-01-01 10:00:00")
+
+    def at(**kw):
+        return (T + pd.Timedelta(**kw)).to_pydatetime()
+
+    lm_ref = spark.createDataFrame(
+        [(200, "the cat sat on the mat the cat ran off and the dog sat")],
+        ["doc_id", "text"])
+    # doc 0: in-LM clean line + an OOV junk line the filter strips
+    rows1 = [
+        (0, "the cat sat on the mat line zz", at(seconds=5)),
+        (1, "qq ww ee rr tt yy uu line ii", at(seconds=20)),  # OOV even cleaned
+    ]
+    rows3 = [(9, "sentinel future doc closes the watermark", at(minutes=30))]
+    schema = "doc_id long, text string, ts timestamp"
+    LF = dict(line_sep=" line ", min_words_per_line=2, min_lines=1,
+              require_terminal_punct=False)
+    try:
+        for i, rows in enumerate((rows1, rows3)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                os.path.join(src, f"f{i}"))
+        bench = spark.createDataFrame(
+            [(100, "never matches")], "doc_id long, text string")
+        # threshold between the CLEANED perplexities of docs 0 and 1
+        batch = spark.createDataFrame(rows1, schema)
+        cleaned = c4_line_filters(batch, **LF).filter("kept").select(
+            "doc_id", F.col("clean_text").alias("text"))
+        ppl = {r["doc_id"]: r["perplexity"] for r in
+               ngram_lm_score(cleaned, reference=lm_ref).collect()}
+        raw_ppl = {r["doc_id"]: r["perplexity"] for r in
+                   ngram_lm_score(batch, reference=lm_ref).collect()}
+        # the junk line raises doc 0's perplexity; the threshold sits
+        # between CLEANED doc 0 and RAW doc 0, so the gate passes doc 0
+        # only because the LM scored clean_text — that is what the
+        # composed order buys. Doc 1 stays OOV even cleaned.
+        assert ppl[0] < raw_ppl[0]
+        thr = (ppl[0] + raw_ppl[0]) / 2
+        assert ppl[1] > thr
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        out = streaming_curation_pipeline(
+            stream, bench, n=2, watermark="2 minutes", window="1 minute",
+            line_filter=LF, lm_reference=lm_ref, lm_ppl_max=thr)
+        q = (
+            out.writeStream.format("memory").queryName("curation_full")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        res = {r["window_start"]: r
+               for r in spark.sql("SELECT * FROM curation_full").collect()}
+        win_a = T.to_pydatetime()
+        assert set(res) == {win_a}
+        a = res[win_a]
+        assert a["n_docs"] == 2
+        assert a["n_lm_ok"] == 1  # cleaned doc 0 passes, doc 1 stays OOV
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
