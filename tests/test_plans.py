@@ -321,6 +321,9 @@ def test_perplexity_buckets_sampled_no_corpus_rank_window(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(textops.perplexity_buckets_from_cutoffs(docs, sample_mod=4))
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+    # the corpus-wide NTILE is exactly what this op exists to avoid —
+    # its only rank window is a row_number over the md5 SAMPLE
+    assert "ntile" not in plan.lower(), plan
 
 
 def test_sequence_pack_bins_single_exchange_kernel(spark):
