@@ -11402,10 +11402,15 @@ _register_perplexity_buckets_sampled()
 def _register_corpus_curation_v2():
     from polars_ts_spark.operators import textops
 
-    @register("corpus_curation_v2", textops.corpus_curation_v2_oracle())
+    # round 11: the function default flipped to sampled cutoffs
+    # (VERDICT r10 #2); this entry keeps the exact-NTILE leg under an
+    # EXPLICIT flag so its oracle-parity history stays byte-identical.
+    @register("corpus_curation_v2",
+              textops.corpus_curation_v2_oracle(use_sampled_cutoffs=False))
     def q_corpus_curation_v2(spark, sf_dir):
         return textops.corpus_curation_v2(
-            _docs(spark, sf_dir), quality_min=0.5, keep_buckets=2)
+            _docs(spark, sf_dir), quality_min=0.5, keep_buckets=2,
+            use_sampled_cutoffs=False)
 
 
 _register_corpus_curation_v2()
@@ -11647,3 +11652,30 @@ def _register_dsir_importance_smallvocab():
 
 
 _register_dsir_importance_smallvocab()
+
+
+# ---- round 11: the STRUCTURED writer surface (VERDICT r10 #6) —
+# sequence_pack_windows returns one row per training window with the
+# ordered doc-span array<struct> a real writer partitions by shard
+# and serializes. The gate compares strings, so the registered query
+# projects the array through to_json: Spark's to_json and DuckDB's
+# to_json(list(struct_pack(...))) are byte-identical for all-BIGINT
+# structs, which upgrades this surface from unit-only to a full
+# value-hash oracle. The op under test is still the structured
+# aggregate — the JSON cast is the gate adapter, applied after.
+
+
+def _register_sequence_pack_windows():
+    from polars_ts_spark.operators import textops
+
+    @register("sequence_pack_windows",
+              textops.sequence_pack_windows_oracle(window=512, n_shards=4))
+    def q_sequence_pack_windows(spark, sf_dir):
+        out = textops.sequence_pack_windows(_docs(spark, sf_dir),
+                                            window=512, n_shards=4)
+        return out.select(
+            "shard", "window_id",
+            F.to_json("docs").alias("docs_json"), "n_tokens_filled")
+
+
+_register_sequence_pack_windows()

@@ -590,6 +590,9 @@ def streaming_curation_pipeline(
         # projection + filter, so it is watermark-safe; every later
         # stage (dedup key, LM score, quality, token count) sees the
         # CLEANED text. The event-time column rides the passthrough.
+        from polars_ts_spark.operators.textops import (
+            _check_line_filter_keys)
+        _check_line_filter_keys(line_filter)
         extra = [c for c in stream_df.columns
                  if c not in (id_col, text_col)]
         lf = c4_line_filters(

@@ -97,6 +97,58 @@ def test_dedup_clusters_components(spark):
     assert out[3] == (3, True)
 
 
+def test_dedup_clusters_star_long_chain_rounds(spark):
+    """VERDICT r10 #5: a planted diameter-64 duplicate chain. Min-label
+    propagation needs ~64 rounds (one hop per round — it would silently
+    MISLABEL under the default 50-round budget); the star-contraction
+    default halves the radius per round and must finish well inside a
+    dozen rounds with every node labeled 0."""
+    n = 65
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(n)], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_id_1", "doc_id_2"])
+    rounds: list[int] = []
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in textops.dedup_clusters(
+               docs, pairs=pairs, rounds_out=rounds).collect()}
+    assert all(out[i] == 0 for i in range(n))
+    assert rounds[0] <= 12, rounds
+    # label_prop on the same chain needs >= diameter rounds when the
+    # budget allows it (the shape star contraction exists to avoid)
+    rounds_lp: list[int] = []
+    out_lp = {r["doc_id"]: r["cluster_id"]
+              for r in textops.dedup_clusters(
+                  docs, pairs=pairs, algorithm="label_prop", max_iter=100,
+                  rounds_out=rounds_lp).collect()}
+    assert out_lp == out
+    assert rounds_lp[0] > rounds[0]
+
+
+def test_dedup_clusters_star_matches_label_prop_fuzz(spark):
+    """Both component engines must produce identical labels on random
+    edge sets (multi-component, cycles, dup edges, reversed edges,
+    isolated nodes)."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 40
+        edges = sorted({(rng.randrange(n), rng.randrange(n))
+                        for _ in range(rng.randrange(10, 45))})
+        edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+        docs = spark.createDataFrame(
+            [(i, f"d {i}") for i in range(n)], ["doc_id", "text"])
+        pairs = spark.createDataFrame(edges, ["doc_id_1", "doc_id_2"])
+        star = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+                for r in textops.dedup_clusters(
+                    docs, pairs=pairs, algorithm="star").collect()}
+        lp = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+              for r in textops.dedup_clusters(
+                  docs, pairs=pairs, algorithm="label_prop").collect()}
+        assert star == lp, (trial, edges)
+
+
 def test_text_stats(docs):
     row = textops.text_stats(docs).filter("doc_id = 0").collect()[0]
     assert row["n_tokens"] == 9
@@ -1082,7 +1134,8 @@ def test_corpus_curation_v2_planted(spark):
            for i in range(8)],
         ["doc_id", "text"])
     out = textops.corpus_curation_v2(
-        docs, quality_min=0.0, keep_buckets=1, n_buckets=3).collect()
+        docs, quality_min=0.0, keep_buckets=1, n_buckets=3,
+        use_sampled_cutoffs=False).collect()
     # hand-compose: canonical kept docs -> buckets -> keep bucket 1
     clusters = textops.dedup_clusters(docs)
     kept = docs.join(
@@ -1094,6 +1147,39 @@ def test_corpus_curation_v2_planted(spark):
     want_tokens = sum(toks[d]["bpe_tokens"] for d in keep_ids)
     assert sum(r["total_bpe_tokens"] for r in out) == want_tokens
     assert all(r["bucket"] == 1 for r in out)
+    # the round-11 DEFAULT (sampled cutoffs) composes with the
+    # sampled-cutoff constituent the same way
+    out_s = textops.corpus_curation_v2(
+        docs, quality_min=0.0, keep_buckets=1, n_buckets=3).collect()
+    buck_s = {r["doc_id"]: r for r in
+              textops.perplexity_buckets_from_cutoffs(kept).collect()}
+    keep_s = [d for d, r in buck_s.items() if r["bucket"] == 1]
+    assert keep_s
+    assert (sum(r["total_bpe_tokens"] for r in out_s)
+            == sum(toks[d]["bpe_tokens"] for d in keep_s))
+
+
+def test_corpus_curation_v2_line_filter_key_validation(spark):
+    """ADVICE r10: the line_filter dict is forwarded to BOTH the Spark
+    c4_line_filters and the DuckDB oracle builder; keys valid for only
+    one side (passthrough, text_col, table) must be rejected up front
+    on both composers so configs cannot silently diverge."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a good line here ok. another fine line indeed yes.")],
+        ["doc_id", "text"])
+    with pytest.raises(ValueError, match="not shared"):
+        textops.corpus_curation_v2(docs, line_filter={"passthrough": ("x",)})
+    with pytest.raises(ValueError, match="not shared"):
+        textops.corpus_curation_v2(docs, line_filter={"table": "documents"})
+    with pytest.raises(ValueError, match="not shared"):
+        textops.corpus_curation_v2_oracle(line_filter={"text_col": "text"})
+    # the shared keys pass through on both sides
+    ok = dict(min_words_per_line=2, min_lines=1,
+              require_terminal_punct=False, line_sep="\n")
+    assert textops.corpus_curation_v2(docs, line_filter=ok) is not None
+    assert "lf AS" in textops.corpus_curation_v2_oracle(line_filter=ok)
 
 
 def test_sequence_pack_planted(spark):

