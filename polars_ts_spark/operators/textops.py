@@ -139,12 +139,22 @@ def exact_dedup(
 # INDEPENDENT oracle (round-10 conversion): re-derives the result
 # from the SPEC — one survivor per distinct TEXT — without touching
 # the md5 device the Spark plan groups on. Agreement holds whenever
-# md5 is collision-free on the corpus, which
-# tests/test_fuzz_oracles.py asserts directly on every fuzz corpus
-# (count distinct md5(text) == count distinct text).
+# md5 is collision-free on the corpus; since round 11 (ADVICE r10)
+# the oracle VERIFIES that premise in-query on whatever corpus it
+# runs against — the chk CTE raises (DuckDB error()) on any
+# md5(text) collision instead of silently comparing under a broken
+# identification. chk.ok rides the GROUP BY (constant 1, output
+# schema unchanged) because an unreferenced CTE would be pruned.
 EXACT_DEDUP_ORACLE = """
+WITH chk AS (
+    SELECT CASE WHEN COUNT(DISTINCT md5(text)) = COUNT(DISTINCT text)
+                THEN 1
+                ELSE error('md5(text) collision: exact_dedup oracle '
+                           'premise violated on this corpus') END AS ok
+    FROM documents
+)
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
-FROM documents GROUP BY text
+FROM documents, chk GROUP BY text, chk.ok
 """
 
 
@@ -2056,9 +2066,11 @@ def dsir_importance_smallvocab_oracle(
     (round-10 conversion, VERDICT r9 #3): the corpus is collapsed to
     FIRST CHARACTERS per token (~380 distinct uni+bigrams on the
     shipped corpora — the gram set is identical at all three sfs), on
-    which the md5 bucket map at ``n_buckets=1048576`` is INJECTIVE
-    (asserted directly by
-    tests/test_datapipe.py::test_dsir_smallvocab_bucket_injective).
+    which the md5 bucket map at ``n_buckets=1048576`` is INJECTIVE —
+    and since round 11 the SQL itself verifies that premise on
+    whatever corpus it runs against (the chk CTE raises on any bucket
+    collision, ADVICE r10), in addition to
+    tests/test_datapipe.py::test_dsir_smallvocab_bucket_injective.
     Under injectivity the hashed multinomials coincide with the exact
     GRAM multinomials, so this oracle re-derives the weights by
     grouping on the raw grams — NO hash anywhere in the SQL (the
@@ -2098,11 +2110,21 @@ lam AS (
            ln((COALESCE(tgt.ct, 0) + {a}) / (tot.t + {a} * {nb}))
            - ln((raw.cr + {a}) / (tot.r + {a} * {nb})) AS lam
     FROM raw LEFT JOIN tgt ON tgt.gram = raw.gram, tot
+),
+chk AS (
+    SELECT CASE WHEN COUNT(DISTINCT
+                    ('0x' || substr(md5(gram), 1, 15))::BIGINT % {nb})
+                     = COUNT(DISTINCT gram)
+                THEN 1
+                ELSE error('md5 bucket collision at n_buckets={nb}: '
+                           'dsir smallvocab oracle premise violated '
+                           'on this corpus') END AS ok
+    FROM {feats('src')}
 )
 SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
        SUM(lam.lam) AS log_weight
-FROM {feats('src')} f JOIN lam ON lam.gram = f.gram
-GROUP BY f.doc_id
+FROM {feats('src')} f JOIN lam ON lam.gram = f.gram, chk
+GROUP BY f.doc_id, chk.ok
 """
 
 

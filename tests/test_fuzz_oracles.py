@@ -516,3 +516,26 @@ fp AS (
 SELECT COUNT(*) FROM fp a JOIN fp b
   ON a.fingerprint = b.fingerprint AND a.min_gram <> b.min_gram""").fetchone()[0]
     assert bad == 0
+
+
+def test_oracle_injectivity_premise_checked_in_query():
+    """ADVICE r10: the EXACT_DEDUP / dsir-smallvocab oracles must not
+    rely on out-of-band injectivity tests — the SQL itself asserts the
+    premise on whatever corpus it runs against. Violation side: the
+    smallvocab oracle at n_buckets=2 on a >2-gram corpus must raise
+    the premise error (md5 collisions cannot be fabricated, so the
+    bucket map is the practical violation lever); happy side: both
+    oracles run green on a corpus satisfying their premises."""
+    con = duckdb.connect()
+    con.execute("""CREATE TABLE documents AS SELECT * FROM (VALUES
+        (1::BIGINT, 'aa bb cc dd'), (2::BIGINT, 'aa bb cc dd'),
+        (3::BIGINT, 'ee ff gg hh'), (4::BIGINT, 'ii jj')
+    ) t(doc_id, text)""")
+    rows = con.execute(textops.EXACT_DEDUP_ORACLE).fetchall()
+    assert sorted(rows) == [(1, 2), (3, 1), (4, 1)]
+    ok = con.execute(textops.dsir_importance_smallvocab_oracle(
+        n_buckets=1_048_576, target_pred="doc_id % 2 = 0")).fetchall()
+    assert len(ok) == 4
+    with pytest.raises(Exception, match="premise violated"):
+        con.execute(textops.dsir_importance_smallvocab_oracle(
+            n_buckets=2, target_pred="doc_id % 2 = 0")).fetchall()
