@@ -1848,12 +1848,40 @@ FROM {table_sql}
 """
 
 
+def _ngram_lm_model(
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The add-alpha bigram LM's count tables: (unigram counts, bigram
+    counts, 1-row vocab size). ``materialize=True`` cuts lineage with
+    an eager localCheckpoint — the tables are gram-bounded (<< corpus
+    at any scale), so checkpointing them once lets several scoring
+    passes share ONE training job instead of re-aggregating the
+    reference per pass."""
+    uni = (
+        ref.select(F.explode(F.split(F.col(text_col), " ")).alias("__w"))
+        .groupBy("__w").agg(F.count("*").alias("__c1"))
+    )
+    bi = (
+        _gram_frame(ref, 2, text_col, id_col)
+        .groupBy("gram").agg(F.count("*").alias("__c2"))
+    )
+    if materialize:
+        uni = uni.localCheckpoint(eager=True)
+        bi = bi.localCheckpoint(eager=True)
+    vsize = uni.agg(F.count("*").cast("double").alias("__v"))
+    return uni, bi, vsize
+
+
 def ngram_lm_score(
     df: DataFrame,
     reference: DataFrame | None = None,
     alpha: float = 0.1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """CCNet-style n-gram language-model quality scoring (Wenzek et
     al. 2020 — the published pipeline scores every document's
@@ -1878,17 +1906,17 @@ def ngram_lm_score(
     falls back to a shuffled equi-join on the gram key, which stays
     linear (the decontaminator's corpus-side shape); for a bounded
     memory model at any scale, use ``dsir_importance``-style hashed
-    buckets as the LM feature space instead."""
-    ref = reference if reference is not None else df
-    uni = (
-        ref.select(F.explode(F.split(F.col(text_col), " ")).alias("__w"))
-        .groupBy("__w").agg(F.count("*").alias("__c1"))
-    )
-    vsize = uni.agg(F.count("*").cast("double").alias("__v"))
-    bi = (
-        _gram_frame(ref, 2, text_col, id_col)
-        .groupBy("gram").agg(F.count("*").alias("__c2"))
-    )
+    buckets as the LM feature space instead.
+
+    ``_model``: a prebuilt ``_ngram_lm_model`` tuple — pass it when
+    scoring several frames under ONE model (e.g. the sampled-cutoff
+    bucketing scores both the corpus and its cutoff sample) so the
+    training aggregates are not recomputed per call."""
+    if _model is not None:
+        uni, bi, vsize = _model
+    else:
+        uni, bi, vsize = _ngram_lm_model(
+            reference if reference is not None else df, text_col, id_col)
     g = _gram_frame(df, 2, text_col, id_col).withColumn(
         "__w1", F.split(F.col("gram"), " ").getItem(0))
     logp = F.log(
@@ -2276,6 +2304,7 @@ def perplexity_buckets_from_cutoffs(
     sample_mod: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize_model: bool = True,
 ) -> DataFrame:
     """The 100 TB variant of ``perplexity_buckets`` (round-9 directive
     #4 — the plan the exact op's docstring promises): train the
@@ -2303,14 +2332,34 @@ def perplexity_buckets_from_cutoffs(
     replaces that with (a) the same rank window over ONLY the sample
     and (b) an n_buckets-1-row-per-language broadcast join — the
     assignment never shuffles the corpus."""
-    scored = ngram_lm_score(df, reference, alpha, text_col, id_col)
+    # train the LM ONCE and materialize its gram-bounded count tables
+    # (eager localCheckpoint): both scoring passes below — the full
+    # corpus for assignment and the 1/sample_mod sample for cutoffs —
+    # share the single training job. Without this the two branches
+    # each re-aggregated the reference, and the round-11 skew probe
+    # measured that duplicate train costing more than the exact
+    # NTILE sort this op exists to avoid at bench scale.
+    model = _ngram_lm_model(
+        reference if reference is not None else df, text_col, id_col,
+        materialize=materialize_model)
+    scored = ngram_lm_score(df, None, alpha, text_col, id_col, _model=model)
     lang = language_id(df, text_col, id_col).select(id_col, "lang_pred")
     s = scored.join(lang, id_col).withColumn("__p6", F.round("perplexity", 6))
     draw = F.pmod(
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
                16, 10).cast("bigint"),
         F.lit(int(sample_mod)))
-    samp = s.filter(draw == 0)
+    # cutoff branch: score ONLY the sample, explicitly — per-doc
+    # scoring and language-ID run over 1/sample_mod of the docs under
+    # the SAME materialized model, without relying on Catalyst to push
+    # the draw filter through the scoring aggregates.
+    df_samp = df.filter(draw == 0)
+    samp = (
+        ngram_lm_score(df_samp, None, alpha, text_col, id_col, _model=model)
+        .join(language_id(df_samp, text_col, id_col)
+              .select(id_col, "lang_pred"), id_col)
+        .withColumn("__p6", F.round("perplexity", 6))
+    )
     wr = Window.partitionBy("lang_pred").orderBy("__p6", id_col)
     wc = Window.partitionBy("lang_pred")
     nb = int(n_buckets)
@@ -2325,15 +2374,22 @@ def perplexity_buckets_from_cutoffs(
                 == F.ceil(F.col("__n") * F.col("__i") / F.lit(nb)))
         .select("lang_pred", "__i", F.col("__p6").alias("__cut"))
     )
+    # one row per language carrying ALL its cutoffs as a bounded
+    # (nb-1 entry) array: assignment becomes a 1:1 broadcast join +
+    # pure projection. The previous shape joined one row PER CUT and
+    # re-aggregated the whole corpus by doc to count exceeded cuts —
+    # a corpus-wide shuffle the round-11 skew probe caught costing
+    # more than the exact NTILE it replaces at bench scale.
+    cuts_by_lang = cuts.groupBy("lang_pred").agg(
+        F.collect_list("__cut").alias("__cuts"))
+    above = F.size(F.filter(
+        F.col("__cuts"), lambda c: F.col("__p6") > c))
     return (
-        s.join(F.broadcast(cuts), "lang_pred", "left")
-        .groupBy(id_col, "lang_pred", "perplexity", "__p6")
-        .agg(F.sum(F.when(F.col("__p6") > F.col("__cut"), 1)
-                   .otherwise(0)).alias("__above"))
+        s.join(F.broadcast(cuts_by_lang), "lang_pred", "left")
         .select(
             F.col(id_col), F.col("lang_pred"), F.col("perplexity"),
-            (F.lit(1) + F.coalesce(F.col("__above"), F.lit(0)))
-            .cast("int").alias("bucket"),
+            F.when(F.col("__cuts").isNull(), F.lit(1))
+            .otherwise(F.lit(1) + above).cast("int").alias("bucket"),
         )
     )
 
