@@ -34,7 +34,6 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from polars_ts_spark.operators.textops import MERSENNE_P, spark_hash32
 
 # ---------------------------------------------------------------------------
 # shared expressions

@@ -36,21 +36,14 @@ from pyspark.sql import functions as F
 # cross-engine deterministic hashing
 
 # 2^61 - 1 (Mersenne prime) — modulus for the MinHash permutations
-MERSENNE_P = 2305843009213693951
-
-# fixed affine-permutation coefficients (a_i, b_i), a_i odd, < 2^30 so
-# a*h32 < 2^62 never overflows int64 in either engine. Derived from the
-# Knuth multiplicative-hash constant — pure arithmetic, no RNG.
-_KNUTH = 2654435761
 
 
-def _perm_coeffs(num_hashes: int) -> list[tuple[int, int]]:
-    coeffs = []
-    for i in range(num_hashes):
-        a = (((i + 1) * _KNUTH) % (1 << 30)) | 1
-        b = (((i + 1) * (i + 2) * _KNUTH) % (1 << 30))
-        coeffs.append((a, b))
-    return coeffs
+def f_mh(i: int) -> str:
+    """DuckDB SQL for minhash coordinate i's hash input: a distinct
+    md5 stream per coordinate ('mh{i}:' || shingle) — see
+    minhash_signatures for why independent streams replaced the
+    affine family."""
+    return f"'mh{i}:' || shingle"
 
 
 def spark_hash60(col_sql: str) -> str:
@@ -242,14 +235,24 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-doc MinHash signature columns mh_0..mh_{K-1}:
-    mh_i = min over shingles of (a_i * h32(shingle) + b_i) mod (2^61-1).
-    """
+    mh_i = min over shingles of h60('mh{i}:' || shingle) — one
+    INDEPENDENT 60-bit md5-prefix hash per coordinate.
+
+    Round-11 device change (caught by the small-universe exact-Jaccard
+    cross-check, tests/test_fuzz_oracles.py): the previous affine
+    family (a_i * h32 + b_i) mod (2^61-1) drew a_i, b_i < 2^30, so
+    a_i * h32 + b_i < 2^62 wrapped the modulus AT MOST ONCE — the map
+    stayed piecewise order-preserving in h32, every coordinate picked
+    one of ~2 argmin candidates, and the 16 'independent' estimator
+    coordinates were almost perfectly correlated (measured: exact
+    J=0.09 pairs estimated at 0.81, J=0.71 pairs at 0.13). Distinct
+    md5 streams per coordinate restore min-wise independence; the
+    estimator concentrates at the sqrt(J(1-J)/K) rate it advertises."""
     sh = word_shingles(df, shingle_n, text_col, id_col)
-    h = F.expr(spark_hash32("shingle"))
-    sh = sh.select(id_col, h.alias("h32"))
     aggs = [
-        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_perm_coeffs(num_hashes))
+        F.min(F.expr(spark_hash60(f"concat('mh{i}:', shingle)")))
+        .alias(f"mh_{i}")
+        for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -366,11 +369,8 @@ def minhash_lsh_oracle(
     max_bucket: int = 4096, table: str = "documents",
 ) -> str:
     r = num_hashes // bands
-    coeffs = _perm_coeffs(num_hashes)
-    h32 = duck_hash32("shingle")
     mh_exprs = ",\n           ".join(
-        f"MIN(({a} * {h32} + {b}) % {MERSENNE_P}) AS mh_{i}"
-        for i, (a, b) in enumerate(coeffs)
+        f"MIN({duck_hash60(f_mh(i))}) AS mh_{i}" for i in range(num_hashes)
     )
     band_exprs = ",\n           ".join(
         "md5(concat_ws('_', "
@@ -1743,11 +1743,8 @@ def lsh_dedup_keep_first_oracle(
     layer passes tie-heavy expressions (many docs sharing one ds) to
     exercise the id tie-break in the keep-first window."""
     r = num_hashes // bands
-    coeffs = _perm_coeffs(num_hashes)
-    h32 = duck_hash32("shingle")
     mh_exprs = ",\n           ".join(
-        f"MIN(({a} * {h32} + {b}) % {MERSENNE_P}) AS mh_{i}"
-        for i, (a, b) in enumerate(coeffs)
+        f"MIN({duck_hash60(f_mh(i))}) AS mh_{i}" for i in range(num_hashes)
     )
     band_exprs = ",\n           ".join(
         "md5(concat_ws('_', "

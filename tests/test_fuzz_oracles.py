@@ -539,3 +539,141 @@ def test_oracle_injectivity_premise_checked_in_query():
     with pytest.raises(Exception, match="premise violated"):
         con.execute(textops.dsir_importance_smallvocab_oracle(
             n_buckets=2, target_pred="doc_id % 2 = 0")).fetchall()
+
+
+def test_minhash_small_universe_exact_jaccard_crosscheck(spark):
+    """INDEPENDENT statistical validation of the MinHash estimator
+    (VERDICT r10 #7): on a small-universe fixture with graded overlaps
+    (sliding slices of a distinct-token sequence), compare the op's
+    minhash_jaccard against exact Jaccard over word-3-gram shingle
+    sets computed in pure Python — no md5, no Spark, no DuckDB.
+    Deterministic (the md5 coordinate streams are fixed), so the
+    bounds are pins, set at the theoretical concentration rate
+    sqrt(J(1-J)/16) <= 0.125 the estimator advertises. This fixture
+    is what caught the round-10 affine family's correlated
+    coordinates (J=0.09 estimated at 0.81)."""
+    import itertools
+
+    master = [f"v{i}" for i in range(40)]
+    docs = [(i, " ".join(master[i * 2:i * 2 + 14])) for i in range(12)]
+    docs += [(100, docs[0][1]), (101, docs[5][1])]          # exact dups
+    docs += [(200 + i, " ".join(f"w{(i + j) % 6}" for j in range(12)))
+             for i in range(4)]                              # disjoint vocab
+
+    def sh(t, n=3):
+        toks = t.split(" ")
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    exact = {}
+    for (i, a), (j, b) in itertools.combinations(docs, 2):
+        sa, sb = sh(a), sh(b)
+        if sa and sb:
+            exact[(min(i, j), max(i, j))] = len(sa & sb) / len(sa | sb)
+
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r["doc_id_1"], r["doc_id_2"]): r["minhash_jaccard"]
+           for r in textops.minhash_lsh_pairs(
+               sdf, num_hashes=16, bands=4, threshold=0.0).collect()}
+    # exactness at the extremes
+    assert got[(0, 100)] == 1.0 and got[(5, 101)] == 1.0
+    assert not [p for p in got if exact.get(p, 0.0) == 0.0]
+    # every J >= 0.8 pair is a candidate (banding S-curve ~0.99 there;
+    # pinned 8/8 on this fixture)
+    hi = [p for p, j in exact.items() if j >= 0.8]
+    assert hi and all(p in got for p in hi)
+    # estimator concentration: MAE within the advertised rate, worst
+    # emitted error within ~2 sigma (pinned: 0.086 / 0.25)
+    errs = [abs(got[p] - exact[p]) for p in got if p in exact]
+    assert sum(errs) / len(errs) <= 0.125, sum(errs) / len(errs)
+    assert max(errs) <= 0.30, max(errs)
+
+
+def test_simhash_planted_hamming_pure_python_crosscheck(spark):
+    """INDEPENDENT validation of simhash_pairs (VERDICT r10 #7): a
+    pure-Python reimplementation of the documented spec (60-bit
+    md5-prefix token hash, frequency-weighted bit votes) plus a
+    brute-force all-pairs hamming scan — assert the Spark fingerprints
+    match bit-for-bit AND the banded pigeonhole join returns EXACTLY
+    the brute-force pair set at max_hamming=3. Fixture plants k-token
+    substitutions (k = 0, 1, 2, 4) so the hamming gradient is real."""
+    import hashlib
+    import itertools
+    from collections import Counter
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def simhash_py(text):
+        cnt = Counter(text.split(" "))
+        fp = 0
+        for k in range(60):
+            v = sum(c if (h60(t) >> k) & 1 else -c for t, c in cnt.items())
+            if v > 0:
+                fp |= 1 << k
+        return fp
+
+    base = [f"t{i % 23}" for i in range(64)]
+    docs = [(0, " ".join(base))]
+    for di, k in enumerate((0, 1, 2, 4), start=1):
+        v = list(base)
+        for s in range(k):
+            v[7 * s + 3] = f"z{di}_{s}"
+        docs.append((di, " ".join(v)))
+    docs.append((99, " ".join(f"u{i}" for i in range(40))))  # far doc
+
+    fps_py = {i: simhash_py(t) for i, t in docs}
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    fps_spark = {r["doc_id"]: r["simhash"]
+                 for r in textops.simhash_fingerprint(sdf).collect()}
+    assert fps_spark == fps_py  # bit-for-bit, third implementation
+    # doc 1 is a k=0 substitution: identical text, hamming 0
+    assert bin(fps_py[0] ^ fps_py[1]).count("1") == 0
+    want = {}
+    for (i, _), (j, _) in itertools.combinations(docs, 2):
+        h = bin(fps_py[i] ^ fps_py[j]).count("1")
+        if h <= 3:
+            want[(min(i, j), max(i, j))] = h
+    got = {(r["doc_id_1"], r["doc_id_2"]): r["hamming"]
+           for r in textops.simhash_pairs(sdf, max_hamming=3).collect()}
+    assert got == want  # banding is EXACT, not just a candidate set
+    assert (0, 1) in want  # the planted k=0 pair survives end-to-end
+
+
+def test_dedup_clusters_matches_python_union_find(spark):
+    """INDEPENDENT validation of the components engines (VERDICT r10
+    #7): pure-Python union-find over the same random edge lists must
+    produce the identical min-label clustering as BOTH distributed
+    engines (star contraction and label propagation) — three
+    implementations, one spec."""
+    import random
+
+    def uf_labels(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {i: find(i) for i in range(n)}
+
+    rng = random.Random(47)
+    for trial in range(3):
+        n = 50
+        edges = sorted({(rng.randrange(n), rng.randrange(n))
+                        for _ in range(rng.randrange(15, 60))})
+        edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+        want = uf_labels(n, edges)
+        docs = spark.createDataFrame(
+            [(i, f"d {i}") for i in range(n)], ["doc_id", "text"])
+        pairs = spark.createDataFrame(edges, ["doc_id_1", "doc_id_2"])
+        for algo in ("star", "label_prop"):
+            got = {r["doc_id"]: r["cluster_id"]
+                   for r in textops.dedup_clusters(
+                       docs, pairs=pairs, algorithm=algo).collect()}
+            assert got == want, (trial, algo, edges)
