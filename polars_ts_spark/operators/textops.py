@@ -38,12 +38,23 @@ from pyspark.sql import functions as F
 # 2^61 - 1 (Mersenne prime) — modulus for the MinHash permutations
 
 
-def f_mh(i: int) -> str:
-    """DuckDB SQL for minhash coordinate i's hash input: a distinct
-    md5 stream per coordinate ('mh{i}:' || shingle) — see
+def _mh_coord_spark(i: int) -> str:
+    """Spark SQL for minhash coordinate i: 32-bit slice i%4 of
+    md5('mh{i//4}:' || shingle). One md5 call feeds FOUR independent
+    coordinates (md5 bits are independent), so a 16-hash signature
+    costs 4 md5 evaluations per shingle instead of 16 — see
     minhash_signatures for why independent streams replaced the
     affine family."""
-    return f"'mh{i}:' || shingle"
+    g, j = divmod(i, 4)
+    return (f"cast(conv(substr(md5(concat('mh{g}:', shingle)), "
+            f"{1 + 8 * j}, 8), 16, 10) as bigint)")
+
+
+def _mh_coord_duck(i: int) -> str:
+    """Same value, DuckDB flavor."""
+    g, j = divmod(i, 4)
+    return (f"CAST(('0x' || substr(md5('mh{g}:' || shingle), "
+            f"{1 + 8 * j}, 8)) AS BIGINT)")
 
 
 def spark_hash60(col_sql: str) -> str:
@@ -235,8 +246,9 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-doc MinHash signature columns mh_0..mh_{K-1}:
-    mh_i = min over shingles of h60('mh{i}:' || shingle) — one
-    INDEPENDENT 60-bit md5-prefix hash per coordinate.
+    mh_i = min over shingles of the i%4-th 32-bit slice of
+    md5('mh{i//4}:' || shingle) — INDEPENDENT coordinates at 4
+    coordinates per md5 evaluation.
 
     Round-11 device change (caught by the small-universe exact-Jaccard
     cross-check, tests/test_fuzz_oracles.py): the previous affine
@@ -246,12 +258,13 @@ def minhash_signatures(
     one of ~2 argmin candidates, and the 16 'independent' estimator
     coordinates were almost perfectly correlated (measured: exact
     J=0.09 pairs estimated at 0.81, J=0.71 pairs at 0.13). Distinct
-    md5 streams per coordinate restore min-wise independence; the
-    estimator concentrates at the sqrt(J(1-J)/K) rate it advertises."""
+    md5 bit ranges per coordinate restore min-wise independence (md5
+    bits are independent; slicing one digest into four 32-bit
+    coordinates is the standard cost amortization) and the estimator
+    concentrates at the sqrt(J(1-J)/K) rate it advertises."""
     sh = word_shingles(df, shingle_n, text_col, id_col)
     aggs = [
-        F.min(F.expr(spark_hash60(f"concat('mh{i}:', shingle)")))
-        .alias(f"mh_{i}")
+        F.min(F.expr(_mh_coord_spark(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -370,7 +383,7 @@ def minhash_lsh_oracle(
 ) -> str:
     r = num_hashes // bands
     mh_exprs = ",\n           ".join(
-        f"MIN({duck_hash60(f_mh(i))}) AS mh_{i}" for i in range(num_hashes)
+        f"MIN({_mh_coord_duck(i)}) AS mh_{i}" for i in range(num_hashes)
     )
     band_exprs = ",\n           ".join(
         "md5(concat_ws('_', "
@@ -1744,7 +1757,7 @@ def lsh_dedup_keep_first_oracle(
     exercise the id tie-break in the keep-first window."""
     r = num_hashes // bands
     mh_exprs = ",\n           ".join(
-        f"MIN({duck_hash60(f_mh(i))}) AS mh_{i}" for i in range(num_hashes)
+        f"MIN({_mh_coord_duck(i)}) AS mh_{i}" for i in range(num_hashes)
     )
     band_exprs = ",\n           ".join(
         "md5(concat_ws('_', "
