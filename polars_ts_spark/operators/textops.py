@@ -561,14 +561,15 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 
 def _cc_label_prop(df, edges, id_col, max_iter, rounds_out=None):
     """Min-label propagation: one join + groupBy per round over the
-    linear-size edge list, O(component diameter) rounds. The round-11
-    fallback path — correct and simple, but a diameter-d chain costs d
-    full-cluster barriers (each round ends in a driver-blocking count
-    + eager localCheckpoint), which is why ``star`` is the default."""
+    linear-size edge list, O(component diameter) rounds — the cheapest
+    plan per round, but a diameter-d chain costs d rounds. Returns
+    (labels, converged): the ``auto`` engine reads ``converged`` to
+    decide whether to escalate to star contraction."""
     labels = df.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
     )
     rounds = 0
+    changed = 0
     for _ in range(max_iter):
         rounds += 1
         neigh_min = (
@@ -597,7 +598,7 @@ def _cc_label_prop(df, edges, id_col, max_iter, rounds_out=None):
             break
     if rounds_out is not None:
         rounds_out.append(rounds)
-    return labels
+    return labels, changed == 0
 
 
 def _cc_star(df, edges, id_col, max_iter, rounds_out=None):
@@ -671,7 +672,8 @@ def dedup_clusters(
     id1_col: str = "doc_id_1",
     id2_col: str = "doc_id_2",
     max_iter: int = 50,
-    algorithm: str = "star",
+    algorithm: str = "auto",
+    lp_budget: int = 8,
     rounds_out: list | None = None,
     **lsh_kw,
 ) -> DataFrame:
@@ -682,47 +684,96 @@ def dedup_clusters(
     dedup pipeline actually needs, not just the pair list.
     Output [doc_id, cluster_id, is_canonical].
 
-    Spark-first components, two interchangeable engines (identical
-    output, VERDICT r10 #5):
+    Spark-first components, three engines with identical output
+    (VERDICT r10 #5):
 
-    - ``algorithm="star"`` (default): alternating large-star/
-      small-star contraction — O(log^2 n) rounds, each two
-      groupBy+join passes over the linear-size edge list. The 100 TB
-      shape: round count is independent of component diameter, so a
-      pathological near-dup chain cannot blow the iteration budget.
-    - ``algorithm="label_prop"``: min-label propagation,
-      O(component diameter) rounds — the simpler plan when duplicate
-      clusters are known shallow.
+    - ``algorithm="auto"`` (default): min-label propagation for up to
+      ``lp_budget`` rounds — the cheapest plan per round, and real
+      near-dup clusters are shallow, so this fast path almost always
+      converges in 2-3 rounds — then, ONLY if unconverged, escalate
+      to star contraction on the label-CONTRACTED graph (edges mapped
+      through the partial labels, loops dropped): every label_prop
+      round shrinks each component's radius by 1, so the contracted
+      graph is already small, and star's O(log^2 n) rounds are
+      diameter-independent. Shallow corpora pay label_prop's price;
+      adversarial chains CANNOT silently exhaust the budget (the old
+      max_iter cliff) because the escalation finishes them exactly.
+    - ``algorithm="star"``: alternating large-star/small-star
+      contraction (Kiveris et al. 2014) from the start.
+    - ``algorithm="label_prop"``: propagation only, O(diameter)
+      rounds; raises if the budget is exhausted before convergence
+      rather than returning silently wrong labels.
 
     No driver union-find, no all-pairs blowup; lineage is cut per
     round with localCheckpoint so the plan does not nest.
     ``rounds_out``: pass a list to receive the number of rounds the
-    engine actually ran (appended once)."""
+    engine(s) actually ran (appended once, total)."""
     if pairs is None:
         pairs = minhash_lsh_pairs(df, id_col=id_col, **lsh_kw)
     e = pairs.select(F.col(id1_col).alias("src"), F.col(id2_col).alias("dst"))
-    if algorithm == "star":
+
+    def _norm_ckpt(edges_df):
         # normalize: src > dst, deduped, self-loops dropped; checkpoint
-        # ONCE so the upstream LSH pipeline is not re-run per round
-        norm = (
-            e.select(F.greatest("src", "dst").alias("src"),
-                     F.least("src", "dst").alias("dst"))
+        # ONCE so upstream lineage is not re-run per round
+        return (
+            edges_df.select(F.greatest("src", "dst").alias("src"),
+                            F.least("src", "dst").alias("dst"))
             .where(F.col("src") != F.col("dst"))
             .distinct()
             .localCheckpoint(eager=True)
         )
-        labels = _cc_star(df, norm, id_col, max_iter, rounds_out)
-    elif algorithm == "label_prop":
+
+    def _sym_ckpt(edges_df):
         # materialize the (linear-size) symmetric edge list ONCE: it is
         # re-joined every propagation round, and leaving it lazy re-ran
         # the whole upstream LSH pipeline per round
-        edges = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        return edges_df.unionByName(
+            edges_df.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst"))
         ).localCheckpoint(eager=True)
-        labels = _cc_label_prop(df, edges, id_col, max_iter, rounds_out)
+
+    if algorithm == "star":
+        labels = _cc_star(df, _norm_ckpt(e), id_col, max_iter, rounds_out)
+    elif algorithm == "label_prop":
+        labels, converged = _cc_label_prop(
+            df, _sym_ckpt(e), id_col, max_iter, rounds_out)
+        if not converged:
+            raise RuntimeError(
+                f"label propagation did not converge in {max_iter} rounds "
+                f"(a component's diameter exceeds the budget); use "
+                f"algorithm='auto' or 'star'")
+    elif algorithm == "auto":
+        r1: list[int] = []
+        labels, converged = _cc_label_prop(
+            df, _sym_ckpt(e), id_col, min(int(lp_budget), max_iter), r1)
+        if not converged:
+            # contract edges through the partial labels: components of
+            # the contracted graph == components of the original, and
+            # min label-value == min node id (every node's label is a
+            # component member's id; the component-min node keeps its
+            # own). Star finishes the small contracted graph.
+            lab = labels
+            contracted = (
+                e.join(lab.withColumnsRenamed(
+                    {"node": "src", "cluster_id": "__l1"}), "src")
+                .join(lab.withColumnsRenamed(
+                    {"node": "dst", "cluster_id": "__l2"}), "dst")
+                .select(F.col("__l1").alias("src"), F.col("__l2").alias("dst"))
+            )
+            universe = lab.select(F.col("cluster_id").alias(id_col)).distinct()
+            r2: list[int] = []
+            star = _cc_star(universe, _norm_ckpt(contracted), id_col,
+                            max_iter, r2).withColumnsRenamed(
+                {"node": "__l1", "cluster_id": "__root"})
+            labels = lab.join(star, lab["cluster_id"] == star["__l1"]).select(
+                "node", F.col("__root").alias("cluster_id"))
+            r1 = [r1[0] + r2[0]]
+        if rounds_out is not None:
+            rounds_out.append(r1[0])
     else:
         raise ValueError(
-            f"algorithm must be 'star' or 'label_prop', got {algorithm!r}")
+            f"algorithm must be 'auto', 'star' or 'label_prop', "
+            f"got {algorithm!r}")
     return labels.select(
         F.col("node").alias(id_col),
         "cluster_id",

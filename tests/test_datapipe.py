@@ -103,6 +103,8 @@ def test_dedup_clusters_star_long_chain_rounds(spark):
     MISLABEL under the default 50-round budget); the star-contraction
     default halves the radius per round and must finish well inside a
     dozen rounds with every node labeled 0."""
+    import pytest
+
     n = 65
     docs = spark.createDataFrame(
         [(i, f"text {i}") for i in range(n)], ["doc_id", "text"])
@@ -111,11 +113,21 @@ def test_dedup_clusters_star_long_chain_rounds(spark):
     rounds: list[int] = []
     out = {r["doc_id"]: r["cluster_id"]
            for r in textops.dedup_clusters(
-               docs, pairs=pairs, rounds_out=rounds).collect()}
+               docs, pairs=pairs, algorithm="star",
+               rounds_out=rounds).collect()}
     assert all(out[i] == 0 for i in range(n))
     assert rounds[0] <= 12, rounds
-    # label_prop on the same chain needs >= diameter rounds when the
-    # budget allows it (the shape star contraction exists to avoid)
+    # the AUTO default: label_prop burns its small budget, the star
+    # escalation on the contracted chain finishes exactly — total
+    # rounds far below the diameter, labels identical
+    rounds_auto: list[int] = []
+    out_auto = {r["doc_id"]: r["cluster_id"]
+                for r in textops.dedup_clusters(
+                    docs, pairs=pairs, rounds_out=rounds_auto).collect()}
+    assert out_auto == out
+    assert rounds_auto[0] <= 20, rounds_auto
+    # pure label_prop needs >= diameter rounds when the budget allows
+    # it, and must FAIL LOUDLY (not silently mislabel) when it doesn't
     rounds_lp: list[int] = []
     out_lp = {r["doc_id"]: r["cluster_id"]
               for r in textops.dedup_clusters(
@@ -123,6 +135,9 @@ def test_dedup_clusters_star_long_chain_rounds(spark):
                   rounds_out=rounds_lp).collect()}
     assert out_lp == out
     assert rounds_lp[0] > rounds[0]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        textops.dedup_clusters(
+            docs, pairs=pairs, algorithm="label_prop", max_iter=10).collect()
 
 
 def test_dedup_clusters_star_matches_label_prop_fuzz(spark):
@@ -143,10 +158,11 @@ def test_dedup_clusters_star_matches_label_prop_fuzz(spark):
         star = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
                 for r in textops.dedup_clusters(
                     docs, pairs=pairs, algorithm="star").collect()}
-        lp = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
-              for r in textops.dedup_clusters(
-                  docs, pairs=pairs, algorithm="label_prop").collect()}
-        assert star == lp, (trial, edges)
+        for algo in ("auto", "label_prop"):
+            got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+                   for r in textops.dedup_clusters(
+                       docs, pairs=pairs, algorithm=algo).collect()}
+            assert got == star, (trial, algo, edges)
 
 
 def test_text_stats(docs):
@@ -600,6 +616,31 @@ def test_dup_ngram_stats_matches_python_reference(spark):
         got = {r["doc_id"]: (r["n_grams"], r["dup_grams"])
                for r in textops.dup_ngram_stats(docs, n=n).collect()}
         assert got == expect, seed
+
+
+def test_round11_surfaces_degenerate_inputs(spark):
+    """Degenerate-input contracts for the round-11 surfaces: empty
+    corpus, single doc, and self-loop/duplicate pair edges must not
+    crash and must keep the documented semantics."""
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert textops.sequence_pack_windows(empty, window=8).count() == 0
+    assert textops.perplexity_buckets_from_cutoffs(empty).count() == 0
+    assert textops.dedup_clusters(empty, algorithm="star").count() == 0
+    one = spark.createDataFrame(
+        [(7, "a b c d e f g h i j")], ["doc_id", "text"])
+    w = textops.sequence_pack_windows(one, window=4, n_shards=2).collect()
+    assert sum(r["n_tokens_filled"] for r in w) == 10
+    assert [r["cluster_id"] for r in
+            textops.dedup_clusters(one, algorithm="star").collect()] == [7]
+    # self-loops and duplicate/reversed edges collapse harmlessly
+    docs = spark.createDataFrame(
+        [(i, f"d {i}") for i in range(4)], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (1, 2), (3, 3)], ["doc_id_1", "doc_id_2"])
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in textops.dedup_clusters(
+               docs, pairs=pairs, algorithm="star").collect()}
+    assert out == {0: 0, 1: 1, 2: 1, 3: 3}
 
 
 def test_shingle_pipelines_survive_short_docs(spark):

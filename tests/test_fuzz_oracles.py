@@ -672,7 +672,7 @@ def test_dedup_clusters_matches_python_union_find(spark):
         docs = spark.createDataFrame(
             [(i, f"d {i}") for i in range(n)], ["doc_id", "text"])
         pairs = spark.createDataFrame(edges, ["doc_id_1", "doc_id_2"])
-        for algo in ("star", "label_prop"):
+        for algo in ("auto", "star", "label_prop"):
             got = {r["doc_id"]: r["cluster_id"]
                    for r in textops.dedup_clusters(
                        docs, pairs=pairs, algorithm=algo).collect()}
