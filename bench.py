@@ -105,6 +105,8 @@ HEADLINE = [
     "corpus_curation_v3",
     "sequence_pack_manifest",
     "sequence_pack_bins_manifest",
+    # round-11: the structured array<struct> writer surface
+    "sequence_pack_windows",
 ]
 
 
