@@ -677,3 +677,56 @@ def test_dedup_clusters_matches_python_union_find(spark):
                    for r in textops.dedup_clusters(
                        docs, pairs=pairs, algorithm=algo).collect()}
             assert got == want, (trial, algo, edges)
+
+
+def test_lsh_keep_first_pure_python_crosscheck(spark):
+    """INDEPENDENT cross-implementation of lsh_dedup_keep_first: band
+    keys recomputed in pure Python from the documented spec (md5-slice
+    minhash coordinates, md5 band keys) and the keep-first decision
+    re-derived with plain dict logic — kept iff earliest (ds, id)
+    presenter of EVERY band key; keyless (short) docs always kept.
+    Fixture: exact dups arriving later, graded near-dups, ds ties
+    exercising the id tie-break, and a 1-token keyless doc."""
+    import hashlib
+    import itertools
+
+    def keys_py(text, num_hashes=16, bands=4, n=3):
+        toks = text.split(" ")
+        sh = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        if not sh:
+            return []
+        mh = []
+        for i in range(num_hashes):
+            g, j = divmod(i, 4)
+            mh.append(min(
+                int(hashlib.md5(f"mh{g}:{s}".encode())
+                    .hexdigest()[8 * j:8 * j + 8], 16) for s in sh))
+        r = num_hashes // bands
+        return [(b, hashlib.md5("_".join(
+            str(mh[k]) for k in range(b * r, (b + 1) * r)).encode())
+            .hexdigest()) for b in range(bands)]
+
+    master = [f"v{i}" for i in range(30)]
+    rows = []
+    for i in range(8):
+        rows.append((i, " ".join(master[i * 2:i * 2 + 12]), 100 + i))
+    rows.append((50, rows[0][1], 200))    # exact dup, later -> dropped
+    rows.append((51, rows[3][1], 90))     # exact dup, EARLIER -> kept
+    rows.append((52, rows[5][1], 105))    # tie on ds with nothing; later
+    rows.append((53, "one", 100))         # keyless -> always kept
+    rows.append((54, rows[7][1], 107))    # ds TIE with doc 7 -> id break
+
+    first = {}
+    for i, t, ds in sorted(rows, key=lambda r: (r[2], r[0])):
+        for k in keys_py(t):
+            first.setdefault(k, (ds, i))
+    want = {i for i, t, ds in rows
+            if all(first[k] == (ds, i) for k in keys_py(t))}
+
+    sdf = spark.createDataFrame(rows, ["doc_id", "text", "t"]).selectExpr(
+        "doc_id", "text", "timestamp_seconds(t) AS ds")
+    got = {r["doc_id"]
+           for r in textops.lsh_dedup_keep_first(sdf).collect()}
+    assert got == want, (sorted(got), sorted(want))
+    assert 53 in got and 50 not in got and 51 in got
+    assert 7 in got and 54 not in got  # ds tie broken by id
