@@ -128,6 +128,10 @@ def _cpu_calibration() -> float:
     return round(_t.perf_counter() - t0, 3)
 
 
+class _SubsetRun(Exception):
+    """Control-flow marker: quality tail skipped on a subset run."""
+
+
 _BW_BUF = None
 
 
@@ -206,6 +210,15 @@ def main():
     names = [n for n in HEADLINE if n in qs] + [
         n for n in qs if n.startswith("bench_only_") and n not in HEADLINE
     ]
+    # round-12 (VERDICT r11 #1): the quiet-gate runner accumulates a
+    # per-query composite across attempts; re-attempts only need the
+    # queries still lacking a clean probe bracket, so a comma-separated
+    # SPARK_GRAFT_BENCH_ONLY restricts the run (subset runs also skip
+    # the quality tail — the composite keeps it from a full attempt)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        names = [n for n in names if n in keep]
     # warm the JVM + parquet footer cache with one tiny action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     # warm the Python-UDF worker pool: the first applyInPandas stage
@@ -408,6 +421,8 @@ def main():
     # fast-but-wrong is not done, so the bench reports both axes
     quality: dict[str, float] = {}
     try:
+        if only:
+            raise _SubsetRun  # subset run — quality rides the full attempt
         from polars_ts_spark.operators import embedsim, textops  # noqa: PLC0415
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -433,6 +448,8 @@ def main():
               for r in textops.minhash_lsh_pairs(docs_df, threshold=0.5).collect()}
         if exact_j:
             quality["minhash_pair_recall"] = round(len(exact_j & mh) / len(exact_j), 4)
+    except _SubsetRun:
+        quality["skipped"] = "subset run (SPARK_GRAFT_BENCH_ONLY)"
     except Exception as exc:  # pragma: no cover - quality tail must not kill bench
         quality["error"] = str(exc)[:200]
     # report BOTH the warm min-of-N headline and the first-run (cold)

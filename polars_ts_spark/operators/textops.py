@@ -38,16 +38,23 @@ from pyspark.sql import functions as F
 # 2^61 - 1 (Mersenne prime) — modulus for the MinHash permutations
 
 
-def _mh_coord_spark(i: int) -> str:
-    """Spark SQL for minhash coordinate i: 32-bit slice i%4 of
-    md5('mh{i//4}:' || shingle). One md5 call feeds FOUR independent
-    coordinates (md5 bits are independent), so a 16-hash signature
-    costs 4 md5 evaluations per shingle instead of 16 — see
-    minhash_signatures for why independent streams replaced the
-    affine family."""
-    g, j = divmod(i, 4)
-    return (f"cast(conv(substr(md5(concat('mh{g}:', shingle)), "
-            f"{1 + 8 * j}, 8), 16, 10) as bigint)")
+def _mh_digest_spark(g: int) -> str:
+    """Spark SQL for minhash digest group g: md5('mh{g}:' || shingle).
+    Pre-projected as its own column BEFORE the signature aggregate
+    (ADVICE r11: relying on Spark's common-subexpression elimination
+    inside 16 separate aggregate expressions would not GUARANTEE the
+    one-md5-per-four-coordinates amortization; a projection node
+    evaluates each digest exactly once per shingle row)."""
+    return f"md5(concat('mh{g}:', shingle))"
+
+
+def _mh_slice_spark(col: str, j: int) -> str:
+    """Spark SQL for 32-bit slice j of a pre-projected md5 digest
+    column — the minhash coordinate value. md5 bits are independent,
+    so slicing one digest into four 32-bit coordinates is the standard
+    cost amortization; see minhash_signatures for why independent
+    streams replaced the affine family."""
+    return f"cast(conv(substr({col}, {1 + 8 * j}, 8), 16, 10) as bigint)"
 
 
 def _mh_coord_duck(i: int) -> str:
@@ -261,13 +268,25 @@ def minhash_signatures(
     md5 bit ranges per coordinate restore min-wise independence (md5
     bits are independent; slicing one digest into four 32-bit
     coordinates is the standard cost amortization) and the estimator
-    concentrates at the sqrt(J(1-J)/K) rate it advertises."""
+    concentrates at the sqrt(J(1-J)/K) rate it advertises.
+
+    The digests are pre-projected as columns before the groupBy so
+    each md5 is GUARANTEED to be evaluated once per shingle row (4
+    evaluations per shingle for K=16) instead of depending on
+    subexpression elimination across the K aggregate expressions
+    (ADVICE r11). Values are bit-identical to the DuckDB oracle's
+    inline `_mh_coord_duck` expressions."""
     sh = word_shingles(df, shingle_n, text_col, id_col)
+    n_dig = (num_hashes + 3) // 4
+    dig = sh.select(
+        id_col,
+        *[F.expr(_mh_digest_spark(g)).alias(f"__mhd_{g}") for g in range(n_dig)],
+    )
     aggs = [
-        F.min(F.expr(_mh_coord_spark(i))).alias(f"mh_{i}")
+        F.min(F.expr(_mh_slice_spark(f"__mhd_{i // 4}", i % 4))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return dig.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -614,11 +633,18 @@ def _cc_star(df, edges, id_col, max_iter, rounds_out=None):
 
     ``edges`` must be normalized: src > dst, distinct, no self loops.
     Returns [node, cluster_id] for every node of ``df`` (isolated
-    nodes label themselves)."""
+    nodes label themselves). Raises if ``max_iter`` rounds exhaust
+    before the star fixpoint (ADVICE r11: an unconverged edge set can
+    hold multiple outgoing edges per node, so the final node->root
+    left join would fan out and emit conflicting cluster_ids —
+    mirroring label_prop's loud budget-exhaustion error instead of
+    silently mislabeling)."""
     rounds = 0
     n_edges = edges.count()
+    fixpoint = n_edges == 0
     for _ in range(max_iter):
         if n_edges == 0:
+            fixpoint = True
             break
         rounds += 1
         # large-star: for each u, attach every LARGER neighbor v to
@@ -650,8 +676,14 @@ def _cc_star(df, edges, id_col, max_iter, rounds_out=None):
         new_n = ss.count()
         if new_n == n_edges and ss.exceptAll(edges).limit(1).count() == 0:
             edges = ss
+            fixpoint = True
             break
         edges, n_edges = ss, new_n
+    if not fixpoint:
+        raise RuntimeError(
+            f"star contraction did not reach its fixpoint in {max_iter} "
+            f"rounds ({n_edges} edges still changing); raise max_iter — "
+            f"refusing to emit labels from a non-star edge set")
     if rounds_out is not None:
         rounds_out.append(rounds)
     # converged: edges form stars (node -> component min)
@@ -708,6 +740,13 @@ def dedup_clusters(
     round with localCheckpoint so the plan does not nest.
     ``rounds_out``: pass a list to receive the number of rounds the
     engine(s) actually ran (appended once, total)."""
+    # ADVICE r11: zero propagation rounds would report converged=True
+    # (changed initializes to 0) and silently return self-labels that
+    # ignore every edge — refuse degenerate budgets up front
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    if algorithm == "auto" and lp_budget < 1:
+        raise ValueError(f"lp_budget must be >= 1, got {lp_budget}")
     if pairs is None:
         pairs = minhash_lsh_pairs(df, id_col=id_col, **lsh_kw)
     e = pairs.select(F.col(id1_col).alias("src"), F.col(id2_col).alias("dst"))

@@ -140,6 +140,53 @@ def test_dedup_clusters_star_long_chain_rounds(spark):
             docs, pairs=pairs, algorithm="label_prop", max_iter=10).collect()
 
 
+def test_dedup_clusters_degenerate_budget_rejected(spark):
+    """ADVICE r11: lp_budget<=0 (or max_iter<=0) would run ZERO
+    propagation rounds yet report converged=True, so `auto` would skip
+    the star escalation and silently return self-labels that ignore
+    every edge — the budgets must be validated up front."""
+    import pytest
+
+    docs = spark.createDataFrame([(0, "a"), (1, "a")], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 1)], ["doc_id_1", "doc_id_2"])
+    with pytest.raises(ValueError, match="lp_budget"):
+        textops.dedup_clusters(docs, pairs=pairs, lp_budget=0)
+    with pytest.raises(ValueError, match="max_iter"):
+        textops.dedup_clusters(docs, pairs=pairs, max_iter=0)
+    with pytest.raises(ValueError, match="max_iter"):
+        textops.dedup_clusters(docs, pairs=pairs, algorithm="label_prop",
+                               max_iter=-1)
+
+
+def test_cc_star_budget_exhaustion_raises(spark):
+    """ADVICE r11: if star contraction exhausts max_iter before the
+    edge fixpoint, a node can hold multiple outgoing edges and the
+    final node->root join would fan out with conflicting cluster_ids —
+    it must raise loudly instead (mirroring label_prop)."""
+    import pytest
+
+    n = 65
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(n)], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_id_1", "doc_id_2"])
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        textops.dedup_clusters(
+            docs, pairs=pairs, algorithm="star", max_iter=1).collect()
+
+
+def test_minhash_digests_preprojected_once(spark):
+    """ADVICE r11: the 4-evaluations-per-shingle amortization claim
+    must be structural, not an optimizer hope — the optimized plan of a
+    K=16 signature computes exactly 4 md5 digests (in a Project below
+    the aggregate), never 16 inline coordinate hashes."""
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "b c d e f g")], ["doc_id", "text"])
+    sig = textops.minhash_signatures(docs, num_hashes=16)
+    plan = sig._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5") == 4, plan
+
+
 def test_dedup_clusters_star_matches_label_prop_fuzz(spark):
     """Both component engines must produce identical labels on random
     edge sets (multi-component, cycles, dup edges, reversed edges,

@@ -1,16 +1,37 @@
-"""Bounded-retry bench driver (VERDICT r9 #1): the co-tenant load on
-this box arrives in sustained multi-minute waves, so a single bench
-launch can start quiet and finish drowned (r9: 54/56 bw_dirty; the
-first two r10 attempts hit the same waves). This wrapper launches
-`bench.py` only after the box has been QUIET FOR A SUSTAINED STREAK
-(both probes under their quiet thresholds on N consecutive samples),
-checks the produced record's cleanliness, and retries up to
-``SPARK_GRAFT_BENCH_ATTEMPTS`` times, keeping the cleanest record
-seen (fewest hot queries, then fewest bw-dirty, then lowest total).
+"""Per-query composite bench driver (VERDICT r11 #1). Three rounds
+proved this box never grants one ~3-minute quiet window for a
+monolithic 61-query run — but `bench.py` already brackets every
+sample with GEMM + memory-bandwidth probes, and per-query quiet
+moments DO occur even on a loaded box. So instead of demanding one
+clean monolithic record, this wrapper ACCUMULATES, across attempts,
+the minimum clean-bracketed sample per query into a composite
+``BENCH_LOCAL.json``:
+
+- attempt 0 runs the full suite (after a bounded sustained-quiet
+  wait, but it runs regardless of the gate outcome — the per-query
+  brackets salvage whatever quiet moments the attempt hits);
+- each later attempt re-runs ONLY the queries still lacking a clean
+  bracket (``SPARK_GRAFT_BENCH_ONLY``) — a shrinking subset that fits
+  in ever-smaller quiet windows;
+- the composite keeps, per query, the minimum value whose sample was
+  GEMM-clean AND bw-clean (a clean sample always beats a dirty one;
+  among dirty-only, the minimum is kept and the query stays flagged),
+  with per-query provenance (attempt id, probe trails);
+- if any FULL attempt comes back entirely clean, that monolithic
+  record is kept as-is (``mode: "monolithic"``) — the composite is
+  the fallback for the loaded-box case, not a replacement;
+- the record reports shared-subset totals vs the r8/r10/r11 committed
+  records so cross-round drift can be read straight from the file.
+
+Keeping the min across attempts is the judge-directed estimator: it
+is the same min-of-clean-samples `bench.py` already reports within a
+run, just fed with more samples; every sample that enters the min is
+individually probe-bracketed, so added attempts cannot pull the
+composite below a clean box's true time.
 
 Usage: python tools/bench_when_quiet.py
-Env: SPARK_GRAFT_BENCH_ATTEMPTS (default 3),
-     SPARK_GRAFT_BENCH_MAX_WAIT_S per-attempt quiet wait (default 1800).
+Env: SPARK_GRAFT_BENCH_ATTEMPTS (default 6),
+     SPARK_GRAFT_BENCH_MAX_WAIT_S per-attempt quiet wait (default 1200).
 """
 
 from __future__ import annotations
@@ -28,6 +49,7 @@ import bench  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "BENCH_LOCAL.json")
+ATTEMPT_OUT = os.path.join(REPO, "bench_attempt_cur.json")
 STREAK = 4          # consecutive quiet probe pairs required
 PROBE_GAP_S = 20.0  # spacing between streak probes
 GEMM_QUIET = 0.30
@@ -48,59 +70,143 @@ def wait_sustained_quiet(max_wait_s: float) -> bool:
     return True
 
 
-def score(rec: dict) -> tuple:
-    # Cleanliness ONLY: total runtime is NOT part of the score —
-    # keeping the fastest of N equally-clean runs would bias
-    # cross-round comparisons low. Ties go to the most recent
-    # attempt (the caller compares with `<=`).
-    return (len(rec.get("hot_queries") or []),
-            len(rec.get("bw_dirty_queries") or []))
+def is_clean(name: str, rec: dict) -> bool:
+    """A query's reported value is fully clean when it had a GEMM-clean
+    sample AND that kept sample's bracket was bw-clean."""
+    return (name not in (rec.get("hot_queries") or [])
+            and name not in (rec.get("bw_dirty_queries") or []))
+
+
+def merge_attempt(composite: dict, rec: dict, attempt: int) -> None:
+    """Fold one attempt's per-query results into the composite map.
+    Rule: clean beats dirty regardless of value; within the same
+    cleanliness class, minimum value wins."""
+    for name, val in (rec.get("queries") or {}).items():
+        cand = {
+            "value": val,
+            "attempt": attempt,
+            "clean": is_clean(name, rec),
+            "gemm_clean": name not in (rec.get("hot_queries") or []),
+            "probe_trail": (rec.get("probe_trail_sec") or {}).get(name),
+            "bw_trail": (rec.get("bw_trail_sec") or {}).get(name),
+        }
+        cur = composite.get(name)
+        if (cur is None
+                or (cand["clean"] and not cur["clean"])
+                or (cand["clean"] == cur["clean"] and val < cur["value"])):
+            composite[name] = cand
+
+
+# per-query maps of the committed r8/r10/r11 records, snapshotted from
+# git history (the driver's BENCH_r*.json wrappers keep only a
+# truncated stdout tail, not the full queries map)
+HISTORY = os.path.join(REPO, "tools", "bench_history.json")
+
+
+def shared_subset(ours: dict[str, float], tag: str) -> dict | None:
+    if not os.path.exists(HISTORY):
+        return None
+    hist = json.load(open(HISTORY)).get(tag) or {}
+    theirs = hist.get("queries") or {}
+    names = sorted(set(ours) & set(theirs))
+    if not names:
+        return None
+    a = round(sum(ours[n] for n in names), 3)
+    b = round(sum(theirs[n] for n in names), 3)
+    return {"n_queries": len(names), "composite_total": a,
+            "their_total": b, "their_commit": hist.get("source_commit"),
+            "ratio": round(a / b, 4) if b else None}
+
+
+def build_composite(composite: dict, base: dict,
+                    attempt_totals: list) -> dict:
+    queries = {n: e["value"] for n, e in composite.items()}
+    rec = dict(base)  # inherit sf / cold / quality / notes from the full run
+    rec.update({
+        "metric": "headline_queries_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "mode": "composite",
+        "agg": "min_clean_bracket_across_attempts",
+        "hot_queries": sorted(
+            n for n, e in composite.items() if not e["gemm_clean"]),
+        "bw_dirty_queries": sorted(
+            n for n, e in composite.items() if not e["clean"]),
+        "query_provenance": {
+            n: {"attempt": e["attempt"], "clean": e["clean"]}
+            for n, e in sorted(composite.items())},
+        "probe_trail_sec": {n: e["probe_trail"] for n, e in composite.items()},
+        "bw_trail_sec": {n: e["bw_trail"] for n, e in composite.items()},
+        "attempt_totals": attempt_totals,
+    })
+    for tag in ("r08", "r10", "r11"):
+        ss = shared_subset(queries, tag)
+        if ss:
+            rec.setdefault("shared_subset", {})[f"vs_{tag}"] = ss
+    return rec
 
 
 def main():
-    attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
-    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "1800"))
-    best, best_path = None, None
+    attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "6"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "1200"))
+    composite: dict[str, dict] = {}
+    base = None            # first full-suite record (metadata donor)
     attempt_totals = []
     for i in range(attempts):
-        quiet = wait_sustained_quiet(max_wait)
-        print(f"attempt {i}: sustained quiet={quiet}", flush=True)
-        if not quiet and best is not None:
-            # don't burn an attempt on a box we know is loaded when a
-            # record already exists
-            continue
-        rc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                            capture_output=True, text=True)
-        if rc.returncode != 0:
-            print(f"attempt {i}: bench rc={rc.returncode}", flush=True)
-            continue
-        rec = json.load(open(OUT))
-        keep = os.path.join(REPO, f"bench_attempt_{i}.json")
-        shutil.copy(OUT, keep)
-        attempt_totals.append({"attempt": i, "value": rec.get("value"),
-                               "hot": len(rec.get("hot_queries") or []),
-                               "bw_dirty": len(rec.get("bw_dirty_queries") or [])})
-        print(f"attempt {i}: total={rec['value']} "
-              f"hot={rec['hot_queries']} "
-              f"bw_dirty={len(rec['bw_dirty_queries'])}", flush=True)
-        # `<=`: equally-clean later attempt replaces the earlier one
-        # (most-recent clean wins; runtime never enters the choice)
-        if best is None or score(rec) <= score(best):
-            best, best_path = rec, keep
-        if not rec["hot_queries"] and len(rec["bw_dirty_queries"]) <= 6:
-            print("clean record — stopping", flush=True)
+        unclean = sorted(n for n, e in composite.items() if not e["clean"])
+        if base is not None and not unclean:
+            print("composite fully clean — stopping", flush=True)
             break
-    if best_path:
-        # record every attempt's total alongside the kept one so
-        # cross-round comparisons can see the full distribution
-        best["attempt_totals"] = attempt_totals
-        with open(OUT, "w") as fh:
-            json.dump(best, fh)
-        print(f"kept {best_path} as BENCH_LOCAL.json "
-              f"(hot={len(best['hot_queries'])}, "
-              f"bw_dirty={len(best['bw_dirty_queries'])}, "
-              f"total={best['value']}, "
-              f"attempts={attempt_totals})", flush=True)
+        quiet = wait_sustained_quiet(max_wait)
+        subset = unclean if base is not None else None
+        print(f"attempt {i}: sustained quiet={quiet} "
+              f"subset={len(subset) if subset is not None else 'full'}",
+              flush=True)
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_OUT"] = ATTEMPT_OUT
+        if subset:
+            env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(subset)
+        rc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                            capture_output=True, text=True, env=env)
+        if rc.returncode != 0:
+            print(f"attempt {i}: bench rc={rc.returncode}\n"
+                  f"{rc.stderr[-2000:]}", flush=True)
+            continue
+        rec = json.load(open(ATTEMPT_OUT))
+        shutil.copy(ATTEMPT_OUT, os.path.join(REPO, f"bench_attempt_{i}.json"))
+        n_q = len(rec.get("queries") or {})
+        hot = len(rec.get("hot_queries") or [])
+        bw = len(rec.get("bw_dirty_queries") or [])
+        attempt_totals.append({"attempt": i, "value": rec.get("value"),
+                               "n_queries": n_q, "subset": bool(subset),
+                               "hot": hot, "bw_dirty": bw})
+        print(f"attempt {i}: total={rec.get('value')} n={n_q} "
+              f"hot={hot} bw_dirty={bw}", flush=True)
+        merge_attempt(composite, rec, i)
+        if base is None and not subset:
+            base = rec
+        if not subset and hot == 0 and bw == 0:
+            # a genuinely quiet full window appeared: keep the
+            # monolithic record (the pre-composite behavior)
+            rec["mode"] = "monolithic"
+            rec["attempt_totals"] = attempt_totals
+            for tag in ("r08", "r10", "r11"):
+                ss = shared_subset(rec["queries"], tag)
+                if ss:
+                    rec.setdefault("shared_subset", {})[f"vs_{tag}"] = ss
+            with open(OUT, "w") as fh:
+                json.dump(rec, fh, indent=1)
+            print("clean monolithic record — kept, stopping", flush=True)
+            return
+        if base is not None:
+            # re-write the composite after EVERY attempt so whenever the
+            # driver snapshots the repo, the best-so-far record is live
+            out_rec = build_composite(composite, base, attempt_totals)
+            with open(OUT, "w") as fh:
+                json.dump(out_rec, fh, indent=1)
+            print(f"composite: total={out_rec['value']} "
+                  f"unclean={len(out_rec['bw_dirty_queries'])}", flush=True)
 
 
 if __name__ == "__main__":
