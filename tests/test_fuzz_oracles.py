@@ -817,6 +817,24 @@ def test_sequence_pack_bins_pure_python_crosscheck(spark):
     assert any(v[4] for v in want.values())           # truncated docs
     assert len({v[0] for v in want.values()}) == n_shards
     assert max(v[2] for v in want.values()) >= 2      # multiple bins
+    # the manifest writer rollup, from the same pure-Python placement:
+    # ordered doc:tokens strings per (shard, bin) + fill/truncation sums
+    mani = {}
+    for i, (s, n, b, pos, tr) in sorted(want.items(),
+                                        key=lambda kv: kv[1][3]):
+        e = mani.setdefault((s, b), {"n_docs": 0, "fill": 0,
+                                     "trunc": False, "parts": []})
+        e["n_docs"] += 1
+        e["fill"] += n
+        e["trunc"] = e["trunc"] or tr
+        e["parts"].append(f"{i}:{n}")
+    got_m = {(r["shard"], r["bin"]):
+             (r["n_docs"], r["n_tokens_filled"], r["truncated"], r["manifest"])
+             for r in textops.sequence_pack_bins_manifest(
+                 sdf, window=window, n_shards=n_shards).collect()}
+    want_m = {kb: (e["n_docs"], e["fill"], e["trunc"], " ".join(e["parts"]))
+              for kb, e in mani.items()}
+    assert got_m == want_m
 
 
 def test_ivf_ann_pure_python_crosscheck(spark):
