@@ -129,7 +129,14 @@ def weighted_ensemble(
     time_col: str = TIME,
 ) -> DataFrame:
     """Weighted average of forecast frames on [id, ds]
-    (ensemble/weighted.py:48-165). Equal weights by default."""
+    (ensemble/weighted.py:48-165). Equal weights by default.
+    Reference parity (weighted.py:103-105): refuses an empty dict and
+    a single forecast — averaging one model is a silent no-op that
+    hides a wiring bug upstream."""
+    if not forecasts:
+        raise ValueError("forecasts must be a non-empty dict")
+    if len(forecasts) < 2:
+        raise ValueError("Need at least 2 forecasts to ensemble")
     names = list(forecasts)
     w = weights or {n: 1.0 / len(names) for n in names}
     total = sum(w.values())
@@ -170,7 +177,11 @@ class StackingForecaster:
     def __init__(self, base_models: dict[str, Callable[[DataFrame, int], DataFrame]],
                  id_col: str = ID, time_col: str = TIME, target_col: str = TARGET):
         if not base_models:
-            raise ValueError("StackingForecaster needs at least one base model")
+            raise ValueError("base_models must be a non-empty dict")
+        if len(base_models) < 2:
+            # reference parity (ensemble/stacking.py:69-71): a meta-fit
+            # over one base model is just that model with extra steps
+            raise ValueError("Need at least 2 base models for stacking")
         self.base = base_models
         self.id_col, self.time_col, self.target_col = id_col, time_col, target_col
 

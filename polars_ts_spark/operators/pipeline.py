@@ -320,6 +320,10 @@ class RecursiveForecaster:
     def predict(self, df: DataFrame, h: int = 7, future_df: DataFrame | None = None) -> DataFrame:
         if self.feat_cols is None:
             raise RuntimeError("call fit() first")
+        if h < 1:
+            # reference parity (tests/test_pipeline.py:139-156): a zero
+            # or negative horizon must refuse, not return an empty frame
+            raise ValueError(f"h must be positive, got {h}")
         schema = f"{self.id_col} string, {self.time_col} timestamp, y_hat double"
         inp = self._decode_input(df, future_df)
         return for_each_series(inp, self._decode_kernel(h), schema, id_col=self.id_col, time_col=self.time_col)
@@ -366,6 +370,8 @@ class DirectForecaster(RecursiveForecaster):
     def predict(self, df: DataFrame, h: int | None = None,
                 future_df: DataFrame | None = None) -> DataFrame:
         h = h or self.h
+        if h < 1:
+            raise ValueError(f"h must be positive, got {h}")
         models = self.models[:h]
         lags, rw, ra, cal = self.lags, self.rolling_windows, self.rolling_aggs, self.calendar
         pcov = self.past_covariates or []
@@ -487,6 +493,8 @@ class GlobalForecaster(RecursiveForecaster):
         return self
 
     def predict(self, df: DataFrame, h: int = 7) -> DataFrame:
+        if h < 1:
+            raise ValueError(f"h must be positive, got {h}")
         idc = self.id_col
         est, feat_cols = self.estimator, list(self.feat_cols)
         lags, rw, ra, cal = self.lags, self.rolling_windows, self.rolling_aggs, self.calendar
