@@ -935,6 +935,13 @@ def kaboudan_metric(
     (engine-replicable — the DuckDB oracle rebuilds it), not a PCG64
     stream."""
     times = [r[0] for r in df.select(time_col).distinct().orderBy(time_col).collect()]
+    if len(times) <= horizon:
+        # reference parity (kaboudan.py:152, tests/metrics/
+        # test_kaboudan.py:317): an empty/too-short panel must refuse
+        # loudly, not die on a bare index error
+        raise ValueError(
+            f"Cannot compute series length: need more than {horizon} "
+            f"distinct timestamps, found {len(times)}")
     cut = times[-horizon - 1]
     train = df.filter(F.col(time_col) <= F.lit(cut))
     test = df.filter(F.col(time_col) > F.lit(cut))

@@ -164,3 +164,18 @@ def test_stacking_rejects_empty_and_single_model():
         E.StackingForecaster({})
     with pytest.raises(ValueError, match="at least 2"):
         E.StackingForecaster({"only": lambda df, h: df})
+
+
+# --- kaboudan (ref tests/metrics/test_kaboudan.py:317-334,
+#     metrics/kaboudan.py:152) ---
+
+
+def test_kaboudan_empty_panel_raises_clearly(spark):
+    from polars_ts_spark.operators.baselines import naive_forecast
+
+    with pytest.raises(ValueError, match="series length"):
+        E.kaboudan_metric(_empty_panel(spark),
+                          lambda d, h: naive_forecast(d, h=h))
+    with pytest.raises(ValueError, match="series length"):
+        E.kaboudan_metric(_series(spark, [1.0, 2.0, 3.0]),
+                          lambda d, h: naive_forecast(d, h=h), horizon=7)
