@@ -17,11 +17,15 @@ measures, per corpus size:
 
 Off-registry by design — the correctness gate never reads its
 output. Usage: python tools/skew_stress.py [n_docs ...]
+Env: SKEW_SAMPLE_MOD (default 4) — the sampled leg's 1/mod draw; the
+round-12 amortization claim (higher mod -> the extra cutoff-training
+pass vanishes) is measured by re-running at mod 64.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import random
 import sys
 import time
@@ -69,7 +73,7 @@ def run(spark, n_docs: int) -> dict:
     t_exact = time.monotonic() - t0
     t0 = time.monotonic()
     samp = textops.perplexity_buckets_from_cutoffs(
-        docs, sample_mod=4).select(
+        docs, sample_mod=int(os.environ.get("SKEW_SAMPLE_MOD", "4"))).select(
         "doc_id", F.col("bucket").alias("b_samp")).cache()
     samp.count()
     t_samp = time.monotonic() - t0
@@ -83,6 +87,7 @@ def run(spark, n_docs: int) -> dict:
     for d in (docs, exact, samp):
         d.unpersist()
     return {"n_docs": n_docs, "lang_mix": langs,
+            "sample_mod": int(os.environ.get("SKEW_SAMPLE_MOD", "4")),
             "t_exact_s": round(t_exact, 2), "t_sampled_s": round(t_samp, 2),
             "exact_over_sampled": round(t_exact / t_samp, 2),
             "bucket_agree": round(agree["eq"], 4),
