@@ -538,10 +538,16 @@ def _znorm(x: np.ndarray) -> np.ndarray:
 
 
 def _sbd_align(x: np.ndarray, ref: np.ndarray) -> np.ndarray:
-    """Shift x to maximize NCC with ref (kshape.py alignment step)."""
+    """Shift x to maximize NCC with ref (kshape.py alignment step).
+
+    Norms are sqrt-of-sum-of-squares, NOT np.linalg.norm: BLAS dnrm2
+    computes a scaled reduction whose last ulps differ from the
+    SQL oracle's SQRT(list_sum(e*e)) and drift across BLAS builds —
+    the r12 environment flipped an alignment argmax on the sf0.001
+    corpus through exactly this (the ukf_filter _wsum fix's sibling)."""
     n = len(ref)
     cc = np.correlate(x, ref, mode="full")
-    denom = np.linalg.norm(x) * np.linalg.norm(ref)
+    denom = float(np.sqrt(np.sum(x * x))) * float(np.sqrt(np.sum(ref * ref)))
     if denom > 0:
         cc = cc / denom
     shift = int(np.argmax(cc)) - (len(x) - 1)
@@ -568,7 +574,7 @@ def _shape_extract(X: np.ndarray, ref: np.ndarray, exact: bool = False) -> np.nd
     v = np.ones(n) / np.sqrt(n)
     for _ in range(100):
         v2 = M @ v
-        nv = np.linalg.norm(v2)
+        nv = np.sqrt(np.sum(v2 * v2))  # not dnrm2 — see _sbd_align
         if exact:
             v = v2 / max(float(nv), 1e-300)
             continue

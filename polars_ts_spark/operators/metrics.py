@@ -22,26 +22,43 @@ def _grouped(df: DataFrame, expr, name: str, by_group: bool, id_col: str) -> Dat
     return df.agg(expr.alias(name))
 
 
+def _mae_expr(actual: str, pred: str):
+    return F.avg(F.abs(F.col(actual) - F.col(pred)))
+
+
+def _rmse_expr(actual: str, pred: str):
+    err = F.col(actual) - F.col(pred)
+    return F.sqrt(F.avg(err * err))
+
+
+def _mape_expr(actual: str, pred: str):
+    y, yh = F.col(actual), F.col(pred)
+    return F.avg(F.when(y != 0, F.abs((y - yh) / y)))
+
+
+def _smape_expr(actual: str, pred: str):
+    y, yh = F.col(actual), F.col(pred)
+    denom = F.abs(y) + F.abs(yh)
+    return F.avg(F.when(denom != 0, F.lit(2.0) * F.abs(y - yh) / denom))
+
+
 def mae(df: DataFrame, actual: str = TARGET, pred: str = "y_hat",
         by_group: bool = False, id_col: str = ID) -> DataFrame:
     require_columns(df, actual, pred)
-    return _grouped(df, F.avg(F.abs(F.col(actual) - F.col(pred))), "mae", by_group, id_col)
+    return _grouped(df, _mae_expr(actual, pred), "mae", by_group, id_col)
 
 
 def rmse(df: DataFrame, actual: str = TARGET, pred: str = "y_hat",
          by_group: bool = False, id_col: str = ID) -> DataFrame:
     require_columns(df, actual, pred)
-    err = F.col(actual) - F.col(pred)
-    return _grouped(df, F.sqrt(F.avg(err * err)), "rmse", by_group, id_col)
+    return _grouped(df, _rmse_expr(actual, pred), "rmse", by_group, id_col)
 
 
 def mape(df: DataFrame, actual: str = TARGET, pred: str = "y_hat",
          by_group: bool = False, id_col: str = ID) -> DataFrame:
     """Mean |(y-ŷ)/y| over rows with y != 0 (forecast.py:101)."""
     require_columns(df, actual, pred)
-    y, yh = F.col(actual), F.col(pred)
-    expr = F.avg(F.when(y != 0, F.abs((y - yh) / y)))
-    return _grouped(df, expr, "mape", by_group, id_col)
+    return _grouped(df, _mape_expr(actual, pred), "mape", by_group, id_col)
 
 
 def smape(df: DataFrame, actual: str = TARGET, pred: str = "y_hat",
@@ -49,10 +66,31 @@ def smape(df: DataFrame, actual: str = TARGET, pred: str = "y_hat",
     """mean 2|y-ŷ|/(|y|+|ŷ|), excluding rows where both are zero
     (forecast.py:108-141)."""
     require_columns(df, actual, pred)
-    y, yh = F.col(actual), F.col(pred)
-    denom = F.abs(y) + F.abs(yh)
-    expr = F.avg(F.when(denom != 0, F.lit(2.0) * F.abs(y - yh) / denom))
-    return _grouped(df, expr, "smape", by_group, id_col)
+    return _grouped(df, _smape_expr(actual, pred), "smape", by_group, id_col)
+
+
+def point_metrics(df: DataFrame, actual: str = TARGET, pred: str = "y_hat",
+                  by_group: bool = False, id_col: str = ID) -> DataFrame:
+    """mae + rmse + mape + smape in ONE aggregation pass.
+
+    The four metrics are independent aggregate expressions over the
+    same rows, so evaluating them separately and joining pays four
+    aggregation exchanges plus three joins for work one hash-aggregate
+    does (guide §2.4: two operations keyed the same way share one
+    exchange). The expressions are the exact builders the standalone
+    ops use, so each column is bit-identical to its standalone twin —
+    per-group accumulation order is the same either way (same upstream
+    plan, same map-side partial aggregation)."""
+    require_columns(df, actual, pred)
+    exprs = [
+        _mae_expr(actual, pred).alias("mae"),
+        _rmse_expr(actual, pred).alias("rmse"),
+        _mape_expr(actual, pred).alias("mape"),
+        _smape_expr(actual, pred).alias("smape"),
+    ]
+    if by_group:
+        return df.groupBy(id_col).agg(*exprs)
+    return df.agg(*exprs)
 
 
 def mase(df: DataFrame, season_length: int = 1, actual: str = TARGET,

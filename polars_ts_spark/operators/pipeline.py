@@ -577,18 +577,31 @@ class QuantileRegressor:
         t = F.col(self.target_col).cast("double")
         qs = self.quantiles
         # the IRLS loop re-aggregates this frame n_irls+1 times; cache
-        # it in a handful of partitions so each pass costs a few tasks,
-        # not a full shuffle-width of them. repartition, NOT coalesce:
-        # coalesce would collapse the upstream window computation into
-        # the same 8 tasks, while a repartition keeps the feature build
-        # at full width and only narrows the cached result. At 100 TB
-        # raise the count with the data (it only bounds per-pass task
-        # overhead, not correctness).
-        n_cache_parts = max(1, min(8, feat_df.sparkSession.sparkContext.defaultParallelism))
-        feat_df = (
-            feat_df.select(*feat_cols, self.target_col)
-            .repartition(n_cache_parts).persist()
-        )
+        # it in as few partitions as its size needs so each pass costs
+        # a few tasks, not a full shuffle-width of them. repartition,
+        # NOT coalesce: coalesce would collapse the upstream window
+        # computation into the same tasks, while a repartition keeps
+        # the feature build at full width and only narrows the cached
+        # result. The partition count is SIZE-ADAPTIVE (guide §2:
+        # derive partitioning from input size, not a constant): the
+        # optimizer's size estimate for the d+1-column projection,
+        # targeting ~64 MB per cached partition, capped at the core
+        # count. A sub-64 MB frame caches as ONE partition, which also
+        # removes the per-iteration single-row Exchange — every IRLS
+        # aggregation then runs as one stage (a 1-partition child
+        # already satisfies the final aggregate's AllTuples
+        # requirement), cutting 2x jobs+exchanges off every iteration.
+        sel_df = feat_df.select(*feat_cols, self.target_col)
+        try:
+            est_bytes = int(
+                sel_df._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes())
+        except Exception:  # stats unavailable: keep the old default
+            est_bytes = 8 * 64 * 1024 * 1024
+        n_cache_parts = max(1, min(
+            feat_df.sparkSession.sparkContext.defaultParallelism,
+            (est_bytes + 64 * 1024 * 1024 - 1) // (64 * 1024 * 1024)))
+        feat_df = sel_df.repartition(n_cache_parts).persist()
         try:
             # scale decade + normal-equation start, one pass (the start
             # solve is quantile-independent: all quantiles share it)

@@ -136,6 +136,24 @@ class UnscentedKalmanFilter:
             pts.append(x - self._gamma * S[:, i])
         return np.asarray(pts)
 
+    @staticmethod
+    def _wsum(w: np.ndarray, rows: np.ndarray) -> np.ndarray:
+        """Sequential left-fold weighted sum over sigma points.
+
+        ``w @ rows`` delegates to BLAS, whose reduction ASSOCIATION
+        depends on the library version and CPU dispatch (SIMD partial
+        sums) — the DuckDB oracle replays the literal left-to-right
+        fold, so a BLAS that pairs terms differently forks the filter
+        trajectory by an ulp per step and ~40 accumulated ulps put
+        5% of rounded outputs on a knife edge (observed: the r12
+        environment flipped `ukf_filter` parity that an earlier
+        container had green). An explicit fold pins the order the
+        oracle replays; same math, deterministic across BLAS builds."""
+        acc = w[0] * rows[0]
+        for i in range(1, len(w)):
+            acc = acc + w[i] * rows[i]
+        return acc
+
     def filter(self, y: np.ndarray):
         y = np.asarray(y, float)
         x, P = self.x0.copy(), self.P0.copy()
@@ -145,12 +163,12 @@ class UnscentedKalmanFilter:
         for t in range(n_obs):
             pts = self._sigma(x, P)
             fp = np.asarray([self.f(p) for p in pts])
-            x_pred = self.Wm @ fp
+            x_pred = self._wsum(self.Wm, fp)
             P_pred = self.Q + sum(
                 self.Wc[i] * np.outer(fp[i] - x_pred, fp[i] - x_pred) for i in range(len(pts))
             )
             hp = np.asarray([np.atleast_1d(self.h(p)) for p in fp])
-            y_pred = self.Wm @ hp
+            y_pred = self._wsum(self.Wm, hp)
             S = self.R + sum(
                 self.Wc[i] * np.outer(hp[i] - y_pred, hp[i] - y_pred) for i in range(len(pts))
             )

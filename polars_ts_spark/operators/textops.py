@@ -100,15 +100,24 @@ def word_shingles(
     guard matters: Spark's ``sequence(1, 0)`` is the DESCENDING
     ``[1, 0]`` and ``slice(toks, 0, n)`` then throws, so without it one
     short document crashed every shingle-derived pipeline.
+
+    The token array is pre-projected as its own column: higher-order
+    lambdas are CodegenFallback and re-evaluate their operand trees per
+    element, so an inline ``split`` inside the ``transform`` lambda
+    re-tokenized the WHOLE document once per shingle — O(tokens²)
+    characters per doc (guide §1.2 "per-task work"). A bound column
+    reference makes it one split per document.
     """
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
     shingles = F.expr(
-        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN"
-        f" transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
-        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+        f"CASE WHEN size(__toks) >= {n} THEN"
+        f" transform(sequence(1, size(__toks) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(__toks, i, {n})))"
         f" ELSE cast(array() as array<string>) END"
     )
     return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        toks.select(F.col(id_col), F.explode(shingles).alias("shingle"))
         .distinct()
     )
 
@@ -345,6 +354,18 @@ def minhash_lsh_pairs(
     # filter is a broadcast anti-join and the candidate join keeps its
     # plain equi-join plan shape.
     bk = F.array(*[F.col(f"band_{bi}") for bi in range(bands)])
+    # materialize the per-doc signature+band frame ONCE (eager
+    # localCheckpoint, the dedup_clusters device): the melted frame
+    # below has FIVE consumers (the oversized-bucket stats, the
+    # anti-join, BOTH sides of the candidate self-join, the star
+    # emission) and each re-ran the whole scan -> shingle -> md5 ->
+    # signature DAG (the r12 before-plan shows five copies of that
+    # subtree, 28 exchanges, 6 scans at runtime — exchange reuse can
+    # never fire because each branch prunes different columns below
+    # its exchange). The checkpoint is one row per doc (num_hashes
+    # ints + bands keys) — linear, doc-bounded state at any corpus
+    # scale; every branch is a narrow in-memory projection of it.
+    with_bands = with_bands.localCheckpoint(eager=True)
     melted = with_bands.select(
         id_col, "__sig", F.posexplode(bk).alias("__band", "__key")
     )
@@ -504,6 +525,12 @@ def simhash_pairs(
     # melt to (doc_id, simhash, block_idx, block_key): the 4 pigeonhole
     # equi-joins collapse into ONE self-join on (block_idx, key) — one
     # shuffle stage instead of four join stages + union
+    # materialize the per-doc fingerprint ONCE (eager localCheckpoint):
+    # both sides of the self-join below re-ran the whole token -> vote
+    # -> fingerprint DAG (the r12 before-plan shows two full copies;
+    # the broadcast side can never reuse the probe side's work). One
+    # row per doc — linear, doc-bounded state at any corpus scale.
+    fp = fp.localCheckpoint(eager=True)
     melted = fp.select(
         id_col, "simhash",
         F.posexplode(F.array(
@@ -956,15 +983,22 @@ LANG_MARKERS = {
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: marker-token hit counts per language,
     argmax with alphabetical tie-break. Output [doc_id, lang_pred,
-    lang_score]. Expression-only; one explode + one groupBy(doc)."""
-    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    aggs = [
-        F.sum(
-            F.when(F.col("tok").isin(*markers), 1).otherwise(0)
-        ).alias(f"score_{lang}")
-        for lang, markers in sorted(LANG_MARKERS.items())
-    ]
-    scored = toks.groupBy(id_col).agg(*aggs)
+    lang_score]. PURE PROJECTION — the marker counts are per-row
+    ``size(filter(tokens, ...))`` expressions, so the whole operator is
+    shuffle-free (the old explode + groupBy(doc) shape paid an
+    aggregation exchange for counts each row can compute locally; the
+    values are identical, including the drop of NULL-text docs the
+    explode used to perform implicitly)."""
+    tdf = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        score_cols.append(
+            F.size(F.filter(F.col("__toks"),
+                            lambda tk: F.array_contains(marker_arr, tk)))
+            .cast("bigint").alias(f"score_{lang}"))
+    scored = tdf.select(F.col(id_col), *score_cols)
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
     pred = F.coalesce(
@@ -1028,6 +1062,55 @@ FROM g GROUP BY doc_id
 """
 
 
+def _fused_doc_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """ONE projection computing every per-doc rollup input the curation
+    composites consume: [id, lang_pred, quality_score, bpe_tokens,
+    n_chars]. Since ``language_id`` became a pure projection, all three
+    stats branches (token_counts, text_stats' score, language-ID) are
+    row-wise expressions — fusing them removes two of the composites'
+    three per-doc scans and both doc-key joins (guide §1.2: the
+    cheapest shuffle is the one the plan never asks for). Values are
+    bit-identical to the three standalone ops; NULL-text docs drop,
+    matching the inner join against ``language_id`` they replace."""
+    tdf = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.col(text_col),
+        F.split(F.col(text_col), " ").alias("__toks"))
+    toks = F.col("__toks")
+    score_exprs = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        score_exprs.append(
+            (lang,
+             F.size(F.filter(toks,
+                             lambda tk: F.array_contains(marker_arr, tk)))))
+    best = F.greatest(*[s for _, s in score_exprs])
+    pred = F.coalesce(
+        *[F.when(s == best, F.lit(lang)) for lang, s in score_exprs])
+    # quality score inlined over the shared token array — the same
+    # expression sequence as quality_score_expr/text_stats, so the
+    # float result is bit-identical
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    avg_len = (n_chars - (n_tokens - 1)) / n_tokens
+    stop_ratio = n_stop / n_tokens
+    quality = (
+        F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * 0.4
+        + F.least(F.lit(1.0), avg_len / F.lit(8.0)) * 0.3
+        + F.least(F.lit(1.0), stop_ratio * F.lit(5.0)) * 0.3
+    )
+    return tdf.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        quality.alias("quality_score"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).alias("bpe_tokens"),
+        n_chars.alias("n_chars"),
+    )
+
+
 def corpus_curation(
     df: DataFrame,
     quality_min: float = 0.5,
@@ -1052,11 +1135,12 @@ def corpus_curation(
     kept = df.join(
         clusters.filter(F.col("is_canonical")).select(id_col), id_col
     )
-    quality = text_stats(kept, text_col, id_col).select(id_col, "quality_score")
-    lang = language_id(kept, text_col, id_col).select(id_col, "lang_pred")
-    toks = token_counts(kept, text_col, id_col)
+    # quality, language-ID and token counting are all row-wise
+    # expressions — one fused projection replaces the old three
+    # branches + two doc-key joins (identical values; see
+    # _fused_doc_stats)
     return (
-        toks.join(quality, id_col).join(lang, id_col)
+        _fused_doc_stats(kept, text_col, id_col)
         .filter(F.col("quality_score") >= quality_min)
         .groupBy("lang_pred")
         .agg(
@@ -1206,8 +1290,9 @@ def dup_ngram_stats(
     matching the unnest semantics of the oracle).
 
     Plan: one explode (no shuffle) -> groupBy(doc, gram) with map-side
-    combine -> groupBy(gram) doc-frequency -> one equi-join back on the
-    gram -> groupBy(doc). Every stage is linear in total n-gram count.
+    combine -> doc-frequency as count(*) over the gram window (no
+    second pass, no join) -> groupBy(doc). Every stage is linear in
+    total n-gram count.
     At 100 TB the join key would be xxhash64(gram) (fixed-width shuffle
     key instead of the string payload) and stop-grams above a doc-freq
     cap would be sketched instead of joined (they are dup by definition
@@ -1215,21 +1300,24 @@ def dup_ngram_stats(
     both are representation changes, not plan changes. Kept as the
     literal gram here so DuckDB replays it verbatim.
     """
-    toks = F.split(F.col(text_col), " ")
-    n_tok = F.size(toks)
-    starts = F.sequence(F.lit(1), n_tok - F.lit(n) + F.lit(1))
-    grams_arr = F.when(
-        n_tok >= F.lit(n),
-        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " ")),
-    ).otherwise(F.expr("array()").cast("array<string>"))
-    g = df.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
+    g = _gram_frame(df, n, text_col, id_col)
     per_doc_gram = g.groupBy(id_col, "gram").agg(F.count("*").alias("occ"))
-    gram_docs = per_doc_gram.groupBy("gram").agg(F.count("*").alias("docs_with"))
+    # doc-frequency as a WINDOW over the gram partition (r12, the
+    # domain_stats device): per_doc_gram is already one row per
+    # (doc, gram), so count(*) over the gram partition IS the
+    # distinct-doc count — the old aggregate-then-join-back shape
+    # evaluated the whole scan -> explode -> (doc, gram) aggregate
+    # subtree twice (once into the doc-freq table, once as the join's
+    # probe side) and paid a join exchange on top. Same values, one
+    # subtree, one less pass. Skew parity: a stop-gram lands its
+    # (doc, gram) rows in one window task exactly as it landed them in
+    # one join-probe task before.
     dup_occ = F.sum(
         F.when(F.col("docs_with") >= F.lit(min_docs), F.col("occ")).otherwise(F.lit(0))
     )
     return (
-        per_doc_gram.join(gram_docs, "gram")
+        per_doc_gram.withColumn(
+            "docs_with", F.count(F.lit(1)).over(Window.partitionBy("gram")))
         .groupBy(id_col)
         .agg(
             F.sum("occ").alias("n_grams"),
@@ -1274,8 +1362,14 @@ def _gram_frame(
     """(id, gram) with one row per OCCURRENCE (not distinct): word
     n-grams by the corpus' single-space tokenization, same short-doc
     guard as word_shingles. ``outer=True`` keeps gram-less docs in band
-    as a single NULL-gram sentinel row (explode_outer)."""
-    toks = F.split(F.col(text_col), " ")
+    as a single NULL-gram sentinel row (explode_outer).
+
+    The token array is pre-projected (see word_shingles): an inline
+    split inside the transform lambda re-tokenizes the document once
+    per gram — O(tokens²) characters per doc."""
+    tdf = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     starts = F.sequence(F.lit(1), n_tok - F.lit(n) + F.lit(1))
     grams_arr = F.when(
@@ -1283,7 +1377,7 @@ def _gram_frame(
         F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " ")),
     ).otherwise(F.expr("array()").cast("array<string>"))
     exploder = F.explode_outer if outer else F.explode
-    return df.select(F.col(id_col), exploder(grams_arr).alias("gram"))
+    return tdf.select(F.col(id_col), exploder(grams_arr).alias("gram"))
 
 
 def gopher_repetition(
@@ -1302,7 +1396,7 @@ def gopher_repetition(
     Output [doc_id, n_tokens, top_bigram_frac, dup_trigram_frac] for
     documents with at least one ``dup_n``-gram.
 
-    Plan: ONE tagged gram pass (both n's unioned with a length tag) ->
+    Plan: ONE tagged gram pass (both n's explode from one scan, r12) ->
     per-(doc, n, gram) counts (map-side combinable) -> per-(doc, n)
     signal aggregates -> one per-doc conditional pivot — three linear
     aggregations, zero joins (n_tokens falls out of the dup_n-gram
@@ -1319,12 +1413,30 @@ def gopher_repetition(
         # under one tag and double every occurrence count
         raise ValueError(
             f"gopher_repetition: top_n and dup_n must differ (got {top_n})")
-    both = (
-        _gram_frame(df, top_n, text_col, id_col).withColumn("__n", F.lit(top_n))
-        .unionByName(
-            _gram_frame(df, dup_n, text_col, id_col).withColumn("__n", F.lit(dup_n))
-        )
-    )
+    # BOTH tagged gram sets ride ONE corpus scan (r12, the
+    # _ngram_lm_model single-explode device): the old unionByName of
+    # two _gram_frame calls scanned + tokenized the corpus twice. The
+    # per-(doc, n) gram multisets are identical — the rows just arrive
+    # from one explode of the concatenated tagged arrays.
+    tdf = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    toks = F.col("__toks")
+
+    def tagged(n: int):
+        starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n) + F.lit(1))
+        return F.when(
+            F.size(toks) >= F.lit(n),
+            F.transform(starts, lambda i: F.struct(
+                F.lit(n).alias("__n"),
+                F.array_join(F.slice(toks, i, n), " ").alias("gram"))),
+        ).otherwise(F.expr("array()").cast(
+            "array<struct<__n:int,gram:string>>"))
+
+    both = tdf.select(
+        F.col(id_col),
+        F.explode(F.concat(tagged(top_n), tagged(dup_n))).alias("__s"),
+    ).select(F.col(id_col), F.col("__s.__n").alias("__n"),
+             F.col("__s.gram").alias("gram"))
     pdg = both.groupBy(id_col, "__n", "gram").agg(F.count("*").alias("occ"))
     sig = pdg.groupBy(id_col, "__n").agg(
         (F.max("occ") / F.sum("occ")).alias("__top"),
@@ -1405,13 +1517,18 @@ def domain_stats(
         .distinct()
     )
     n_docs = df.select(F.count(F.lit(1)).alias("__nd"))
-    dom_counts = (
-        d.groupBy("domain").agg(F.count(F.lit(1)).alias("__docs_with"))
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn("__share", F.col("__docs_with") / F.col("__nd"))
-    )
+    # per-domain doc counts as a WINDOW over the distinct frame: the
+    # old aggregate-then-join shape evaluated the whole
+    # scan+explode+distinct subtree twice (once into the counts, once
+    # as the join's probe side — the r12 before-plan shows both
+    # copies); a count over the domain partition reads the frame once
+    # and needs no join. Same values, one subtree.
     per_doc = (
-        d.join(dom_counts.select("domain", "__share"), "domain")
+        d.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "__share",
+            F.count(F.lit(1)).over(Window.partitionBy("domain"))
+            / F.col("__nd"))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_domains"),
@@ -1474,28 +1591,50 @@ def trim_duplicate_spans(
     ``n`` tokens (no span signal) pass through untouched.
 
     Plan: positional gram explode -> per-gram (distinct-doc count,
-    min-id owner) aggregate -> equi-join back on the gram -> covered
-    token positions exploded and collected per doc -> one left join to
-    the corpus rebuilds the text with a filter() lambda over the token
-    array. Linear in total gram occurrences; the only wide key is the
-    gram itself (xxhash64 it at 100 TB, the dup_ngram_stats note)."""
-    toks = F.split(F.col(text_col), " ")
+    min-id owner) as one gram-partition window stack (no join, no
+    second gram pass, r12) -> covered token positions exploded and
+    collected per doc -> one left join to the corpus rebuilds the text
+    with a filter() lambda over the token array. Linear in total gram
+    occurrences; the only wide key is the gram itself (xxhash64 it at
+    100 TB, the dup_ngram_stats note).
+    The token array is pre-projected (see word_shingles): an inline
+    split inside the transform lambda is re-evaluated per gram."""
+    tdf = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     starts = F.sequence(F.lit(1), n_tok - F.lit(n) + F.lit(1))
     grams_arr = F.when(
         n_tok >= F.lit(n),
         F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " ")),
     ).otherwise(F.expr("array()").cast("array<string>"))
-    g = df.select(
+    g = tdf.select(
         F.col(id_col), F.posexplode(grams_arr).alias("__p0", "gram")
     ).withColumn("__pos", F.col("__p0") + 1).drop("__p0")  # 1-based start
-    stats = g.groupBy("gram").agg(
-        F.countDistinct(id_col).alias("__docs"),
-        F.min(id_col).alias("__owner"),
+    # per-gram stats as WINDOWS over the gram partition (r12, the
+    # domain_stats device): the old aggregate-then-join-back shape
+    # evaluated the whole scan -> tokenize -> positional-explode
+    # subtree twice (once into the stats table, once as the join's
+    # probe side) and paid the join's second gram exchange. All three
+    # stats ride ONE gram-partition window stack: the lag flags the
+    # first row of each (gram, doc) run under the (id, pos) sort, its
+    # running sum is the distinct-doc count, min(id) is the owner —
+    # every window partitions by the bare gram, so one exchange + one
+    # sort serve all of them (a (gram, id) window would NOT reuse the
+    # gram exchange: hash(gram, id) does not satisfy a gram-only
+    # clustering). Same values; skew parity with the old join probe.
+    w_sorted = Window.partitionBy("gram").orderBy(id_col, "__pos")
+    w_g = Window.partitionBy("gram")
+    prev_id = F.lag(id_col).over(w_sorted)
+    ext = (
+        g.withColumn(
+            "__new_doc",
+            (prev_id.isNull() | (prev_id != F.col(id_col))).cast("int"))
+        .withColumn("__docs", F.sum("__new_doc").over(w_g))
+        .withColumn("__owner", F.min(id_col).over(w_g))
     )
     covered = (
-        g.join(stats, "gram")
-        .filter((F.col("__docs") >= min_docs) & (F.col(id_col) != F.col("__owner")))
+        ext.filter((F.col("__docs") >= min_docs) & (F.col(id_col) != F.col("__owner")))
         .select(id_col, F.explode(
             F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
         ).alias("__tix"))
@@ -1643,13 +1782,20 @@ def decontaminate_sharded(
     unsharded op."""
     if n_shards < 1:
         raise ValueError(f"decontaminate_sharded: n_shards must be >= 1, got {n_shards}")
+    # ONE materialization of the benchmark gram set shared by every
+    # shard: the old shape re-ran the benchmark scan + explode +
+    # distinct once per shard for the cap probe AND once per shard for
+    # the broadcast build (2 x n_shards evaluations); each shard is now
+    # a cheap filter of the checkpointed set. Shard contents identical.
+    all_grams = (
+        _gram_frame(benchmark, n, text_col, id_col)
+        .select("gram").distinct()
+        .localCheckpoint(eager=True)
+    )
     parts = []
     for s in range(n_shards):
-        bg = (
-            _gram_frame(benchmark, n, text_col, id_col)
-            .select("gram").distinct()
-            .filter(F.pmod(F.xxhash64("gram"), F.lit(n_shards)) == s)
-        )
+        bg = all_grams.filter(
+            F.pmod(F.xxhash64("gram"), F.lit(n_shards)) == s)
         if bg.limit(_BENCH_GRAMS_CAP + 1).count() > _BENCH_GRAMS_CAP:
             raise ValueError(
                 f"decontaminate_sharded: shard {s}/{n_shards} still exceeds "
@@ -1823,8 +1969,17 @@ def lsh_dedup_keep_first(
         )
     # one row per DOCUMENT before the window: a source that delivers the
     # same doc row twice must neither re-emit it nor make the doc
-    # compete with its own copy for rank 1 (rn=2 would mark it dropped)
-    base = df.groupBy(id_col).agg(F.min(time_col).alias(time_col))
+    # compete with its own copy for rank 1 (rn=2 would mark it dropped).
+    # Materialized ONCE (eager localCheckpoint): the frame has two
+    # consumers — the band-key equi-join and the final keep-filter left
+    # join — and each re-ran the corpus scan + min-aggregate from
+    # scratch. One (id, ts) row per doc: linear, doc-bounded state at
+    # any corpus scale, the same device as the signature checkpoint in
+    # minhash_lsh_pairs.
+    base = (
+        df.groupBy(id_col).agg(F.min(time_col).alias(time_col))
+        .localCheckpoint(eager=True)
+    )
     melted = band_keys.join(base, id_col)
     w = Window.partitionBy("__band", "__key").orderBy(time_col, id_col)
     flagged = melted.withColumn(
@@ -1959,18 +2114,31 @@ def _ngram_lm_model(
     an eager localCheckpoint — the tables are gram-bounded (<< corpus
     at any scale), so checkpointing them once lets several scoring
     passes share ONE training job instead of re-aggregating the
-    reference per pass."""
-    uni = (
-        ref.select(F.explode(F.split(F.col(text_col), " ")).alias("__w"))
-        .groupBy("__w").agg(F.count("*").alias("__c1"))
-    )
-    bi = (
-        _gram_frame(ref, 2, text_col, id_col)
-        .groupBy("gram").agg(F.count("*").alias("__c2"))
+    reference per pass.
+
+    Both tables come out of ONE combined count pass: unigrams and
+    bigrams ride a single explode (a unigram can never contain the
+    space separator, a bigram always does, so the combined key space
+    is collision-free and a post-aggregation filter splits the table
+    exactly). This halves the reference scans per training job —
+    the old shape ran one scan+explode+aggregate per table."""
+    tdf = ref.select(F.split(F.col(text_col), " ").alias("__toks"))
+    t = F.col("__toks")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.array_join(F.slice(t, i, 2), " ")),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    counts = (
+        tdf.select(F.explode(F.concat(t, bigrams)).alias("__g"))
+        .groupBy("__g").agg(F.count("*").alias("__c"))
     )
     if materialize:
-        uni = uni.localCheckpoint(eager=True)
-        bi = bi.localCheckpoint(eager=True)
+        counts = counts.localCheckpoint(eager=True)
+    uni = counts.filter(~F.col("__g").contains(" ")).select(
+        F.col("__g").alias("__w"), F.col("__c").alias("__c1"))
+    bi = counts.filter(F.col("__g").contains(" ")).select(
+        F.col("__g").alias("gram"), F.col("__c").alias("__c2"))
     vsize = uni.agg(F.count("*").cast("double").alias("__v"))
     return uni, bi, vsize
 
@@ -2015,8 +2183,17 @@ def ngram_lm_score(
     if _model is not None:
         uni, bi, vsize = _model
     else:
+        # materialize the gram-bounded count tables (eager
+        # localCheckpoint): the plan references `uni` twice (the
+        # scoring join AND the vocab-size aggregate) and without
+        # materialization each reference re-ran the full
+        # reference-corpus scan + explode + aggregate — the r12
+        # before-plan showed 8 parquet scans for one scoring query.
+        # The tables are vocabulary-bounded (<< corpus at any scale),
+        # so this is the cheap side of the trade everywhere.
         uni, bi, vsize = _ngram_lm_model(
-            reference if reference is not None else df, text_col, id_col)
+            reference if reference is not None else df, text_col, id_col,
+            materialize=True)
     g = _gram_frame(df, 2, text_col, id_col).withColumn(
         "__w1", F.split(F.col("gram"), " ").getItem(0))
     logp = F.log(
@@ -2113,15 +2290,34 @@ def dsir_importance(
         f"{int(n_buckets)})")
 
     def feats(src: DataFrame) -> DataFrame:
+        # ONE explode for the uni+bigram bag: the old shape unioned
+        # two separate gram frames, scanning the source twice per
+        # featurization pass (the r12 before-plan: 20 parquet scans
+        # for one weighting query). The per-doc gram multiset is
+        # identical — concat(tokens, bigrams) rides a single pass.
+        tdf = src.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+        t = F.col("__toks")
+        bigrams = F.when(
+            F.size(t) >= 2,
+            F.transform(F.sequence(F.lit(1), F.size(t) - 1),
+                        lambda i: F.array_join(F.slice(t, i, 2), " ")),
+        ).otherwise(F.expr("array()").cast("array<string>"))
         return (
-            _gram_frame(src, 1, text_col, id_col)
-            .unionByName(_gram_frame(src, 2, text_col, id_col))
+            tdf.select(F.col(id_col),
+                       F.explode(F.concat(t, bigrams)).alias("gram"))
             .select(F.col(id_col), bucket.alias("__b"))
         )
 
     a = float(alpha)
-    tgt = feats(target).groupBy("__b").agg(F.count("*").alias("__ct"))
-    raw = feats(df).groupBy("__b").agg(F.count("*").alias("__cr"))
+    # the multinomials are bucket-bounded (<= n_buckets rows at ANY
+    # corpus scale) and each is referenced twice below (its total and
+    # the lambda join) — materialize them once instead of re-running
+    # the corpus/target featurization per reference
+    tgt = (feats(target).groupBy("__b").agg(F.count("*").alias("__ct"))
+           .localCheckpoint(eager=True))
+    raw = (feats(df).groupBy("__b").agg(F.count("*").alias("__cr"))
+           .localCheckpoint(eager=True))
     tot = (
         tgt.agg(F.sum("__ct").cast("double").alias("__t"))
         .crossJoin(raw.agg(F.sum("__cr").cast("double").alias("__r")))
@@ -2614,15 +2810,18 @@ def corpus_curation_v2(
     if use_sampled_cutoffs:
         buck = perplexity_buckets_from_cutoffs(
             kept, reference, n_buckets, alpha, sample_mod, text_col, id_col
-        ).select(id_col, "lang_pred", "bucket")
+        ).select(id_col, "bucket")
     else:
         buck = perplexity_buckets(
             kept, reference, n_buckets, alpha, text_col, id_col
-        ).select(id_col, "lang_pred", "bucket")
-    quality = text_stats(kept, text_col, id_col).select(id_col, "quality_score")
-    toks = token_counts(kept, text_col, id_col)
+        ).select(id_col, "bucket")
+    # quality, token counts and language-ID fuse into one projection
+    # (see _fused_doc_stats); its lang_pred is the same expression the
+    # bucket leg's language_id computes, so only `bucket` needs the
+    # doc-key join — one join instead of two, one kept-scan instead
+    # of three
     return (
-        toks.join(quality, id_col).join(buck, id_col)
+        _fused_doc_stats(kept, text_col, id_col).join(buck, id_col)
         .filter((F.col("quality_score") >= quality_min)
                 & (F.col("bucket") <= int(keep_buckets)))
         .groupBy("lang_pred", "bucket")

@@ -510,12 +510,12 @@ def _eval_frame(spark, sf_dir):
     """,
 )
 def q_forecast_metrics(spark, sf_dir):
-    ev = _eval_frame(spark, sf_dir)
-    m1 = metrics.mae(ev, by_group=True)
-    m2 = metrics.rmse(ev, by_group=True)
-    m3 = metrics.mape(ev, by_group=True)
-    m4 = metrics.smape(ev, by_group=True)
-    return m1.join(m2, "unique_id").join(m3, "unique_id").join(m4, "unique_id")
+    # ONE aggregation pass for all four metrics (r12): the old
+    # join-of-four-aggregations shape paid 4 scans + 4 aggregation
+    # exchanges + 3 join exchanges for identical values — the fused
+    # aggregate uses the exact same expression builders, so every
+    # column is bit-identical (see metrics.point_metrics).
+    return metrics.point_metrics(_eval_frame(spark, sf_dir), by_group=True)
 
 
 @register(

@@ -403,14 +403,28 @@ def _gram_hash_arr(text_col: str, n: int):
     projection, so the Python kernel downstream never touches a
     string — it only searchsorts int64 arrays. NULL or too-short text
     yields an EMPTY array (the batch twins' zero-gram semantics:
-    ``size(split(NULL))`` is -1, which fails the ``>= n`` gate)."""
-    toks = F.split(F.col(text_col), " ")
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - n + 1),
-        lambda i: _hash60(F.array_join(F.slice(toks, i, n), " ")),
-    )
-    return F.when(F.size(toks) >= n, hashes).otherwise(
-        F.expr("array()").cast("array<bigint>"))
+    ``size(split(NULL))`` is -1, which fails the ``>= n`` gate).
+
+    The token array is LET-BOUND via a single-element transform:
+    higher-order lambdas re-evaluate operand subtrees per element, so
+    an inline split inside the gram lambda re-tokenized the document
+    once per gram (O(tokens²) characters). Binding the split to the
+    outer lambda's variable evaluates it exactly once per row while
+    staying a single Column (no caller-side projection needed)."""
+    empty = F.expr("array()").cast("array<bigint>")
+
+    def _grams(toks):
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: _hash60(F.array_join(F.slice(toks, i, n), " ")),
+            ),
+        ).otherwise(empty)
+
+    return F.transform(
+        F.array(F.split(F.col(text_col), " ")), _grams
+    ).getItem(0)
 
 
 def _segment_bounds(arrs) -> "tuple":
@@ -634,13 +648,18 @@ def streaming_curation_pipeline(
         "__k", F.lit(1))
 
     toks = F.split(F.col(text_col), " ")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.expr("array()").cast("array<string>"))
+    # let-bind the token array (see _gram_hash_arr): an inline split
+    # inside the gram lambda is re-evaluated once per gram
+    grams = F.transform(
+        F.array(toks),
+        lambda tk: F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - n + 1),
+                lambda i: F.array_join(F.slice(tk, i, n), " "),
+            ),
+        ).otherwise(F.expr("array()").cast("array<string>")),
+    ).getItem(0)
 
     deduped = (
         stream_df.withWatermark(time_col, watermark)

@@ -10,6 +10,7 @@ from polars_ts_spark.operators.metrics import (
     mae,
     mape,
     mase,
+    point_metrics,
     rmse,
     smape,
 )
@@ -40,6 +41,31 @@ def test_smape(spark):
     df = with_pred(make_panel(spark, {"A": [0.0, 2.0]}), [0.0, 4.0])
     # both-zero row excluded; 2|2-4|/(2+4) = 2/3
     assert abs(smape(df).first()["smape"] - 2.0 / 3.0) < 1e-12
+
+
+def test_point_metrics_matches_standalone_ops(spark):
+    """point_metrics (r12: the forecast_metrics fusion) must equal the
+    four standalone ops column-for-column, in scalar AND per-group
+    mode, and its per-group plan must be a single aggregation — no
+    joins (the shape the fusion exists to remove)."""
+    df = with_pred(
+        make_panel(spark, {"A": [0.0, 2.0, 4.0, 1.0], "B": [1.0, 5.0, 0.0, 0.0]}),
+        [1.0, 1.0, 2.0, 0.5],
+    )
+    fused = point_metrics(df).first()
+    assert fused["mae"] == mae(df).first()["mae"]
+    assert fused["rmse"] == rmse(df).first()["rmse"]
+    assert fused["mape"] == mape(df).first()["mape"]
+    assert fused["smape"] == smape(df).first()["smape"]
+
+    by = {r["unique_id"]: r for r in point_metrics(df, by_group=True).collect()}
+    for name, op in (("mae", mae), ("rmse", rmse), ("mape", mape), ("smape", smape)):
+        for r in op(df, by_group=True).collect():
+            got, want = by[r["unique_id"]][name], r[name]
+            assert got == want or (got is None and want is None)
+
+    plan = point_metrics(df, by_group=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
 
 
 def test_mase_perfect_zero_and_rules(spark):

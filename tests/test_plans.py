@@ -20,6 +20,7 @@ from __future__ import annotations
 import contextlib
 import io
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -227,15 +228,19 @@ def test_pii_scrub_pure_projection(spark):
 
 
 def test_dup_ngram_stats_linear_plan(spark):
-    """dup_ngram_stats: no cross join anywhere — the only join is the
-    gram equi-join — and the explode feeds a partial-aggregating
-    groupBy (the shuffle carries (doc, gram) partials, not raw grams)."""
+    """dup_ngram_stats: no join of any kind (r12 — doc-frequency is a
+    count over the gram window on the per-(doc, gram) frame, replacing
+    the old aggregate-then-join-back shape and its second gram pass),
+    and the explode feeds a partial-aggregating groupBy (the shuffle
+    carries (doc, gram) partials, not raw grams)."""
     from polars_ts_spark.operators import textops
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(textops.dup_ngram_stats(docs))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Join" not in plan, plan  # window docfreq — the join is gone
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "partial_count" in plan, plan  # map-side combine before the gram shuffle
 
 
@@ -256,13 +261,18 @@ def test_stratified_sample_single_exchange(spark):
 
 def test_lsh_dedup_keep_first_no_cartesian(spark):
     """lsh_dedup_keep_first: linear plan — band-key window + id join,
-    no self-join of documents, no cartesian stage."""
+    no self-join of documents, no cartesian stage. The per-doc
+    min-time frame is checkpointed once (r12), so the ONLY corpus
+    scan left in the final plan is the signature subtree's — the old
+    shape re-ran the scan + min-aggregate for both of the frame's
+    consumers (three scans total)."""
     from polars_ts_spark.operators import textops
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
         "ds", F.expr("timestamp_seconds(1700000000 + doc_id)"))
     plan = _plan(textops.lsh_dedup_keep_first(docs))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
 
 
 def test_sequence_pack_single_exchange(spark):
