@@ -186,8 +186,18 @@ class StackingForecaster:
         self.id_col, self.time_col, self.target_col = id_col, time_col, target_col
 
     def fit(self, df: DataFrame, holdout: int = 7) -> "StackingForecaster":
-        times = [r[0] for r in df.select(self.time_col).distinct().orderBy(self.time_col).collect()]
-        cut = times[-holdout - 1]
+        # the cut is the (holdout+1)-th LARGEST distinct timestamp: a
+        # descending limit plans as TakeOrderedAndProject (per-partition
+        # top-k heads + a driver merge of k rows) instead of a full sort
+        # + full collect of the time axis (r12, guide §2.4 — the
+        # orderBy existed only to index one element)
+        top = df.select(self.time_col).distinct().orderBy(
+            F.col(self.time_col).desc()).limit(holdout + 1).collect()
+        if len(top) < holdout + 1:
+            raise IndexError(
+                f"holdout={holdout} needs at least {holdout + 1} distinct "
+                f"timestamps, got {len(top)}")
+        cut = top[-1][0]
         train = df.filter(F.col(self.time_col) <= F.lit(cut))
         test = df.filter(F.col(self.time_col) > F.lit(cut))
         joined = test.select(self.id_col, self.time_col, self.target_col)

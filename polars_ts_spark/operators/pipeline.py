@@ -576,60 +576,62 @@ class QuantileRegressor:
         cols = [F.col(c).cast("double") for c in feat_cols]
         t = F.col(self.target_col).cast("double")
         qs = self.quantiles
-        # the IRLS loop re-aggregates this frame n_irls+1 times; cache
-        # it in as few partitions as its size needs so each pass costs
-        # a few tasks, not a full shuffle-width of them. repartition,
-        # NOT coalesce: coalesce would collapse the upstream window
-        # computation into the same tasks, while a repartition keeps
-        # the feature build at full width and only narrows the cached
-        # result. The partition count is SIZE-ADAPTIVE (guide §2:
-        # derive partitioning from input size, not a constant): the
-        # optimizer's size estimate for the d+1-column projection,
-        # targeting ~64 MB per cached partition, capped at the core
-        # count. A sub-64 MB frame caches as ONE partition, which also
-        # removes the per-iteration single-row Exchange — every IRLS
-        # aggregation then runs as one stage (a 1-partition child
-        # already satisfies the final aggregate's AllTuples
-        # requirement), cutting 2x jobs+exchanges off every iteration.
         sel_df = feat_df.select(*feat_cols, self.target_col)
-        try:
-            est_bytes = int(
-                sel_df._jdf.queryExecution().optimizedPlan().stats()
-                .sizeInBytes())
-        except Exception:  # stats unavailable: keep the old default
-            est_bytes = 8 * 64 * 1024 * 1024
+        # scale decade + normal-equation start, one FULL-WIDTH pass (the
+        # start solve is quantile-independent: all quantiles share it).
+        # Its exact row count also sizes the iteration layout below —
+        # the old optimizer-stats estimate overshot by ~50x on a
+        # post-window projection (no column stats), caching a 20 MB
+        # frame in 15 partitions and paying a 2-stage 16-task job per
+        # iteration for data one task covers.
+        exprs = [F.avg(F.abs(t)).alias("__m"), F.count(F.lit(1)).alias("__n"),
+                 F.sum(t).alias("__ys")]
+        for i in range(d):
+            for j in range(i, d):
+                exprs.append(F.sum(cols[i] * cols[j]).alias(f"xx_{i}_{j}"))
+            exprs.append(F.sum(cols[i]).alias(f"xs_{i}"))
+            exprs.append(F.sum(cols[i] * t).alias(f"xy_{i}"))
+        row = sel_df.agg(*exprs).collect()[0]
+        if not row["__n"]:
+            raise ValueError(
+                "QuantileRegressor: no training rows after lag "
+                "alignment — every series is shorter than max(lags)"
+            )
+        m = float(row["__m"] or 0.0)
+        s = 10.0 ** math.floor(math.log10(m)) if m > 0 else 1.0
+        A = np.zeros((d + 1, d + 1))
+        b = np.zeros(d + 1)
+        for i in range(d):
+            for j in range(i, d):
+                A[i, j] = A[j, i] = row[f"xx_{i}_{j}"]
+            A[i, d] = A[d, i] = row[f"xs_{i}"]
+            b[i] = row[f"xy_{i}"]
+        A[d, d] = float(row["__n"])
+        b[d] = row["__ys"]
+        w0 = np.linalg.solve(A + 1e-8 * np.eye(d + 1), b)
+        # EXACT size-adaptive layout (guide §2: derive partitioning from
+        # input size): (d+2) doubles per row, ~64 MB per partition,
+        # capped at the core count.
         n_cache_parts = max(1, min(
             feat_df.sparkSession.sparkContext.defaultParallelism,
-            (est_bytes + 64 * 1024 * 1024 - 1) // (64 * 1024 * 1024)))
+            (int(row["__n"]) * (d + 2) * 8 + 64 * 1024 * 1024 - 1)
+            // (64 * 1024 * 1024)))
+        if n_cache_parts == 1 and self.n_irls > 0:
+            # SINGLE-PARTITION FAST PATH: the whole IRLS loop runs
+            # inside ONE python task over the one-partition frame —
+            # 2 Spark jobs total instead of 1 + n_irls driver-blocking
+            # aggregations, and (measured r12) ~0.35 s of Catalyst
+            # planning PER ITERATION for the 27-aggregate expression
+            # tree disappears with them. Larger inputs keep the
+            # distributed per-iteration sufficient-stats path below —
+            # the knob is the data size, not the cluster. Summation
+            # order (numpy pairwise vs JVM partial-agg) differs only in
+            # ulps, which the residual quantization grid is DESIGNED to
+            # absorb (see the trajectory-stability note above); the
+            # sf0.001/sf0.01 oracles re-verify it.
+            return self._irls_one_task(sel_df, feat_cols, w0, s)
         feat_df = sel_df.repartition(n_cache_parts).persist()
         try:
-            # scale decade + normal-equation start, one pass (the start
-            # solve is quantile-independent: all quantiles share it)
-            exprs = [F.avg(F.abs(t)).alias("__m"), F.count(F.lit(1)).alias("__n"),
-                     F.sum(t).alias("__ys")]
-            for i in range(d):
-                for j in range(i, d):
-                    exprs.append(F.sum(cols[i] * cols[j]).alias(f"xx_{i}_{j}"))
-                exprs.append(F.sum(cols[i]).alias(f"xs_{i}"))
-                exprs.append(F.sum(cols[i] * t).alias(f"xy_{i}"))
-            row = feat_df.agg(*exprs).collect()[0]
-            if not row["__n"]:
-                raise ValueError(
-                    "QuantileRegressor: no training rows after lag "
-                    "alignment — every series is shorter than max(lags)"
-                )
-            m = float(row["__m"] or 0.0)
-            s = 10.0 ** math.floor(math.log10(m)) if m > 0 else 1.0
-            A = np.zeros((d + 1, d + 1))
-            b = np.zeros(d + 1)
-            for i in range(d):
-                for j in range(i, d):
-                    A[i, j] = A[j, i] = row[f"xx_{i}_{j}"]
-                A[i, d] = A[d, i] = row[f"xs_{i}"]
-                b[i] = row[f"xy_{i}"]
-            A[d, d] = float(row["__n"])
-            b[d] = row["__ys"]
-            w0 = np.linalg.solve(A + 1e-8 * np.eye(d + 1), b)
             weights = {q: w0 for q in qs}
             for _ in range(self.n_irls):
                 exprs = []
@@ -671,6 +673,65 @@ class QuantileRegressor:
             return weights
         finally:
             feat_df.unpersist()
+
+    def _irls_one_task(
+        self, sel_df: DataFrame, feat_cols: list[str], w0: np.ndarray, s: float
+    ) -> dict[float, np.ndarray]:
+        """All ``n_irls`` rounds inside one python task (single-partition
+        inputs only — the caller sized the frame first). Replays the
+        identical arithmetic: the same pred association, the same grid
+        snap ``floor(r/s·1000 + 0.5)/1000·s``, the same guarded weight
+        map, the same damped solve. The per-round sufficient statistics
+        are numpy sums of the exact same element-wise products the
+        distributed path aggregates."""
+        d = len(feat_cols)
+        qs = list(self.quantiles)
+        n_irls = self.n_irls
+        target = self.target_col
+        w0_list = [float(v) for v in w0]
+
+        def kern(batches):
+            pdfs = [p for p in batches]
+            pdf = pd.concat(pdfs, ignore_index=True) if pdfs else pd.DataFrame(
+                columns=[*feat_cols, target])
+            X = pdf[feat_cols].to_numpy(dtype=float)
+            y = pdf[target].to_numpy(dtype=float)
+            W = [np.asarray(w0_list, dtype=float) for _ in qs]
+            for _ in range(n_irls):
+                new_w = []
+                for qi, q in enumerate(qs):
+                    wq = W[qi]
+                    pred = X[:, 0] * float(wq[0])
+                    for i in range(1, d):
+                        pred = pred + X[:, i] * float(wq[i])
+                    pred = pred + float(wq[d])
+                    r = y - pred
+                    rc = np.floor(r / s * 1000 + 0.5) / 1000 * s
+                    wt = (np.where(rc >= 0, float(q), float(1 - q))
+                          / np.maximum(np.abs(rc), 1e-3 * s))
+                    A = np.zeros((d + 1, d + 1))
+                    b = np.zeros(d + 1)
+                    for i in range(d):
+                        for j in range(i, d):
+                            A[i, j] = A[j, i] = float(np.sum(X[:, i] * (wt * X[:, j])))
+                        A[i, d] = A[d, i] = float(np.sum(X[:, i] * wt))
+                        b[i] = float(np.sum(X[:, i] * (wt * y)))
+                    A[d, d] = float(np.sum(wt))
+                    b[d] = float(np.sum(wt * y))
+                    new_w.append(np.linalg.solve(A + 1e-8 * np.eye(d + 1), b))
+                W = new_w
+            yield pd.DataFrame({
+                "qi": np.repeat(np.arange(len(qs), dtype="int32"), d + 1),
+                "i": np.tile(np.arange(d + 1, dtype="int32"), len(qs)),
+                "w": np.concatenate(W) if qs else np.array([], dtype=float),
+            })
+
+        rows = (sel_df.repartition(1)
+                .mapInPandas(kern, schema="qi int, i int, w double").collect())
+        weights = {q: np.zeros(d + 1) for q in qs}
+        for r in rows:
+            weights[qs[r["qi"]]][r["i"]] = r["w"]
+        return weights
 
     def fit(self, df: DataFrame) -> "QuantileRegressor":
         feat_df, feat_cols = _training_frame(

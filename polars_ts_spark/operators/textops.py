@@ -83,6 +83,45 @@ def duck_hash32(col_sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# scan spreading
+
+
+def _spread_scan(df: DataFrame, id_col: str | None = None) -> DataFrame:
+    """Hash-repartition a narrow per-doc frame to full core width when
+    its source provides fewer input splits than cores.
+
+    A single-row-group parquet corpus scans as ONE task, and every
+    map-side stage fused onto that scan — tokenize, shingle transform,
+    md5 digests, explode + partial aggregation — runs single-threaded
+    until the first exchange (measured r12: the whole minhash signature
+    stage was one 3.3 s task on a 32-core box). Guide §2.5: "one huge
+    unsplittable file … repartition immediately after the read."
+
+    ADAPTIVE, not a local[32] constant: the knob is the scan's split
+    count vs ``defaultParallelism``. A 100 TB corpus already scans at
+    thousands of splits, so this is a no-op there — only a scan too
+    narrow for the machine pays the one extra (tiny, by the same
+    argument) exchange. Keyed by ``id_col`` when given (deterministic
+    hash placement, no sort-before-repartition pass); round-robin
+    otherwise. ONLY safe above exact aggregations (min/max/count/int
+    sums): callers must not spread a frame feeding a float reduction
+    whose grouping this would reorder. Streaming frames pass through."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if cur >= n:
+        return df
+    if id_col is not None and id_col in df.columns:
+        return df.repartition(n, F.col(id_col))
+    return df.repartition(n)
+
+
+# ---------------------------------------------------------------------------
 # shingling
 
 
@@ -108,7 +147,7 @@ def word_shingles(
     characters per doc (guide §1.2 "per-task work"). A bound column
     reference makes it one split per document.
     """
-    toks = df.select(
+    toks = _spread_scan(df, id_col).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
     shingles = F.expr(
         f"CASE WHEN size(__toks) >= {n} THEN"
@@ -382,6 +421,12 @@ def minhash_lsh_pairs(
                 F.col("__bminrow.i").alias("__bmin"),
                 F.col("__bminrow.s").alias("__bminsig"))
     )
+    # the skew-stats frame has TWO broadcast consumers (anti-join keys +
+    # star stats) and each broadcast build re-ran the melt + aggregate
+    # from the signature checkpoint; it is bounded tiny by construction
+    # (<= bands·n/max_bucket rows), so materialize it once and let both
+    # broadcasts read the checkpointed rows
+    big = big.localCheckpoint(eager=True)
     small = melted.join(F.broadcast(big.select("__band", "__key")),
                         ["__band", "__key"], "left_anti")
 
@@ -487,7 +532,7 @@ def simhash_fingerprint(
     """60-bit SimHash per doc: token-frequency-weighted majority vote
     per bit of h60(token). Output [doc_id, simhash].
     """
-    toks = df.select(
+    toks = _spread_scan(df, id_col).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
     h = F.expr(spark_hash60("tok"))
@@ -1367,7 +1412,7 @@ def _gram_frame(
     The token array is pre-projected (see word_shingles): an inline
     split inside the transform lambda re-tokenizes the document once
     per gram — O(tokens²) characters per doc."""
-    tdf = df.select(
+    tdf = _spread_scan(df, id_col).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
     toks = F.col("__toks")
     n_tok = F.size(toks)
@@ -1418,7 +1463,7 @@ def gopher_repetition(
     # two _gram_frame calls scanned + tokenized the corpus twice. The
     # per-(doc, n) gram multisets are identical — the rows just arrive
     # from one explode of the concatenated tagged arrays.
-    tdf = df.select(
+    tdf = _spread_scan(df, id_col).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
     toks = F.col("__toks")
 
@@ -1599,7 +1644,7 @@ def trim_duplicate_spans(
     100 TB, the dup_ngram_stats note).
     The token array is pre-projected (see word_shingles): an inline
     split inside the transform lambda is re-evaluated per gram."""
-    tdf = df.select(
+    tdf = _spread_scan(df, id_col).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
     toks = F.col("__toks")
     n_tok = F.size(toks)
@@ -2122,7 +2167,8 @@ def _ngram_lm_model(
     is collision-free and a post-aggregation filter splits the table
     exactly). This halves the reference scans per training job —
     the old shape ran one scan+explode+aggregate per table."""
-    tdf = ref.select(F.split(F.col(text_col), " ").alias("__toks"))
+    tdf = _spread_scan(ref, id_col).select(
+        F.split(F.col(text_col), " ").alias("__toks"))
     t = F.col("__toks")
     bigrams = F.when(
         F.size(t) >= 2,
@@ -2295,7 +2341,7 @@ def dsir_importance(
         # featurization pass (the r12 before-plan: 20 parquet scans
         # for one weighting query). The per-doc gram multiset is
         # identical — concat(tokens, bigrams) rides a single pass.
-        tdf = src.select(
+        tdf = _spread_scan(src, id_col).select(
             F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
         t = F.col("__toks")
         bigrams = F.when(

@@ -38,7 +38,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
-def supplier_daily_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def supplier_daily_panel(
+    spark: SparkSession, sf_dir: str, materialize: bool = False
+) -> DataFrame:
     """Canonical F1 panel from lineitem: one series per supplier, daily
     revenue. unique_id=l_suppkey (string), ds=day, y=sum(extendedprice).
 
@@ -48,15 +50,28 @@ def supplier_daily_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
                date_trunc('day', l_shipdate) AS ds,
                SUM(l_extendedprice) AS y
         FROM lineitem GROUP BY 1, 2
-    """
+
+    ``materialize=True`` eagerly localCheckpoints the panel — for
+    MULTI-PASS consumers (fit/predict estimators, stacking, conformal)
+    that otherwise re-run the lineitem scan + aggregation once per
+    pass. The panel is the narrow linear proxy of the fact table
+    (3 columns, one row per series-day), so materializing it once and
+    re-reading it N times beats N source scans at any scale
+    (guide §3.3/§5: a lineage-truncating materialization of an
+    intermediate consumed by many branches). Values are identical —
+    the checkpoint changes where bytes are read from, not one bit of
+    what is computed."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    panel = (
         li.groupBy(
             F.col("l_suppkey").cast("string").alias("unique_id"),
             F.date_trunc("day", F.col("l_shipdate")).alias("ds"),
         )
         .agg(F.sum("l_extendedprice").alias("y"))
     )
+    if materialize:
+        return panel.localCheckpoint(eager=True)
+    return panel
 
 
 def user_event_panel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -375,7 +375,10 @@ def test_global_forecaster_fit_never_collects_id_list(linear_panel, monkeypatch)
 def test_quantile_regressor_fit_never_collects_design_matrix(linear_panel, monkeypatch):
     sizes = _spy_driver_transfers(monkeypatch)
     m = P.QuantileRegressor(quantiles=(0.1, 0.9), lags=(1,), n_irls=3).fit(linear_panel)
-    assert sizes and max(sizes) == 1  # one stats row per IRLS solve
+    # every driver transfer is MODEL-sized, never data-sized: the start
+    # stats row, plus (r12 single-partition fast path) the final
+    # (d+1) x n_quantiles weight rows from the one-task IRLS job
+    assert sizes and max(sizes) <= 2 * 2  # (n_lags+1) * n_quantiles
     assert set(m.weights) == {0.1, 0.9}
 
 
