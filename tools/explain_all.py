@@ -24,7 +24,8 @@ def main() -> None:
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("polars-ts-spark-explain")
     qs = queries()
