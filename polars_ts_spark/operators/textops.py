@@ -2647,6 +2647,7 @@ def perplexity_buckets_from_cutoffs(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize_model: bool = True,
+    _model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """The 100 TB variant of ``perplexity_buckets`` (round-9 directive
     #4 — the plan the exact op's docstring promises): train the
@@ -2681,7 +2682,10 @@ def perplexity_buckets_from_cutoffs(
     # each re-aggregated the reference, and the round-11 skew probe
     # measured that duplicate train costing more than the exact
     # NTILE sort this op exists to avoid at bench scale.
-    model = _ngram_lm_model(
+    # ``_model``: a prebuilt ``_ngram_lm_model`` tuple — the curation
+    # composites train it on a driver thread OVERLAPPING the dedup
+    # stage (guide §2.6) and hand it in here.
+    model = _model if _model is not None else _ngram_lm_model(
         reference if reference is not None else df, text_col, id_col,
         materialize=materialize_model)
     scored = ngram_lm_score(df, None, alpha, text_col, id_col, _model=model)
@@ -2808,6 +2812,7 @@ def corpus_curation_v2(
     line_filter: dict | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
     **lsh_kw,
 ) -> DataFrame:
     """``corpus_curation`` extended with the CCNet LM-quality leg
@@ -2844,18 +2849,58 @@ def corpus_curation_v2(
       ``use_sampled_cutoffs=False`` explicitly to get the exact-NTILE
       small-corpus contract (the ``corpus_curation_v2`` registry entry
       keeps that leg for oracle-parity continuity)."""
+    # guide §2.6 (overlap independent jobs): with a held-out
+    # ``reference`` the LM training job shares NOTHING with the
+    # line-filter/dedup chain, yet the eager checkpoints inside dedup
+    # serialized the two — the reference aggregation now runs on a
+    # driver thread while dedup's rounds execute, back-filling idle
+    # executors and hiding one full blocking job. Values are
+    # unaffected: the same `_ngram_lm_model` call, just submitted
+    # earlier.
+    fut_model = None
+    pool = None
+    if use_sampled_cutoffs and reference is not None and materialize:
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        fut_model = pool.submit(
+            _ngram_lm_model, reference, text_col, id_col, True)
     if line_filter is not None:
         _check_line_filter_keys(line_filter)
         lf = c4_line_filters(
             df, text_col=text_col, id_col=id_col, **line_filter)
         df = (lf.filter(F.col("kept"))
                 .select(F.col(id_col), F.col("clean_text").alias(text_col)))
+        if materialize:
+            # materialize the line-filtered corpus ONCE (guide §8 step
+            # 1: run the expensive per-doc pass a single time and let
+            # every decision stage read the result): dedup scans this
+            # frame 2-3x and the kept join once more, and each lazy
+            # derivation re-ran the whole split/filter/rejoin string
+            # pipeline. Values are unchanged — only the lineage is cut.
+            df = df.localCheckpoint(eager=True)
     clusters = dedup_clusters(df, id_col=id_col, **lsh_kw)
     kept = df.join(
         clusters.filter(F.col("is_canonical")).select(id_col), id_col)
+    if materialize:
+        # the kept corpus feeds 4-6 downstream passes (LM train when
+        # self-trained, LM scoring, language-ID, the sampled-cutoff
+        # branch's filtered score+lang pair, the fused stats scan) and
+        # each one re-paid the documents scan + canonical join.
+        # Materializing it keeps every leg a block read. Scale note:
+        # this is corpus-sized executor state and localCheckpoint is
+        # not fault-tolerant — on a real cluster with executor churn
+        # pass materialize=False (recompute per leg, the pre-r13 plan)
+        # or swap for persist(MEMORY_AND_DISK) + reliable checkpoint.
+        kept = kept.localCheckpoint(eager=True)
     if use_sampled_cutoffs:
+        model = None
+        if fut_model is not None:
+            model = fut_model.result()
+            pool.shutdown(wait=False)
         buck = perplexity_buckets_from_cutoffs(
-            kept, reference, n_buckets, alpha, sample_mod, text_col, id_col
+            kept, reference, n_buckets, alpha, sample_mod, text_col, id_col,
+            _model=model,
         ).select(id_col, "bucket")
     else:
         buck = perplexity_buckets(
