@@ -406,6 +406,39 @@ void msm_pairs(const double *A, const double *B, double *out,
         out[p] = prev[m - 1];
     }
 }
+
+/* DTW over k pairs with the PAIR axis innermost: At/Bt are the (n, k)
+   and (m, k) TRANSPOSES of the dtw_pairs inputs. Each pair's cells
+   are computed with the identical expressions in the identical (i, j)
+   order, so results are bit-identical to dtw_pairs — but the inner
+   p-loop carries no dependency, so the CPU pipelines (and the
+   compiler vectorizes) across pairs instead of stalling on the
+   serial cur[j-1] chain. work: 2*(m+1)*k doubles. */
+void dtw_pairs_kvec(const double *At, const double *Bt, double *out,
+                    long k, long n, long m, double *work) {
+    double *prev = work, *cur = work + (m + 1) * k;
+    for (long p = 0; p < k; p++) prev[p] = 0.0;
+    for (long j = 1; j <= m; j++)
+        for (long p = 0; p < k; p++) prev[j * k + p] = INFINITY;
+    for (long i = 1; i <= n; i++) {
+        const double *ai = At + (i - 1) * k;
+        for (long p = 0; p < k; p++) cur[p] = INFINITY;
+        for (long j = 1; j <= m; j++) {
+            const double *bj = Bt + (j - 1) * k;
+            const double *cl = cur + (j - 1) * k;
+            const double *pu = prev + j * k;
+            const double *pd = prev + (j - 1) * k;
+            double *cj = cur + j * k;
+            for (long p = 0; p < k; p++) {
+                double t = fabs(ai[p] - bj[p]);
+                cj[p] = dmin(dmin(cl[p], pu[p]), pd[p]) + t;
+            }
+        }
+        double *tmp = prev; prev = cur; cur = tmp;
+    }
+    for (long p = 0; p < k; p++) out[p] = prev[m * k + p];
+}
+
 """
 
 
@@ -465,6 +498,8 @@ def _load():
                                   ctypes.c_long, dp]
         lib.msm_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
                                   ctypes.c_long, ctypes.c_double, dp]
+        lib.dtw_pairs_kvec.argtypes = [dp, dp, dp, ctypes.c_long,
+                                       ctypes.c_long, ctypes.c_long, dp]
         lib.erp_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
                                   ctypes.c_long, ctypes.c_double, dp]
         lib.lcss_pairs.argtypes = [dp, dp, dp, ctypes.c_long, ctypes.c_long,
@@ -513,8 +548,20 @@ def dtw_pairs(A: np.ndarray, B: np.ndarray) -> np.ndarray | None:
     if n == 0 or m == 0:
         return None
     out = np.empty(k)
-    work = np.empty(2 * (m + 1))
     dp = ctypes.POINTER(ctypes.c_double)
+    if k >= 4:
+        # pair-axis-innermost layout: ~3x on batched workloads (the
+        # scalar kernel is latency-bound on its serial cur[j-1] chain;
+        # interleaving k independent pairs fills the pipeline).
+        # Bit-identical per pair — see the C comment.
+        At = np.ascontiguousarray(A.T)
+        Bt = np.ascontiguousarray(B.T)
+        work = np.empty(2 * (m + 1) * k)
+        lib.dtw_pairs_kvec(At.ctypes.data_as(dp), Bt.ctypes.data_as(dp),
+                           out.ctypes.data_as(dp), k, n, m,
+                           work.ctypes.data_as(dp))
+        return out
+    work = np.empty(2 * (m + 1))
     lib.dtw_pairs(A.ctypes.data_as(dp), B.ctypes.data_as(dp),
                   out.ctypes.data_as(dp), k, n, m, work.ctypes.data_as(dp))
     return out
@@ -717,8 +764,11 @@ def msm_pairs(A: np.ndarray, B: np.ndarray, c: float) -> np.ndarray | None:
     if n == 0 or m == 0:
         return None
     out = np.empty(k)
-    work = np.empty(2 * max(m, 1))
     dp = ctypes.POINTER(ctypes.c_double)
+    # (a pair-axis-innermost variant like dtw_pairs_kvec was measured
+    # SLOWER here: MSM's data-dependent cost ternaries defeat SSE2
+    # if-conversion and the hoisted register terms beat array scratch)
+    work = np.empty(2 * max(m, 1))
     lib.msm_pairs(A.ctypes.data_as(dp), B.ctypes.data_as(dp),
                   out.ctypes.data_as(dp), k, n, m, ctypes.c_double(c),
                   work.ctypes.data_as(dp))

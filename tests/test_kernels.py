@@ -206,6 +206,29 @@ def test_native_dp_kernels_bit_identical_to_numpy(monkeypatch):
         assert np.array_equal(f_nat, K.frechet_batch(A, B))
 
 
+def test_native_dtw_kvec_matches_scalar_rows():
+    """r13: dtw_pairs routes batches (k >= 4) to the pair-axis-
+    innermost C kernel; it must agree bit-for-bit with the scalar
+    per-pair kernel (the k < 4 route), including NaN propagation."""
+    import numpy as np
+
+    from polars_ts_spark.functions import native
+
+    if not native.available():
+        pytest.skip("no C toolchain; numpy path is the only path")
+    rng = np.random.default_rng(7)
+    for n, m in [(84, 84), (31, 57), (1, 9), (9, 1), (1, 1)]:
+        A = rng.normal(0, 100, (11, n))
+        B = rng.normal(0, 100, (11, m))
+        A[3, 0] = np.nan
+        if m > 3:
+            B[5, 3] = np.nan
+        batched = native.dtw_pairs(A, B)            # kvec route
+        rowwise = np.concatenate(
+            [native.dtw_pairs(A[i:i + 1], B[i:i + 1]) for i in range(11)])
+        assert np.array_equal(batched, rowwise, equal_nan=True)
+
+
 def test_native_banded_and_multi_kernels_bit_identical(monkeypatch):
     """dtw_band / dtw_itakura / dtw_multi / msm_multi route to C
     unconditionally when a toolchain exists — the 'bit-identical'
