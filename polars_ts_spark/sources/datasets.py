@@ -60,7 +60,16 @@ def supplier_daily_panel(
     (guide §3.3/§5: a lineage-truncating materialization of an
     intermediate consumed by many branches). Values are identical —
     the checkpoint changes where bytes are read from, not one bit of
-    what is computed."""
+    what is computed.
+
+    Cluster caveat (ADVICE r12): ``localCheckpoint`` stores blocks on
+    executors WITHOUT replication and cuts the lineage needed to
+    recompute them — executor loss (dynamic allocation, preemption)
+    then fails the query instead of recomputing. Fine in local mode
+    and on static clusters; deployments with executor churn should
+    pass ``materialize=False`` (recompute per pass) or swap in
+    ``persist(StorageLevel.MEMORY_AND_DISK)`` + a reliable
+    ``checkpoint()`` where re-reading beats re-scanning."""
     li = load_table(spark, sf_dir, "lineitem")
     panel = (
         li.groupBy(

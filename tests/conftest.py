@@ -17,6 +17,36 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _drop_persistent_blocks(request):
+    """Free localCheckpoint/persist blocks after each test module.
+
+    clearCache() does not release checkpointed RDDs; reclamation
+    otherwise waits on Python GC + the async ContextCleaner, and a
+    full-suite run was measured holding 37 persistent RDDs (~170 MB)
+    mid-run — steady heap pressure on a memory-tight CI container (the
+    r12 driver's pytest died in a WholeStageCodegen task crash ~219
+    tests in; not reproducible here, so this is bounded-cost
+    insurance). Module scope: no test depends on another module's
+    cached state."""
+    yield
+    from pyspark.sql import SparkSession
+
+    spark_s = (SparkSession.getActiveSession()
+               or SparkSession._instantiatedSession)
+    if spark_s is None:
+        return  # module never started Spark — nothing to free
+    import gc
+
+    gc.collect()
+    try:
+        for jrdd in list(
+                spark_s.sparkContext._jsc.getPersistentRDDs().values()):
+            jrdd.unpersist(False)
+    except Exception:
+        pass
+
+
 PANEL_SCHEMA = T.StructType([
     T.StructField("unique_id", T.StringType()),
     T.StructField("ds", T.TimestampType()),

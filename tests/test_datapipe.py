@@ -1247,10 +1247,11 @@ def test_corpus_curation_v2_planted(spark):
     want_tokens = sum(toks[d]["bpe_tokens"] for d in keep_ids)
     assert sum(r["total_bpe_tokens"] for r in out) == want_tokens
     assert all(r["bucket"] == 1 for r in out)
-    # the round-11 DEFAULT (sampled cutoffs) composes with the
-    # sampled-cutoff constituent the same way
+    # the sampled-cutoff leg (explicit opt-in since the r13 default
+    # flip) composes with the sampled-cutoff constituent the same way
     out_s = textops.corpus_curation_v2(
-        docs, quality_min=0.0, keep_buckets=1, n_buckets=3).collect()
+        docs, quality_min=0.0, keep_buckets=1, n_buckets=3,
+        use_sampled_cutoffs=True).collect()
     buck_s = {r["doc_id"]: r for r in
               textops.perplexity_buckets_from_cutoffs(kept).collect()}
     keep_s = [d for d, r in buck_s.items() if r["bucket"] == 1]

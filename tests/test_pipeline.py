@@ -374,12 +374,19 @@ def test_global_forecaster_fit_never_collects_id_list(linear_panel, monkeypatch)
 
 def test_quantile_regressor_fit_never_collects_design_matrix(linear_panel, monkeypatch):
     sizes = _spy_driver_transfers(monkeypatch)
-    m = P.QuantileRegressor(quantiles=(0.1, 0.9), lags=(1,), n_irls=3).fit(linear_panel)
-    # every driver transfer is MODEL-sized, never data-sized: the start
-    # stats row, plus (r12 single-partition fast path) the final
-    # (d+1) x n_quantiles weight rows from the one-task IRLS job
-    assert sizes and max(sizes) <= 2 * 2  # (n_lags+1) * n_quantiles
-    assert set(m.weights) == {0.1, 0.9}
+    lags, quantiles = (1,), (0.1, 0.9)
+    m = P.QuantileRegressor(quantiles=quantiles, lags=lags, n_irls=3).fit(linear_panel)
+    # every driver transfer is MODEL-sized, never data-sized, and there
+    # are exactly TWO of them (ADVICE r12 — assert the transfer
+    # structure, not just a hardcoded max): the 1-row start-stats agg,
+    # then the (n_lags+1) x n_quantiles weight rows from the one-task
+    # IRLS job. A data-sized collect would either add a transfer or
+    # blow the derived bound.
+    bound = (len(lags) + 1) * len(quantiles)
+    assert len(sizes) == 2
+    assert sizes[0] == 1  # the start-stats row
+    assert sizes[1] <= bound  # the weight rows
+    assert set(m.weights) == set(quantiles)
 
 
 def test_stacking_fit_never_collects_prediction_frame(linear_panel, monkeypatch):

@@ -28,12 +28,18 @@ def _jobs(ui: str, app: str) -> list[dict]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = "/root/testdata/sf0.1"
-    for i, a in enumerate(sys.argv[1:]):
-        if a == "--sf":
-            sf_dir = sys.argv[2 + i]
-            args.remove(sf_dir) if sf_dir in args else None
+    # argparse (ADVICE r12): the hand-rolled --sf parse raised
+    # IndexError when --sf was last and misparsed values colliding
+    # with query names
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("queries", nargs="+", help="registered query names")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1",
+                    help="testdata directory (default sf0.1)")
+    ns = ap.parse_args()
+    args = ns.queries
+    sf_dir = ns.sf
     spark = get_spark("profile-query")
     sc = spark.sparkContext
     ui = sc.uiWebUrl

@@ -59,9 +59,39 @@ def make_skewed(n_docs: int, frac_major: float = 0.95,
     return pd.DataFrame(rows, columns=["doc_id", "text"])
 
 
+def make_skewed_dist(spark, n_docs: int, frac_major: float = 0.95,
+                     seed: int = 11):
+    """Distributed twin of make_skewed for the 5M/10M sizes (VERDICT
+    r12 #5): the driver-side pandas build is ~350 B/doc and would ship
+    multi-GB task closures past 1-2M docs. Construction is per-doc
+    deterministic (seeded by doc_id), same marker scheme — a DIFFERENT
+    corpus than the driver build at the same n, which is fine because
+    the probe's claim is relative wall time of two paths on the SAME
+    input."""
+    def gen(batches):
+        for pdf_in in batches:
+            ids = pdf_in["id"].tolist()
+            texts = []
+            for d in ids:
+                rng = random.Random((seed << 34) ^ int(d))
+                markers = EN if rng.random() < frac_major else DE
+                n = rng.randint(10, 99)
+                toks = [rng.choice(FILL) for _ in range(n)]
+                for _ in range(3):
+                    toks[rng.randrange(n)] = rng.choice(markers)
+                texts.append(" ".join(toks))
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return (spark.range(n_docs).repartition(64)
+            .mapInPandas(gen, "doc_id long, text string"))
+
+
 def run(spark, n_docs: int) -> dict:
-    pdf = make_skewed(n_docs)
-    docs = spark.createDataFrame(pdf).repartition(32).cache()
+    if n_docs > 1_500_000:
+        docs = make_skewed_dist(spark, n_docs).cache()
+    else:
+        pdf = make_skewed(n_docs)
+        docs = spark.createDataFrame(pdf).repartition(32).cache()
     docs.count()
     langs = {r["lang_pred"]: r["n"] for r in
              textops.language_id(docs).groupBy("lang_pred")
