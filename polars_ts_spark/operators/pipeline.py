@@ -576,7 +576,12 @@ class QuantileRegressor:
         cols = [F.col(c).cast("double") for c in feat_cols]
         t = F.col(self.target_col).cast("double")
         qs = self.quantiles
-        sel_df = feat_df.select(*feat_cols, self.target_col)
+        # persist the narrow feature frame BEFORE the start-stats job so
+        # that job populates the cache and the IRLS pass (one-task or
+        # distributed) reads cached rows instead of re-running the
+        # lag-window pipeline (r13; the pairwise sizing pattern — never
+        # two feature computations for one fit)
+        sel_df = feat_df.select(*feat_cols, self.target_col).persist()
         # scale decade + normal-equation start, one FULL-WIDTH pass (the
         # start solve is quantile-independent: all quantiles share it).
         # Its exact row count also sizes the iteration layout below —
@@ -593,6 +598,7 @@ class QuantileRegressor:
             exprs.append(F.sum(cols[i] * t).alias(f"xy_{i}"))
         row = sel_df.agg(*exprs).collect()[0]
         if not row["__n"]:
+            sel_df.unpersist()
             raise ValueError(
                 "QuantileRegressor: no training rows after lag "
                 "alignment — every series is shorter than max(lags)"
@@ -629,7 +635,10 @@ class QuantileRegressor:
             # ulps, which the residual quantization grid is DESIGNED to
             # absorb (see the trajectory-stability note above); the
             # sf0.001/sf0.01 oracles re-verify it.
-            return self._irls_one_task(sel_df, feat_cols, w0, s)
+            try:
+                return self._irls_one_task(sel_df, feat_cols, w0, s)
+            finally:
+                sel_df.unpersist()
         feat_df = sel_df.repartition(n_cache_parts).persist()
         try:
             weights = {q: w0 for q in qs}
@@ -673,6 +682,7 @@ class QuantileRegressor:
             return weights
         finally:
             feat_df.unpersist()
+            sel_df.unpersist()
 
     def _irls_one_task(
         self, sel_df: DataFrame, feat_cols: list[str], w0: np.ndarray, s: float
